@@ -1,0 +1,57 @@
+"""Reporting aggregations (SURVEY §2.4 A8/A10, §2.5 M1).
+
+The reference maintains an AggregatingMergeTree materialized view of
+per-(dataset, schema) entity/statement counts (``engine.py:201-217``) and a
+``view.stats(q)`` report (``tests/test_store.py:129-142``). Spark's
+partial+final hash aggregation already does two-phase counting (P9), so the
+"materialized" part reduces to: recompute on demand (cheap — one shuffle),
+or keep it incrementally fresh with the Structured Streaming job in
+``streaming.ingest`` when statements arrive as a stream.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def dataset_stats(statements: DataFrame) -> DataFrame:
+    """Per-(dataset, schema) distinct-entity + statement counts — the
+    ``<stmt>_stats`` MV equivalent (engine.py:210-217)."""
+    return statements.groupBy("dataset", "schema").agg(
+        F.countDistinct("canonical_id").alias("entities"),
+        F.count(F.lit(1)).alias("statements"),
+    )
+
+
+def stats(statements: DataFrame, dataset: str | None = None) -> dict[str, Any]:
+    """``view.stats()`` report: entity count, per-schema counts, per-country
+    counts (reference golden ``tests/test_store.py:129-142``)."""
+    df = statements
+    if dataset is not None:
+        df = df.filter(F.col("dataset") == dataset)
+    df = df.cache()
+    try:
+        entity_count = df.select("canonical_id").distinct().count()
+        schemata = {
+            r["schema"]: r["n"]
+            for r in df.groupBy("schema")
+            .agg(F.countDistinct("canonical_id").alias("n"))
+            .collect()
+        }
+        countries = {
+            r["value"]: r["n"]
+            for r in df.filter(F.col("prop_type") == "country")
+            .groupBy("value")
+            .agg(F.countDistinct("canonical_id").alias("n"))
+            .collect()
+        }
+    finally:
+        df.unpersist()
+    return {
+        "entity_count": entity_count,
+        "schemata": schemata,
+        "countries": countries,
+    }

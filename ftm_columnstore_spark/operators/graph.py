@@ -1,0 +1,81 @@
+"""Graph operators: inverted lookup, 1-hop adjacency, reverse semi-join
+(SURVEY §2.3 J1/J2, §2.2 F7).
+
+All three are fixed-shape equi-self-joins on the statement table; the
+reference runs them as ClickHouse SQL with a ``value``-sorted projection
+(``engine.py:236-262``). In Spark the frontier side (one entity's ids, or
+one id) is tiny, so we broadcast it and no shuffle of the big table occurs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ftm_columnstore_spark.model.ftm import REVERSE_PROPS
+
+
+def _reverse_prop_expr(col: str = "prop") -> F.Column:
+    pairs: list[F.Column] = []
+    for prop, rev in REVERSE_PROPS.items():
+        pairs.append(F.lit(prop))
+        pairs.append(F.lit(rev))
+    mapping = F.create_map(*pairs)
+    return F.coalesce(mapping[F.col(col)], F.concat(F.col(col), F.lit("Reverse")))
+
+
+def inverted(statements: DataFrame, value_id: str) -> DataFrame:
+    """Incoming edges of ``value_id``: statements whose ``prop_type='entity'``
+    value references it, with the reversed FtM prop name
+    (reference ``tests/test_store.py:31-38``).
+
+    Returns (reversed_prop, referencing_canonical_id).
+    """
+    return (
+        statements.filter(
+            (F.col("prop_type") == "entity") & (F.col("value") == value_id)
+        )
+        .select(
+            _reverse_prop_expr().alias("prop"),
+            F.col("canonical_id").alias("entity_id"),
+        )
+        .distinct()
+    )
+
+
+def reverse_ids(statements: DataFrame, value_id: str) -> DataFrame:
+    """Canonical ids of entities referencing ``value_id`` (F7 reverse
+    filter): used as a left-semi join against the statement table."""
+    return (
+        statements.filter(
+            (F.col("prop_type") == "entity") & (F.col("value") == value_id)
+        )
+        .select("canonical_id")
+        .distinct()
+    )
+
+
+def adjacent(statements: DataFrame, entity_id: str) -> DataFrame:
+    """1-hop neighbourhood (reference ``tests/test_store.py:40-41``):
+    outgoing (this entity's entity-typed values) ∪ incoming (inverted).
+
+    Returns (prop, neighbour_id, direction).
+    """
+    mine = statements.filter(
+        (F.col("canonical_id") == entity_id) | (F.col("entity_id") == entity_id)
+    )
+    out_edges = (
+        mine.filter(F.col("prop_type") == "entity")
+        .select(
+            F.col("prop"),
+            F.col("value").alias("neighbour_id"),
+            F.lit("out").alias("direction"),
+        )
+        .distinct()
+    )
+    in_edges = inverted(statements, entity_id).select(
+        F.col("prop"),
+        F.col("entity_id").alias("neighbour_id"),
+        F.lit("in").alias("direction"),
+    )
+    return out_edges.unionByName(in_edges)

@@ -1,0 +1,57 @@
+"""SparkSession factory with scale-aware defaults.
+
+Single place where execution knobs live so tests, bench and the CLI share
+one config. Tuned for local[N] verification but chosen to survive a
+1000-executor cluster: AQE on (runtime re-plan, skew-join splitting,
+partition coalescing), adaptive broadcast, Arrow for the few pandas-UDF
+operators, and parquet filter pushdown left enabled so scans prune.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+
+from ftm_columnstore_spark import settings
+
+
+def get_spark(
+    app_name: str = "ftm-columnstore-spark",
+    master: str | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    builder = (
+        SparkSession.builder.appName(app_name)
+        # --- shuffle & adaptivity -----------------------------------------
+        # AQE re-plans at runtime: coalesces tiny post-shuffle partitions,
+        # splits skewed ones, and converts sort-merge→broadcast when a side
+        # turns out small. This is the main 100TB survival mechanism.
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config(
+            "spark.sql.shuffle.partitions", str(settings.SHUFFLE_PARTITIONS)
+        )
+        # --- python/arrow --------------------------------------------------
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # --- IO ------------------------------------------------------------
+        # 128MB split targets keep scan tasks balanced at any SF.
+        .config("spark.sql.files.maxPartitionBytes", "134217728")
+        .config("spark.sql.parquet.filterPushdown", "true")
+        .config("spark.sql.parquet.aggregatePushdown", "true")
+        # Statement ids are high-cardinality strings; dictionary encoding is
+        # still right for the LowCardinality-equivalent columns (prop,
+        # schema, dataset) and parquet enables it per-column automatically.
+        .config("spark.sql.parquet.compression.codec", "zstd")
+        # --- misc ----------------------------------------------------------
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.showConsoleProgress", "false")
+        .config("spark.ui.enabled", "false")
+    )
+    if master is not None:
+        builder = builder.master(master)
+    elif SparkSession.getActiveSession() is None:
+        builder = builder.master(f"local[{settings.CPUS}]")
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()

@@ -1,0 +1,154 @@
+"""Parquet-backed statement store (SURVEY §2.1 S3-S11, §1.4, §4 P1/P5).
+
+Replaces the reference's ClickHouse ``ReplacingMergeTree`` table
+(``engine.py:129-155``) with:
+
+- **append-only parquet writes**, hive-partitioned by ``dataset`` (the
+  reference's scoping unit, engine.py:140) so dataset filters become
+  partition pruning, sorted within partitions by ``canonical_id`` so
+  parquet row-group min/max stats skip on entity lookups — the Spark
+  analogue of the reference's clustered primary key (engine.py:153-154);
+- **dedup-on-read**: the ReplacingMergeTree(last_seen) upsert contract
+  (equal sort key → keep max last_seen, engine.py:152) as a deterministic
+  window — no "eventual" semantics, no 5s sleeps (tests/test_store.py:83);
+- **compaction** (``optimize()``): the ``OPTIMIZE TABLE … FINAL DEDUPLICATE``
+  analogue (engine.py:114-125) — rewrites the store with the same window so
+  subsequent reads skip the dedup shuffle.
+
+At 100TB: appends are embarrassingly parallel; the dedup window shuffles on
+``canonical_id`` which is also the write-sort key, and AQE handles skewed
+entities. Readers that don't touch re-written entities pay nothing after
+compaction.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+from functools import cache
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ftm_columnstore_spark import settings
+from ftm_columnstore_spark.model.schemas import (
+    STATEMENT_COLUMNS,
+    STATEMENT_KEY,
+    STATEMENT_SCHEMA,
+)
+from ftm_columnstore_spark.sources.statements import entities_to_statements
+
+
+def dedup_statements(df: DataFrame) -> DataFrame:
+    """ReplacingMergeTree semantics as a window (SURVEY §1.4, §2.8 U2):
+    rows equal on the statement key collapse to the max ``last_seen``."""
+    w = Window.partitionBy(*STATEMENT_KEY).orderBy(F.col("last_seen").desc())
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+class Store:
+    """A statement store rooted at a parquet directory."""
+
+    def __init__(self, spark: SparkSession, uri: str | None = None):
+        self.spark = spark
+        self.uri = uri or settings.STORE_URI
+        self._path = os.path.join(self.uri, "statements")
+        self._canonical: DataFrame | None = None
+
+    # --- DDL (S8, S9) -------------------------------------------------------
+    def ensure(self) -> None:
+        os.makedirs(self.uri, exist_ok=True)
+
+    def drop(self) -> None:
+        shutil.rmtree(self._path, ignore_errors=True)
+
+    def exists(self) -> bool:
+        return os.path.exists(self._path)
+
+    # --- write path (S2-S5) -------------------------------------------------
+    def write_statements(self, df: DataFrame, mode: str = "append") -> None:
+        """Append statements, partitioned by dataset, entity-clustered."""
+        out = df.select(*STATEMENT_COLUMNS)
+        (
+            out.repartition("dataset", "canonical_id")
+            .sortWithinPartitions("canonical_id", "entity_id", "prop", "value")
+            .write.mode(mode)
+            .partitionBy("dataset")
+            .parquet(self._path)
+        )
+
+    def write_entities(
+        self, entities: DataFrame, dataset: str = "default", last_seen: str | None = None
+    ) -> None:
+        self.write_statements(
+            entities_to_statements(entities, default_dataset=dataset, last_seen=last_seen)
+        )
+
+    # --- read path (S6, F1) ---------------------------------------------------
+    def statements(self, dataset: str | None = None, deduped: bool = True) -> DataFrame:
+        """The statement table; dataset filter prunes parquet partitions."""
+        if not self.exists():
+            return self.spark.createDataFrame([], STATEMENT_SCHEMA)
+        df = self.spark.read.schema(STATEMENT_SCHEMA).parquet(self._path)
+        if dataset is not None:
+            df = df.filter(F.col("dataset") == dataset)
+        df = self._apply_canonical(df)
+        return dedup_statements(df) if deduped else df
+
+    # --- canonicalization (J3, D5) -------------------------------------------
+    def set_resolver(self, canonical_map: DataFrame | None) -> None:
+        """Install an entity_id → canonical_id mapping (nomenklatura
+        Resolver analogue, store.py:25-28). Broadcast-joined at read."""
+        if canonical_map is not None:
+            canonical_map = canonical_map.select("entity_id", "canonical_id")
+        self._canonical = canonical_map
+
+    def _apply_canonical(self, df: DataFrame) -> DataFrame:
+        if self._canonical is None:
+            return df
+        cmap = F.broadcast(
+            self._canonical.withColumnRenamed("canonical_id", "__canon")
+        )
+        return (
+            df.drop("canonical_id")
+            .join(cmap, on="entity_id", how="left")
+            .withColumn("canonical_id", F.coalesce("__canon", "entity_id"))
+            .drop("__canon")
+            .select(*STATEMENT_COLUMNS)
+        )
+
+    # --- maintenance (P5) -----------------------------------------------------
+    def optimize(self) -> None:
+        """Compaction: rewrite the store deduplicated (OPTIMIZE FINAL)."""
+        if not self.exists():
+            return
+        tmp = self._path + ".compact"
+        deduped = dedup_statements(
+            self.spark.read.schema(STATEMENT_SCHEMA).parquet(self._path)
+        )
+        (
+            deduped.repartition("dataset", "canonical_id")
+            .sortWithinPartitions("canonical_id", "entity_id", "prop", "value")
+            .write.mode("overwrite")
+            .partitionBy("dataset")
+            .parquet(tmp)
+        )
+        shutil.rmtree(self._path)
+        os.rename(tmp, self._path)
+
+    # --- iteration (S6, S7) ----------------------------------------------------
+    def iterate_statements(self, dataset: str | None = None):
+        yield from self.statements(dataset).sort("canonical_id").toLocalIterator()
+
+
+@cache
+def get_store(uri: str | None = None) -> Store:
+    from ftm_columnstore_spark.session import get_spark
+
+    store = Store(get_spark(), uri)
+    store.ensure()
+    return store

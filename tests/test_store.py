@@ -1,0 +1,89 @@
+"""Store round-trip, upsert dedup, compaction, resolver
+(SURVEY §2.1, §2.8 U2, §1.4 P5; reference tests/test_store.py:58-66)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from ftm_columnstore_spark.store import Store, dedup_statements
+
+
+@pytest.fixture()
+def store(spark, tmp_path):
+    s = Store(spark, str(tmp_path / "store"))
+    s.ensure()
+    return s
+
+
+def test_write_read_roundtrip(store, entities_df):
+    store.write_entities(entities_df, last_seen="2024-01-01 00:00:00")
+    assert store.statements().select("entity_id").distinct().count() == 10
+    assert store.statements(dataset="grants").select("entity_id").distinct().count() == 7
+
+
+def test_upsert_no_growth(store, entities_df):
+    """Re-adding identical entities must not grow the store (U2)."""
+    store.write_entities(entities_df, last_seen="2024-01-01 00:00:00")
+    n1 = store.statements().count()
+    store.write_entities(entities_df, last_seen="2024-02-01 00:00:00")
+    n2 = store.statements().count()
+    assert n1 == n2
+    # raw (non-deduped) store did grow — dedup is on read
+    assert store.statements(deduped=False).count() == 2 * n1
+
+
+def test_upsert_latest_wins(store, spark):
+    from ftm_columnstore_spark.sources.statements import statements_from_rows
+
+    for ts, seen in [("v1", "2024-01-01"), ("v1", "2024-03-01")]:
+        df = statements_from_rows(
+            spark,
+            [dict(id="s1", entity_id="e", prop="name", schema="Person",
+                  value="A", dataset="d", last_seen=None)],
+        ).withColumn("last_seen", F.to_timestamp(F.lit(seen)))
+        store.write_statements(df)
+    rows = store.statements().collect()
+    assert len(rows) == 1
+    assert str(rows[0]["last_seen"]).startswith("2024-03-01")
+
+
+def test_compaction(store, entities_df):
+    store.write_entities(entities_df, last_seen="2024-01-01 00:00:00")
+    store.write_entities(entities_df, last_seen="2024-02-01 00:00:00")
+    before_raw = store.statements(deduped=False).count()
+    store.optimize()
+    after_raw = store.statements(deduped=False).count()
+    assert after_raw == before_raw // 2
+    assert store.statements().count() == after_raw
+
+
+def test_resolver_canonicalization(store, spark, entities_df):
+    store.write_entities(entities_df, last_seen="2024-01-01 00:00:00")
+    cmap = spark.createDataFrame(
+        [("org-acme", "canon-1"), ("org-beta", "canon-1")],
+        ["entity_id", "canonical_id"],
+    )
+    store.set_resolver(cmap)
+    stmts = store.statements()
+    canon = stmts.filter(F.col("canonical_id") == "canon-1")
+    assert sorted(
+        r["entity_id"] for r in canon.select("entity_id").distinct().collect()
+    ) == ["org-acme", "org-beta"]
+    # unmapped ids keep identity
+    assert stmts.filter(F.col("canonical_id") == "pay-1").count() > 0
+
+
+def test_dedup_statements_unit(spark):
+    from ftm_columnstore_spark.sources.statements import statements_from_rows
+
+    df = statements_from_rows(
+        spark,
+        [
+            dict(id="s1", entity_id="e", prop="p", schema="Thing", value="v",
+                 dataset="d", last_seen=None),
+            dict(id="s1", entity_id="e", prop="p", schema="Thing", value="v",
+                 dataset="d", last_seen=None),
+            dict(id="s2", entity_id="e", prop="p", schema="Thing", value="w",
+                 dataset="d", last_seen=None),
+        ],
+    )
+    assert dedup_statements(df).count() == 2
