@@ -1,0 +1,29 @@
+from ftm_columnstore_spark.functions.phonetics import (
+    fingerprint_col,
+    metaphone_udf,
+    soundex_col,
+    tokenize_col,
+)
+from ftm_columnstore_spark.functions.text import (
+    clean_tokens_col,
+    shingles_col,
+    word_tokens_col,
+)
+from ftm_columnstore_spark.functions.vectors import (
+    cosine_similarity_col,
+    dot_col,
+    norm_col,
+)
+
+__all__ = [
+    "clean_tokens_col",
+    "cosine_similarity_col",
+    "dot_col",
+    "fingerprint_col",
+    "metaphone_udf",
+    "norm_col",
+    "shingles_col",
+    "soundex_col",
+    "tokenize_col",
+    "word_tokens_col",
+]

