@@ -37,25 +37,30 @@ def _c(col: Column | str) -> Column:
     return F.col(col) if isinstance(col, str) else col
 
 
-def _norm_tokens(col: Column | str) -> Column:
+def _norm_tokens(col: Column | str, strip_legal_forms: bool = False) -> Column:
     """lower → de-accent (translate common latin diacritics) → strip
-    punctuation → split → drop legal-form stopwords and empties."""
+    punctuation → split; optionally drop legal-form stopwords."""
     c = F.lower(_c(col))
     c = F.translate(
         c,
         "àáâãäåāçćčèéêëēěìíîïīñńòóôõöøōšùúûüūýÿžßæœ",
         "aaaaaaacccceeeeeeiiiiinnooooooosuuuuuyyzsao",
     )
-    tokens = F.filter(
-        F.split(c, "[^a-z0-9]+"),
-        lambda x: (x != F.lit("")) & ~x.isin(*[F.lit(s) for s in LEGAL_FORMS]),
+    pred = (lambda x: (x != F.lit("")) & ~x.isin(*[F.lit(s) for s in LEGAL_FORMS])) \
+        if strip_legal_forms else (lambda x: x != F.lit(""))
+    return F.filter(F.split(c, "[^a-z0-9]+"), pred)
+
+
+def fingerprint_col(col: Column | str, strip_legal_forms: bool = False) -> Column:
+    """X1: sorted distinct normalized tokens, space-joined.
+
+    Default keeps legal-form tokens, matching the reference golden
+    ("Tchibo Holding AG" → "ag holding tchibo",
+    reference tests/test_store.py:50-56); pass strip_legal_forms=True for
+    the more aggressive blocking key."""
+    return F.array_join(
+        F.array_sort(F.array_distinct(_norm_tokens(col, strip_legal_forms))), " "
     )
-    return tokens
-
-
-def fingerprint_col(col: Column | str) -> Column:
-    """X1: sorted distinct normalized tokens, space-joined."""
-    return F.array_join(F.array_sort(F.array_distinct(_norm_tokens(col))), " ")
 
 
 def tokenize_col(col: Column | str) -> Column:
@@ -170,10 +175,7 @@ def _metaphone_word(word: str) -> str:
     return "".join(out)
 
 
-@pandas_udf("string")
-def metaphone_udf(values: pd.Series) -> pd.Series:
-    """X3 analogue: per-token metaphone codes, space-joined. Arrow-batched;
-    memoized per batch via pandas ``map`` over unique values."""
+def _metaphone_series(values: pd.Series) -> pd.Series:
     def encode(v):
         if v is None:
             return None
@@ -184,3 +186,16 @@ def metaphone_udf(values: pd.Series) -> pd.Series:
     uniques = values.drop_duplicates()
     mapping = {v: encode(v) for v in uniques}
     return values.map(mapping)
+
+
+_METAPHONE_UDF = None
+
+
+def metaphone_udf(col: Column | str) -> Column:
+    """X3 analogue: per-token metaphone codes, space-joined. Arrow-batched
+    pandas UDF, memoized per batch via ``map`` over unique values. Created
+    lazily — registering a pandas UDF requires an active SparkSession."""
+    global _METAPHONE_UDF
+    if _METAPHONE_UDF is None:
+        _METAPHONE_UDF = pandas_udf(_metaphone_series, "string")
+    return _METAPHONE_UDF(_c(col))

@@ -1,0 +1,88 @@
+"""Windowed event-time aggregations (SURVEY §2.11 extension; exercised
+against the ``events`` test table).
+
+Each helper works on BOTH batch and streaming DataFrames — the point of
+Structured Streaming's unified model. On a stream, pass a watermark so
+state is bounded; on a batch frame the same plan runs as a normal agg.
+
+The incremental-MV pattern (reference engine.py:201-234) is
+``tumbling_window_agg`` over the statement stream keyed by
+(dataset, schema) — state store replaces AggregatingMergeTree.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _with_watermark(df: DataFrame, ts_col: str, watermark: str | None) -> DataFrame:
+    return df.withWatermark(ts_col, watermark) if watermark and df.isStreaming else df
+
+
+def tumbling_window_agg(
+    events: DataFrame,
+    window_duration: str = "1 hour",
+    ts_col: str = "ts",
+    key_cols: tuple[str, ...] = ("event_type",),
+    value_col: str = "value",
+    watermark: str | None = "1 hour",
+) -> DataFrame:
+    df = _with_watermark(events, ts_col, watermark)
+    return df.groupBy(
+        F.window(ts_col, window_duration).alias("win"), *key_cols
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum(value_col), 4).alias("sum_value"),
+    ).select(
+        F.col("win.start").alias("window_start"),
+        F.col("win.end").alias("window_end"),
+        *key_cols,
+        "n",
+        "sum_value",
+    )
+
+
+def sliding_window_agg(
+    events: DataFrame,
+    window_duration: str = "1 hour",
+    slide_duration: str = "15 minutes",
+    ts_col: str = "ts",
+    key_cols: tuple[str, ...] = ("event_type",),
+    value_col: str = "value",
+    watermark: str | None = "1 hour",
+) -> DataFrame:
+    df = _with_watermark(events, ts_col, watermark)
+    return df.groupBy(
+        F.window(ts_col, window_duration, slide_duration).alias("win"),
+        *key_cols,
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg(value_col), 4).alias("avg_value"),
+    ).select(
+        F.col("win.start").alias("window_start"),
+        *key_cols,
+        "n",
+        "avg_value",
+    )
+
+
+def session_window_agg(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    ts_col: str = "ts",
+    key_cols: tuple[str, ...] = ("user_id",),
+    watermark: str | None = "1 hour",
+) -> DataFrame:
+    """Session windows (gap-based), the stateful-operator showcase."""
+    df = _with_watermark(events, ts_col, watermark)
+    return df.groupBy(
+        F.session_window(ts_col, gap).alias("win"), *key_cols
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+    ).select(
+        F.col("win.start").alias("session_start"),
+        F.col("win.end").alias("session_end"),
+        *key_cols,
+        "n_events",
+    )

@@ -1,0 +1,101 @@
+"""Matching pipeline: fingerprint derivation → blocking → scoring →
+connected components (SURVEY §2.10 D1-D5)."""
+
+import pytest
+
+from ftm_columnstore_spark.operators.blocking import (
+    blocking_candidates,
+    candidate_pairs,
+    connected_components,
+    derive_fingerprints,
+    fingerprint_frequencies,
+    score_pairs,
+)
+from ftm_columnstore_spark.sources.statements import statements_from_rows
+
+
+@pytest.fixture(scope="module")
+def name_statements(spark):
+    rows = []
+    names = {
+        "e1": ("Tchibo Holding AG", "d1"),
+        "e2": ("Tchibo Holding", "d2"),      # same fingerprint tokens minus AG
+        "e3": ("TCHIBO HOLDING AG", "d2"),   # case-variant of e1
+        "e4": ("Raiffeisenbank Kleinwalsertal", "d1"),
+        "e5": ("Raiffeisenbank Kleinwalsertal", "d2"),  # exact dup across datasets
+        "e6": ("Zebra Logistics", "d1"),
+    }
+    for eid, (name, ds) in names.items():
+        rows.append(
+            dict(
+                id=f"s-{eid}", entity_id=eid, prop="name", prop_type="name",
+                schema="Company", value=name, dataset=ds, last_seen=None,
+            )
+        )
+    return statements_from_rows(spark, rows)
+
+
+def test_derive_fingerprints(name_statements):
+    fpx = derive_fingerprints(name_statements)
+    rows = fpx.collect()
+    assert {r["algorithm"] for r in rows} == {"fingerprint", "metaphone1", "soundex"}
+    fp = {
+        (r["entity_id"], r["value"])
+        for r in rows
+        if r["algorithm"] == "fingerprint"
+    }
+    # e1 and e3 share the full fingerprint
+    assert ("e1", "ag holding tchibo") in fp
+    assert ("e3", "ag holding tchibo") in fp
+
+
+def test_blocking_and_pairs(name_statements):
+    fpx = derive_fingerprints(name_statements)
+    blocks = blocking_candidates(fpx, min_entities=2)
+    pairs = candidate_pairs(blocks)
+    got = {(r["left_id"], r["right_id"]) for r in pairs.collect()}
+    assert ("e1", "e3") in got
+    assert ("e4", "e5") in got
+    assert all("e6" not in p for p in got)
+
+
+def test_fingerprint_frequencies(name_statements):
+    fpx = derive_fingerprints(name_statements)
+    freqs = {
+        r["value"]: r["freq"] for r in fingerprint_frequencies(fpx).collect()
+    }
+    assert freqs["ag holding tchibo"] == 2
+
+
+def test_score_pairs(name_statements, spark):
+    fpx = derive_fingerprints(name_statements)
+    pairs = candidate_pairs(blocking_candidates(fpx, min_entities=2))
+    scored = {
+        (r["left_id"], r["right_id"]): r["score"]
+        for r in score_pairs(pairs, name_statements).collect()
+    }
+    assert scored[("e4", "e5")] == 1.0
+    assert 0 < scored[("e1", "e2")] <= 1.0
+
+
+def test_connected_components(spark):
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("x", "y")], ["left_id", "right_id"]
+    )
+    cmap = {
+        r["entity_id"]: r["canonical_id"]
+        for r in connected_components(edges).collect()
+    }
+    assert cmap == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x"}
+
+
+def test_connected_components_chain(spark):
+    # long chain exercises multi-iteration propagation
+    edges = spark.createDataFrame(
+        [(f"n{i}", f"n{i+1}") for i in range(9)], ["left_id", "right_id"]
+    )
+    cmap = {
+        r["entity_id"]: r["canonical_id"]
+        for r in connected_components(edges).collect()
+    }
+    assert set(cmap.values()) == {"n0"}

@@ -1,0 +1,111 @@
+"""Dedup family: exact, MinHash-LSH, SimHash, n-gram Jaccard, embedding."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from ftm_columnstore_spark.operators.dedup import (
+    dedup_exact,
+    embedding_dup_pairs,
+    exact_duplicates,
+    minhash_dedup,
+    minhash_lsh_pairs,
+    minhash_signature,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+)
+
+BASE = (
+    "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+    "lambda mu nu xi omicron pi rho sigma tau upsilon"
+)
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    near = BASE.replace("theta", "thetaX")  # one token differs
+    return spark.createDataFrame(
+        [
+            (1, BASE),
+            (2, BASE),                      # exact dup of 1
+            (3, near),                      # near dup of 1
+            (4, "completely different words about spark query engines and columnar storage"),
+            (5, "yet another unrelated document mentioning data pipelines and benchmarks"),
+        ],
+        ["doc_id", "text"],
+    )
+
+
+def test_exact_duplicates(corpus):
+    groups = {r["keep_id"]: r["n_copies"] for r in exact_duplicates(corpus).collect()}
+    assert groups[1] == 2
+    assert groups[3] == 1
+    assert dedup_exact(corpus).count() == 4
+
+
+def test_minhash_signature_shape(corpus):
+    sig = minhash_signature(corpus, num_hashes=16, shingle_k=3).collect()
+    assert all(len(r["signature"]) == 16 for r in sig)
+    by_id = {r["id"]: r["signature"] for r in sig}
+    assert by_id[1] == by_id[2]  # identical docs → identical signatures
+    agree = sum(a == b for a, b in zip(by_id[1], by_id[3]))
+    assert agree > 8  # near dup agrees on most positions
+
+
+def test_minhash_lsh_pairs(corpus):
+    sigs = minhash_signature(corpus, num_hashes=16, shingle_k=3)
+    pairs = {
+        (r["left_id"], r["right_id"]): r["jaccard_est"]
+        for r in minhash_lsh_pairs(sigs, num_bands=8).collect()
+    }
+    assert pairs[(1, 2)] == 1.0
+    assert (1, 3) in pairs and pairs[(1, 3)] > 0.5
+    assert (4, 5) not in pairs
+
+
+def test_minhash_dedup(corpus):
+    kept = sorted(
+        r["doc_id"]
+        for r in minhash_dedup(
+            corpus, num_hashes=16, num_bands=8, threshold=0.5
+        ).collect()
+    )
+    # 2 (exact) and 3 (near) collapse into 1
+    assert kept == [1, 4, 5]
+
+
+def test_simhash_pairs(corpus):
+    # bands=8 → any pair with hamming ≤ 7 shares a chunk (pigeonhole)
+    pairs = {
+        (r["left_id"], r["right_id"]): r["hamming"]
+        for r in simhash_pairs(corpus, max_hamming=6, bands=8).collect()
+    }
+    assert pairs[(1, 2)] == 0
+    assert (1, 3) in pairs
+    assert (4, 5) not in pairs
+
+
+def test_ngram_jaccard_pairs(corpus):
+    pairs = {
+        (r["left_id"], r["right_id"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(corpus, shingle_k=3, min_jaccard=0.2).collect()
+    }
+    assert pairs[(1, 2)] == 1.0
+    assert 0.2 < pairs[(1, 3)] < 1.0
+    assert (4, 5) not in pairs
+
+
+def test_embedding_dup_pairs(spark):
+    vecs = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0, 0.0, 0.2]),
+            (2, [1.0, 0.01, 0.0, 0.2]),   # near-identical to 1
+            (3, [0.0, 1.0, 0.0, 0.0]),    # orthogonal-ish
+        ],
+        ["vec_id", "embedding"],
+    ).withColumn("embedding", F.col("embedding").cast("array<float>"))
+    pairs = {
+        (r["left_id"], r["right_id"]): r["cosine"]
+        for r in embedding_dup_pairs(vecs, min_cosine=0.99).collect()
+    }
+    assert (1, 2) in pairs and pairs[(1, 2)] > 0.99
+    assert all(3 not in p for p in pairs)

@@ -1,0 +1,68 @@
+"""Phonetics + name normalization (SURVEY §2.9 X1-X5).
+
+Golden anchor from the reference (tests/test_store.py:50-56):
+fingerprint("Tchibo Holding AG") == "ag holding tchibo".
+"""
+
+from pyspark.sql import functions as F
+
+from ftm_columnstore_spark.functions.phonetics import (
+    fingerprint_col,
+    metaphone_udf,
+    soundex_col,
+    tokenize_col,
+)
+
+
+def one(spark, value, col):
+    return (
+        spark.createDataFrame([(value,)], ["v"])
+        .select(col("v").alias("out"))
+        .collect()[0]["out"]
+    )
+
+
+def test_fingerprint_reference_golden(spark):
+    assert one(spark, "Tchibo Holding AG", fingerprint_col) == "ag holding tchibo"
+
+
+def test_fingerprint_sorts_tokens(spark):
+    assert one(spark, "Tchibo Zentrale Berlin", fingerprint_col) == "berlin tchibo zentrale"
+
+
+def test_fingerprint_deaccents_and_strips_punct(spark):
+    assert one(spark, "Müller & Söhne!", fingerprint_col) == "muller sohne"
+
+
+def test_fingerprint_optional_legal_form_stripping(spark):
+    got = one(
+        spark,
+        "ACME Holding AG",
+        lambda c: fingerprint_col(c, strip_legal_forms=True),
+    )
+    assert got == "acme"
+
+
+def test_fingerprint_dedups_tokens(spark):
+    assert one(spark, "data data data", fingerprint_col) == "data"
+
+
+def test_tokenize(spark):
+    out = one(spark, "Deutsche Telekom Stiftung", tokenize_col)
+    assert "deutsche stiftung telekom" in out
+    assert "deutsche" in out and "telekom" in out and "stiftung" in out
+    # short tokens are not emitted alone
+    out2 = one(spark, "Big Data AG", tokenize_col)
+    assert out2 == ["ag big data"]
+
+
+def test_soundex(spark):
+    assert one(spark, "Robert", soundex_col) == "R163"
+
+
+def test_metaphone_stable(spark):
+    a = one(spark, "Schmidt", metaphone_udf)
+    b = one(spark, "Schmitt", metaphone_udf)
+    assert a[:3] == b[:3] == "SXM"  # s, ch → X, m
+    assert one(spark, "", metaphone_udf) == ""
+    assert one(spark, "Peter Maier", metaphone_udf).count(" ") == 1

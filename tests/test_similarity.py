@@ -1,0 +1,71 @@
+"""Similarity search: brute-force exactness, LSH recall, kNN join."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from ftm_columnstore_spark.operators.similarity import (
+    brute_force_topk,
+    knn_join,
+    lsh_topk,
+)
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    import random
+
+    rng = random.Random(7)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(16)]) for i in range(200)
+    ]
+    return (
+        spark.createDataFrame(rows, ["vec_id", "embedding"])
+        .withColumn("embedding", F.col("embedding").cast("array<float>"))
+        .cache()
+    )
+
+
+def brute_py(rows, q, k):
+    def cos(a, b):
+        dot = sum(x * y for x, y in zip(a, b))
+        return dot / (math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(x * x for x in b)))
+
+    scored = sorted(
+        ((round(cos(r, q), 6), i) for i, r in rows), key=lambda t: (-t[0], t[1])
+    )
+    return [i for _, i in scored[:k]]
+
+
+def test_brute_force_matches_python(vectors):
+    data = [(r["vec_id"], list(r["embedding"])) for r in vectors.collect()]
+    q = data[0][1]
+    expected = brute_py([(i, v) for i, v in data], q, 10)
+    got = [r["vec_id"] for r in brute_force_topk(vectors, q, k=10).collect()]
+    assert got == expected
+
+
+def test_lsh_topk_recall(vectors):
+    q = list(vectors.filter(F.col("vec_id") == 0).collect()[0]["embedding"])
+    exact = {r["vec_id"] for r in brute_force_topk(vectors, q, k=10).collect()}
+    approx = {
+        r["vec_id"]
+        for r in lsh_topk(vectors, q, k=10, num_planes=8, probe_bits=3).collect()
+    }
+    # multi-probe LSH with generous probing should recover most of top-10
+    assert len(exact & approx) >= 5
+
+
+def test_knn_join(vectors):
+    queries = vectors.filter(F.col("vec_id") < 3)
+    out = knn_join(queries, vectors, k=4).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["qid"], []).append((r["cid"], r["cosine"]))
+    assert set(by_q) == {0, 1, 2}
+    for qid, hits in by_q.items():
+        assert len(hits) == 4
+        assert hits[0][0] == qid  # self is the nearest
+        sims = [s for _, s in hits]
+        assert sims == sorted(sims, reverse=True)

@@ -1,0 +1,106 @@
+"""Structured Streaming: ingest round-trip + windowed aggs (SURVEY §2.11)."""
+
+import json
+
+from pyspark.sql import functions as F
+
+from ftm_columnstore_spark.store import Store
+from ftm_columnstore_spark.streaming.ingest import stream_statements_to_store
+from ftm_columnstore_spark.streaming.windows import (
+    session_window_agg,
+    sliding_window_agg,
+    tumbling_window_agg,
+)
+
+
+def test_stream_ingest_roundtrip(spark, tmp_path):
+    src = tmp_path / "in"
+    src.mkdir()
+    entities = [
+        {"id": f"e{i}", "schema": "Company",
+         "properties": {"name": [f"Firm {i}"]},
+         "datasets": ["streamed"], "referents": []}
+        for i in range(5)
+    ]
+    (src / "batch1.json").write_text(
+        "\n".join(json.dumps(e) for e in entities)
+    )
+    q = stream_statements_to_store(
+        spark,
+        str(src),
+        str(tmp_path / "store"),
+        str(tmp_path / "ckpt"),
+        dataset="streamed",
+        available_now=True,
+    )
+    q.awaitTermination(120)
+    store = Store(spark, str(tmp_path / "store"))
+    stmts = store.statements()
+    assert stmts.select("entity_id").distinct().count() == 5
+    assert stmts.filter(F.col("prop") == "name").count() == 5
+
+
+def _events(spark):
+    rows = [
+        (1, "2024-01-01 10:05:00", 7, "click", 1.0),
+        (2, "2024-01-01 10:20:00", 7, "click", 2.0),
+        (3, "2024-01-01 11:10:00", 7, "view", 3.0),
+        (4, "2024-01-01 12:30:00", 8, "click", 4.0),
+    ]
+    return spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value"]
+    ).withColumn("ts", F.to_timestamp("ts"))
+
+
+def test_tumbling_window_batch(spark):
+    out = tumbling_window_agg(_events(spark), "1 hour").collect()
+    by_key = {(str(r["window_start"]), r["event_type"]): r for r in out}
+    r = by_key[("2024-01-01 10:00:00", "click")]
+    assert r["n"] == 2 and r["sum_value"] == 3.0
+
+
+def test_sliding_window_batch(spark):
+    out = sliding_window_agg(_events(spark), "1 hour", "30 minutes").collect()
+    # event 1 at 10:05 belongs to windows starting 09:30 and 10:00
+    starts = {
+        str(r["window_start"]) for r in out if r["event_type"] == "click"
+    }
+    assert "2024-01-01 09:30:00" in starts and "2024-01-01 10:00:00" in starts
+
+
+def test_session_window_batch(spark):
+    out = session_window_agg(_events(spark), gap="30 minutes").collect()
+    by_user = {}
+    for r in out:
+        by_user.setdefault(r["user_id"], []).append(r["n_events"])
+    # user 7: events at 10:05+10:20 (one session), 11:10 (another)
+    assert sorted(by_user[7]) == [1, 2]
+    assert by_user[8] == [1]
+
+
+def test_streaming_window_agg(spark, tmp_path):
+    """The same tumbling agg as a real stream (file source, memory sink)."""
+    src = tmp_path / "ev"
+    src.mkdir()
+    rows = [
+        {"event_id": 1, "ts": "2024-01-01T10:05:00.000Z", "event_type": "click", "value": 1.0},
+        {"event_id": 2, "ts": "2024-01-01T10:20:00.000Z", "event_type": "click", "value": 2.0},
+    ]
+    (src / "p1.json").write_text("\n".join(json.dumps(r) for r in rows))
+    stream = (
+        spark.readStream.schema(
+            "event_id LONG, ts TIMESTAMP, event_type STRING, value DOUBLE"
+        ).json(str(src))
+    )
+    agg = tumbling_window_agg(stream, "1 hour", watermark="1 hour")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("win_test")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("select * from win_test").collect()
+    assert len(rows) == 1
+    assert rows[0]["n"] == 2 and rows[0]["sum_value"] == 3.0

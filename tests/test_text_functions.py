@@ -1,0 +1,57 @@
+"""Text primitives + document analysis (SURVEY §2.9; north-star text ops)."""
+
+from pyspark.sql import functions as F
+
+from ftm_columnstore_spark.functions.text import (
+    clean_tokens_col,
+    shingles_col,
+    word_tokens_col,
+)
+from ftm_columnstore_spark.operators.text import analyze_documents
+
+
+def docs(spark):
+    return spark.createDataFrame(
+        [
+            (1, "The quick brown fox jumps over the lazy dog near the river bank"),
+            (2, "Der schnelle braune Fuchs springt über den faulen Hund und das ist gut"),
+            (3, "x"),
+            (4, "one two three"),
+        ],
+        ["doc_id", "text"],
+    )
+
+
+def test_word_tokens(spark):
+    row = docs(spark).select(word_tokens_col("text").alias("t")).collect()[0]
+    assert row["t"][:3] == ["the", "quick", "brown"]
+
+
+def test_clean_tokens_sorted_distinct(spark):
+    row = (
+        docs(spark)
+        .filter(F.col("doc_id") == 1)
+        .select(clean_tokens_col("text").alias("t"))
+        .collect()[0]
+    )
+    assert row["t"] == sorted(set(row["t"]))
+    assert row["t"].count("the") == 1
+
+
+def test_shingles(spark):
+    rows = docs(spark).select("doc_id", shingles_col("text", 5).alias("s")).collect()
+    by_id = {r["doc_id"]: r["s"] for r in rows}
+    assert by_id[1][0] == "the quick brown fox jumps"
+    # short doc → single whole-doc shingle
+    assert by_id[4] == ["one two three"]
+    assert by_id[3] == ["x"]
+
+
+def test_analyze_documents(spark):
+    out = {r["doc_id"]: r for r in analyze_documents(docs(spark)).collect()}
+    assert out[1]["lang_pred"] == "en"
+    assert out[2]["lang_pred"] == "de"
+    assert out[1]["n_tokens"] == 13
+    assert 0.0 <= out[3]["quality"] <= 0.2
+    assert out[1]["quality"] > out[3]["quality"]
+    assert isinstance(out[1]["fingerprint"], int)
