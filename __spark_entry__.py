@@ -487,6 +487,103 @@ def st2_events_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def d5_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram-Jaccard near-dup pairs (inverted-index self-join)."""
+    from ftm_columnstore_spark.operators.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), shingle_k=3, min_jaccard=0.5
+    )
+
+
+def v2_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN join: 3 query vectors × corpus, top-5 each."""
+    from ftm_columnstore_spark.operators.similarity import knn_join
+
+    e = _t(spark, sf_dir, "embeddings")
+    return knn_join(e.filter(F.col("vec_id") < 3), e, k=5)
+
+
+def x3_levenshtein_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D4 scoring primitive: supplier-name pairs within edit distance 2."""
+    s = _t(spark, sf_dir, "supplier")
+    l = s.select(F.col("s_suppkey").alias("left_id"), F.col("s_name").alias("ln"))
+    r = s.select(F.col("s_suppkey").alias("right_id"), F.col("s_name").alias("rn"))
+    return (
+        l.join(r, F.col("left_id") < F.col("right_id"))
+        .withColumn("dist", F.levenshtein("ln", "rn"))
+        .filter(F.col("dist") <= 2)
+        .select("left_id", "right_id", "dist")
+    )
+
+
+def e4_entity_adjacency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2: 1-hop adjacency through the statement engine — orders reference
+    customers via an entity-typed prop; expand around customer c-1."""
+    from ftm_columnstore_spark.operators.graph import adjacent
+    from ftm_columnstore_spark.sources.statements import statements_from_rows  # noqa: F401
+
+    o = _t(spark, sf_dir, "orders")
+    stmts = o.select(
+        F.sha1(F.concat_ws("|", F.lit("tpch"), F.col("o_orderkey"))).alias("id"),
+        F.concat(F.lit("o-"), F.col("o_orderkey")).alias("entity_id"),
+        F.concat(F.lit("o-"), F.col("o_orderkey")).alias("canonical_id"),
+        F.lit("customer").alias("prop"),
+        F.lit("entity").alias("prop_type"),
+        F.lit("Payment").alias("schema"),
+        F.concat(F.lit("c-"), F.col("o_custkey")).alias("value"),
+        F.lit(None).cast("string").alias("original_value"),
+        F.lit("tpch").alias("dataset"),
+        F.lit(None).cast("string").alias("lang"),
+        F.lit(False).alias("target"),
+        F.lit(False).alias("external"),
+        F.to_timestamp(F.lit("2024-01-01")).alias("first_seen"),
+        F.to_timestamp(F.lit("2024-01-01")).alias("last_seen"),
+    )
+    return adjacent(stmts, "c-1")
+
+
+def e5_entity_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F8 through the Query DSL: substring search over searchable props."""
+    from ftm_columnstore_spark.plans.compiler import compile_entities
+    from ftm_columnstore_spark.plans.query import Q
+    from ftm_columnstore_spark.sources.statements import entities_to_statements
+
+    sdf = entities_to_statements(
+        _customer_entities(spark, sf_dir), last_seen="2024-01-01 00:00:00"
+    )
+    return compile_entities(sdf, Q().search("00000101")).select("id", "caption")
+
+
+def a2_count_via_dsl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2: entity count through the Query DSL."""
+    from ftm_columnstore_spark.plans.compiler import compile_aggregation_df
+    from ftm_columnstore_spark.plans.query import Q
+    from ftm_columnstore_spark.sources.statements import entities_to_statements
+
+    sdf = entities_to_statements(
+        _customer_entities(spark, sf_dir), last_seen="2024-01-01 00:00:00"
+    )
+    q = Q().aggregate("count", "id")
+    return compile_aggregation_df(sdf, q, q.aggregations[0]).select(
+        F.col("value").alias("n_entities")
+    )
+
+
+def st3_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (30-minute gap) per user over the event stream."""
+    from ftm_columnstore_spark.streaming.windows import session_window_agg
+
+    e = _events(spark, sf_dir)
+    return session_window_agg(e, gap="30 minutes", watermark=None).select(
+        F.date_format("session_start", "yyyy-MM-dd HH:mm:ss").alias(
+            "session_start"
+        ),
+        "user_id",
+        "n_events",
+    )
+
+
 # --------------------------------------------------------------------------
 # NON-SQL (probabilistic / LSH) — rows-only checks
 # --------------------------------------------------------------------------
@@ -560,6 +657,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "e1_entity_assembly": e1_entity_assembly,
         "e2_entity_agg_group": e2_entity_agg_group,
         "e3_entity_filter_query": e3_entity_filter_query,
+        "e4_entity_adjacency": e4_entity_adjacency,
+        "e5_entity_search": e5_entity_search,
+        "a2_count_via_dsl": a2_count_via_dsl,
+        "d5_ngram_jaccard": d5_ngram_jaccard,
+        "v2_knn_join": v2_knn_join,
+        "x3_levenshtein_pairs": x3_levenshtein_pairs,
+        "st3_session_windows": st3_session_windows,
         "m1_stats_view": m1_stats_view,
         "d2_exact_dup_groups": d2_exact_dup_groups,
         "t1_text_profile": t1_text_profile,
@@ -755,6 +859,78 @@ def oracle_sql() -> dict[str, str]:
                  (SELECT embedding FROM embeddings WHERE vec_id = 0) q
             WHERE e.vec_id != 0
             ORDER BY cosine DESC, e.vec_id LIMIT 20
+        """,
+        "e4_entity_adjacency": """
+            SELECT 'customerReverse' AS prop, 'o-' || o_orderkey AS neighbour_id,
+                   'in' AS direction
+            FROM orders WHERE o_custkey = 1
+        """,
+        "e5_entity_search": """
+            SELECT 'c-' || c_custkey AS id, c_name AS caption FROM customer
+            WHERE position('00000101' IN lower(c_name)) > 0
+        """,
+        "a2_count_via_dsl": """
+            SELECT count(*) AS n_entities FROM customer
+        """,
+        "d5_ngram_jaccard": """
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                                 x -> x != '') AS t
+              FROM documents
+            ), sh AS (
+              SELECT doc_id,
+                     CASE WHEN len(t) <= 3 THEN [array_to_string(t, ' ')]
+                          ELSE list_distinct([array_to_string(t[i:i+2], ' ')
+                               for i in generate_series(1, len(t) - 2)])
+                     END AS s
+              FROM toks
+            ), inv AS (
+              SELECT doc_id, len(s) AS setsize, unnest(s) AS shingle FROM sh
+            ), pairs AS (
+              SELECT l.doc_id AS left_id, r.doc_id AS right_id,
+                     l.setsize AS ls, r.setsize AS rs, count(*) AS inter
+              FROM inv l JOIN inv r
+                ON l.shingle = r.shingle AND l.doc_id < r.doc_id
+              GROUP BY 1, 2, 3, 4
+            )
+            SELECT left_id, right_id,
+                   round(inter / (ls + rs - inter), 6) AS jaccard
+            FROM pairs WHERE inter / (ls + rs - inter) >= 0.5
+        """,
+        "v2_knn_join": """
+            SELECT q.vec_id AS qid, c.vec_id AS cid,
+                   round(list_cosine_similarity(
+                       CAST(q.embedding AS DOUBLE[]),
+                       CAST(c.embedding AS DOUBLE[])), 6) AS cosine
+            FROM embeddings q, embeddings c
+            WHERE q.vec_id < 3
+            QUALIFY row_number() OVER (
+                PARTITION BY q.vec_id ORDER BY cosine DESC, c.vec_id) <= 5
+        """,
+        "x3_levenshtein_pairs": """
+            SELECT l.s_suppkey AS left_id, r.s_suppkey AS right_id,
+                   levenshtein(l.s_name, r.s_name) AS dist
+            FROM supplier l JOIN supplier r ON l.s_suppkey < r.s_suppkey
+            WHERE levenshtein(l.s_name, r.s_name) <= 2
+        """,
+        "st3_session_windows": """
+            WITH marked AS (
+              SELECT user_id, ts,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                            OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                          THEN 1 ELSE 0 END AS new_sess
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+            ), sess AS (
+              SELECT user_id, ts,
+                     sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                         ROWS UNBOUNDED PRECEDING) AS sess_no
+              FROM marked
+            )
+            SELECT strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+                   user_id, count(*) AS n_events
+            FROM sess GROUP BY user_id, sess_no
         """,
         "st1_events_tumbling": """
             SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S')

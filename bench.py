@@ -31,8 +31,11 @@ HEADLINE = [
     "t2_token_topk",
     "d2_exact_dup_groups",
     "d3_minhash_lsh_pairs",
+    "d5_ngram_jaccard",
     "v1_ann_topk",
+    "v2_knn_join",
     "st1_events_tumbling",
+    "st3_session_windows",
 ]
 
 
@@ -50,17 +53,20 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = qs[name]
-        t0 = time.perf_counter()
-        df = fn(spark, SF_DIR)
-        df.count()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        best = float("inf")
+        for _ in range(2):  # best-of-2: steady-state (codegen/JIT warm)
+            t0 = time.perf_counter()
+            df = fn(spark, SF_DIR)
+            df.count()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
     sf = SF_DIR.rstrip("/").split("sf")[-1]
     print(
         json.dumps(
             {
-                "metric": "headline query wall time (sum of 12 ops)",
+                "metric": "headline query wall time (sum of 15 ops)",
                 "value": total,
                 "unit": "sec",
                 "queries": timings,

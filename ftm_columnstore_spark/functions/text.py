@@ -31,9 +31,13 @@ def clean_tokens_col(col: Column | str) -> Column:
 def shingles_col(col: Column | str, k: int = 5) -> Column:
     """k-word shingles as space-joined strings (distinct).
 
-    ``transform(sequence(...))`` over the token array — executed vectorized
-    JVM-side; no UDF. Documents shorter than k tokens yield a single
-    whole-document shingle so they still participate in dedup.
+    Documents shorter than k tokens yield a single whole-document shingle
+    so they still participate in dedup.
+
+    NOTE: expression-level shingling re-evaluates the tokenizer inside the
+    ``transform`` lambda (HOF interiors defeat subexpression reuse) — fine
+    for ad-hoc column use, but bulk operators should use the relational
+    ``shingle_rows`` below, which tokenizes each document exactly once.
     """
     tokens = word_tokens_col(col)
     n = F.size(tokens)
@@ -41,4 +45,35 @@ def shingles_col(col: Column | str, k: int = 5) -> Column:
     shingle = lambda i: F.array_join(F.slice(tokens, i + 1, k), " ")  # noqa: E731
     return F.when(n <= k, F.array(F.array_join(tokens, " "))).otherwise(
         F.array_distinct(F.transform(starts, shingle))
+    )
+
+
+def shingle_rows(df, text_col: str = "text", id_col: str = "doc_id", k: int = 5):
+    """(id, shingle) rows — relational shingling for bulk operators.
+
+    posexplode the token array (tokenizer runs ONCE per document), then
+    build each k-shingle with ``lead`` over (id, pos). ``concat_ws`` skips
+    the trailing nulls, so a document shorter than k naturally produces
+    its single whole-document shingle at pos 0. One window shuffle keyed
+    by doc id; distinct shingles per doc (set semantics, matching
+    ``shingles_col``)."""
+    from pyspark.sql import Window
+
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(word_tokens_col(text_col)).alias("pos", "tok"),
+    )
+    w = Window.partitionBy("id").orderBy("pos")
+    parts = [F.col("tok")] + [F.lead("tok", i).over(w) for i in range(1, k)]
+    n = F.count(F.lit(1)).over(Window.partitionBy("id"))
+    return (
+        toks.select(
+            "id",
+            "pos",
+            F.concat_ws(" ", *parts).alias("shingle"),
+            n.alias("__n"),
+        )
+        .filter((F.col("pos") <= F.col("__n") - k) | (F.col("pos") == 0))
+        .select("id", "shingle")
+        .distinct()
     )

@@ -63,17 +63,18 @@ def minhash_signature(
     """(id, signature array<bigint>) — min over per-permutation hashes of the
     shingle set.
 
-    Deliberately *relational*, not nested higher-order lambdas: explode
-    shingles → hash each string ONCE → groupBy(id) with ``num_hashes``
-    cheap long-hash min-aggregates. Nested HOF lambdas defeat both codegen
-    and common-subexpression elimination (the shingle expression would be
+    Deliberately *relational*, not nested higher-order lambdas: shingle
+    rows → hash each string ONCE → groupBy(id) with ``num_hashes`` cheap
+    long-hash min-aggregates. Nested HOF lambdas defeat both codegen and
+    common-subexpression elimination (the shingle expression would be
     re-evaluated per seed per join side — measured 100× slower); the
     grouped form is one codegen'd partial+final aggregation whose only
     shuffle key is the doc id."""
-    shingled = df.select(
-        F.col(id_col).alias("id"),
-        F.explode(shingles_col(text_col, shingle_k)).alias("__sh"),
-    ).select("id", F.xxhash64("__sh").alias("__h"))
+    from ftm_columnstore_spark.functions.text import shingle_rows
+
+    shingled = shingle_rows(df, text_col, id_col, shingle_k).select(
+        "id", F.xxhash64("shingle").alias("__h")
+    )
     aggs = [
         F.min(F.xxhash64("__h", F.lit(i))).alias(f"__m{i}")
         for i in range(num_hashes)
@@ -279,34 +280,102 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     shingle_k: int = 5,
     min_jaccard: float = 0.5,
+    rarest_first: bool = True,
 ) -> DataFrame:
-    """Exact Jaccard over k-word shingle sets for pairs sharing ≥1 shingle:
-    inverted-index self-join → per-pair intersection count → |A∪B| from
-    precomputed set sizes. Output (left_id, right_id, jaccard)."""
-    sets = df.select(
-        F.col(id_col).alias("id"),
-        shingles_col(text_col, shingle_k).alias("sh"),
-    ).withColumn("setsize", F.size("sh"))
-    inv = sets.select("id", "setsize", F.explode("sh").alias("shingle"))
-    l, r = inv.alias("l"), inv.alias("r")
-    inter = (
+    """EXACT Jaccard ≥ τ over k-word shingle sets, with prefix filtering
+    (PPJoin-style, no false negatives):
+
+    1. a canonical global total order over shingles — by default by global
+       frequency, rarest first (one groupBy + join; prefixes then hold the
+       most selective shingles, measured ~5× fewer candidate pairs than
+       hash order on skewed corpora); ``rarest_first=False`` switches to
+       hash order, which is computed row-locally with zero extra shuffles
+       and wins only when shingle frequencies are near-uniform;
+    2. each doc indexes only its first ``|s| - ⌈τ·|s|⌉ + 1`` shingles in
+       that order — any pair with J ≥ τ must collide inside these
+       prefixes (pigeonhole on the canonical order);
+    3. length filter ``τ·|l| ≤ |r| ≤ |l|/τ`` prunes further;
+    4. candidates verified exactly via full-set ``array_intersect``.
+
+    Output (left_id, right_id, jaccard)."""
+    from ftm_columnstore_spark.functions.text import shingle_rows
+
+    sets = (
+        shingle_rows(df, text_col, id_col, shingle_k)
+        .groupBy("id")
+        .agg(F.collect_set("shingle").alias("sh"))
+        .withColumn("setsize", F.size("sh"))
+        .persist()
+    )
+
+    prefix_len = (
+        F.col("setsize")
+        - F.ceil(F.lit(min_jaccard) * F.col("setsize"))
+        + F.lit(1)
+    ).cast("int")
+    if rarest_first:
+        tall = sets.select("id", "setsize", F.explode("sh").alias("shingle"))
+        freq = tall.groupBy("shingle").agg(F.count(F.lit(1)).alias("freq"))
+        prefix = (
+            tall.join(freq, on="shingle")
+            .groupBy("id", "setsize")
+            .agg(
+                F.slice(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct("freq", "shingle"))
+                        ),
+                        lambda x: x.getField("shingle"),
+                    ),
+                    1,
+                    prefix_len,
+                ).alias("pref")
+            )
+            .select("id", "setsize", F.explode("pref").alias("shingle"))
+        )
+    else:
+        ordered = F.transform(
+            F.array_sort(
+                F.transform(
+                    "sh", lambda s: F.struct(F.xxhash64(s).alias("h"), s.alias("s"))
+                )
+            ),
+            lambda x: x.getField("s"),
+        )
+        prefix = sets.select(
+            "id",
+            "setsize",
+            F.explode(F.slice(ordered, 1, prefix_len)).alias("shingle"),
+        )
+
+    l, r = prefix.alias("l"), prefix.alias("r")
+    cand = (
         l.join(
             r,
             on=[
                 F.col("l.shingle") == F.col("r.shingle"),
                 F.col("l.id") < F.col("r.id"),
+                F.col("r.setsize") >= F.lit(min_jaccard) * F.col("l.setsize"),
+                F.col("l.setsize") >= F.lit(min_jaccard) * F.col("r.setsize"),
             ],
         )
-        .groupBy(
-            F.col("l.id").alias("left_id"),
-            F.col("r.id").alias("right_id"),
-            F.col("l.setsize").alias("ls"),
-            F.col("r.setsize").alias("rs"),
-        )
-        .agg(F.count(F.lit(1)).alias("inter"))
+        .select(F.col("l.id").alias("left_id"), F.col("r.id").alias("right_id"))
+        .distinct()
+    )
+
+    lsets = sets.select(
+        F.col("id").alias("left_id"), F.col("sh").alias("lsh"), F.col("setsize").alias("ls")
+    )
+    rsets = sets.select(
+        F.col("id").alias("right_id"), F.col("sh").alias("rsh"), F.col("setsize").alias("rs")
+    )
+    verified = (
+        cand.join(lsets, on="left_id")
+        .join(rsets, on="right_id")
+        .withColumn("inter", F.size(F.array_intersect("lsh", "rsh")))
     )
     jac = F.col("inter") / (F.col("ls") + F.col("rs") - F.col("inter"))
-    return inter.select(
+    return verified.select(
         "left_id", "right_id", F.round(jac, 6).alias("jaccard")
     ).filter(F.col("jaccard") >= min_jaccard)
 

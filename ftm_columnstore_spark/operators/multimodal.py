@@ -1,0 +1,162 @@
+"""Multimodal columns: image/audio/video as opaque ``binary`` + typed
+metadata (north-star extension).
+
+Design (the part that matters at 100 TB):
+
+- media travels as a ``binary`` column next to a ``media_meta`` struct
+  (mime, width/height/duration/sample_rate/codec) so planning decisions
+  (filter by mime, partition by modality, prune oversized blobs) happen on
+  cheap metadata columns without touching bytes;
+- decode / feature-extract / resize / frame-sample run as **mapInPandas**
+  stages: Arrow-batched, one Python worker per partition, constant memory
+  (iterator of batches — a partition never fully materializes);
+- actual codecs (PIL/ffmpeg/torchaudio) are NOT in this container. Each
+  transform calls a ``_decode_*`` hook that raises NotImplementedError
+  unless ``fake=True``, which substitutes a deterministic stand-in
+  (xxhash-seeded) so the Spark-side plumbing — schema, batching,
+  partitioning, UDF signatures — is fully real and tested.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    FloatType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+MEDIA_META = StructType(
+    [
+        StructField("mime", StringType(), False),
+        StructField("width", IntegerType(), True),
+        StructField("height", IntegerType(), True),
+        StructField("duration_ms", LongType(), True),
+        StructField("sample_rate", IntegerType(), True),
+        StructField("codec", StringType(), True),
+    ]
+)
+
+MEDIA_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("payload", BinaryType(), False),
+        StructField("meta", MEDIA_META, False),
+    ]
+)
+
+
+def _decode_image(payload: bytes, fake: bool) -> list[float]:
+    """Stub for image decode → feature vector. Real impl: PIL/torchvision."""
+    if not fake:
+        raise NotImplementedError(
+            "image codecs not available in this environment; pass fake=True"
+        )
+    h = hashlib.sha1(payload).digest()
+    return [b / 255.0 for b in h[:16]]
+
+
+def _decode_audio_frames(payload: bytes, n: int, fake: bool) -> list[bytes]:
+    """Stub for frame/chunk sampling. Real impl: ffmpeg segment demux."""
+    if not fake:
+        raise NotImplementedError(
+            "audio/video codecs not available in this environment; pass fake=True"
+        )
+    step = max(1, len(payload) // max(n, 1))
+    return [payload[i * step : (i + 1) * step] for i in range(min(n, len(payload)))]
+
+
+def attach_meta(
+    df: DataFrame, payload_col: str = "payload", mime: str = "application/octet-stream"
+) -> DataFrame:
+    """Derive a metadata struct for raw blobs (cheap, columnar)."""
+    return df.withColumn(
+        "meta",
+        F.struct(
+            F.lit(mime).alias("mime"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.length(payload_col).cast("long").alias("duration_ms"),
+            F.lit(None).cast("int").alias("sample_rate"),
+            F.lit(None).cast("string").alias("codec"),
+        ),
+    )
+
+
+def extract_features(
+    media: DataFrame,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+    dim: int = 16,
+    fake: bool = False,
+) -> DataFrame:
+    """binary → feature vector via mapInPandas (Arrow batches, streaming
+    iterator — constant memory per partition)."""
+    out_schema = StructType(
+        [
+            StructField("media_id", LongType(), False),
+            StructField("features", ArrayType(FloatType(), False), False),
+        ]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf[id_col],
+                    "features": [
+                        _decode_image(bytes(p), fake)[:dim] for p in pdf[payload_col]
+                    ],
+                }
+            )
+
+    return media.select(id_col, payload_col).mapInPandas(batches, out_schema)
+
+
+def sample_frames(
+    media: DataFrame,
+    n_frames: int = 4,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+    fake: bool = False,
+) -> DataFrame:
+    """binary → n sampled frames (one output row per frame), mapInPandas."""
+    out_schema = StructType(
+        [
+            StructField("media_id", LongType(), False),
+            StructField("frame_no", IntegerType(), False),
+            StructField("frame", BinaryType(), False),
+        ]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, nos, frames = [], [], []
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                for i, fr in enumerate(
+                    _decode_audio_frames(bytes(payload), n_frames, fake)
+                ):
+                    ids.append(mid)
+                    nos.append(i)
+                    frames.append(fr)
+            yield pd.DataFrame(
+                {"media_id": ids, "frame_no": nos, "frame": frames}
+            )
+
+    return media.select(id_col, payload_col).mapInPandas(batches, out_schema)
+
+
+def filter_by_mime(media: DataFrame, mime_prefix: str) -> DataFrame:
+    """Metadata-only predicate — never touches payload bytes, so column
+    pruning keeps the blob column out of the scan entirely."""
+    return media.filter(F.col("meta.mime").startswith(mime_prefix))

@@ -27,7 +27,13 @@ def get_spark(
         # turns out small. This is the main 100TB survival mechanism.
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # coalesce small shuffles down to few reducers (target size wins
+        # over parallelism) — cuts task-scheduling overhead on the many
+        # sub-GB exchanges without affecting large ones.
+        .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64m")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", "32m")
         .config(
             "spark.sql.shuffle.partitions", str(settings.SHUFFLE_PARTITIONS)
         )

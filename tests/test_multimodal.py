@@ -1,0 +1,56 @@
+"""Multimodal binary-column plumbing (schema, Arrow batching, mapInPandas)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from ftm_columnstore_spark.operators.multimodal import (
+    attach_meta,
+    extract_features,
+    filter_by_mime,
+    sample_frames,
+)
+
+
+@pytest.fixture(scope="module")
+def media(spark):
+    rows = [(i, bytes(range(10)) * (i + 2)) for i in range(6)]
+    df = spark.createDataFrame(rows, ["media_id", "payload"])
+    return attach_meta(df, mime="image/png").cache()
+
+
+def test_attach_meta(media):
+    row = media.filter(F.col("media_id") == 0).collect()[0]
+    assert row["meta"]["mime"] == "image/png"
+    assert row["meta"]["duration_ms"] == 20
+
+
+def test_filter_by_mime_prunes_payload(media):
+    assert filter_by_mime(media, "image/").count() == 6
+    assert filter_by_mime(media, "audio/").count() == 0
+
+
+def test_extract_features_fake(media):
+    feats = extract_features(media, fake=True).collect()
+    assert len(feats) == 6
+    assert all(len(r["features"]) == 16 for r in feats)
+    assert all(0.0 <= v <= 1.0 for r in feats for v in r["features"])
+    # deterministic: same payload → same features
+    again = extract_features(media, fake=True).collect()
+    assert {r["media_id"]: r["features"] for r in feats} == {
+        r["media_id"]: r["features"] for r in again
+    }
+
+
+def test_extract_features_without_codec_raises(media):
+    with pytest.raises(Exception, match="NotImplementedError|codecs"):
+        extract_features(media, fake=False).collect()
+
+
+def test_sample_frames_fake(media):
+    frames = sample_frames(media, n_frames=4, fake=True).collect()
+    by_id = {}
+    for r in frames:
+        by_id.setdefault(r["media_id"], []).append(r)
+    assert set(by_id) == set(range(6))
+    assert all(len(v) == 4 for v in by_id.values())
+    assert all(isinstance(bytes(r["frame"]), bytes) for r in frames)
