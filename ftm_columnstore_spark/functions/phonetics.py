@@ -175,6 +175,19 @@ def _metaphone_word(word: str) -> str:
     return "".join(out)
 
 
+def phonetics_col(col: Column | str, algorithm: str) -> Column:
+    """X5 dispatcher (reference ``get_phonetics``, phonetic.py:55-70):
+    one name for every algorithm; returns an array of keys."""
+    if algorithm == "fingerprint":
+        return tokenize_col(col)
+    if algorithm in ("metaphone1", "metaphone2"):
+        # one simplified-metaphone variant; primary == secondary here
+        return F.split(metaphone_udf(col), " ")
+    if algorithm == "soundex":
+        return F.array(soundex_col(col))
+    raise ValueError(f"unknown phonetic algorithm: {algorithm}")
+
+
 def _metaphone_series(values: pd.Series) -> pd.Series:
     def encode(v):
         if v is None:

@@ -135,7 +135,9 @@ def score_pairs(pairs: DataFrame, statements: DataFrame) -> DataFrame:
         .withColumnRenamed("name", "right_name")
     )
     maxlen = F.greatest(F.length("left_name"), F.length("right_name"))
-    score = F.lit(1.0) - F.levenshtein("left_name", "right_name") / maxlen
+    score = F.lit(1.0) - F.levenshtein(
+        F.lower("left_name"), F.lower("right_name")
+    ) / maxlen
     return scored.withColumn("score", F.round(score, 8))
 
 

@@ -140,6 +140,34 @@ class Store:
         shutil.rmtree(self._path)
         os.rename(tmp, self._path)
 
+    def pop(self, entity_id: str) -> list:
+        """S11: return an entity's statements and rewrite the store without
+        them (the reference's ``writer.pop`` has DELETE commented out for
+        lack of GRANTs, store.py:63-71; a parquet rewrite needs none)."""
+        popped = self.statements().filter(
+            (F.col("entity_id") == entity_id)
+            | (F.col("canonical_id") == entity_id)
+        ).collect()
+        if not popped:
+            return []
+        kept = dedup_statements(
+            self.spark.read.schema(STATEMENT_SCHEMA).parquet(self._path)
+        ).filter(
+            (F.col("entity_id") != entity_id)
+            & (F.col("canonical_id") != entity_id)
+        )
+        tmp = self._path + ".pop"
+        (
+            kept.repartition("dataset", "canonical_id")
+            .sortWithinPartitions("canonical_id", "entity_id", "prop", "value")
+            .write.mode("overwrite")
+            .partitionBy("dataset")
+            .parquet(tmp)
+        )
+        shutil.rmtree(self._path)
+        os.rename(tmp, self._path)
+        return popped
+
     # --- iteration (S6, S7) ----------------------------------------------------
     def iterate_statements(self, dataset: str | None = None):
         yield from self.statements(dataset).sort("canonical_id").toLocalIterator()

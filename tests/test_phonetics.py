@@ -66,3 +66,15 @@ def test_metaphone_stable(spark):
     assert a[:3] == b[:3] == "SXM"  # s, ch → X, m
     assert one(spark, "", metaphone_udf) == ""
     assert one(spark, "Peter Maier", metaphone_udf).count(" ") == 1
+
+
+def test_phonetics_dispatcher(spark):
+    from ftm_columnstore_spark.functions.phonetics import phonetics_col
+    import pytest
+
+    out = one(spark, "Deutsche Telekom", lambda c: phonetics_col(c, "fingerprint"))
+    assert "deutsche telekom" in out
+    assert one(spark, "Robert", lambda c: phonetics_col(c, "soundex")) == ["R163"]
+    assert one(spark, "Robert", lambda c: phonetics_col(c, "metaphone1")) == ["RBRT"]
+    with pytest.raises(ValueError):
+        phonetics_col("v", "nope")

@@ -87,3 +87,12 @@ def test_dedup_statements_unit(spark):
         ],
     )
     assert dedup_statements(df).count() == 2
+
+
+def test_pop_removes_entity(store, entities_df):
+    store.write_entities(entities_df, last_seen="2024-01-01 00:00:00")
+    popped = store.pop("pay-1")
+    assert len(popped) == 5
+    assert store.statements().filter(F.col("entity_id") == "pay-1").count() == 0
+    assert store.statements().select("entity_id").distinct().count() == 9
+    assert store.pop("no-such-entity") == []
