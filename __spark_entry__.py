@@ -15,10 +15,18 @@ Conventions that keep the value-hash comparable:
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+
+# the engine package lives next to this file; make imports work no matter
+# where the driver imports the module from.
+_HERE = os.path.dirname(os.path.abspath(__file__))
+if _HERE not in sys.path:
+    sys.path.insert(0, _HERE)
 
 SF_DEFAULT = "/root/testdata/sf0.001"
 
@@ -336,6 +344,7 @@ def _customer_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.create_map(
             F.lit("name"), arr(F.col("c_name")),
             F.lit("segment"), arr(F.col("c_mktsegment")),
+            F.lit("acctbal"), arr(F.col("c_acctbal").cast("string")),
             F.lit("nation"), arr(F.concat(F.lit("n-"), F.col("c_nationkey"))),
         ).alias("properties"),
         F.array(F.lit("tpch")).alias("datasets"),
@@ -584,9 +593,98 @@ def st3_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def a4_avg_via_dsl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4: numeric coercion avg over string-valued statements via the DSL."""
+    from ftm_columnstore_spark.plans.compiler import compile_aggregation_df
+    from ftm_columnstore_spark.plans.query import Q
+    from ftm_columnstore_spark.sources.statements import entities_to_statements
+
+    sdf = entities_to_statements(
+        _customer_entities(spark, sf_dir), last_seen="2024-01-01 00:00:00"
+    )
+    q = Q().aggregate("avg", "acctbal")
+    return compile_aggregation_df(sdf, q, q.aggregations[0]).select(
+        F.round(F.col("value"), 4).alias("avg_acctbal")
+    )
+
+
+def m2_fingerprint_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M2/A9: fingerprint frequency view (value → freq + length)."""
+    from ftm_columnstore_spark.functions.phonetics import fingerprint_col
+
+    p = _t(spark, sf_dir, "part")
+    return (
+        p.select(fingerprint_col("p_name").alias("fp"))
+        .groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("freq"), F.length(F.first("fp")).alias("len"))
+    )
+
+
+def u3_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U-extension: INTERSECT of two query frontiers."""
+    o = _t(spark, sf_dir, "orders")
+    urgent = o.filter(F.col("o_orderpriority") == "1-URGENT").select("o_orderkey")
+    high = o.filter(F.col("o_totalprice") > 300000).select("o_orderkey")
+    return urgent.intersect(high)
+
+
+def o4_deterministic_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O4: deterministic iteration order (clustered-PK analogue)."""
+    from ftm_columnstore_spark.sources.statements import entities_to_statements
+
+    sdf = entities_to_statements(
+        _customer_entities(spark, sf_dir), last_seen="2024-01-01 00:00:00"
+    )
+    return (
+        sdf.filter(F.col("prop") == "name")
+        .orderBy("canonical_id", "prop", "value")
+        .limit(50)
+        .select(F.col("canonical_id").alias("id"), F.col("value").alias("name"))
+    )
+
+
 # --------------------------------------------------------------------------
 # NON-SQL (probabilistic / LSH) — rows-only checks
 # --------------------------------------------------------------------------
+
+
+def t5_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ftm_columnstore_spark.operators.text import quality_score_col
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", quality_score_col("text").alias("quality"))
+
+
+def v4_embedding_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ftm_columnstore_spark.operators.dedup import embedding_dup_pairs
+
+    return embedding_dup_pairs(
+        _t(spark, sf_dir, "embeddings"), min_cosine=0.9, num_planes=8
+    )
+
+
+def v5_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ftm_columnstore_spark.operators.similarity import ivf_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    qvec = [
+        float(x)
+        for x in e.filter(F.col("vec_id") == 0).collect()[0]["embedding"]
+    ]
+    return ivf_topk(
+        e.filter(F.col("vec_id") != 0), qvec, k=20, n_centroids=16, n_probe=6
+    )
+
+
+def x5_phonetic_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ftm_columnstore_spark.functions.phonetics import phonetics_col
+
+    c = _t(spark, sf_dir, "customer").limit(200)
+    return c.select(
+        "c_custkey",
+        phonetics_col("c_name", "soundex").alias("soundex"),
+        phonetics_col("c_name", "metaphone1").alias("metaphone"),
+    )
 
 def d3_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ftm_columnstore_spark.operators.dedup import (
@@ -672,11 +770,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "v1_ann_topk": v1_ann_topk,
         "st1_events_tumbling": st1_events_tumbling,
         "st2_events_latest": st2_events_latest,
+        "a4_avg_via_dsl": a4_avg_via_dsl,
+        "m2_fingerprint_freq": m2_fingerprint_freq,
+        "u3_intersect": u3_intersect,
+        "o4_deterministic_scan": o4_deterministic_scan,
         # NON-SQL (probabilistic/LSH) — rows-only:
         "d3_minhash_lsh_pairs": d3_minhash_lsh_pairs,
         "d4_simhash_pairs": d4_simhash_pairs,
         "v3_lsh_topk": v3_lsh_topk,
         "t4_language_id": t4_language_id,
+        "t5_quality_scores": t5_quality_scores,
+        "v4_embedding_dups": v4_embedding_dups,
+        "v5_ivf_topk": v5_ivf_topk,
+        "x5_phonetic_keys": x5_phonetic_keys,
     }
 
 
@@ -931,6 +1037,27 @@ def oracle_sql() -> dict[str, str]:
             SELECT strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
                    user_id, count(*) AS n_events
             FROM sess GROUP BY user_id, sess_no
+        """,
+        "a4_avg_via_dsl": """
+            SELECT round(avg(c_acctbal), 4) AS avg_acctbal FROM customer
+        """,
+        "m2_fingerprint_freq": """
+            SELECT fp, count(*) AS freq, length(min(fp)) AS len FROM (
+                SELECT array_to_string(list_sort(list_distinct(
+                           list_filter(string_split_regex(lower(p_name),
+                                       '[^a-z0-9]+'), x -> x != ''))), ' ') AS fp
+                FROM part)
+            GROUP BY fp
+        """,
+        "u3_intersect": """
+            SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT'
+            INTERSECT
+            SELECT o_orderkey FROM orders WHERE o_totalprice > 300000
+        """,
+        "o4_deterministic_scan": """
+            SELECT id, name FROM (
+                SELECT 'c-' || c_custkey AS id, c_name AS name FROM customer)
+            ORDER BY id, name LIMIT 50
         """,
         "st1_events_tumbling": """
             SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S')

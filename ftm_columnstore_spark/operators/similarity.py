@@ -93,6 +93,73 @@ def lsh_topk(
     return scored.orderBy(F.col("cosine").desc(), F.col(id_col)).limit(k)
 
 
+def ivf_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_centroids: int = 16,
+    n_probe: int = 4,
+) -> DataFrame:
+    """IVF-style ANN: coarse-quantize the corpus to ``n_centroids`` buckets
+    (nearest centroid by cosine), probe the query's ``n_probe`` nearest
+    buckets, exact re-rank inside them.
+
+    Centroids here are a deterministic hash-ordered sample of the corpus
+    (no training step, reproducible); swap in k-means centroids for better
+    recall — the plan shape (bucket column → partition pruning → exact
+    re-rank) stays identical. At scale, write the corpus partitioned by
+    ``__bucket`` so probing becomes partition pruning instead of a filter.
+    """
+    import math
+
+    centroid_rows = (
+        df.select(id_col, vec_col)
+        .orderBy(F.xxhash64(F.col(id_col).cast("string")))
+        .limit(n_centroids)
+        .collect()
+    )
+    centroids = [[float(x) for x in r[vec_col]] for r in centroid_rows]
+
+    def cos_py(a: list[float], b: list[float]) -> float:
+        dot = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return dot / (na * nb) if na and nb else 0.0
+
+    probed = sorted(
+        range(len(centroids)),
+        key=lambda i: -cos_py(centroids[i], [float(x) for x in query_vec]),
+    )[:n_probe]
+
+    # bucket = argmax cosine over the (broadcast-literal) centroid array
+    cvecs = [
+        F.array(*[F.lit(x) for x in c]).cast("array<float>") for c in centroids
+    ]
+    best = F.array_max(
+        F.array(
+            *[
+                F.struct(
+                    cosine_similarity_col(F.col(vec_col), cvecs[i]).alias("s"),
+                    F.lit(i).alias("b"),
+                )
+                for i in range(len(centroids))
+            ]
+        )
+    ).getField("b")
+
+    q = F.array(*[F.lit(float(x)) for x in query_vec]).cast("array<float>")
+    candidates = df.withColumn("__bucket", best).filter(
+        F.col("__bucket").isin(probed)
+    )
+    scored = candidates.select(
+        F.col(id_col),
+        F.round(cosine_similarity_col(F.col(vec_col), q), 6).alias("cosine"),
+    )
+    return scored.orderBy(F.col("cosine").desc(), F.col(id_col)).limit(k)
+
+
 def knn_join(
     left: DataFrame,
     right: DataFrame,

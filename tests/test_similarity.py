@@ -69,3 +69,16 @@ def test_knn_join(vectors):
         assert hits[0][0] == qid  # self is the nearest
         sims = [s for _, s in hits]
         assert sims == sorted(sims, reverse=True)
+
+
+def test_ivf_topk_recall(vectors):
+    from ftm_columnstore_spark.operators.similarity import ivf_topk
+
+    q = list(vectors.filter(F.col("vec_id") == 0).collect()[0]["embedding"])
+    exact = {r["vec_id"] for r in brute_force_topk(vectors, q, k=10).collect()}
+    approx = {
+        r["vec_id"]
+        for r in ivf_topk(vectors, q, k=10, n_centroids=8, n_probe=4).collect()
+    }
+    assert len(approx) == 10
+    assert len(exact & approx) >= 5
