@@ -593,6 +593,63 @@ def st3_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def j5_order_priority_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: EXISTS-correlated count by priority."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    late = li.filter(F.col("l_shipdate") > "1999-01-01").select(
+        F.col("l_orderkey").alias("o_orderkey")
+    )
+    return (
+        o.filter(
+            (F.col("o_orderdate") >= "1998-01-01")
+            & (F.col("o_orderdate") < "1999-01-01")
+        )
+        .join(late, on="o_orderkey", how="left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+def j6_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: revenue per customer, top 20."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    rev = F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    return (
+        li.filter(F.col("l_returnflag") == "R")
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.round(rev, 2).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+def j7_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: orders whose total quantity exceeds a threshold."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"))
+        .filter(F.col("total_qty") > 150)
+    )
+    return (
+        o.join(big, o.o_orderkey == big.l_orderkey)
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            F.round("o_totalprice", 2).alias("total_price"),
+            "total_qty",
+        )
+    )
+
+
 def a4_avg_via_dsl(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A4: numeric coercion avg over string-valued statements via the DSL."""
     from ftm_columnstore_spark.plans.compiler import compile_aggregation_df
@@ -770,6 +827,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "v1_ann_topk": v1_ann_topk,
         "st1_events_tumbling": st1_events_tumbling,
         "st2_events_latest": st2_events_latest,
+        "j5_order_priority_exists": j5_order_priority_exists,
+        "j6_top_customers": j6_top_customers,
+        "j7_big_orders": j7_big_orders,
         "a4_avg_via_dsl": a4_avg_via_dsl,
         "m2_fingerprint_freq": m2_fingerprint_freq,
         "u3_intersect": u3_intersect,
@@ -1037,6 +1097,35 @@ def oracle_sql() -> dict[str, str]:
             SELECT strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
                    user_id, count(*) AS n_events
             FROM sess GROUP BY user_id, sess_no
+        """,
+        "j5_order_priority_exists": """
+            SELECT o_orderpriority, count(*) AS order_count FROM orders
+            WHERE o_orderdate >= TIMESTAMP '1998-01-01'
+              AND o_orderdate < TIMESTAMP '1999-01-01'
+              AND EXISTS (SELECT 1 FROM lineitem
+                          WHERE l_orderkey = o_orderkey
+                            AND l_shipdate > TIMESTAMP '1999-01-01')
+            GROUP BY o_orderpriority
+        """,
+        "j6_top_customers": """
+            SELECT c_custkey, c_name, n_name,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+            FROM lineitem
+            JOIN orders   ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation   ON c_nationkey = n_nationkey
+            WHERE l_returnflag = 'R'
+            GROUP BY c_custkey, c_name, n_name
+            ORDER BY revenue DESC, c_custkey LIMIT 20
+        """,
+        "j7_big_orders": """
+            SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS total_price,
+                   total_qty
+            FROM orders JOIN (
+                SELECT l_orderkey, round(sum(l_quantity), 2) AS total_qty
+                FROM lineitem GROUP BY l_orderkey
+                HAVING round(sum(l_quantity), 2) > 150) big
+              ON o_orderkey = big.l_orderkey
         """,
         "a4_avg_via_dsl": """
             SELECT round(avg(c_acctbal), 4) AS avg_acctbal FROM customer
