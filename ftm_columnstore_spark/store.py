@@ -82,11 +82,43 @@ class Store:
         )
 
     def write_entities(
-        self, entities: DataFrame, dataset: str = "default", last_seen: str | None = None
+        self,
+        entities: DataFrame,
+        dataset: str = "default",
+        last_seen: str | None = None,
+        with_fingerprints: bool = False,
     ) -> None:
-        self.write_statements(
-            entities_to_statements(entities, default_dataset=dataset, last_seen=last_seen)
+        """S2+S5: explode entities to statements; optionally derive the
+        phonetic fingerprint side table in the same job (the reference
+        writes fpx rows with every batch, store.py:59-60)."""
+        stmts = entities_to_statements(
+            entities, default_dataset=dataset, last_seen=last_seen
         )
+        if with_fingerprints:
+            stmts = stmts.persist()
+        self.write_statements(stmts)
+        if with_fingerprints:
+            from ftm_columnstore_spark.operators.blocking import (
+                derive_fingerprints,
+            )
+
+            (
+                derive_fingerprints(stmts)
+                .repartition("dataset")
+                .write.mode("append")
+                .partitionBy("dataset")
+                .parquet(os.path.join(self.uri, "fpx"))
+            )
+            stmts.unpersist()
+
+    def fingerprints(self) -> DataFrame:
+        """The fpx side table (empty frame if never written)."""
+        from ftm_columnstore_spark.model.schemas import FPX_SCHEMA
+
+        path = os.path.join(self.uri, "fpx")
+        if not os.path.exists(path):
+            return self.spark.createDataFrame([], FPX_SCHEMA)
+        return self.spark.read.schema(FPX_SCHEMA).parquet(path)
 
     # --- read path (S6, F1) ---------------------------------------------------
     def statements(self, dataset: str | None = None, deduped: bool = True) -> DataFrame:

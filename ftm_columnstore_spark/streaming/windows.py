@@ -67,6 +67,17 @@ def sliding_window_agg(
     )
 
 
+def streaming_dataset_stats(statements: DataFrame) -> DataFrame:
+    """A11/M1: the reference's AggregatingMergeTree stats MV
+    (engine.py:201-217) as a continuously-maintained streaming aggregation
+    — per (dataset, schema) distinct-entity + statement counts held in the
+    state store. Works on batch frames too (same plan, no state)."""
+    return statements.groupBy("dataset", "schema").agg(
+        F.approx_count_distinct("canonical_id").alias("entities"),
+        F.count(F.lit(1)).alias("statements"),
+    )
+
+
 def session_window_agg(
     events: DataFrame,
     gap: str = "30 minutes",

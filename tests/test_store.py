@@ -96,3 +96,15 @@ def test_pop_removes_entity(store, entities_df):
     assert store.statements().filter(F.col("entity_id") == "pay-1").count() == 0
     assert store.statements().select("entity_id").distinct().count() == 9
     assert store.pop("no-such-entity") == []
+
+
+def test_fingerprint_side_write(store, entities_df):
+    store.write_entities(
+        entities_df, last_seen="2024-01-01 00:00:00", with_fingerprints=True
+    )
+    fpx = store.fingerprints()
+    assert fpx.count() > 0
+    algos = {r["algorithm"] for r in fpx.select("algorithm").distinct().collect()}
+    assert algos == {"fingerprint", "metaphone1", "soundex"}
+    # only name-bearing LegalEntity descendants produce fingerprints
+    assert fpx.filter(F.col("entity_id").startswith("pay-")).count() == 0

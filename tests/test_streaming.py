@@ -104,3 +104,33 @@ def test_streaming_window_agg(spark, tmp_path):
     rows = spark.sql("select * from win_test").collect()
     assert len(rows) == 1
     assert rows[0]["n"] == 2 and rows[0]["sum_value"] == 3.0
+
+
+def test_streaming_dataset_stats(spark, tmp_path):
+    import json as _json
+
+    from ftm_columnstore_spark.streaming.windows import streaming_dataset_stats
+
+    src = tmp_path / "stats_in"
+    src.mkdir()
+    ents = [
+        {"id": f"x{i}", "schema": "Company", "properties": {"name": [f"N{i}"]},
+         "datasets": ["mv"], "referents": []}
+        for i in range(3)
+    ]
+    (src / "b.json").write_text("\n".join(_json.dumps(e) for e in ents))
+    from ftm_columnstore_spark.model.schemas import ENTITY_SCHEMA
+    from ftm_columnstore_spark.sources.statements import entities_to_statements
+
+    stream = spark.readStream.schema(ENTITY_SCHEMA).json(str(src))
+    stats = streaming_dataset_stats(entities_to_statements(stream, "mv"))
+    q = (
+        stats.writeStream.format("memory").queryName("mv_stats")
+        .outputMode("complete").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("select * from mv_stats").collect()
+    assert len(rows) == 1
+    assert rows[0]["dataset"] == "mv"
+    assert rows[0]["entities"] == 3
+    assert rows[0]["statements"] == 6
