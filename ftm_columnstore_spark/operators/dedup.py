@@ -12,6 +12,12 @@ extension; grades alongside SURVEY §2). Four families:
 Everything is built from pure-column expressions (xxhash64, higher-order
 array functions); no Python UDF in any hot path. At 100 TB the pattern per
 family is scan → narrow derive → one keyed shuffle → grouped reduce.
+
+Background (public literature): banded MinHash-LSH per Broder'97 /
+Leskovec-Rajaraman-Ullman (MMDS ch.3); SimHash per Charikar'02 as used in
+Manku et al., WWW'07 near-dup detection; prefix filtering for set-
+similarity joins per Chaudhuri et al. ICDE'06 / PPJoin (Xiao et al.,
+WWW'08).
 """
 
 from __future__ import annotations
