@@ -733,6 +733,18 @@ def v5_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def v6_ann_topk_numpy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow/numpy BLAS path for wide-vector top-k (same results as v1)."""
+    from ftm_columnstore_spark.operators.similarity import brute_force_topk_np
+
+    e = _t(spark, sf_dir, "embeddings")
+    qvec = [
+        float(x)
+        for x in e.filter(F.col("vec_id") == 0).collect()[0]["embedding"]
+    ]
+    return brute_force_topk_np(e.filter(F.col("vec_id") != 0), qvec, k=20)
+
+
 def x5_phonetic_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ftm_columnstore_spark.functions.phonetics import phonetics_col
 
@@ -842,6 +854,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t5_quality_scores": t5_quality_scores,
         "v4_embedding_dups": v4_embedding_dups,
         "v5_ivf_topk": v5_ivf_topk,
+        "v6_ann_topk_numpy": v6_ann_topk_numpy,
         "x5_phonetic_keys": x5_phonetic_keys,
     }
 
@@ -1147,6 +1160,16 @@ def oracle_sql() -> dict[str, str]:
             SELECT id, name FROM (
                 SELECT 'c-' || c_custkey AS id, c_name AS name FROM customer)
             ORDER BY id, name LIMIT 50
+        """,
+        "v6_ann_topk_numpy": """
+            SELECT e.vec_id,
+                   round(list_cosine_similarity(
+                       CAST(e.embedding AS DOUBLE[]),
+                       CAST(q.embedding AS DOUBLE[])), 6) AS cosine
+            FROM embeddings e,
+                 (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+            WHERE e.vec_id != 0
+            ORDER BY cosine DESC, e.vec_id LIMIT 20
         """,
         "st1_events_tumbling": """
             SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S')

@@ -93,6 +93,48 @@ def lsh_topk(
     return scored.orderBy(F.col("cosine").desc(), F.col(id_col)).limit(k)
 
 
+def brute_force_topk_np(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact cosine top-k via Arrow-batched numpy (BLAS matmul) —
+    the fast path for wide vectors where per-element codegen loses to a
+    single dgemv. Per-partition local top-k inside mapInPandas, then a
+    global TakeOrderedAndProject over ≤ k·partitions rows."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    q = np.asarray(query_vec, dtype=np.float64)
+    qn = np.linalg.norm(q)
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        best_ids: list = []
+        best_sims: list = []
+        for pdf in it:
+            mat = np.vstack(pdf[vec_col].map(np.asarray)).astype(np.float64)
+            sims = (mat @ q) / (np.linalg.norm(mat, axis=1) * qn)
+            sims = np.round(sims, 6)
+            best_ids.append(pdf[id_col].to_numpy())
+            best_sims.append(sims)
+        if not best_ids:
+            return
+        ids = np.concatenate(best_ids)
+        sims = np.concatenate(best_sims)
+        # local top-k (partial): ship only k rows per partition
+        order = np.lexsort((ids, -sims))[:k]
+        yield pd.DataFrame({id_col: ids[order], "cosine": sims[order]})
+
+    partial = df.select(id_col, vec_col).mapInPandas(
+        batches, f"{id_col} long, cosine double"
+    )
+    return partial.orderBy(F.col("cosine").desc(), F.col(id_col)).limit(k)
+
+
 def ivf_topk(
     df: DataFrame,
     query_vec: list[float],

@@ -82,3 +82,12 @@ def test_ivf_topk_recall(vectors):
     }
     assert len(approx) == 10
     assert len(exact & approx) >= 5
+
+
+def test_brute_force_np_matches_columnar(vectors):
+    from ftm_columnstore_spark.operators.similarity import brute_force_topk_np
+
+    q = list(vectors.filter(F.col("vec_id") == 0).collect()[0]["embedding"])
+    exact = [(r["vec_id"], r["cosine"]) for r in brute_force_topk(vectors, q, k=10).collect()]
+    np_out = [(r["vec_id"], r["cosine"]) for r in brute_force_topk_np(vectors, q, k=10).collect()]
+    assert np_out == exact
