@@ -306,53 +306,40 @@ def ngram_jaccard_pairs(
     Output (left_id, right_id, jaccard)."""
     from ftm_columnstore_spark.functions.text import shingle_rows
 
+    tall = shingle_rows(df, text_col, id_col, shingle_k)
+    if rarest_first:
+        freq = tall.groupBy("shingle").agg(F.count(F.lit(1)).alias("freq"))
+        tall = tall.join(freq, on="shingle")
+    else:
+        tall = tall.withColumn("freq", F.xxhash64("shingle"))
+
+    # one aggregation yields the full set AND its canonical-order prefix
+    ordered = F.transform(
+        F.array_sort(F.collect_list(F.struct("freq", "shingle"))),
+        lambda x: x.getField("shingle"),
+    )
     sets = (
-        shingle_rows(df, text_col, id_col, shingle_k)
-        .groupBy("id")
-        .agg(F.collect_set("shingle").alias("sh"))
-        .withColumn("setsize", F.size("sh"))
+        tall.groupBy("id")
+        .agg(
+            ordered.alias("sh"),
+        )
+        .select(
+            "id",
+            "sh",
+            F.size("sh").alias("setsize"),
+            F.slice(
+                "sh",
+                1,
+                (
+                    F.size("sh")
+                    - F.ceil(F.lit(min_jaccard) * F.size("sh"))
+                    + F.lit(1)
+                ).cast("int"),
+            ).alias("pref"),
+        )
         .persist()
     )
-
-    prefix_len = (
-        F.col("setsize")
-        - F.ceil(F.lit(min_jaccard) * F.col("setsize"))
-        + F.lit(1)
-    ).cast("int")
-    if rarest_first:
-        tall = sets.select("id", "setsize", F.explode("sh").alias("shingle"))
-        freq = tall.groupBy("shingle").agg(F.count(F.lit(1)).alias("freq"))
-        prefix = (
-            tall.join(freq, on="shingle")
-            .groupBy("id", "setsize")
-            .agg(
-                F.slice(
-                    F.transform(
-                        F.array_sort(
-                            F.collect_list(F.struct("freq", "shingle"))
-                        ),
-                        lambda x: x.getField("shingle"),
-                    ),
-                    1,
-                    prefix_len,
-                ).alias("pref")
-            )
-            .select("id", "setsize", F.explode("pref").alias("shingle"))
-        )
-    else:
-        ordered = F.transform(
-            F.array_sort(
-                F.transform(
-                    "sh", lambda s: F.struct(F.xxhash64(s).alias("h"), s.alias("s"))
-                )
-            ),
-            lambda x: x.getField("s"),
-        )
-        prefix = sets.select(
-            "id",
-            "setsize",
-            F.explode(F.slice(ordered, 1, prefix_len)).alias("shingle"),
-        )
+    prefix = sets.select("id", "setsize", F.explode("pref").alias("shingle"))
 
     l, r = prefix.alias("l"), prefix.alias("r")
     cand = (
