@@ -153,6 +153,15 @@ class Store:
             .select(*STATEMENT_COLUMNS)
         )
 
+    def register_views(self, prefix: str = "") -> None:
+        """Expose the store to ``spark.sql``: ``<prefix>statements`` (deduped)
+        and ``<prefix>entities`` (assembled) temp views."""
+        from ftm_columnstore_spark.operators.assembly import assemble_entities
+
+        stmts = self.statements()
+        stmts.createOrReplaceTempView(f"{prefix}statements")
+        assemble_entities(stmts).createOrReplaceTempView(f"{prefix}entities")
+
     # --- maintenance (P5) -----------------------------------------------------
     def optimize(self) -> None:
         """Compaction: rewrite the store deduplicated (OPTIMIZE FINAL)."""

@@ -108,3 +108,14 @@ def test_fingerprint_side_write(store, entities_df):
     assert algos == {"fingerprint", "metaphone1", "soundex"}
     # only name-bearing LegalEntity descendants produce fingerprints
     assert fpx.filter(F.col("entity_id").startswith("pay-")).count() == 0
+
+
+def test_register_views_sql(store, entities_df, spark):
+    store.write_entities(entities_df, last_seen="2024-01-01 00:00:00")
+    store.register_views()
+    n = spark.sql("select count(distinct canonical_id) as n from statements").collect()[0]["n"]
+    assert n == 10
+    caps = spark.sql(
+        "select caption from entities where schema = 'Company'"
+    ).collect()
+    assert caps[0]["caption"] == "Acme Holding AG"

@@ -134,3 +134,37 @@ def test_streaming_dataset_stats(spark, tmp_path):
     assert rows[0]["dataset"] == "mv"
     assert rows[0]["entities"] == 3
     assert rows[0]["statements"] == 6
+
+
+def test_stateful_anomaly_operator(spark, tmp_path):
+    """applyInPandasWithState: per-user running stats flag outliers."""
+    import json as _json
+
+    from ftm_columnstore_spark.streaming.stateful import streaming_anomalies
+
+    src = tmp_path / "anom_in"
+    src.mkdir()
+    rows = [
+        {"event_id": i, "user_id": 1, "value": 10.0 + (i % 3) * 0.1}
+        for i in range(20)
+    ]
+    rows.append({"event_id": 99, "user_id": 1, "value": 500.0})  # outlier
+    rows.extend(
+        {"event_id": 200 + i, "user_id": 2, "value": 1.0} for i in range(6)
+    )
+    (src / "b.json").write_text("\n".join(_json.dumps(r) for r in rows))
+    stream = spark.readStream.schema(
+        "event_id LONG, user_id LONG, value DOUBLE"
+    ).json(str(src))
+    q = (
+        streaming_anomalies(stream)
+        .writeStream.format("memory")
+        .queryName("anoms")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = spark.sql("select * from anoms").collect()
+    assert [r["event_id"] for r in out] == [99]
+    assert out[0]["zscore"] > 3
