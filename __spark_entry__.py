@@ -650,6 +650,28 @@ def j7_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def st4_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 1h windows every 30min over event time."""
+    e = _events(spark, sf_dir)
+    return (
+        e.groupBy(
+            F.window("ts", "1 hour", "30 minutes").alias("win"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            F.date_format("win.start", "yyyy-MM-dd HH:mm:ss").alias(
+                "window_start"
+            ),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
 def a4_avg_via_dsl(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A4: numeric coercion avg over string-valued statements via the DSL."""
     from ftm_columnstore_spark.plans.compiler import compile_aggregation_df
@@ -831,6 +853,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "v2_knn_join": v2_knn_join,
         "x3_levenshtein_pairs": x3_levenshtein_pairs,
         "st3_session_windows": st3_session_windows,
+        "st4_sliding_windows": st4_sliding_windows,
         "m1_stats_view": m1_stats_view,
         "d2_exact_dup_groups": d2_exact_dup_groups,
         "t1_text_profile": t1_text_profile,
@@ -1170,6 +1193,17 @@ def oracle_sql() -> dict[str, str]:
                  (SELECT embedding FROM embeddings WHERE vec_id = 0) q
             WHERE e.vec_id != 0
             ORDER BY cosine DESC, e.vec_id LIMIT 20
+        """,
+        "st4_sliding_windows": """
+            SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start,
+                   event_type, count(*) AS n, round(sum(value), 4) AS sum_value
+            FROM (
+                SELECT event_type, value,
+                       unnest([time_bucket(INTERVAL 30 MINUTE, ts),
+                               time_bucket(INTERVAL 30 MINUTE, ts)
+                                   - INTERVAL 30 MINUTE]) AS ws
+                FROM events)
+            GROUP BY 1, 2
         """,
         "st1_events_tumbling": """
             SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S')
