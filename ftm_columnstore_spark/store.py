@@ -153,6 +153,26 @@ class Store:
             .select(*STATEMENT_COLUMNS)
         )
 
+    def to_bucketed_table(
+        self, table: str = "statements_bucketed", buckets: int = 64
+    ) -> None:
+        """P1/P2 at cluster scale: materialize the (deduped) statement
+        table as a managed table bucketed+sorted on ``canonical_id``.
+        Every downstream groupBy/join keyed on canonical_id (entity
+        assembly, dedup window, point lookups, canonical-map joins) then
+        plans with ZERO Exchange — the bucketed scan already satisfies the
+        clustered distribution. Size ``buckets`` ≈ table_size / 128MB."""
+        (
+            self.statements()
+            .write.mode("overwrite")
+            .bucketBy(buckets, "canonical_id")
+            .sortBy("canonical_id")
+            .saveAsTable(table)
+        )
+
+    def bucketed_statements(self, table: str = "statements_bucketed") -> DataFrame:
+        return self.spark.table(table)
+
     def register_views(self, prefix: str = "") -> None:
         """Expose the store to ``spark.sql``: ``<prefix>statements`` (deduped)
         and ``<prefix>entities`` (assembled) temp views."""

@@ -19,12 +19,15 @@ from ftm_columnstore_spark.sources.statements import entities_to_statements
 def spark() -> SparkSession:
     from ftm_columnstore_spark.session import get_spark
 
+    import tempfile
+
     spark = get_spark(
         "ftmcs-tests",
         master="local[4]",
         extra_conf={
             "spark.sql.shuffle.partitions": "4",
             "spark.driver.memory": "2g",
+            "spark.sql.warehouse.dir": tempfile.mkdtemp(prefix="ftmcs-wh-"),
         },
     )
     yield spark

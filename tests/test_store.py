@@ -119,3 +119,16 @@ def test_register_views_sql(store, entities_df, spark):
         "select caption from entities where schema = 'Company'"
     ).collect()
     assert caps[0]["caption"] == "Acme Holding AG"
+
+
+def test_bucketed_table_no_exchange(store, entities_df, spark):
+    """Entity assembly over the bucketed table plans with zero shuffles."""
+    from ftm_columnstore_spark.operators.assembly import assemble_entities
+
+    store.write_entities(entities_df, last_seen="2024-01-01 00:00:00")
+    store.to_bucketed_table("t_bucketed", buckets=4)
+    bucketed = store.bucketed_statements("t_bucketed")
+    entities = assemble_entities(bucketed)
+    plan = entities._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert entities.count() == 10
