@@ -707,6 +707,14 @@ def u3_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
     return urgent.intersect(high)
 
 
+def u4_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U-extension: EXCEPT of two query frontiers."""
+    o = _t(spark, sf_dir, "orders")
+    urgent = o.filter(F.col("o_orderpriority") == "1-URGENT").select("o_orderkey")
+    high = o.filter(F.col("o_totalprice") > 300000).select("o_orderkey")
+    return urgent.exceptAll(high).distinct()
+
+
 def o4_deterministic_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O4: deterministic iteration order (clustered-PK analogue)."""
     from ftm_columnstore_spark.sources.statements import entities_to_statements
@@ -868,6 +876,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a4_avg_via_dsl": a4_avg_via_dsl,
         "m2_fingerprint_freq": m2_fingerprint_freq,
         "u3_intersect": u3_intersect,
+        "u4_except": u4_except,
         "o4_deterministic_scan": o4_deterministic_scan,
         # NON-SQL (probabilistic/LSH) — rows-only:
         "d3_minhash_lsh_pairs": d3_minhash_lsh_pairs,
@@ -1177,6 +1186,11 @@ def oracle_sql() -> dict[str, str]:
         "u3_intersect": """
             SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT'
             INTERSECT
+            SELECT o_orderkey FROM orders WHERE o_totalprice > 300000
+        """,
+        "u4_except": """
+            SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT'
+            EXCEPT
             SELECT o_orderkey FROM orders WHERE o_totalprice > 300000
         """,
         "o4_deterministic_scan": """
