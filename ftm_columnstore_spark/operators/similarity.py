@@ -135,6 +135,39 @@ def brute_force_topk_np(
     return partial.orderBy(F.col("cosine").desc(), F.col(id_col)).limit(k)
 
 
+def kmeans_centroids(
+    df: DataFrame,
+    n_centroids: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    sample_size: int = 10_000,
+    iterations: int = 10,
+) -> list[list[float]]:
+    """Spherical k-means on a deterministic hash-ordered sample (train
+    small on the driver, apply distributed — the sample bounds driver
+    memory regardless of corpus size). Returns unit-norm centroids for
+    ``ivf_topk(..., centroids=...)``."""
+    import numpy as np
+
+    rows = (
+        df.select(id_col, vec_col)
+        .orderBy(F.xxhash64(F.col(id_col).cast("string")))
+        .limit(sample_size)
+        .collect()
+    )
+    x = np.vstack([np.asarray(r[vec_col], dtype=np.float64) for r in rows])
+    x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+    cents = x[:n_centroids].copy()
+    for _ in range(iterations):
+        assign = np.argmax(x @ cents.T, axis=1)
+        for c in range(len(cents)):
+            members = x[assign == c]
+            if len(members):
+                m = members.mean(axis=0)
+                cents[c] = m / max(np.linalg.norm(m), 1e-12)
+    return [[float(v) for v in c] for c in cents]
+
+
 def ivf_topk(
     df: DataFrame,
     query_vec: list[float],
@@ -143,26 +176,30 @@ def ivf_topk(
     id_col: str = "vec_id",
     n_centroids: int = 16,
     n_probe: int = 4,
+    centroids: list[list[float]] | None = None,
 ) -> DataFrame:
     """IVF-style ANN: coarse-quantize the corpus to ``n_centroids`` buckets
     (nearest centroid by cosine), probe the query's ``n_probe`` nearest
     buckets, exact re-rank inside them.
 
-    Centroids here are a deterministic hash-ordered sample of the corpus
-    (no training step, reproducible); swap in k-means centroids for better
-    recall — the plan shape (bucket column → partition pruning → exact
-    re-rank) stays identical. At scale, write the corpus partitioned by
-    ``__bucket`` so probing becomes partition pruning instead of a filter.
+    Default centroids are a deterministic hash-ordered sample of the
+    corpus (no training step, reproducible); pass
+    ``centroids=kmeans_centroids(df, ...)`` for trained buckets with
+    better recall — the plan shape (bucket column → partition pruning →
+    exact re-rank) stays identical. At scale, write the corpus
+    partitioned by ``__bucket`` so probing becomes partition pruning
+    instead of a filter.
     """
     import math
 
-    centroid_rows = (
-        df.select(id_col, vec_col)
-        .orderBy(F.xxhash64(F.col(id_col).cast("string")))
-        .limit(n_centroids)
-        .collect()
-    )
-    centroids = [[float(x) for x in r[vec_col]] for r in centroid_rows]
+    if centroids is None:
+        centroid_rows = (
+            df.select(id_col, vec_col)
+            .orderBy(F.xxhash64(F.col(id_col).cast("string")))
+            .limit(n_centroids)
+            .collect()
+        )
+        centroids = [[float(x) for x in r[vec_col]] for r in centroid_rows]
 
     def cos_py(a: list[float], b: list[float]) -> float:
         dot = sum(x * y for x, y in zip(a, b))

@@ -91,3 +91,20 @@ def test_brute_force_np_matches_columnar(vectors):
     exact = [(r["vec_id"], r["cosine"]) for r in brute_force_topk(vectors, q, k=10).collect()]
     np_out = [(r["vec_id"], r["cosine"]) for r in brute_force_topk_np(vectors, q, k=10).collect()]
     assert np_out == exact
+
+
+def test_ivf_trained_centroids_recall(vectors):
+    from ftm_columnstore_spark.operators.similarity import (
+        ivf_topk,
+        kmeans_centroids,
+    )
+
+    cents = kmeans_centroids(vectors, n_centroids=8, sample_size=200)
+    assert len(cents) == 8 and len(cents[0]) == 16
+    q = list(vectors.filter(F.col("vec_id") == 0).collect()[0]["embedding"])
+    exact = {r["vec_id"] for r in brute_force_topk(vectors, q, k=10).collect()}
+    trained = {
+        r["vec_id"]
+        for r in ivf_topk(vectors, q, k=10, n_probe=4, centroids=cents).collect()
+    }
+    assert len(exact & trained) >= 6
