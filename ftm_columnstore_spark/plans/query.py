@@ -41,7 +41,7 @@ COMPARATORS = frozenset(
 
 #: where() keys addressing statement metadata rather than FtM props.
 META_FIELDS = frozenset(
-    {"dataset", "schema", "entity_id", "canonical_id", "reverse", "origin"}
+    {"dataset", "schema", "entity_id", "canonical_id", "reverse"}
 )
 
 
