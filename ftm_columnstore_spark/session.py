@@ -58,6 +58,13 @@ def get_spark(
         builder = builder.master(master)
     elif SparkSession.getActiveSession() is None:
         builder = builder.master(f"local[{settings.CPUS}]")
+    # local mode runs executors inside the driver JVM: the 1g default heap
+    # starves 32 task threads. Only effective for the process's FIRST
+    # session (JVM already up otherwise).
+    if SparkSession.getActiveSession() is None:
+        builder = builder.config(
+            "spark.driver.memory", settings.DRIVER_MEMORY
+        )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()

@@ -27,3 +27,7 @@ SHUFFLE_PARTITIONS = int(os.environ.get("FTMCS_SHUFFLE_PARTITIONS", "32"))
 
 #: local[N] parallelism for driver-run sessions.
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+#: driver-JVM heap for local mode (executors live in the driver process;
+#: 1g default starves 32 task threads).
+DRIVER_MEMORY = os.environ.get("FTMCS_DRIVER_MEMORY", "16g")
