@@ -707,6 +707,78 @@ def u3_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
     return urgent.intersect(high)
 
 
+def e6_schema_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F2: schema filter expands to FtM descendants — customers split into
+    Person/Company by key parity; filtering LegalEntity returns both."""
+    from ftm_columnstore_spark.plans.compiler import compile_entities
+    from ftm_columnstore_spark.plans.query import Q
+    from ftm_columnstore_spark.sources.statements import entities_to_statements
+
+    c = _t(spark, sf_dir, "customer")
+    ents = c.select(
+        F.concat(F.lit("c-"), F.col("c_custkey")).alias("id"),
+        F.lit(None).cast("string").alias("caption"),
+        F.when(F.col("c_custkey") % 2 == 0, F.lit("Company"))
+        .otherwise(F.lit("Person"))
+        .alias("schema"),
+        F.create_map(F.lit("name"), F.array(F.col("c_name"))).alias("properties"),
+        F.array(F.lit("tpch")).alias("datasets"),
+        F.array().cast("array<string>").alias("referents"),
+    )
+    stmts = entities_to_statements(ents, last_seen="2024-01-01 00:00:00")
+    return compile_entities(stmts, Q().where(schema="LegalEntity")).select(
+        "id", F.col("schema").alias("entity_schema")
+    )
+
+
+def d6_jaccard_dedup_kept(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end exact near-dedup: ids kept after dropping right-side
+    members of every Jaccard≥0.5 pair."""
+    from ftm_columnstore_spark.operators.dedup import jaccard_dedup
+
+    return jaccard_dedup(
+        _t(spark, sf_dir, "documents"), shingle_k=3, min_jaccard=0.5
+    ).select("doc_id")
+
+
+def w2_rank_spenders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window ranking beyond row_number: dense_rank over per-customer
+    spend deciles... top 15 spenders with their dense rank."""
+    o = _t(spark, sf_dir, "orders")
+    spend = o.groupBy("o_custkey").agg(
+        F.round(F.sum("o_totalprice"), 2).alias("spend")
+    )
+    w = Window.orderBy(F.col("spend").desc(), F.col("o_custkey"))
+    return (
+        spend.withColumn("rnk", F.dense_rank().over(w))
+        .filter(F.col("rnk") <= 15)
+        .select("o_custkey", "spend", "rnk")
+    )
+
+
+def a10_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP over (region, nation) — subtotal rows coalesced to '(all)'."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    rev = F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .rollup("r_name", "n_name")
+        .agg(F.round(rev, 2).alias("revenue"))
+        .select(
+            F.coalesce("r_name", F.lit("(all)")).alias("region"),
+            F.coalesce("n_name", F.lit("(all)")).alias("nation"),
+            "revenue",
+        )
+    )
+
+
 def u4_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     """U-extension: EXCEPT of two query frontiers."""
     o = _t(spark, sf_dir, "orders")
@@ -877,6 +949,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "m2_fingerprint_freq": m2_fingerprint_freq,
         "u3_intersect": u3_intersect,
         "u4_except": u4_except,
+        "e6_schema_hierarchy": e6_schema_hierarchy,
+        "d6_jaccard_dedup_kept": d6_jaccard_dedup_kept,
+        "w2_rank_spenders": w2_rank_spenders,
+        "a10_rollup": a10_rollup,
         "o4_deterministic_scan": o4_deterministic_scan,
         # NON-SQL (probabilistic/LSH) — rows-only:
         "d3_minhash_lsh_pairs": d3_minhash_lsh_pairs,
@@ -1192,6 +1268,59 @@ def oracle_sql() -> dict[str, str]:
             SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT'
             EXCEPT
             SELECT o_orderkey FROM orders WHERE o_totalprice > 300000
+        """,
+        "e6_schema_hierarchy": """
+            SELECT 'c-' || c_custkey AS id,
+                   CASE WHEN c_custkey % 2 = 0 THEN 'Company' ELSE 'Person' END
+                       AS entity_schema
+            FROM customer
+        """,
+        "d6_jaccard_dedup_kept": """
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                                 x -> x != '') AS t
+              FROM documents
+            ), sh AS (
+              SELECT doc_id,
+                     CASE WHEN len(t) <= 3 THEN [array_to_string(t, ' ')]
+                          ELSE list_distinct([array_to_string(t[i:i+2], ' ')
+                               for i in generate_series(1, len(t) - 2)])
+                     END AS s
+              FROM toks
+            ), inv AS (
+              SELECT doc_id, len(s) AS setsize, unnest(s) AS shingle FROM sh
+            ), pairs AS (
+              SELECT l.doc_id AS left_id, r.doc_id AS right_id,
+                     l.setsize AS ls, r.setsize AS rs, count(*) AS inter
+              FROM inv l JOIN inv r
+                ON l.shingle = r.shingle AND l.doc_id < r.doc_id
+              GROUP BY 1, 2, 3, 4
+            ), dropped AS (
+              SELECT DISTINCT right_id FROM pairs
+              WHERE inter / (ls + rs - inter) >= 0.5
+            )
+            SELECT doc_id FROM documents
+            WHERE doc_id NOT IN (SELECT right_id FROM dropped)
+        """,
+        "w2_rank_spenders": """
+            SELECT o_custkey, round(sum(o_totalprice), 2) AS spend,
+                   dense_rank() OVER (
+                       ORDER BY round(sum(o_totalprice), 2) DESC, o_custkey)
+                       AS rnk
+            FROM orders GROUP BY o_custkey
+            QUALIFY rnk <= 15
+        """,
+        "a10_rollup": """
+            SELECT coalesce(r_name, '(all)') AS region,
+                   coalesce(n_name, '(all)') AS nation,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+            FROM lineitem
+            JOIN orders   ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation   ON c_nationkey = n_nationkey
+            JOIN region   ON n_regionkey = r_regionkey
+            GROUP BY ROLLUP (r_name, n_name)
         """,
         "o4_deterministic_scan": """
             SELECT id, name FROM (

@@ -373,6 +373,22 @@ def ngram_jaccard_pairs(
     ).filter(F.col("jaccard") >= min_jaccard)
 
 
+def jaccard_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 5,
+    min_jaccard: float = 0.5,
+) -> DataFrame:
+    """Exact near-dedup: drop every doc that appears as the RIGHT side of
+    an exact-Jaccard pair ≥ τ (left < right, so the smallest id of each
+    near-dup cluster survives). Deterministic and oracle-checkable, unlike
+    the MinHash estimate path."""
+    pairs = ngram_jaccard_pairs(df, text_col, id_col, shingle_k, min_jaccard)
+    drop = pairs.select(F.col("right_id").alias(id_col)).distinct()
+    return df.join(drop, on=id_col, how="left_anti")
+
+
 # --- embedding near-dup ---------------------------------------------------------
 
 def embedding_dup_pairs(

@@ -201,6 +201,22 @@ class Store:
         shutil.rmtree(self._path)
         os.rename(tmp, self._path)
 
+    def changed_statements(self, since: str) -> DataFrame:
+        """Delta read: statements (re)written after ``since`` — the
+        change-feed primitive for incremental downstream refresh."""
+        return self.statements().filter(F.col("last_seen") > F.to_timestamp(F.lit(since)))
+
+    def changed_entities(self, since: str) -> DataFrame:
+        """Whole entities touched after ``since`` (changed statements →
+        semi-join back to all statements → assemble)."""
+        from ftm_columnstore_spark.operators.assembly import assemble_entities
+
+        ids = self.changed_statements(since).select("canonical_id").distinct()
+        scoped = self.statements().join(
+            F.broadcast(ids), on="canonical_id", how="left_semi"
+        )
+        return assemble_entities(scoped)
+
     def pop(self, entity_id: str) -> list:
         """S11: return an entity's statements and rewrite the store without
         them (the reference's ``writer.pop`` has DELETE commented out for

@@ -109,3 +109,13 @@ def test_embedding_dup_pairs(spark):
     }
     assert (1, 2) in pairs and pairs[(1, 2)] > 0.99
     assert all(3 not in p for p in pairs)
+
+
+def test_jaccard_dedup(corpus):
+    from ftm_columnstore_spark.operators.dedup import jaccard_dedup
+
+    kept = sorted(
+        r["doc_id"]
+        for r in jaccard_dedup(corpus, shingle_k=3, min_jaccard=0.5).collect()
+    )
+    assert kept == [1, 4, 5]

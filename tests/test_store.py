@@ -132,3 +132,21 @@ def test_bucketed_table_no_exchange(store, entities_df, spark):
     plan = entities._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
     assert entities.count() == 10
+
+
+def test_changed_entities_delta(store, entities_df, spark):
+    store.write_entities(entities_df, last_seen="2024-01-01 00:00:00")
+    from ftm_columnstore_spark.sources.statements import statements_from_rows
+
+    update = statements_from_rows(
+        spark,
+        [dict(id="upd-1", entity_id="org-acme", prop="alias", prop_type="name",
+              schema="Company", value="ACME", dataset="grants", last_seen=None)],
+    ).withColumn("last_seen", F.to_timestamp(F.lit("2024-06-01")))
+    store.write_statements(update)
+    changed = store.changed_entities("2024-03-01")
+    rows = changed.collect()
+    assert [r["id"] for r in rows] == ["org-acme"]
+    # whole entity returned, not just the delta statement
+    assert rows[0]["properties"]["name"] == ["Acme Holding AG"]
+    assert rows[0]["properties"]["alias"] == ["ACME"]
