@@ -131,6 +131,16 @@ class Store:
         df = self._apply_canonical(df)
         return dedup_statements(df) if deduped else df
 
+    def view(self, dataset: str | None = None):
+        """Reference-parity accessor: ``store.view()`` → query facade."""
+        from ftm_columnstore_spark.view import View
+
+        return View(self, dataset)
+
+    def writer(self) -> "Store":
+        """Reference-parity alias (the store itself is the writer)."""
+        return self
+
     # --- canonicalization (J3, D5) -------------------------------------------
     def set_resolver(self, canonical_map: DataFrame | None) -> None:
         """Install an entity_id → canonical_id mapping (nomenklatura

@@ -1,0 +1,90 @@
+"""View facade — the reference's user-facing API surface, name-for-name
+(nomenklatura ``SQLView`` / ftmq usage exercised in reference
+``tests/test_store.py``), so a reference user can switch with minimal
+edits:
+
+    store = get_store("/data/store")          # reference: get_store(...)
+    view = store.view()                       # reference: store.view(...)
+    view.get_entity("abc123")                 # → dict (FtM shape)
+    view.entities(Q().where(schema="Payment", date__gte=2011))
+    view.get_inverted("abc123")
+    view.get_adjacent("abc123")
+    view.stats(dataset="donations")
+    view.aggregations(Q().aggregate("sum", "amountEur"))
+
+Python-side the results are plain dicts/iterators (like the reference);
+each method also has a ``*_df`` twin returning the DataFrame for users
+staying distributed.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+from pyspark.sql import DataFrame
+
+from ftm_columnstore_spark.plans.query import Query
+from ftm_columnstore_spark.store import Store
+
+
+def _entity_dict(row) -> dict[str, Any]:
+    d = row.asDict(recursive=True)
+    d["properties"] = dict(d.get("properties") or {})
+    return d
+
+
+class View:
+    def __init__(self, store: Store, dataset: str | None = None):
+        self.store = store
+        self.dataset = dataset
+
+    def _statements(self) -> DataFrame:
+        return self.store.statements(dataset=self.dataset)
+
+    # --- entities -----------------------------------------------------------
+    def get_entity(self, entity_id: str) -> dict[str, Any] | None:
+        from ftm_columnstore_spark.operators.assembly import get_entity
+
+        rows = get_entity(self._statements(), entity_id).collect()
+        return _entity_dict(rows[0]) if rows else None
+
+    def entities_df(self, q: Query | None = None) -> DataFrame:
+        from ftm_columnstore_spark.operators.assembly import assemble_entities
+        from ftm_columnstore_spark.plans.compiler import compile_entities
+
+        if q is None:
+            return assemble_entities(self._statements())
+        return compile_entities(self._statements(), q)
+
+    def entities(self, q: Query | None = None) -> Iterator[dict[str, Any]]:
+        for row in self.entities_df(q).toLocalIterator():
+            yield _entity_dict(row)
+
+    # --- graph --------------------------------------------------------------
+    def get_inverted(self, entity_id: str) -> Iterator[tuple[str, str]]:
+        from ftm_columnstore_spark.operators.graph import inverted
+
+        for row in inverted(self._statements(), entity_id).collect():
+            yield row["prop"], row["entity_id"]
+
+    def get_adjacent(self, entity_id: str) -> Iterator[tuple[str, str, str]]:
+        from ftm_columnstore_spark.operators.graph import adjacent
+
+        for row in adjacent(self._statements(), entity_id).collect():
+            yield row["direction"], row["prop"], row["neighbour_id"]
+
+    # --- reporting ----------------------------------------------------------
+    def stats(self, dataset: str | None = None) -> dict[str, Any]:
+        from ftm_columnstore_spark.operators.aggregations import stats
+
+        return stats(self._statements(), dataset=dataset or self.dataset)
+
+    def aggregations(self, q: Query) -> dict[str, Any]:
+        from ftm_columnstore_spark.plans.compiler import compile_aggregations
+
+        return compile_aggregations(self._statements(), q)
+
+
+def view_for(store: Store, dataset: str | None = None) -> View:
+    return View(store, dataset)
