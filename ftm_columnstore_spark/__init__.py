@@ -18,7 +18,16 @@ semantics as native Spark DataFrame programs over columnar Parquet:
 from ftm_columnstore_spark.plans.query import Q, Query
 from ftm_columnstore_spark.session import get_spark
 from ftm_columnstore_spark.store import Store, get_store
+from ftm_columnstore_spark.view import View
 
 __version__ = "0.1.0"
 
-__all__ = ["Q", "Query", "Store", "get_spark", "get_store", "__version__"]
+__all__ = [
+    "Q",
+    "Query",
+    "Store",
+    "View",
+    "get_spark",
+    "get_store",
+    "__version__",
+]
