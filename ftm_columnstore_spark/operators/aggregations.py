@@ -26,12 +26,16 @@ def dataset_stats(statements: DataFrame) -> DataFrame:
     )
 
 
-def stats(statements: DataFrame, dataset: str | None = None) -> dict[str, Any]:
+def stats(
+    statements: DataFrame, dataset: str | list[str] | None = None
+) -> dict[str, Any]:
     """``view.stats()`` report: entity count, per-schema counts, per-country
     counts (reference golden ``tests/test_store.py:129-142``)."""
     df = statements
-    if dataset is not None:
+    if isinstance(dataset, str):
         df = df.filter(F.col("dataset") == dataset)
+    elif dataset is not None:
+        df = df.filter(F.col("dataset").isin(list(dataset)))
     df = df.cache()
     try:
         entity_count = df.select("canonical_id").distinct().count()

@@ -121,13 +121,22 @@ class Store:
         return self.spark.read.schema(FPX_SCHEMA).parquet(path)
 
     # --- read path (S6, F1) ---------------------------------------------------
-    def statements(self, dataset: str | None = None, deduped: bool = True) -> DataFrame:
-        """The statement table; dataset filter prunes parquet partitions."""
+    def statements(
+        self,
+        dataset: str | list[str] | None = None,
+        deduped: bool = True,
+    ) -> DataFrame:
+        """The statement table. ``dataset`` may be one name or a catalog
+        (list) of names — either way the predicate prunes the hive
+        partitions, so a catalog view only scans its member datasets
+        (reference: store over a catalog, tests/test_store.py:72-75)."""
         if not self.exists():
             return self.spark.createDataFrame([], STATEMENT_SCHEMA)
         df = self.spark.read.schema(STATEMENT_SCHEMA).parquet(self._path)
-        if dataset is not None:
+        if isinstance(dataset, str):
             df = df.filter(F.col("dataset") == dataset)
+        elif dataset is not None:
+            df = df.filter(F.col("dataset").isin(list(dataset)))
         df = self._apply_canonical(df)
         return dedup_statements(df) if deduped else df
 

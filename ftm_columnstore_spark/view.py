@@ -35,7 +35,9 @@ def _entity_dict(row) -> dict[str, Any]:
 
 
 class View:
-    def __init__(self, store: Store, dataset: str | None = None):
+    def __init__(self, store: Store, dataset: str | list[str] | None = None):
+        """``dataset`` may be a single name or a catalog (list) — the
+        reference opens stores over multi-dataset catalogs (U1)."""
         self.store = store
         self.dataset = dataset
 

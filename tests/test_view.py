@@ -46,3 +46,13 @@ def test_stats_and_aggregations(view):
         Q().where(schema="Payment").aggregate("sum", "amountEur")
     )
     assert agg["sum"]["amountEur"] == 371201.5
+
+
+def test_catalog_view(spark, tmp_path, entities_df):
+    store = Store(spark, str(tmp_path / "cat"))
+    store.ensure()
+    store.write_entities(entities_df, last_seen="2024-01-01 00:00:00")
+    both = store.view(dataset=["grants", "registry"])
+    assert len(list(both.entities())) == 10
+    one = store.view(dataset=["registry"])
+    assert len(list(one.entities())) == 3
