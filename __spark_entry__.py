@@ -31,6 +31,14 @@ if _HERE not in sys.path:
 SF_DEFAULT = "/root/testdata/sf0.001"
 
 
+def _dsum(expr) -> F.Column:
+    """Order-independent money sum: decimal addition is associative, so
+    Spark's partial/final aggregation order can't flip a rounding
+    boundary against the oracle (doubles summed in different orders
+    differ by ~1e-9, which flips round(x, 2) when x sits on a .005)."""
+    return F.sum(expr.cast("decimal(18,6)"))
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
@@ -128,7 +136,7 @@ def j3_join_revenue_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = _t(spark, sf_dir, "customer")
     n = _t(spark, sf_dir, "nation")
     r = _t(spark, sf_dir, "region")
-    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
         .join(c, o.o_custkey == c.c_custkey)
@@ -136,7 +144,7 @@ def j3_join_revenue_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("r_name", "n_name")
         .agg(
-            F.round(F.sum(rev), 2).alias("revenue"),
+            F.round(_dsum(rev), 2).cast("double").alias("revenue"),
             F.count(F.lit(1)).alias("n_items"),
         )
     )
@@ -176,9 +184,9 @@ def a3_sum_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_discount") <= 0.07)
         & (F.col("l_quantity") < 24)
     ).agg(
-        F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
-            "revenue"
-        )
+        F.round(_dsum(F.col("l_extendedprice") * F.col("l_discount")), 2)
+        .cast("double")
+        .alias("revenue")
     )
 
 
@@ -189,13 +197,19 @@ def a5_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.filter(F.col("l_shipdate") <= "2001-09-01")
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(_dsum(F.col("l_quantity")), 2).cast("double").alias("sum_qty"),
+            F.round(_dsum(F.col("l_extendedprice")), 2)
+            .cast("double")
+            .alias("sum_base_price"),
             F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("sum_disc_price"),
-            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+                _dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).cast("double").alias("sum_disc_price"),
+            F.round(
+                _dsum(F.col("l_quantity")).cast("double") / F.count(F.lit(1)), 4
+            ).alias("avg_qty"),
+            F.round(
+                _dsum(F.col("l_discount")).cast("double") / F.count(F.lit(1)), 4
+            ).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
     )
@@ -206,7 +220,7 @@ def a6_group_year(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders")
     return o.groupBy(F.year("o_orderdate").alias("order_year")).agg(
         F.count(F.lit(1)).alias("n_orders"),
-        F.round(F.sum("o_totalprice"), 2).alias("total"),
+        F.round(_dsum(F.col("o_totalprice")), 2).cast("double").alias("total"),
     )
 
 
@@ -617,14 +631,14 @@ def j6_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders")
     c = _t(spark, sf_dir, "customer")
     n = _t(spark, sf_dir, "nation")
-    rev = F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    rev = _dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
     return (
         li.filter(F.col("l_returnflag") == "R")
         .join(o, li.l_orderkey == o.o_orderkey)
         .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("c_custkey", "c_name", "n_name")
-        .agg(F.round(rev, 2).alias("revenue"))
+        .agg(F.round(rev, 2).cast("double").alias("revenue"))
         .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
         .limit(20)
     )
@@ -636,7 +650,7 @@ def j7_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders")
     big = (
         li.groupBy("l_orderkey")
-        .agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"))
+        .agg(F.round(_dsum(F.col("l_quantity")), 2).cast("double").alias("total_qty"))
         .filter(F.col("total_qty") > 150)
     )
     return (
@@ -669,6 +683,52 @@ def st4_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n",
             "sum_value",
         )
+    )
+
+
+def a11_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: conditional-aggregate revenue share."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    joined = li.filter(
+        (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1998-01-01")
+    ).join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    return joined.agg(
+        F.round(
+            100.0
+            * _dsum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0)).cast("double")
+            / _dsum(rev).cast("double"),
+            4,
+        ).alias("promo_share")
+    )
+
+
+def j8_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: cross-nation trade volume (supplier nation ≠
+    customer nation), by year."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    n1 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+    )
+    rev = _dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    return (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("sn_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("cn_key"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
+        )
+        .agg(F.round(rev, 2).cast("double").alias("volume"))
     )
 
 
@@ -746,7 +806,7 @@ def w2_rank_spenders(spark: SparkSession, sf_dir: str) -> DataFrame:
     spend deciles... top 15 spenders with their dense rank."""
     o = _t(spark, sf_dir, "orders")
     spend = o.groupBy("o_custkey").agg(
-        F.round(F.sum("o_totalprice"), 2).alias("spend")
+        F.round(_dsum(F.col("o_totalprice")), 2).cast("double").alias("spend")
     )
     w = Window.orderBy(F.col("spend").desc(), F.col("o_custkey"))
     return (
@@ -763,14 +823,14 @@ def a10_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = _t(spark, sf_dir, "customer")
     n = _t(spark, sf_dir, "nation")
     r = _t(spark, sf_dir, "region")
-    rev = F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    rev = _dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
         .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .rollup("r_name", "n_name")
-        .agg(F.round(rev, 2).alias("revenue"))
+        .agg(F.round(rev, 2).cast("double").alias("revenue"))
         .select(
             F.coalesce("r_name", F.lit("(all)")).alias("region"),
             F.coalesce("n_name", F.lit("(all)")).alias("nation"),
@@ -943,6 +1003,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "st1_events_tumbling": st1_events_tumbling,
         "st2_events_latest": st2_events_latest,
         "j5_order_priority_exists": j5_order_priority_exists,
+        "j8_nation_volume": j8_nation_volume,
+        "a11_promo_revenue": a11_promo_revenue,
         "j6_top_customers": j6_top_customers,
         "j7_big_orders": j7_big_orders,
         "a4_avg_via_dsl": a4_avg_via_dsl,
@@ -1002,7 +1064,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "j3_join_revenue_nation": """
             SELECT r_name, n_name,
-                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+                   CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue,
                    count(*) AS n_items
             FROM lineitem
             JOIN orders   ON l_orderkey = o_orderkey
@@ -1024,7 +1086,7 @@ def oracle_sql() -> dict[str, str]:
             FROM orders
         """,
         "a3_sum_filtered": """
-            SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+            SELECT CAST(round(sum(CAST(l_extendedprice * l_discount AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue
             FROM lineitem
             WHERE l_shipdate >= TIMESTAMP '1996-01-01'
               AND l_shipdate < TIMESTAMP '1997-01-01'
@@ -1033,11 +1095,11 @@ def oracle_sql() -> dict[str, str]:
         """,
         "a5_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
-                   round(sum(l_quantity), 2) AS sum_qty,
-                   round(sum(l_extendedprice), 2) AS sum_base_price,
-                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-                   round(avg(l_quantity), 4) AS avg_qty,
-                   round(avg(l_discount), 4) AS avg_disc,
+                   CAST(round(sum(CAST(l_quantity AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_qty,
+                   CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_base_price,
+                   CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_disc_price,
+                   round(CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) / count(*), 4) AS avg_qty,
+                   round(CAST(sum(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE) / count(*), 4) AS avg_disc,
                    count(*) AS count_order
             FROM lineitem
             WHERE l_shipdate <= TIMESTAMP '2001-09-01'
@@ -1045,7 +1107,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "a6_group_year": """
             SELECT year(o_orderdate) AS order_year, count(*) AS n_orders,
-                   round(sum(o_totalprice), 2) AS total
+                   CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS total
             FROM orders GROUP BY 1
         """,
         "a7_group_cap": """
@@ -1230,7 +1292,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "j6_top_customers": """
             SELECT c_custkey, c_name, n_name,
-                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+                   CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue
             FROM lineitem
             JOIN orders   ON l_orderkey = o_orderkey
             JOIN customer ON o_custkey = c_custkey
@@ -1243,10 +1305,32 @@ def oracle_sql() -> dict[str, str]:
             SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS total_price,
                    total_qty
             FROM orders JOIN (
-                SELECT l_orderkey, round(sum(l_quantity), 2) AS total_qty
+                SELECT l_orderkey,
+                       CAST(round(sum(CAST(l_quantity AS DECIMAL(18,6))), 2) AS DOUBLE) AS total_qty
                 FROM lineitem GROUP BY l_orderkey
-                HAVING round(sum(l_quantity), 2) > 150) big
+                HAVING CAST(round(sum(CAST(l_quantity AS DECIMAL(18,6))), 2) AS DOUBLE) > 150) big
               ON o_orderkey = big.l_orderkey
+        """,
+        "a11_promo_revenue": """
+            SELECT round(
+                100.0 * CAST(sum(CAST(CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1 - l_discount) ELSE 0 END AS DECIMAL(18,6))) AS DOUBLE)
+                / CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE), 4) AS promo_share
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+              AND l_shipdate < TIMESTAMP '1998-01-01'
+        """,
+        "j8_nation_volume": """
+            SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                   year(l_shipdate) AS l_year,
+                   CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))), 2) AS DOUBLE) AS volume
+            FROM lineitem
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN orders   ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation n1 ON s_nationkey = n1.n_nationkey
+            JOIN nation n2 ON c_nationkey = n2.n_nationkey
+            WHERE n1.n_name != n2.n_name
+            GROUP BY 1, 2, 3
         """,
         "a4_avg_via_dsl": """
             SELECT round(avg(c_acctbal), 4) AS avg_acctbal FROM customer
@@ -1304,17 +1388,18 @@ def oracle_sql() -> dict[str, str]:
             WHERE doc_id NOT IN (SELECT right_id FROM dropped)
         """,
         "w2_rank_spenders": """
-            SELECT o_custkey, round(sum(o_totalprice), 2) AS spend,
+            SELECT o_custkey,
+                   CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS spend,
                    dense_rank() OVER (
-                       ORDER BY round(sum(o_totalprice), 2) DESC, o_custkey)
-                       AS rnk
+                       ORDER BY CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE)
+                           DESC, o_custkey) AS rnk
             FROM orders GROUP BY o_custkey
             QUALIFY rnk <= 15
         """,
         "a10_rollup": """
             SELECT coalesce(r_name, '(all)') AS region,
                    coalesce(n_name, '(all)') AS nation,
-                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+                   CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue
             FROM lineitem
             JOIN orders   ON l_orderkey = o_orderkey
             JOIN customer ON o_custkey = c_custkey
