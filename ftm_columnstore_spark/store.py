@@ -128,7 +128,9 @@ class Store:
         path = os.path.join(self.uri, "fpx")
         if not os.path.exists(path):
             return self.spark.createDataFrame([], FPX_SCHEMA)
-        return self.spark.read.schema(FPX_SCHEMA).parquet(path)
+        # fpx rows carry no version column; re-written batches dedup on
+        # read by full-row distinct (cheap: dictionary-encoded columns).
+        return self.spark.read.schema(FPX_SCHEMA).parquet(path).distinct()
 
     # --- read path (S6, F1) ---------------------------------------------------
     def statements(

@@ -1,0 +1,47 @@
+"""End-to-end training-data pipeline showcase: the composition the brief
+targets — exact dedup → near dedup → quality/language filter → token
+stats — as one lazy DataFrame program (single action at the end)."""
+
+from pyspark.sql import functions as F
+
+from ftm_columnstore_spark.operators.dedup import dedup_exact, jaccard_dedup
+from ftm_columnstore_spark.operators.text import (
+    language_id_col,
+    quality_score_col,
+    token_count_col,
+)
+
+GOOD = (
+    "the quick brown fox jumps over the lazy dog and then runs far away "
+    "to the river bank where it meets the other animals of the forest"
+)
+NEAR = GOOD.replace("forest", "woods")
+GERMAN = (
+    "der schnelle braune fuchs springt über den faulen hund und läuft "
+    "dann weit weg zum fluss wo er die anderen tiere des waldes trifft"
+)
+
+
+def test_pipeline_composition(spark):
+    rows = [
+        (1, GOOD),
+        (2, GOOD),        # exact dup → dropped
+        (3, NEAR),        # near dup of 1 → dropped
+        (4, GERMAN),      # wrong language → dropped
+        (5, "x y"),       # too short / low quality → dropped
+        (6, "completely different english text about the spark engine and "
+            "the way it runs queries over the very large datasets it reads"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    step1 = dedup_exact(docs)                                 # -2
+    step2 = jaccard_dedup(step1, shingle_k=3, min_jaccard=0.5)  # -3
+    step3 = step2.filter(language_id_col("text") == "en")       # -4
+    step4 = step3.filter(quality_score_col("text") >= 0.5)      # -5
+    result = step4.select(
+        "doc_id", token_count_col("text").alias("n_tokens")
+    ).orderBy("doc_id")
+
+    out = result.collect()
+    assert [r["doc_id"] for r in out] == [1, 6]
+    assert all(r["n_tokens"] > 20 for r in out)
