@@ -67,11 +67,15 @@ def main() -> None:
     for name in HEADLINE:
         timings[name] = round(min(run(name) for _ in range(2)), 3)
 
-    # pass 3: throughput — whole suite, 8 concurrent submitters
-    t0 = time.perf_counter()
-    with ThreadPoolExecutor(max_workers=8) as pool:
-        list(pool.map(run, HEADLINE))
-    wall = round(time.perf_counter() - t0, 3)
+    # pass 3+4: throughput — whole suite, 8 concurrent submitters,
+    # best of 2 (AQE/persist warm-up variance dominates a single run)
+    wall = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        with ThreadPoolExecutor(max_workers=8) as pool:
+            list(pool.map(run, HEADLINE))
+        wall = min(wall, time.perf_counter() - t0)
+    wall = round(wall, 3)
 
     sf = SF_DIR.rstrip("/").split("sf")[-1]
     print(
