@@ -421,6 +421,16 @@ def m1_stats_view(spark: SparkSession, sf_dir: str) -> DataFrame:
 # dedup / text analysis / similarity (training-data pipeline)
 # --------------------------------------------------------------------------
 
+def m3_pivot_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: per-source document counts with one column per language."""
+    d = _t(spark, sf_dir, "documents")
+    langs = ["de", "en", "es", "fr", "zh"]
+    out = d.groupBy("source").pivot("lang", langs).count()
+    return out.select(
+        "source", *[F.coalesce(F.col(l), F.lit(0)).alias(l) for l in langs]
+    )
+
+
 def d2_exact_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup: content-hash groups with representative + count."""
     from ftm_columnstore_spark.operators.dedup import exact_duplicates
@@ -995,6 +1005,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "st3_session_windows": st3_session_windows,
         "st4_sliding_windows": st4_sliding_windows,
         "m1_stats_view": m1_stats_view,
+        "m3_pivot_stats": m3_pivot_stats,
         "d2_exact_dup_groups": d2_exact_dup_groups,
         "t1_text_profile": t1_text_profile,
         "t2_token_topk": t2_token_topk,
@@ -1173,6 +1184,15 @@ def oracle_sql() -> dict[str, str]:
         "m1_stats_view": """
             SELECT source, lang, count(*) AS n_docs, sum(n_chars) AS total_chars
             FROM documents GROUP BY source, lang
+        """,
+        "m3_pivot_stats": """
+            SELECT source,
+                   count(CASE WHEN lang = 'de' THEN 1 END) AS de,
+                   count(CASE WHEN lang = 'en' THEN 1 END) AS en,
+                   count(CASE WHEN lang = 'es' THEN 1 END) AS es,
+                   count(CASE WHEN lang = 'fr' THEN 1 END) AS fr,
+                   count(CASE WHEN lang = 'zh' THEN 1 END) AS zh
+            FROM documents GROUP BY source
         """,
         "d2_exact_dup_groups": """
             SELECT md5(text) AS text_hash, min(doc_id) AS keep_id,
