@@ -218,7 +218,7 @@ def a5_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 def a6_group_year(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A6/X9: derived-year grouping."""
     o = _t(spark, sf_dir, "orders")
-    return o.groupBy(F.year("o_orderdate").alias("order_year")).agg(
+    return o.groupBy(F.year("o_orderdate").cast("long").alias("order_year")).agg(
         F.count(F.lit(1)).alias("n_orders"),
         F.round(_dsum(F.col("o_totalprice")), 2).cast("double").alias("total"),
     )
@@ -445,8 +445,8 @@ def t1_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
     return d.select(
         "doc_id",
-        F.size(word_tokens_col("text")).alias("n_tokens"),
-        F.length("text").alias("n_chars_actual"),
+        F.size(word_tokens_col("text")).cast("long").alias("n_tokens"),
+        F.length("text").cast("long").alias("n_chars_actual"),
     )
 
 
@@ -544,7 +544,7 @@ def x3_levenshtein_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = s.select(F.col("s_suppkey").alias("right_id"), F.col("s_name").alias("rn"))
     return (
         l.join(r, F.col("left_id") < F.col("right_id"))
-        .withColumn("dist", F.levenshtein("ln", "rn"))
+        .withColumn("dist", F.levenshtein("ln", "rn").cast("long"))
         .filter(F.col("dist") <= 2)
         .select("left_id", "right_id", "dist")
     )
@@ -736,7 +736,7 @@ def j8_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n2), F.col("c_nationkey") == F.col("cn_key"))
         .filter(F.col("supp_nation") != F.col("cust_nation"))
         .groupBy(
-            "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
+            "supp_nation", "cust_nation", F.year("l_shipdate").cast("long").alias("l_year")
         )
         .agg(F.round(rev, 2).cast("double").alias("volume"))
     )
@@ -765,7 +765,7 @@ def m2_fingerprint_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         p.select(fingerprint_col("p_name").alias("fp"))
         .groupBy("fp")
-        .agg(F.count(F.lit(1)).alias("freq"), F.length(F.first("fp")).alias("len"))
+        .agg(F.count(F.lit(1)).alias("freq"), F.length(F.first("fp")).cast("long").alias("len"))
     )
 
 
@@ -820,7 +820,7 @@ def w2_rank_spenders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = Window.orderBy(F.col("spend").desc(), F.col("o_custkey"))
     return (
-        spend.withColumn("rnk", F.dense_rank().over(w))
+        spend.withColumn("rnk", F.dense_rank().over(w).cast("long"))
         .filter(F.col("rnk") <= 15)
         .select("o_custkey", "spend", "rnk")
     )
@@ -1182,7 +1182,7 @@ def oracle_sql() -> dict[str, str]:
             WHERE c_mktsegment = 'BUILDING' AND c_name LIKE 'Customer#0000001%'
         """,
         "m1_stats_view": """
-            SELECT source, lang, count(*) AS n_docs, sum(n_chars) AS total_chars
+            SELECT source, lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
             FROM documents GROUP BY source, lang
         """,
         "m3_pivot_stats": """
