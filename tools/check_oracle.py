@@ -38,6 +38,13 @@ def compare(name: str, spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame) -> lis
             f"columns {sorted(spark_pdf.columns)} != {sorted(oracle_pdf.columns)}"
         )
         return problems
+    dtype_mism = [
+        f"{c}: {spark_pdf[c].dtype} != {oracle_pdf[c].dtype}"
+        for c in spark_pdf.columns
+        if str(spark_pdf[c].dtype) != str(oracle_pdf[c].dtype)
+    ]
+    if dtype_mism:
+        problems.append("dtypes " + "; ".join(dtype_mism))
     if problems:
         return problems
     a, b = normalize(spark_pdf), normalize(oracle_pdf)
