@@ -48,32 +48,39 @@ def shingles_col(col: Column | str, k: int = 5) -> Column:
     )
 
 
+def shingle_sets(df, text_col: str = "text", id_col: str = "doc_id", k: int = 5):
+    """(id, sh_arr) — per-document distinct shingle arrays, ZERO shuffles.
+
+    Two-stage projection: the first ``select`` materializes the token
+    array as a real column, so the ``transform`` lambda in the second
+    stage references a column (evaluated once per row), not the tokenizer
+    expression (which a single-stage HOF would re-evaluate per shingle).
+    Documents with no tokens are dropped (no shingles → can't pair).
+
+    This is the scale path: shingling is narrow (no window, no distinct
+    shuffle) — at 100 TB it pipelines straight out of the parquet scan.
+    One exception: when the input has fewer partitions than the cluster
+    has slots (small local files), fan out first so the per-element HOF
+    work parallelizes — a no-op on real multi-split scans."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        df = df.repartition(target)
+    toks_df = df.select(
+        F.col(id_col).alias("id"), word_tokens_col(text_col).alias("__toks")
+    ).filter(F.size("__toks") > 0)
+    t = F.col("__toks")
+    n = F.size(t)
+    starts = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+    mk = lambda i: F.array_join(F.slice(t, i + 1, k), " ")  # noqa: E731
+    sh = F.when(n <= k, F.array(F.array_join(t, " "))).otherwise(
+        F.array_distinct(F.transform(starts, mk))
+    )
+    return toks_df.select("id", sh.alias("sh_arr"))
+
+
 def shingle_rows(df, text_col: str = "text", id_col: str = "doc_id", k: int = 5):
     """(id, shingle) rows — relational shingling for bulk operators.
-
-    posexplode the token array (tokenizer runs ONCE per document), then
-    build each k-shingle with ``lead`` over (id, pos). ``concat_ws`` skips
-    the trailing nulls, so a document shorter than k naturally produces
-    its single whole-document shingle at pos 0. One window shuffle keyed
-    by doc id; distinct shingles per doc (set semantics, matching
-    ``shingles_col``)."""
-    from pyspark.sql import Window
-
-    toks = df.select(
-        F.col(id_col).alias("id"),
-        F.posexplode(word_tokens_col(text_col)).alias("pos", "tok"),
-    )
-    w = Window.partitionBy("id").orderBy("pos")
-    parts = [F.col("tok")] + [F.lead("tok", i).over(w) for i in range(1, k)]
-    n = F.count(F.lit(1)).over(Window.partitionBy("id"))
-    return (
-        toks.select(
-            "id",
-            "pos",
-            F.concat_ws(" ", *parts).alias("shingle"),
-            n.alias("__n"),
-        )
-        .filter((F.col("pos") <= F.col("__n") - k) | (F.col("pos") == 0))
-        .select("id", "shingle")
-        .distinct()
+    Explode of :func:`shingle_sets`; still zero shuffles (narrow)."""
+    return shingle_sets(df, text_col, id_col, k).select(
+        "id", F.explode("sh_arr").alias("shingle")
     )

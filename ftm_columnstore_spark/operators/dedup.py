@@ -303,13 +303,27 @@ def ngram_jaccard_pairs(
     3. length filter ``τ·|l| ≤ |r| ≤ |l|/τ`` prunes further;
     4. candidates verified exactly via full-set ``array_intersect``.
 
-    Output (left_id, right_id, jaccard)."""
-    from ftm_columnstore_spark.functions.text import shingle_rows
+    5. positional filter (PPJoin): per candidate pair, prefix collisions
+       are counted and the LAST collision's positions bound the residual
+       overlap — any non-collision common element must order after the
+       last collision in BOTH arrays (else it would itself be a prefix
+       collision), so ``overlap ≤ c + min(|l| - maxpos_l, |r| - maxpos_r)``;
+       pairs whose bound misses ``α = τ·(|l|+|r|)/(1+τ)`` are pruned
+       before the (expensive) full verify.
 
-    tall = shingle_rows(df, text_col, id_col, shingle_k)
+    Shuffle budget: shingling is narrow (zero shuffles); frequency agg
+    (small output) broadcast-joined back; one groupBy(id) builds sets;
+    one self-join on prefix shingles; one pair-groupBy; the verify joins
+    are AQE-broadcastable (the surviving-set side is tiny relative to the
+    corpus). Output (left_id, right_id, jaccard)."""
+    from ftm_columnstore_spark.functions.text import shingle_sets
+
+    tall = shingle_sets(df, text_col, id_col, shingle_k).select(
+        "id", F.explode("sh_arr").alias("shingle")
+    )
     if rarest_first:
         freq = tall.groupBy("shingle").agg(F.count(F.lit(1)).alias("freq"))
-        tall = tall.join(freq, on="shingle")
+        tall = tall.join(F.broadcast(freq), on="shingle")
     else:
         tall = tall.withColumn("freq", F.xxhash64("shingle"))
 
@@ -339,7 +353,11 @@ def ngram_jaccard_pairs(
         )
         .persist()
     )
-    prefix = sets.select("id", "setsize", F.explode("pref").alias("shingle"))
+    prefix = sets.select(
+        "id",
+        "setsize",
+        F.posexplode("pref").alias("pos0", "shingle"),
+    ).select("id", "setsize", F.col("shingle"), (F.col("pos0") + 1).alias("pos"))
 
     l, r = prefix.alias("l"), prefix.alias("r")
     cand = (
@@ -352,18 +370,33 @@ def ngram_jaccard_pairs(
                 F.col("l.setsize") >= F.lit(min_jaccard) * F.col("r.setsize"),
             ],
         )
-        .select(F.col("l.id").alias("left_id"), F.col("r.id").alias("right_id"))
-        .distinct()
+        .groupBy(
+            F.col("l.id").alias("left_id"),
+            F.col("r.id").alias("right_id"),
+            F.col("l.setsize").alias("ls"),
+            F.col("r.setsize").alias("rs"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("c"),
+            F.max("l.pos").alias("maxpl"),
+            F.max("r.pos").alias("maxpr"),
+        )
     )
+    # positional bound: required overlap α with a float-safety epsilon
+    # (only loosens the filter — soundness preserved)
+    alpha = (
+        F.lit(min_jaccard / (1.0 + min_jaccard)) * (F.col("ls") + F.col("rs"))
+        - F.lit(1e-9)
+    )
+    bound = F.col("c") + F.least(
+        F.col("ls") - F.col("maxpl"), F.col("rs") - F.col("maxpr")
+    )
+    surv = cand.filter(bound >= alpha).select("left_id", "right_id", "ls", "rs")
 
-    lsets = sets.select(
-        F.col("id").alias("left_id"), F.col("sh").alias("lsh"), F.col("setsize").alias("ls")
-    )
-    rsets = sets.select(
-        F.col("id").alias("right_id"), F.col("sh").alias("rsh"), F.col("setsize").alias("rs")
-    )
+    lsets = sets.select(F.col("id").alias("left_id"), F.col("sh").alias("lsh"))
+    rsets = sets.select(F.col("id").alias("right_id"), F.col("sh").alias("rsh"))
     verified = (
-        cand.join(lsets, on="left_id")
+        surv.join(lsets, on="left_id")
         .join(rsets, on="right_id")
         .withColumn("inter", F.size(F.array_intersect("lsh", "rsh")))
     )
