@@ -878,10 +878,29 @@ def o4_deterministic_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def t5_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality scoring per document (oracle: same arithmetic in
+    DuckDB over the same tokenizer regex)."""
     from ftm_columnstore_spark.operators.text import quality_score_col
 
     d = _t(spark, sf_dir, "documents")
     return d.select("doc_id", quality_score_col("text").alias("quality"))
+
+
+def t4_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-voting language ID + token count per document (oracle:
+    struct-greatest voting replicated in DuckDB; xxhash64 fingerprint and
+    quality live in t1/t5)."""
+    from ftm_columnstore_spark.operators.text import (
+        language_id_col,
+        token_count_col,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        token_count_col("text").cast("long").alias("n_tokens"),
+        language_id_col("text").alias("lang_pred"),
+    )
 
 
 def v4_embedding_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -955,12 +974,6 @@ def v3_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_topk(e.filter(F.col("vec_id") != 0), qvec, k=20, num_planes=10, probe_bits=2)
 
 
-def t4_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ftm_columnstore_spark.operators.text import analyze_documents
-
-    return analyze_documents(_t(spark, sf_dir, "documents"))
-
-
 # --------------------------------------------------------------------------
 # contract
 # --------------------------------------------------------------------------
@@ -1027,12 +1040,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w2_rank_spenders": w2_rank_spenders,
         "a10_rollup": a10_rollup,
         "o4_deterministic_scan": o4_deterministic_scan,
+        "t4_language_id": t4_language_id,
+        "t5_quality_scores": t5_quality_scores,
         # NON-SQL (probabilistic/LSH) — rows-only:
         "d3_minhash_lsh_pairs": d3_minhash_lsh_pairs,
         "d4_simhash_pairs": d4_simhash_pairs,
         "v3_lsh_topk": v3_lsh_topk,
-        "t4_language_id": t4_language_id,
-        "t5_quality_scores": t5_quality_scores,
         "v4_embedding_dups": v4_embedding_dups,
         "v5_ivf_topk": v5_ivf_topk,
         "v6_ann_topk_numpy": v6_ann_topk_numpy,
@@ -1463,5 +1476,50 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, event_id, event_type FROM events
             QUALIFY row_number() OVER (
                 PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+        """,
+        "t5_quality_scores": """
+            SELECT doc_id,
+                   round(least(n_tokens / 20.0, 1.0)
+                         * (CASE WHEN (alnum / greatest(n_tokens, 1))
+                                      BETWEEN 3 AND 10
+                                 THEN 1.0 ELSE 0.5 END)
+                         * (alnum / greatest(n_chars, 1)), 4) AS quality
+            FROM (
+                SELECT doc_id,
+                       len(list_filter(
+                           string_split_regex(lower(text), '[^a-z0-9]+'),
+                           x -> x != '')) AS n_tokens,
+                       length(regexp_replace(
+                           lower(text), '[^a-z0-9]', '', 'g')) AS alnum,
+                       length(text) AS n_chars
+                FROM documents)
+        """,
+        "t4_language_id": """
+            WITH toks AS (
+                SELECT doc_id,
+                       list_filter(
+                           string_split_regex(lower(text), '[^a-z0-9]+'),
+                           x -> x != '') AS t
+                FROM documents),
+            voted AS (
+                SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
+                       list_max([
+                           {'score': len(list_intersect(list_distinct(t),
+                               ['der','die','das','und','ist','nicht','mit','ein','für','von'])),
+                            'lang': 'de'},
+                           {'score': len(list_intersect(list_distinct(t),
+                               ['the','and','of','to','in','is','that','with','for','was'])),
+                            'lang': 'en'},
+                           {'score': len(list_intersect(list_distinct(t),
+                               ['el','la','los','las','es','una','por','que','para','con'])),
+                            'lang': 'es'},
+                           {'score': len(list_intersect(list_distinct(t),
+                               ['le','la','les','et','est','pas','une','pour','que','dans'])),
+                            'lang': 'fr'}]) AS best
+                FROM toks)
+            SELECT doc_id, n_tokens,
+                   CASE WHEN best.score > 0 THEN best.lang
+                        ELSE 'und' END AS lang_pred
+            FROM voted
         """,
     }
