@@ -142,11 +142,27 @@ def score_pairs(pairs: DataFrame, statements: DataFrame) -> DataFrame:
 
 
 def connected_components(
-    edges: DataFrame, max_iterations: int = 20
+    edges: DataFrame, max_iterations: int = 50, algorithm: str = "star"
 ) -> DataFrame:
     """D5: canonical map from accepted match edges (entity_id →
-    canonical_id = min id of its component). Iterative min-label
-    propagation; each round is one groupBy-min + join, stop on fixpoint."""
+    canonical_id = min id of its component). Reference cite:
+    ``store.py:25-28`` (resolver/linker), queried at
+    ``tests/test_store.py:264-269``.
+
+    ``algorithm="star"`` (default): alternating large-star/small-star
+    (Kiveris et al. 2014, "Connected Components in MapReduce and Beyond")
+    — converges in O(log² n) rounds regardless of component diameter, so
+    an adversarial million-node chain finishes in ~20 rounds instead of a
+    million. Each round is two groupBy-min + join passes; no per-node
+    neighbour arrays are ever materialized, so a 100M-member component's
+    hub never lands in one task.
+
+    ``algorithm="label"``: minimum-label propagation — one groupBy-min +
+    join per round, O(component diameter) rounds. Wins on the shallow
+    near-forest graphs entity matching actually produces (diameter ≤ 3-4:
+    fewer, cheaper rounds), loses badly on long chains."""
+    if algorithm == "star":
+        return _cc_star(edges, max_iterations)
     labels = (
         edges.select(F.col("left_id").alias("id"))
         .union(edges.select("right_id"))
@@ -187,3 +203,70 @@ def connected_components(
     return labels.select(
         F.col("id").alias("entity_id"), F.col("label").alias("canonical_id")
     )
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """For every node u: attach each strictly-larger neighbour to
+    m = min(N(u) ∪ {u}). Join-based — the per-node min comes from a
+    groupBy, never a collected neighbour list."""
+    sym = edges.union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    mins = sym.groupBy("src").agg(F.min("dst").alias("nbr_min"))
+    return (
+        sym.join(mins, on="src")
+        .filter(F.col("dst") > F.col("src"))
+        .select(
+            F.col("dst").alias("src"),
+            F.least("src", "nbr_min").alias("dst"),
+        )
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """Canonicalize each edge as (u = max, v = min); attach u and all its
+    smaller neighbours to m = min of the group."""
+    canon = edges.filter(F.col("src") != F.col("dst")).select(
+        F.greatest("src", "dst").alias("u"), F.least("src", "dst").alias("v")
+    )
+    mins = canon.groupBy("u").agg(F.min("v").alias("m"))
+    to_nbrs = (
+        canon.join(mins, on="u")
+        .filter(F.col("v") != F.col("m"))
+        .select(F.col("v").alias("src"), F.col("m").alias("dst"))
+    )
+    to_self = mins.select(F.col("u").alias("src"), F.col("m").alias("dst"))
+    return to_nbrs.union(to_self).distinct()
+
+
+def _cc_star(edges: DataFrame, max_iterations: int) -> DataFrame:
+    cur = (
+        edges.select(
+            F.col("left_id").alias("src"), F.col("right_id").alias("dst")
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iterations):
+        nxt = _small_star(_large_star(cur)).localCheckpoint(eager=True)
+        changed = (
+            nxt.exceptAll(cur).union(cur.exceptAll(nxt)).limit(1).count()
+        )
+        cur = nxt
+        if changed == 0:
+            break
+    # converged: every edge points member → component-min root
+    members = cur.select(
+        F.col("src").alias("entity_id"), F.col("dst").alias("canonical_id")
+    )
+    roots = (
+        cur.select(F.col("dst").alias("entity_id"))
+        .distinct()
+        .join(
+            members.select(F.col("entity_id")), on="entity_id", how="left_anti"
+        )
+        .withColumn("canonical_id", F.col("entity_id"))
+    )
+    return members.union(roots)

@@ -99,3 +99,52 @@ def test_connected_components_chain(spark):
         for r in connected_components(edges).collect()
     }
     assert set(cmap.values()) == {"n0"}
+
+
+def test_connected_components_star_long_chain(spark):
+    # 200-node chain: diameter 199. Label propagation needs ~200 rounds;
+    # large-star/small-star must collapse it within its default budget.
+    edges = spark.createDataFrame(
+        [(f"n{i:04d}", f"n{i+1:04d}") for i in range(199)],
+        ["left_id", "right_id"],
+    )
+    cmap = {
+        r["entity_id"]: r["canonical_id"]
+        for r in connected_components(edges, algorithm="star").collect()
+    }
+    assert len(cmap) == 200
+    assert set(cmap.values()) == {"n0000"}
+
+
+def test_connected_components_algorithms_agree(spark):
+    import random
+
+    rng = random.Random(7)
+    nodes = [f"v{i:03d}" for i in range(60)]
+    edges_py = [
+        tuple(sorted(rng.sample(nodes, 2))) for _ in range(70)
+    ]
+    edges = spark.createDataFrame(edges_py, ["left_id", "right_id"])
+
+    # union-find oracle
+    parent = {n: n for n in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges_py:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    seen = {n for ab in edges_py for n in ab}
+    expected = {n: find(n) for n in seen}
+    # find() roots are component-minimum ids because unions keep the min
+    for algo in ("star", "label"):
+        cmap = {
+            r["entity_id"]: r["canonical_id"]
+            for r in connected_components(edges, algorithm=algo).collect()
+        }
+        assert cmap == expected, algo
