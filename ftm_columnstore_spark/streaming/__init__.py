@@ -4,10 +4,12 @@ from ftm_columnstore_spark.streaming.windows import (
     sliding_window_agg,
     tumbling_window_agg,
 )
+from ftm_columnstore_spark.streaming.xref import streaming_xref_pairs
 
 __all__ = [
     "session_window_agg",
     "sliding_window_agg",
     "stream_statements_to_store",
+    "streaming_xref_pairs",
     "tumbling_window_agg",
 ]

@@ -168,3 +168,84 @@ def test_stateful_anomaly_operator(spark, tmp_path):
     out = spark.sql("select * from anoms").collect()
     assert [r["event_id"] for r in out] == [99]
     assert out[0]["zscore"] > 3
+
+
+def test_streaming_xref_pairs(spark, tmp_path):
+    """Stateful candidate-pair stream: running union across micro-batches
+    equals batch blocking+pairing over the same final fpx rows."""
+    from ftm_columnstore_spark.operators.blocking import (
+        blocking_candidates,
+        candidate_pairs,
+    )
+    from ftm_columnstore_spark.streaming.xref import streaming_xref_pairs
+
+    # fpx rows: block "smith" grows 2 -> 4 entities across two batches;
+    # block "hot" exceeds the cap in batch 2; block "solo" never reaches
+    # the floor.
+    b1 = [
+        {"algorithm": "fingerprint", "value": "smith", "entity_id": "e1"},
+        {"algorithm": "fingerprint", "value": "smith", "entity_id": "e2"},
+        {"algorithm": "fingerprint", "value": "solo", "entity_id": "e9"},
+        {"algorithm": "fingerprint", "value": "hot", "entity_id": "h1"},
+        {"algorithm": "fingerprint", "value": "hot", "entity_id": "h2"},
+        {"algorithm": "fingerprint", "value": "hot", "entity_id": "h3"},
+    ]
+    b2 = [
+        {"algorithm": "fingerprint", "value": "smith", "entity_id": "e3"},
+        {"algorithm": "fingerprint", "value": "smith", "entity_id": "e4"},
+        {"algorithm": "fingerprint", "value": "hot", "entity_id": "h4"},
+        {"algorithm": "fingerprint", "value": "hot", "entity_id": "h5"},
+    ]
+    src = tmp_path / "fpx_in"
+    src.mkdir()
+    schema = "algorithm string, value string, entity_id string"
+
+    out = tmp_path / "pairs_out"
+
+    def run_drain():
+        # shared checkpoint: each drain resumes state and reads only new files
+        stream = spark.readStream.schema(schema).json(str(src))
+        q = (
+            streaming_xref_pairs(stream, min_entities=3, max_entities=4)
+            .writeStream.format("parquet")
+            .option("path", str(out))
+            .option("checkpointLocation", str(tmp_path / "ck_xref"))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return {
+            (r["left_id"], r["right_id"])
+            for r in spark.read.parquet(str(out)).collect()
+        }
+
+    (src / "b1.json").write_text("\n".join(json.dumps(r) for r in b1))
+    got1 = run_drain()
+    # smith has 2 < floor, solo 1 < floor; hot has 3 = floor -> 3 pairs
+    assert got1 == {("h1", "h2"), ("h1", "h3"), ("h2", "h3")}
+
+    (src / "b2.json").write_text("\n".join(json.dumps(r) for r in b2))
+    got2 = run_drain()  # file sink accumulates across drains
+    # smith crosses the floor: all 6 pairs; hot crosses the cap: nothing new
+    assert got2 - got1 == {
+        ("e1", "e2"), ("e1", "e3"), ("e1", "e4"),
+        ("e2", "e3"), ("e2", "e4"), ("e3", "e4"),
+    }
+
+    # running union == batch pipeline over the final rows, except the
+    # tombstoned hot block (batch drops it entirely; stream keeps the
+    # pairs it emitted while under the cap — documented divergence)
+    fpx = spark.createDataFrame(
+        [(r["algorithm"], r["value"], r["entity_id"], "ds", "Company",
+          "name", "name") for r in b1 + b2],
+        "algorithm string, value string, entity_id string, dataset string,"
+        "schema string, prop string, prop_type string",
+    )
+    batch_pairs = {
+        (r["left_id"], r["right_id"])
+        for r in candidate_pairs(
+            blocking_candidates(fpx, min_entities=3, max_entities=4)
+        ).collect()
+    }
+    assert got2 == batch_pairs | {("h1", "h2"), ("h1", "h3"), ("h2", "h3")}
