@@ -168,6 +168,26 @@ def kmeans_centroids(
     return [[float(v) for v in c] for c in cents]
 
 
+def _nearest_centroid_expr(
+    centroids: list[list[float]], vec_col: str
+) -> Column:
+    """bucket = argmax cosine over the (broadcast-literal) centroid array."""
+    cvecs = [
+        F.array(*[F.lit(x) for x in c]).cast("array<float>") for c in centroids
+    ]
+    return F.array_max(
+        F.array(
+            *[
+                F.struct(
+                    cosine_similarity_col(F.col(vec_col), cvecs[i]).alias("s"),
+                    F.lit(i).alias("b"),
+                )
+                for i in range(len(centroids))
+            ]
+        )
+    ).getField("b")
+
+
 def ivf_topk(
     df: DataFrame,
     query_vec: list[float],
@@ -212,21 +232,7 @@ def ivf_topk(
         key=lambda i: -cos_py(centroids[i], [float(x) for x in query_vec]),
     )[:n_probe]
 
-    # bucket = argmax cosine over the (broadcast-literal) centroid array
-    cvecs = [
-        F.array(*[F.lit(x) for x in c]).cast("array<float>") for c in centroids
-    ]
-    best = F.array_max(
-        F.array(
-            *[
-                F.struct(
-                    cosine_similarity_col(F.col(vec_col), cvecs[i]).alias("s"),
-                    F.lit(i).alias("b"),
-                )
-                for i in range(len(centroids))
-            ]
-        )
-    ).getField("b")
+    best = _nearest_centroid_expr(centroids, vec_col)
 
     q = F.array(*[F.lit(float(x)) for x in query_vec]).cast("array<float>")
     candidates = df.withColumn("__bucket", best).filter(
@@ -265,3 +271,98 @@ def knn_join(
         .filter(F.col("__rn") <= k)
         .drop("__rn")
     )
+
+
+# --- persisted IVF index (partition-pruned probes) -------------------------
+
+def build_ivf_index(
+    df: DataFrame,
+    path: str,
+    n_centroids: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    centroids: list[list[float]] | None = None,
+    train: bool = True,
+) -> list[list[float]]:
+    """Materialize an IVF index: assign each row its nearest centroid and
+    write the corpus parquet **partitioned by ``__bucket``**, so a probe
+    of ``n_probe`` buckets becomes a partition-pruned scan that never
+    opens the other ``n_centroids - n_probe`` directories. This is the
+    100 TB shape: index build is one linear pass + write, probe cost is
+    ``n_probe / n_centroids`` of the corpus regardless of total size.
+
+    Centroids default to trained spherical k-means (``train=True``) or a
+    deterministic hash-ordered sample; they are persisted UNDER the index
+    at ``_ivf_centroids`` (underscore-prefixed → invisible to parquet
+    discovery, like ``_SUCCESS``) so probes need no side-channel."""
+    if centroids is None:
+        centroids = (
+            kmeans_centroids(df, n_centroids, vec_col, id_col)
+            if train
+            else None
+        )
+    if centroids is None:
+        rows = (
+            df.select(id_col, vec_col)
+            .orderBy(F.xxhash64(F.col(id_col).cast("string")))
+            .limit(n_centroids)
+            .collect()
+        )
+        centroids = [[float(x) for x in r[vec_col]] for r in rows]
+
+    (
+        df.withColumn("__bucket", _nearest_centroid_expr(centroids, vec_col))
+        .write.mode("overwrite")
+        .partitionBy("__bucket")
+        .parquet(path)
+    )
+    spark = df.sparkSession
+    spark.createDataFrame(
+        [(i, c) for i, c in enumerate(centroids)],
+        "bucket int, centroid array<double>",
+    ).coalesce(1).write.mode("overwrite").json(f"{path}/_ivf_centroids")
+    return centroids
+
+
+def ivf_topk_indexed(
+    spark,
+    path: str,
+    query_vec: list[float],
+    k: int = 10,
+    n_probe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Top-k against a ``build_ivf_index`` output. The ``__bucket``
+    predicate lands in the scan's PartitionFilters (verified by
+    ``tests/test_similarity.py``), so only the probed directories are
+    read."""
+    import math
+
+    cent_rows = spark.read.schema("bucket int, centroid array<double>").json(
+        f"{path}/_ivf_centroids"
+    ).collect()
+    centroids = {r["bucket"]: list(r["centroid"]) for r in cent_rows}
+    qv = [float(x) for x in query_vec]
+
+    def cos_py(a: list[float], b: list[float]) -> float:
+        dot = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return dot / (na * nb) if na and nb else 0.0
+
+    probed = sorted(centroids, key=lambda i: -cos_py(centroids[i], qv))[
+        :n_probe
+    ]
+    q = F.array(*[F.lit(x) for x in qv]).cast("array<float>")
+    scored = (
+        spark.read.parquet(path)
+        .filter(F.col("__bucket").isin(probed))
+        .select(
+            F.col(id_col),
+            F.round(cosine_similarity_col(F.col(vec_col), q), 6).alias(
+                "cosine"
+            ),
+        )
+    )
+    return scored.orderBy(F.col("cosine").desc(), F.col(id_col)).limit(k)

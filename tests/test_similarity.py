@@ -108,3 +108,33 @@ def test_ivf_trained_centroids_recall(vectors):
         for r in ivf_topk(vectors, q, k=10, n_probe=4, centroids=cents).collect()
     }
     assert len(exact & trained) >= 6
+
+
+def test_ivf_index_build_and_probe(vectors, tmp_path):
+    """Persisted IVF index: probe results equal the in-memory ivf_topk
+    with the same centroids, and the probe scan is partition-pruned."""
+    from ftm_columnstore_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_topk,
+        ivf_topk_indexed,
+    )
+
+    spark = vectors.sparkSession
+    path = str(tmp_path / "ivf_index")
+    cents = build_ivf_index(vectors, path, n_centroids=8)
+    assert len(cents) == 8
+
+    q = list(vectors.filter(F.col("vec_id") == 0).collect()[0]["embedding"])
+    indexed = ivf_topk_indexed(spark, path, q, k=10, n_probe=4)
+    got = [(r["vec_id"], r["cosine"]) for r in indexed.collect()]
+    want = [
+        (r["vec_id"], r["cosine"])
+        for r in ivf_topk(vectors, q, k=10, n_probe=4, centroids=cents).collect()
+    ]
+    assert got == want
+
+    # the __bucket predicate must prune partitions, not filter rows
+    plan = indexed._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "__bucket" in plan.split(
+        "PartitionFilters"
+    )[1][:200]
