@@ -811,6 +811,31 @@ def d6_jaccard_dedup_kept(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id")
 
 
+def d7_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D5 canonicalization, oracle-checked: run-edges (consecutive doc_ids
+    sharing a language) form chains up to length ~7; large-star/small-star
+    CC labels each member with its component minimum. Oracle: DuckDB
+    recursive-CTE reachability + min over reachable set."""
+    from ftm_columnstore_spark.operators.blocking import connected_components
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    a, b = d.alias("a"), d.alias("b")
+    edges = a.join(
+        b,
+        on=[
+            F.col("b.doc_id") == F.col("a.doc_id") + 1,
+            F.col("a.lang") == F.col("b.lang"),
+        ],
+    ).select(
+        F.col("a.doc_id").alias("left_id"), F.col("b.doc_id").alias("right_id")
+    )
+    cmap = connected_components(edges)
+    return cmap.select(
+        F.col("entity_id").cast("long").alias("doc_id"),
+        F.col("canonical_id").cast("long").alias("canonical_doc"),
+    )
+
+
 def w2_rank_spenders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Window ranking beyond row_number: dense_rank over per-customer
     spend deciles... top 15 spenders with their dense rank."""
@@ -1037,6 +1062,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "u4_except": u4_except,
         "e6_schema_hierarchy": e6_schema_hierarchy,
         "d6_jaccard_dedup_kept": d6_jaccard_dedup_kept,
+        "d7_connected_components": d7_connected_components,
         "w2_rank_spenders": w2_rank_spenders,
         "a10_rollup": a10_rollup,
         "o4_deterministic_scan": o4_deterministic_scan,
@@ -1419,6 +1445,24 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id FROM documents
             WHERE doc_id NOT IN (SELECT right_id FROM dropped)
+        """,
+        "d7_connected_components": """
+            WITH RECURSIVE edges AS (
+              SELECT a.doc_id AS src, b.doc_id AS dst
+              FROM documents a JOIN documents b
+                ON b.doc_id = a.doc_id + 1 AND a.lang = b.lang
+            ),
+            sym AS (
+              SELECT src, dst FROM edges UNION SELECT dst, src FROM edges
+            ),
+            reach AS (
+              SELECT src, dst FROM sym
+              UNION
+              SELECT r.src, e.dst FROM reach r JOIN sym e ON r.dst = e.src
+            )
+            SELECT CAST(src AS BIGINT) AS doc_id,
+                   CAST(least(src, min(dst)) AS BIGINT) AS canonical_doc
+            FROM reach GROUP BY src
         """,
         "w2_rank_spenders": """
             SELECT o_custkey,
