@@ -742,6 +742,97 @@ def j8_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def j9_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: top-10 unshipped BUILDING-segment orders by
+    revenue. Segment filter broadcast-prunes customers before the big
+    join; top-k is TakeOrderedAndProject."""
+    c = _t(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < "1998-06-15"
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > "1998-06-15"
+    )
+    rev = _dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy(
+            "l_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            "o_orderpriority",
+        )
+        .agg(F.round(rev, 2).cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+def a12_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: revenue effect of a discount change — single scan,
+    every predicate pushed to the parquet reader."""
+    li = _t(spark, sf_dir, "lineitem")
+    rev = _dsum(F.col("l_extendedprice") * F.col("l_discount"))
+    return li.filter(
+        (F.col("l_shipdate") >= "1997-01-01")
+        & (F.col("l_shipdate") < "1998-01-01")
+        & (F.col("l_discount") >= 0.02)
+        & (F.col("l_discount") <= 0.04)
+        & (F.col("l_quantity") < 24)
+    ).agg(F.round(rev, 2).cast("double").alias("revenue"))
+
+
+def a13_late_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (adapted to available columns): per year of late
+    shipments (> 90 days after order), counts of high- vs low-priority
+    orders."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .filter(F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 90))
+        .groupBy(F.year("l_shipdate").cast("long").alias("ship_year"))
+        .agg(
+            F.sum(high.cast("long")).alias("high_priority"),
+            F.sum((~high).cast("long")).alias("low_priority"),
+        )
+    )
+
+
+def j10_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape (adapted): disjunctive brand/size/quantity
+    predicates across the lineitem ⋈ part join — exercises OR-predicate
+    pushdown and broadcast of the filtered dimension."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    joined = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & (F.col("p_size").between(1, 15))
+            & (F.col("l_quantity").between(1, 11))
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & (F.col("p_size").between(1, 25))
+            & (F.col("l_quantity").between(10, 20))
+        )
+        | (
+            (F.col("p_brand") == "Brand#34")
+            & (F.col("p_size").between(1, 35))
+            & (F.col("l_quantity").between(20, 30))
+        )
+    )
+    rev = _dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    return joined.filter(cond).agg(
+        F.round(rev, 2).cast("double").alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
 def a4_avg_via_dsl(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A4: numeric coercion avg over string-valued statements via the DSL."""
     from ftm_columnstore_spark.plans.compiler import compile_aggregation_df
@@ -1054,6 +1145,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "j5_order_priority_exists": j5_order_priority_exists,
         "j8_nation_volume": j8_nation_volume,
         "a11_promo_revenue": a11_promo_revenue,
+        "j9_shipping_priority": j9_shipping_priority,
+        "j10_discounted_revenue": j10_discounted_revenue,
+        "a12_forecast_revenue": a12_forecast_revenue,
+        "a13_late_shipments": a13_late_shipments,
         "j6_top_customers": j6_top_customers,
         "j7_big_orders": j7_big_orders,
         "a4_avg_via_dsl": a4_avg_via_dsl,
@@ -1369,6 +1464,55 @@ def oracle_sql() -> dict[str, str]:
                 FROM lineitem GROUP BY l_orderkey
                 HAVING CAST(round(sum(CAST(l_quantity AS DECIMAL(18,6))), 2) AS DOUBLE) > 150) big
               ON o_orderkey = big.l_orderkey
+        """,
+        "j9_shipping_priority": """
+            SELECT l_orderkey,
+                   strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+                   o_orderpriority,
+                   CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,6))
+                                  * (1 - CAST(l_discount AS DECIMAL(18,6)))), 2)
+                        AS DOUBLE) AS revenue
+            FROM lineitem
+            JOIN orders   ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            WHERE c_mktsegment = 'BUILDING'
+              AND o_orderdate < TIMESTAMP '1998-06-15'
+              AND l_shipdate  > TIMESTAMP '1998-06-15'
+            GROUP BY 1, 2, 3
+            ORDER BY revenue DESC, l_orderkey LIMIT 10
+        """,
+        "a12_forecast_revenue": """
+            SELECT CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,6))
+                                  * CAST(l_discount AS DECIMAL(18,6))), 2)
+                        AS DOUBLE) AS revenue
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+              AND l_shipdate <  TIMESTAMP '1998-01-01'
+              AND l_discount BETWEEN 0.02 AND 0.04
+              AND l_quantity < 24
+        """,
+        "a13_late_shipments": """
+            SELECT CAST(year(l_shipdate) AS BIGINT) AS ship_year,
+                   CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                            THEN 1 ELSE 0 END) AS BIGINT) AS high_priority,
+                   CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                            THEN 0 ELSE 1 END) AS BIGINT) AS low_priority
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            WHERE l_shipdate > o_orderdate + INTERVAL 90 DAY
+            GROUP BY 1
+        """,
+        "j10_discounted_revenue": """
+            SELECT CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,6))
+                                  * (1 - CAST(l_discount AS DECIMAL(18,6)))), 2)
+                        AS DOUBLE) AS revenue,
+                   count(*) AS n_items
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+                   AND l_quantity BETWEEN 1 AND 11)
+               OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25
+                   AND l_quantity BETWEEN 10 AND 20)
+               OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 35
+                   AND l_quantity BETWEEN 20 AND 30)
         """,
         "a11_promo_revenue": """
             SELECT round(
