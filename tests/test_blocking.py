@@ -148,3 +148,46 @@ def test_connected_components_algorithms_agree(spark):
             for r in connected_components(edges, algorithm=algo).collect()
         }
         assert cmap == expected, algo
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    edges_py=st.lists(
+        st.tuples(st.integers(0, 30), st.integers(0, 30))
+        .filter(lambda t: t[0] != t[1])
+        .map(lambda t: (f"n{min(t):02d}", f"n{max(t):02d}")),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_connected_components_property(spark, edges_py):
+    """Star CC equals a union-find oracle on arbitrary edge lists."""
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges_py:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    expected = {n: find(n) for ab in edges_py for n in ab}
+
+    edges = spark.createDataFrame(edges_py, ["left_id", "right_id"])
+    cmap = {
+        r["entity_id"]: r["canonical_id"]
+        for r in connected_components(edges, algorithm="star").collect()
+    }
+    assert cmap == expected
