@@ -156,6 +156,60 @@ def sample_frames(
     return media.select(id_col, payload_col).mapInPandas(batches, out_schema)
 
 
+def _resize_image(
+    payload: bytes, width: int, height: int, fake: bool
+) -> bytes:
+    """Stub for image resize. Real impl: PIL thumbnail/resample."""
+    if not fake:
+        raise NotImplementedError(
+            "image codecs not available in this environment; pass fake=True"
+        )
+    # deterministic stand-in scaled to the target pixel count
+    seed = hashlib.sha1(payload + f"{width}x{height}".encode()).digest()
+    out_len = max(1, min(width * height, 4096))
+    reps = out_len // len(seed) + 1
+    return (seed * reps)[:out_len]
+
+
+def resize_images(
+    media: DataFrame,
+    width: int,
+    height: int,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+    fake: bool = False,
+) -> DataFrame:
+    """binary → resized binary + updated meta dims, mapInPandas. The
+    output keeps the (payload, meta) column pair so resized media flows
+    back through the same pipeline stages."""
+    out_schema = StructType(
+        [
+            StructField("media_id", LongType(), False),
+            StructField("payload", BinaryType(), False),
+            StructField("meta", MEDIA_META, False),
+        ]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            resized = [
+                _resize_image(bytes(p), width, height, fake)
+                for p in pdf[payload_col]
+            ]
+            metas = [
+                {**(dict(m) if m is not None else {"mime": "image/unknown"}),
+                 "width": width, "height": height}
+                for m in pdf["meta"]
+            ]
+            yield pd.DataFrame(
+                {"media_id": pdf[id_col], "payload": resized, "meta": metas}
+            )
+
+    return media.select(id_col, payload_col, "meta").mapInPandas(
+        batches, out_schema
+    )
+
+
 def filter_by_mime(media: DataFrame, mime_prefix: str) -> DataFrame:
     """Metadata-only predicate — never touches payload bytes, so column
     pruning keeps the blob column out of the scan entirely."""

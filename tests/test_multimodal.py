@@ -54,3 +54,20 @@ def test_sample_frames_fake(media):
     assert set(by_id) == set(range(6))
     assert all(len(v) == 4 for v in by_id.values())
     assert all(isinstance(bytes(r["frame"]), bytes) for r in frames)
+
+
+def test_resize_images_fake(media):
+    from ftm_columnstore_spark.operators.multimodal import resize_images
+
+    out = resize_images(media, 32, 32, fake=True)
+    rows = out.collect()
+    assert len(rows) == 6
+    assert all(len(bytes(r["payload"])) == 32 * 32 for r in rows)
+    assert all(
+        r["meta"]["width"] == 32 and r["meta"]["height"] == 32 for r in rows
+    )
+    # mime survives the resize
+    assert all(r["meta"]["mime"].startswith("image/") for r in rows)
+    # deterministic + composable: resized media feeds extract_features
+    feats = extract_features(out, fake=True).collect()
+    assert len(feats) == 6
