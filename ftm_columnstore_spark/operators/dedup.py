@@ -322,8 +322,12 @@ def ngram_jaccard_pairs(
         "id", F.explode("sh_arr").alias("shingle")
     )
     if rarest_first:
+        # no broadcast hint: the freq table is one row per DISTINCT
+        # shingle — small at test scale (AQE still picks BHJ there) but
+        # unboundedly large at corpus scale, where this must be a
+        # shuffle join on the shingle key
         freq = tall.groupBy("shingle").agg(F.count(F.lit(1)).alias("freq"))
-        tall = tall.join(F.broadcast(freq), on="shingle")
+        tall = tall.join(freq, on="shingle")
     else:
         tall = tall.withColumn("freq", F.xxhash64("shingle"))
 
