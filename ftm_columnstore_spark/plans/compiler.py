@@ -165,7 +165,10 @@ def compile_entities(statements: DataFrame, q: Query) -> DataFrame:
     """Full pipeline: filter → order → slice → re-expand → assemble."""
     ids = compile_entity_ids(statements, q)
     # Re-expand: whole entities, not just matching statements (F10).
-    full = statements.join(F.broadcast(ids), on="canonical_id", how="left_semi")
+    # no broadcast hint: ids is bounded for selective queries (AQE
+    # broadcasts those at runtime) but can approach the full id space for
+    # match-all queries, where this must stay a shuffle join
+    full = statements.join(ids, on="canonical_id", how="left_semi")
     return assemble_entities(full)
 
 

@@ -173,9 +173,10 @@ class Store:
     def _apply_canonical(self, df: DataFrame) -> DataFrame:
         if self._canonical is None:
             return df
-        cmap = F.broadcast(
-            self._canonical.withColumnRenamed("canonical_id", "__canon")
-        )
+        # resolver maps scale with the resolved-entity count; AQE
+        # broadcasts small ones and falls back to sort-merge on the
+        # clustered key for big ones (matches README scale posture)
+        cmap = self._canonical.withColumnRenamed("canonical_id", "__canon")
         return (
             df.drop("canonical_id")
             .join(cmap, on="entity_id", how="left")
@@ -243,8 +244,10 @@ class Store:
         from ftm_columnstore_spark.operators.assembly import assemble_entities
 
         ids = self.changed_statements(since).select("canonical_id").distinct()
+        # ids is the incremental change set — usually tiny (AQE
+        # broadcasts it) but unbounded after a full rewrite
         scoped = self.statements().join(
-            F.broadcast(ids), on="canonical_id", how="left_semi"
+            ids, on="canonical_id", how="left_semi"
         )
         return assemble_entities(scoped)
 
