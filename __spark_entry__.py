@@ -1099,6 +1099,221 @@ def entry(spark: SparkSession) -> DataFrame:
     return j3_join_revenue_nation(spark, SF_DEFAULT)
 
 
+def j11_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: distribution of per-customer order counts,
+    including zero-order customers — left outer join with the filter in
+    the join condition, then two stacked aggregations."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderpriority") != "1-URGENT")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+def a14_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: revenue lost to small orders — the correlated
+    per-part avg-quantity subquery decorrelated into a pre-aggregation
+    joined back on the part key. The threshold is derived from a decimal
+    sum so the double comparison is bit-identical to the oracle."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#23")
+    limits = li.groupBy(F.col("l_partkey").alias("t_partkey")).agg(
+        (
+            0.2
+            * F.sum(F.col("l_quantity").cast("decimal(18,6)")).cast("double")
+            / F.count("*")
+        ).alias("qty_limit")
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(limits, li.l_partkey == limits.t_partkey)
+        .filter(F.col("l_quantity") < F.col("qty_limit"))
+        .agg(
+            F.round(_dsum(F.col("l_extendedprice")).cast("double") / 7.0, 2).alias(
+                "avg_yearly"
+            )
+        )
+    )
+
+
+def m4_top_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: the revenue view reused twice — per-supplier
+    quarter revenue, then an equality join against its own max (scalar
+    subquery). Decimal totals make the max comparison exact."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-07-01") & (F.col("l_shipdate") < "1997-10-01")
+    )
+    rev = li.groupBy("l_suppkey").agg(
+        _dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("__total")
+    )
+    top = rev.agg(F.max("__total").alias("__max"))
+    s = _t(spark, sf_dir, "supplier")
+    return (
+        rev.join(F.broadcast(top), rev.__total == top.__max)
+        .join(F.broadcast(s), rev.l_suppkey == s.s_suppkey)
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.round(F.col("__total"), 2).cast("double").alias("total_revenue"),
+        )
+    )
+
+
+def j12_supplier_counts_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape (lineitem as the part↔supplier link — no partsupp
+    table at this scale): distinct-supplier counts per (brand, type,
+    size), excluding negative-balance suppliers via NOT IN → left-anti
+    join."""
+    link = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey").distinct()
+    bad = _t(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    p = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#45")
+        & (~F.col("p_type").startswith("MEDIUM"))
+        & F.col("p_size").isin(1, 4, 9, 14, 19, 23, 36, 45)
+    )
+    return (
+        link.join(F.broadcast(bad), link.l_suppkey == bad.s_suppkey, "left_anti")
+        .join(F.broadcast(p), link.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+def j13_late_sole_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (ship-vs-order date standing in for the missing
+    receipt/commit dates): suppliers who were the ONLY late shipper in a
+    multi-supplier finalized order — an existential semi-join plus a
+    negated-existential anti-join over the same fact table."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    lo = li.join(o, li.l_orderkey == o.o_orderkey)
+    late = lo.filter(F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 90))
+
+    pairs = li.select(
+        F.col("l_orderkey").alias("p_ok"), F.col("l_suppkey").alias("p_sk")
+    ).distinct()
+    late_pairs = late.select(
+        F.col("l_orderkey").alias("q_ok"), F.col("l_suppkey").alias("q_sk")
+    ).distinct()
+
+    l1 = late.join(
+        pairs,
+        (late.l_orderkey == pairs.p_ok) & (late.l_suppkey != pairs.p_sk),
+        "left_semi",
+    ).join(
+        late_pairs,
+        (late.l_orderkey == late_pairs.q_ok) & (late.l_suppkey != late_pairs.q_sk),
+        "left_anti",
+    )
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_7")
+    return (
+        l1.join(F.broadcast(s), l1.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(20)
+    )
+
+
+def a15_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: customers with above-average positive balance and
+    no URGENT orders (every synthetic customer has *some* order, so the
+    classic no-orders predicate is vacuous here) — global scalar aggregate
+    broadcast into the filter, then a left-anti join, grouped by nation."""
+    c = _t(spark, sf_dir, "customer")
+    o = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_custkey")
+    )
+    avg_bal = c.filter(F.col("c_acctbal") > 0).agg(
+        (
+            F.sum(F.col("c_acctbal").cast("decimal(18,6)")).cast("double")
+            / F.count("*")
+        ).alias("__avg")
+    )
+    return (
+        c.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("__avg"))
+        .join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count("*").alias("numcust"),
+            F.round(F.sum(F.col("c_acctbal").cast("decimal(18,6)")), 2)
+            .cast("double")
+            .alias("totacctbal"),
+        )
+    )
+
+
+def j14_best_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (s_acctbal standing in for the missing
+    ps_supplycost): for each BRASS part, the EUROPE supplier(s) with the
+    maximum account balance among those who actually shipped it — the
+    correlated max decorrelated into a per-part aggregate joined back."""
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    n = _t(spark, sf_dir, "nation").join(
+        F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey")
+    )
+    s = _t(spark, sf_dir, "supplier").join(
+        F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey")
+    )
+    p = _t(spark, sf_dir, "part").filter(
+        (F.col("p_size") == 15) & (F.col("p_type") == "STANDARD")
+    )
+    offers = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey")
+        .distinct()
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(
+            s.select("s_suppkey", "s_name", "s_acctbal"),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+            "inner",
+        )
+    )
+    best = offers.groupBy(F.col("p_partkey").alias("b_partkey")).agg(
+        F.max("s_acctbal").alias("__best")
+    )
+    return (
+        offers.join(
+            best,
+            (offers.p_partkey == best.b_partkey)
+            & (offers.s_acctbal == best.__best),
+        )
+        .select("p_partkey", "p_name", "s_name", "s_acctbal")
+    )
+
+
+def a16_part_value_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: parts whose revenue exceeds a multiple of the
+    mean per-part revenue — HAVING against a broadcast scalar subquery.
+    The threshold is relative (1.5× mean) so it stays meaningful at any
+    scale factor; decimal sums keep values and threshold exact."""
+    li = _t(spark, sf_dir, "lineitem")
+    value = _dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    per_part = li.groupBy("l_partkey").agg(value.alias("__value"))
+    total = per_part.agg(
+        F.sum("__value").alias("__total"), F.count("*").alias("__n")
+    )
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .filter(
+            F.col("__value")
+            > 1.5 * F.col("__total").cast("double") / F.col("__n")
+        )
+        .select(
+            "l_partkey",
+            F.round(F.col("__value"), 2).cast("double").alias("part_value"),
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "s1_scan_project": s1_scan_project,
@@ -1163,6 +1378,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "o4_deterministic_scan": o4_deterministic_scan,
         "t4_language_id": t4_language_id,
         "t5_quality_scores": t5_quality_scores,
+        "j11_order_count_distribution": j11_order_count_distribution,
+        "a14_small_quantity_revenue": a14_small_quantity_revenue,
+        "m4_top_supplier_revenue": m4_top_supplier_revenue,
+        "j12_supplier_counts_anti": j12_supplier_counts_anti,
+        "j13_late_sole_shippers": j13_late_sole_shippers,
+        "a15_idle_rich_customers": a15_idle_rich_customers,
+        "j14_best_supplier_per_part": j14_best_supplier_per_part,
+        "a16_part_value_share": a16_part_value_share,
         # NON-SQL (probabilistic/LSH) — rows-only:
         "d3_minhash_lsh_pairs": d3_minhash_lsh_pairs,
         "d4_simhash_pairs": d4_simhash_pairs,
@@ -1709,5 +1932,116 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN best.score > 0 THEN best.lang
                         ELSE 'und' END AS lang_pred
             FROM voted
+        """,
+        "j11_order_count_distribution": """
+            SELECT c_count, count(*) AS custdist
+            FROM (
+                SELECT c_custkey, count(o_orderkey) AS c_count
+                FROM customer LEFT OUTER JOIN orders
+                  ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+                GROUP BY c_custkey
+            )
+            GROUP BY c_count
+        """,
+        "a14_small_quantity_revenue": """
+            SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6)))
+                              AS DOUBLE) / 7.0, 2) AS avg_yearly
+            FROM lineitem
+            JOIN part ON p_partkey = l_partkey
+            JOIN (
+                SELECT l_partkey AS t_partkey,
+                       0.2 * CAST(sum(CAST(l_quantity AS DECIMAL(18,6)))
+                                  AS DOUBLE) / count(*) AS qty_limit
+                FROM lineitem GROUP BY l_partkey
+            ) t ON l_partkey = t_partkey
+            WHERE p_brand = 'Brand#23' AND l_quantity < qty_limit
+        """,
+        "m4_top_supplier_revenue": """
+            WITH revenue AS (
+                SELECT l_suppkey,
+                       sum(CAST(l_extendedprice AS DECIMAL(18,6))
+                           * (1 - CAST(l_discount AS DECIMAL(18,6)))) AS total
+                FROM lineitem
+                WHERE l_shipdate >= TIMESTAMP '1997-07-01'
+                  AND l_shipdate <  TIMESTAMP '1997-10-01'
+                GROUP BY l_suppkey
+            )
+            SELECT s_suppkey, s_name,
+                   CAST(round(total, 2) AS DOUBLE) AS total_revenue
+            FROM revenue JOIN supplier ON l_suppkey = s_suppkey
+            WHERE total = (SELECT max(total) FROM revenue)
+        """,
+        "j12_supplier_counts_anti": """
+            SELECT p_brand, p_type, p_size,
+                   count(DISTINCT l_suppkey) AS supplier_cnt
+            FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) l
+            JOIN part ON p_partkey = l_partkey
+            WHERE p_brand <> 'Brand#45'
+              AND p_type NOT LIKE 'MEDIUM%'
+              AND p_size IN (1, 4, 9, 14, 19, 23, 36, 45)
+              AND l_suppkey NOT IN
+                  (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+            GROUP BY p_brand, p_type, p_size
+        """,
+        "j13_late_sole_shippers": """
+            SELECT s_name, count(*) AS numwait
+            FROM lineitem l1
+            JOIN orders   ON o_orderkey = l1.l_orderkey
+            JOIN supplier ON s_suppkey = l1.l_suppkey
+            JOIN nation   ON n_nationkey = s_nationkey
+            WHERE o_orderstatus = 'F' AND n_name = 'NATION_7'
+              AND l1.l_shipdate > o_orderdate + INTERVAL 90 DAY
+              AND EXISTS (SELECT 1 FROM lineitem l2
+                          WHERE l2.l_orderkey = l1.l_orderkey
+                            AND l2.l_suppkey <> l1.l_suppkey)
+              AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                              WHERE l3.l_orderkey = l1.l_orderkey
+                                AND l3.l_suppkey <> l1.l_suppkey
+                                AND l3.l_shipdate >
+                                    o_orderdate + INTERVAL 90 DAY)
+            GROUP BY s_name
+            ORDER BY numwait DESC, s_name LIMIT 20
+        """,
+        "a15_idle_rich_customers": """
+            SELECT c_nationkey, count(*) AS numcust,
+                   CAST(round(sum(CAST(c_acctbal AS DECIMAL(18,6))), 2)
+                        AS DOUBLE) AS totacctbal
+            FROM customer
+            WHERE c_acctbal > (
+                SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE)
+                       / count(*)
+                FROM customer WHERE c_acctbal > 0)
+              AND NOT EXISTS (SELECT 1 FROM orders
+                              WHERE o_custkey = c_custkey
+                                AND o_orderpriority = '1-URGENT')
+            GROUP BY c_nationkey
+        """,
+        "j14_best_supplier_per_part": """
+            WITH offers AS (
+                SELECT DISTINCT p_partkey, p_name, s_name, s_acctbal
+                FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) l
+                JOIN part     ON p_partkey = l_partkey
+                JOIN supplier ON s_suppkey = l_suppkey
+                JOIN nation   ON n_nationkey = s_nationkey
+                JOIN region   ON r_regionkey = n_regionkey
+                WHERE r_name = 'EUROPE' AND p_size = 15
+                  AND p_type = 'STANDARD'
+            )
+            SELECT p_partkey, p_name, s_name, s_acctbal
+            FROM offers o
+            WHERE s_acctbal = (SELECT max(s_acctbal) FROM offers i
+                               WHERE i.p_partkey = o.p_partkey)
+        """,
+        "a16_part_value_share": """
+            WITH per_part AS (
+                SELECT l_partkey,
+                       sum(CAST(l_extendedprice AS DECIMAL(18,6))
+                           * (1 - CAST(l_discount AS DECIMAL(18,6)))) AS value
+                FROM lineitem GROUP BY l_partkey
+            )
+            SELECT l_partkey, CAST(round(value, 2) AS DOUBLE) AS part_value
+            FROM per_part
+            WHERE value > 1.5 * (SELECT CAST(sum(value) AS DOUBLE) / count(*)
+                                 FROM per_part)
         """,
     }

@@ -28,6 +28,8 @@ HEADLINE = [
     "j3_join_revenue_nation",
     "j6_top_customers",
     "j7_big_orders",
+    "j11_order_count_distribution",
+    "j13_late_sole_shippers",
     "a5_pricing_summary",
     "a3_sum_filtered",
     "a8_count_distinct",
