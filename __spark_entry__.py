@@ -1328,6 +1328,52 @@ def a16_part_value_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def t6_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split: assignment is a pure function
+    of md5(seed || doc_id), reproduced bit-for-bit by the oracle."""
+    from ftm_columnstore_spark.operators.sampling import split_by_hash
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        split_by_hash(docs, {"train": 0.8, "val": 0.1, "test": 0.1}, seed="seed")
+        .groupBy("split")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def t7_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact k-per-language sample in deterministic hash order
+    (WindowGroupLimit: rows beyond k die before the shuffle)."""
+    from ftm_columnstore_spark.operators.sampling import stratified_sample_exact
+
+    docs = _t(spark, sf_dir, "documents")
+    return stratified_sample_exact(docs, ["lang"], k=10, seed="s").select(
+        "doc_id", "lang"
+    )
+
+
+def t8_deterministic_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle key — the total order every engine
+    (and every rerun, on any cluster size) agrees on."""
+    from ftm_columnstore_spark.operators.sampling import deterministic_shuffle
+
+    docs = _t(spark, sf_dir, "documents")
+    return deterministic_shuffle(docs, num_partitions=8).select(
+        "doc_id", F.col("__shuffle_key").alias("shuffle_key")
+    )
+
+
+def d8_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: corpus docs sharing an 8-word n-gram
+    with the held-out set (docs 0-19 standing in for a benchmark)."""
+    from ftm_columnstore_spark.operators.sampling import ngram_overlap
+
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") < 20)
+    corpus = docs.filter(F.col("doc_id") >= 20)
+    return ngram_overlap(corpus, bench, n=8)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "s1_scan_project": s1_scan_project,
@@ -1400,6 +1446,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a15_idle_rich_customers": a15_idle_rich_customers,
         "j14_best_supplier_per_part": j14_best_supplier_per_part,
         "a16_part_value_share": a16_part_value_share,
+        "t6_hash_split": t6_hash_split,
+        "t7_stratified_sample": t7_stratified_sample,
+        "t8_deterministic_shuffle": t8_deterministic_shuffle,
+        "d8_decontamination": d8_decontamination,
         # NON-SQL (probabilistic/LSH) — rows-only:
         "d3_minhash_lsh_pairs": d3_minhash_lsh_pairs,
         "d4_simhash_pairs": d4_simhash_pairs,
@@ -2057,5 +2107,53 @@ def oracle_sql() -> dict[str, str]:
             FROM per_part
             WHERE value > 1.5 * (SELECT CAST(sum(value) AS DOUBLE) / count(*)
                                  FROM per_part)
+        """,
+        "t6_hash_split": """
+            SELECT split, count(*) AS n FROM (
+                SELECT CASE
+                    WHEN substr(md5('seed' || CAST(doc_id AS VARCHAR)), 1, 8)
+                         < 'cccccccc' THEN 'train'
+                    WHEN substr(md5('seed' || CAST(doc_id AS VARCHAR)), 1, 8)
+                         < 'e6666666' THEN 'val'
+                    ELSE 'test' END AS split
+                FROM documents)
+            GROUP BY split
+        """,
+        "t7_stratified_sample": """
+            SELECT doc_id, lang FROM (
+                SELECT doc_id, lang,
+                       row_number() OVER (
+                           PARTITION BY lang
+                           ORDER BY substr(md5('s' || CAST(doc_id AS VARCHAR)),
+                                           1, 8), doc_id) AS rn
+                FROM documents)
+            WHERE rn <= 10
+        """,
+        "t8_deterministic_shuffle": """
+            SELECT doc_id,
+                   substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS shuffle_key
+            FROM documents
+        """,
+        "d8_decontamination": """
+            WITH toks AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                                   x -> x <> '') AS t
+                FROM documents
+            ), grams AS (
+                SELECT doc_id,
+                       unnest(CASE WHEN len(t) <= 8
+                              THEN [array_to_string(t, ' ')]
+                              ELSE list_distinct(list_transform(
+                                   range(1, len(t) - 6),
+                                   i -> array_to_string(t[i:i+7], ' '))) END
+                       ) AS gram
+                FROM toks WHERE len(t) > 0
+            )
+            SELECT c.doc_id AS corpus_id, b.doc_id AS benchmark_id,
+                   count(*) AS n_shared_ngrams
+            FROM (SELECT * FROM grams WHERE doc_id >= 20) c
+            JOIN (SELECT * FROM grams WHERE doc_id < 20) b USING (gram)
+            GROUP BY 1, 2
         """,
     }

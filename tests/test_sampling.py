@@ -1,0 +1,118 @@
+"""Sampling/splitting family: hash split, stratified sample,
+deterministic shuffle, n-gram decontamination."""
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from ftm_columnstore_spark.operators.sampling import (
+    deterministic_shuffle,
+    hash_key_col,
+    ngram_overlap,
+    split_by_hash,
+    stratified_sample_exact,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (i, f"document number {i} with some shared filler text", ["en", "de", "fr"][i % 3])
+        for i in range(300)
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+
+
+def test_hash_key_matches_python_md5(spark):
+    df = spark.createDataFrame([(42,), (7,)], ["doc_id"])
+    got = {
+        r.doc_id: r.k
+        for r in df.select("doc_id", hash_key_col("doc_id", "s1").alias("k")).collect()
+    }
+    for i in (42, 7):
+        assert got[i] == hashlib.md5(f"s1{i}".encode()).hexdigest()[:8]
+
+
+def test_split_by_hash_deterministic_and_complete(docs):
+    w = {"train": 0.8, "val": 0.1, "test": 0.1}
+    a = split_by_hash(docs, w, seed="seed").select("doc_id", "split")
+    b = split_by_hash(docs, w, seed="seed").select("doc_id", "split")
+    assert a.exceptAll(b).count() == 0  # rerun-stable
+    counts = {r.split: r.n for r in a.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert set(counts) == {"train", "val", "test"}
+    assert sum(counts.values()) == 300  # total partition of the corpus
+    assert counts["train"] > counts["val"]  # weights roughly respected
+    # different seed → different assignment (at least one doc moves)
+    c = split_by_hash(docs, w, seed="other").select("doc_id", "split")
+    assert a.exceptAll(c).count() > 0
+
+
+def test_split_weights_approximate(docs):
+    w = {"train": 0.5, "test": 0.5}
+    counts = {
+        r.split: r.n
+        for r in split_by_hash(docs, w).groupBy("split").agg(F.count("*").alias("n")).collect()
+    }
+    assert abs(counts["train"] - 150) < 45  # 3σ ≈ 26 at n=300, p=.5
+
+
+def test_stratified_sample_exact_k_per_stratum(docs):
+    out = stratified_sample_exact(docs, ["lang"], k=7)
+    sizes = {r.lang: r.n for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert sizes == {"en": 7, "de": 7, "fr": 7}
+    # deterministic: same rows every run
+    again = stratified_sample_exact(docs, ["lang"], k=7)
+    assert out.select("doc_id").exceptAll(again.select("doc_id")).count() == 0
+
+
+def test_stratified_sample_small_stratum(spark):
+    df = spark.createDataFrame([(1, "a"), (2, "a"), (3, "b")], ["doc_id", "s"])
+    out = stratified_sample_exact(df, ["s"], k=5)
+    assert out.count() == 3  # min(k, |stratum|)
+
+
+def test_deterministic_shuffle_total_order(docs):
+    out = deterministic_shuffle(docs, num_partitions=4)
+    ids1 = [r.doc_id for r in out.collect()]
+    ids2 = [r.doc_id for r in deterministic_shuffle(docs, num_partitions=4).collect()]
+    assert ids1 == ids2  # same global sequence every run
+    assert sorted(ids1) == list(range(300))  # a permutation, nothing lost
+    assert ids1 != sorted(ids1)  # actually shuffled
+    # cluster-size independence: different partition count, same sequence
+    ids3 = [r.doc_id for r in deterministic_shuffle(docs, num_partitions=11).collect()]
+    assert ids1 == ids3
+    # keys strictly ordered across partition boundaries
+    keys = [r["__shuffle_key"] for r in out.select("__shuffle_key").collect()]
+    assert keys == sorted(keys)
+
+
+def test_ngram_overlap_decontamination(spark):
+    bench = spark.createDataFrame(
+        [(900, "the quick brown fox jumps over the lazy dog tonight")],
+        ["doc_id", "text"],
+    )
+    corpus = spark.createDataFrame(
+        [
+            # benchmark sentence pasted inside a longer page → contaminated
+            (1, "intro filler words here the quick brown fox jumps over the lazy dog tonight and then much more trailing content follows"),
+            (2, "completely unrelated text about spark partitions and shuffles"),
+        ],
+        ["doc_id", "text"],
+    )
+    hits = ngram_overlap(corpus, bench, n=8).collect()
+    assert {(r.corpus_id, r.benchmark_id) for r in hits} == {(1, 900)}
+    assert hits[0].n_shared_ngrams >= 1
+
+
+def test_ngram_overlap_min_hits_filter(spark):
+    bench = spark.createDataFrame(
+        [(900, "one two three four five six seven eight nine")], ["doc_id", "text"]
+    )
+    corpus = spark.createDataFrame(
+        # shares exactly the first 8-gram only (word nine differs)
+        [(1, "one two three four five six seven eight XXXX")],
+        ["doc_id", "text"],
+    )
+    assert ngram_overlap(corpus, bench, n=8, min_hits=1).count() == 1
+    assert ngram_overlap(corpus, bench, n=8, min_hits=3).count() == 0
