@@ -1374,6 +1374,17 @@ def d8_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_overlap(corpus, bench, n=8)
 
 
+def t9_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing (best-fit-decreasing per hash partition) —
+    NON-SQL: per-partition stateful pass; rows-only check."""
+    from ftm_columnstore_spark.operators.sampling import pack_sequences
+
+    docs = _t(spark, sf_dir, "documents")
+    return pack_sequences(docs, budget=4096, size_col="n_chars").select(
+        "doc_id", "seq_id"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "s1_scan_project": s1_scan_project,
@@ -1458,6 +1469,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "v5_ivf_topk": v5_ivf_topk,
         "v6_ann_topk_numpy": v6_ann_topk_numpy,
         "x5_phonetic_keys": x5_phonetic_keys,
+        "t9_pack_sequences": t9_pack_sequences,
     }
 
 

@@ -28,6 +28,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def hash_key_col(id_col: Column | str, seed: str = "") -> Column:
@@ -108,6 +109,82 @@ def deterministic_shuffle(
     else:
         out = out.repartitionByRange("__shuffle_key", id_col)
     return out.sortWithinPartitions("__shuffle_key", id_col)
+
+
+def pack_sequences(
+    df: DataFrame,
+    budget: int,
+    size_col: str = "n_tokens",
+    id_col: str = "doc_id",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Sequence packing: assign each document to a training sequence so
+    that per-sequence token sums stay ≤ ``budget`` (documents larger than
+    the budget get a singleton sequence — truncation is the caller's
+    policy). Output: input columns + ``seq_id`` (globally unique string).
+
+    Exact global bin packing is NP-hard AND inherently sequential — a
+    single-node loop over 100 TB of metadata is the real blocker. Instead:
+    deterministic hash partitioning spreads documents uniformly, then each
+    partition packs independently (mapInPandas with state carried across
+    Arrow batches — one Python pass per partition, no shuffle after the
+    repartition). Per partition: best-fit-decreasing via bisect over the
+    sorted remaining-capacity list — O(n log bins), with the classic
+    ≤ 11/9·OPT + O(1) waste bound (Johnson'73 analysis family).
+    Partitions don't coordinate, so the whole operator is one shuffle +
+    one narrow pass at any scale. Determinism: partition assignment is a
+    pure function of the id, and each partition packs in (size desc, id)
+    order."""
+    import bisect
+
+    import pandas as pd
+
+    # seq_id as string: "<partition>-<bin>" is stable and avoids
+    # coordinating a global numeric sequence across executors
+    out_schema = T.StructType(
+        df.schema.fields + [T.StructField("seq_id", T.StringType(), False)]
+    )
+
+    n_parts = num_partitions or df.sparkSession.conf.get(
+        "spark.sql.shuffle.partitions", "32"
+    )
+    packed_input = df.repartition(int(n_parts), F.crc32(F.col(id_col).cast("string"))).sortWithinPartitions(
+        F.col(size_col).desc(), F.col(id_col)
+    )
+
+    def pack(batches):
+        pid = None
+        caps: list[int] = []  # open-bin remaining capacities, ascending
+        ids: list[int] = []  # parallel bin ids
+        n_bins = 0
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            if pid is None:
+                from pyspark import TaskContext
+
+                pid = TaskContext.get().partitionId()
+            seq_ids = []
+            for size in pdf[size_col]:
+                s = int(min(size, budget))
+                # best fit: the SMALLEST remaining capacity that still
+                # holds s (bisect on the sorted capacity list)
+                i = bisect.bisect_left(caps, s)
+                if i < len(caps):
+                    cap, bid = caps.pop(i), ids.pop(i)
+                    ncap = cap - s
+                else:
+                    bid, n_bins = n_bins, n_bins + 1
+                    ncap = budget - s
+                j = bisect.bisect_left(caps, ncap)
+                caps.insert(j, ncap)
+                ids.insert(j, bid)
+                seq_ids.append(f"{pid}-{bid}")
+            out = pdf.copy()
+            out["seq_id"] = pd.Series(seq_ids, index=pdf.index, dtype="string")
+            yield out
+
+    return packed_input.mapInPandas(pack, schema=out_schema)
 
 
 def ngram_overlap(

@@ -10,6 +10,7 @@ from ftm_columnstore_spark.operators.sampling import (
     deterministic_shuffle,
     hash_key_col,
     ngram_overlap,
+    pack_sequences,
     split_by_hash,
     stratified_sample_exact,
 )
@@ -85,6 +86,41 @@ def test_deterministic_shuffle_total_order(docs):
     # keys strictly ordered across partition boundaries
     keys = [r["__shuffle_key"] for r in out.select("__shuffle_key").collect()]
     assert keys == sorted(keys)
+
+
+@pytest.fixture(scope="module")
+def sized_docs(spark):
+    # sizes 1..600: some docs exceed a 512 budget → singleton bins
+    rows = [(i, (i * 37) % 600 + 1) for i in range(400)]
+    return spark.createDataFrame(rows, ["doc_id", "n_tokens"])
+
+
+def test_pack_sequences_budget_respected(sized_docs):
+    out = pack_sequences(sized_docs, budget=512, num_partitions=4)
+    pdf = out.toPandas()
+    # every doc packed exactly once
+    assert sorted(pdf.doc_id) == list(range(400))
+    # per-sequence sums ≤ budget, counting each doc at min(size, budget)
+    pdf["clamped"] = pdf.n_tokens.clip(upper=512)
+    sums = pdf.groupby("seq_id").clamped.sum()
+    assert (sums <= 512).all()
+    # oversized docs (size > budget) are alone in their sequence
+    over = pdf[pdf.n_tokens > 512]
+    per_seq = pdf.groupby("seq_id").size()
+    assert (per_seq[over.seq_id] == 1).all()
+
+
+def test_pack_sequences_deterministic_and_tight(sized_docs):
+    a = pack_sequences(sized_docs, budget=512, num_partitions=4).toPandas()
+    b = pack_sequences(sized_docs, budget=512, num_partitions=4).toPandas()
+    assert (
+        a.sort_values("doc_id").seq_id.tolist()
+        == b.sort_values("doc_id").seq_id.tolist()
+    )
+    # packing efficiency: within 30% of the LP lower bound
+    total = a.n_tokens.clip(upper=512).sum()
+    lower_bound = -(-int(total) // 512)
+    assert a.seq_id.nunique() <= int(lower_bound * 1.3) + 4  # +4: per-partition remainders
 
 
 def test_ngram_overlap_decontamination(spark):
