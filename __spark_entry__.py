@@ -1374,6 +1374,101 @@ def d8_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_overlap(corpus, bench, n=8)
 
 
+def a17_regional_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: EUROPE suppliers' share of total revenue per
+    order year — conditional aggregate over a snowflake join."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    sn = (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select("s_suppkey", "r_name")
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    eu = F.when(F.col("r_name") == "EUROPE", rev).otherwise(0.0)
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(sn), li.l_suppkey == sn.s_suppkey)
+        .groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(
+            F.round(
+                _dsum(eu).cast("double") / _dsum(rev).cast("double"), 6
+            ).alias("eu_share")
+        )
+    )
+
+
+def a18_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (10% of retail price standing in for the missing
+    ps_supplycost): profit per supplier nation per order year."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_name").contains("red"))
+    profit = F.col("l_extendedprice") * (1 - F.col("l_discount")) - (
+        F.col("p_retailprice") * F.lit(0.1) * F.col("l_quantity")
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+        )
+        .agg(F.round(_dsum(profit), 2).cast("double").alias("profit"))
+    )
+
+
+def j15_dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (lineitem as the part↔supplier link): suppliers
+    shipping > 20% of some part's total volume (the synthetic data
+    spreads parts evenly over ~100 suppliers, so the classic 50% bar is
+    never met) — nested aggregate (per-pair vs per-part sums) feeding a
+    semi-join on the supplier."""
+    li = _t(spark, sf_dir, "lineitem")
+    per_pair = li.groupBy("l_partkey", "l_suppkey").agg(
+        _dsum(F.col("l_quantity")).alias("__pair_qty")
+    )
+    per_part = li.groupBy(F.col("l_partkey").alias("t_partkey")).agg(
+        _dsum(F.col("l_quantity")).alias("__part_qty")
+    )
+    dominant = (
+        per_pair.join(per_part, per_pair.l_partkey == per_part.t_partkey)
+        .filter(
+            F.col("__pair_qty").cast("double")
+            > 0.2 * F.col("__part_qty").cast("double")
+        )
+        .select("l_suppkey")
+        .distinct()
+    )
+    s = _t(spark, sf_dir, "supplier")
+    return s.join(dominant, s.s_suppkey == dominant.l_suppkey, "left_semi").select(
+        "s_suppkey", "s_name"
+    )
+
+
+def t10_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic mixture re-weighting: per-source keep rates decided
+    by md5 hash alone — reproduced exactly by the oracle."""
+    from ftm_columnstore_spark.operators.sampling import sample_mixture
+
+    docs = _t(spark, sf_dir, "documents")
+    out = sample_mixture(
+        docs,
+        {"src0": 0.25, "src1": 0.5, "src2": 0.0},
+        stratum_col="source",
+        seed="mix",
+        default_rate=0.75,
+    )
+    return out.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+
+
 def t9_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequence packing (best-fit-decreasing per hash partition) —
     NON-SQL: per-partition stateful pass; rows-only check."""
@@ -1461,6 +1556,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t7_stratified_sample": t7_stratified_sample,
         "t8_deterministic_shuffle": t8_deterministic_shuffle,
         "d8_decontamination": d8_decontamination,
+        "a17_regional_share": a17_regional_share,
+        "a18_product_profit": a18_product_profit,
+        "j15_dominant_suppliers": j15_dominant_suppliers,
+        "t10_mixture_sample": t10_mixture_sample,
         # NON-SQL (probabilistic/LSH) — rows-only:
         "d3_minhash_lsh_pairs": d3_minhash_lsh_pairs,
         "d4_simhash_pairs": d4_simhash_pairs,
@@ -2145,6 +2244,66 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS shuffle_key
             FROM documents
+        """,
+        "a17_regional_share": """
+            SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+                   round(
+                     CAST(sum(CASE WHEN r_name = 'EUROPE'
+                              THEN CAST(l_extendedprice AS DECIMAL(18,6))
+                                   * (1 - CAST(l_discount AS DECIMAL(18,6)))
+                              ELSE 0 END) AS DOUBLE)
+                     / CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))
+                                * (1 - CAST(l_discount AS DECIMAL(18,6))))
+                            AS DOUBLE), 6) AS eu_share
+            FROM lineitem
+            JOIN orders   ON l_orderkey = o_orderkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation   ON s_nationkey = n_nationkey
+            JOIN region   ON n_regionkey = r_regionkey
+            GROUP BY 1
+        """,
+        "a18_product_profit": """
+            SELECT n_name AS nation,
+                   CAST(year(o_orderdate) AS BIGINT) AS o_year,
+                   CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,6))
+                                  * (1 - CAST(l_discount AS DECIMAL(18,6)))
+                                  - CAST(p_retailprice AS DECIMAL(18,6))
+                                    * CAST(0.1 AS DECIMAL(18,6))
+                                    * CAST(l_quantity AS DECIMAL(18,6))), 2)
+                        AS DOUBLE) AS profit
+            FROM lineitem
+            JOIN part     ON l_partkey = p_partkey
+            JOIN orders   ON l_orderkey = o_orderkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation   ON s_nationkey = n_nationkey
+            WHERE p_name LIKE '%red%'
+            GROUP BY 1, 2
+        """,
+        "j15_dominant_suppliers": """
+            WITH per_pair AS (
+                SELECT l_partkey, l_suppkey,
+                       sum(CAST(l_quantity AS DECIMAL(18,6))) AS pair_qty
+                FROM lineitem GROUP BY 1, 2
+            ), per_part AS (
+                SELECT l_partkey,
+                       sum(CAST(l_quantity AS DECIMAL(18,6))) AS part_qty
+                FROM lineitem GROUP BY 1
+            )
+            SELECT s_suppkey, s_name FROM supplier
+            WHERE s_suppkey IN (
+                SELECT DISTINCT p1.l_suppkey
+                FROM per_pair p1 JOIN per_part p2 USING (l_partkey)
+                WHERE CAST(pair_qty AS DOUBLE) > 0.2 * CAST(part_qty AS DOUBLE))
+        """,
+        "t10_mixture_sample": """
+            SELECT source, count(*) AS n FROM documents
+            WHERE substr(md5('mix' || CAST(doc_id AS VARCHAR)), 1, 8) <
+                  CASE source
+                      WHEN 'src0' THEN '40000000'
+                      WHEN 'src1' THEN '80000000'
+                      WHEN 'src2' THEN '00000000'
+                      ELSE 'c0000000' END
+            GROUP BY source
         """,
         "d8_decontamination": """
             WITH toks AS (

@@ -111,6 +111,39 @@ def deterministic_shuffle(
     return out.sortWithinPartitions("__shuffle_key", id_col)
 
 
+def sample_mixture(
+    df: DataFrame,
+    rates: dict[str, float],
+    stratum_col: str = "source",
+    id_col: str = "doc_id",
+    seed: str = "",
+    default_rate: float = 1.0,
+) -> DataFrame:
+    """Deterministic mixture re-weighting: per-stratum Bernoulli keep
+    rates (e.g. up/down-weighting sources in a training mix), decided by
+    the document's hash key alone — so the sampled corpus is stable
+    across reruns and engines, and composable with `split_by_hash` (use
+    different seeds: the keep decision and the split must be
+    independent). Strata not listed in ``rates`` keep ``default_rate``.
+    One narrow filter; no shuffle, no RNG state."""
+    key = hash_key_col(id_col, seed)
+    s = F.col(stratum_col)
+    expr: Column | None = None
+    for name, rate in rates.items():
+        cond = key < F.lit(_hex_threshold(rate))
+        expr = (
+            F.when(s == name, cond)
+            if expr is None
+            else expr.when(s == name, cond)
+        )
+    keep = (
+        F.lit(default_rate >= 1.0)
+        if expr is None
+        else expr.otherwise(key < F.lit(_hex_threshold(default_rate)))
+    )
+    return df.filter(keep)
+
+
 def pack_sequences(
     df: DataFrame,
     budget: int,

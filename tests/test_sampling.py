@@ -11,6 +11,7 @@ from ftm_columnstore_spark.operators.sampling import (
     hash_key_col,
     ngram_overlap,
     pack_sequences,
+    sample_mixture,
     split_by_hash,
     stratified_sample_exact,
 )
@@ -86,6 +87,26 @@ def test_deterministic_shuffle_total_order(docs):
     # keys strictly ordered across partition boundaries
     keys = [r["__shuffle_key"] for r in out.select("__shuffle_key").collect()]
     assert keys == sorted(keys)
+
+
+def test_sample_mixture_rates_and_determinism(docs):
+    # lang stands in for a source column: en/de/fr each ~100 docs
+    out = sample_mixture(
+        docs, {"en": 0.0, "de": 1.0}, stratum_col="lang", seed="m", default_rate=0.5
+    )
+    counts = {r.lang: r.n for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert "en" not in counts  # rate 0 drops the stratum entirely
+    assert counts["de"] == 100  # rate 1 keeps everything
+    assert 20 < counts.get("fr", 0) < 80  # default 0.5 is approximate
+    again = sample_mixture(
+        docs, {"en": 0.0, "de": 1.0}, stratum_col="lang", seed="m", default_rate=0.5
+    )
+    assert out.select("doc_id").exceptAll(again.select("doc_id")).count() == 0
+    # independent of the split decision: same seed would correlate
+    assert sample_mixture(docs, {"en": 0.5}, stratum_col="lang", seed="other") \
+        .select("doc_id").exceptAll(
+            sample_mixture(docs, {"en": 0.5}, stratum_col="lang", seed="m").select("doc_id")
+        ).count() > 0
 
 
 @pytest.fixture(scope="module")
