@@ -205,6 +205,48 @@ class Store:
     def bucketed_statements(self, table: str = "statements_bucketed") -> DataFrame:
         return self.spark.table(table)
 
+    def build_value_index(self) -> None:
+        """P2: the ONE reference projection worth materializing (the
+        reference keeps a value-sorted projection for reverse lookups,
+        engine.py:236-262; the other 11 are redundant under Catalyst).
+        The main table is clustered by canonical_id, so a reverse lookup
+        (``value = X``) must scan every row group; this second copy holds
+        only entity-reference statements, range-partitioned and sorted by
+        ``value`` — a point lookup prunes to one file via parquet
+        min/max, independent of corpus size. Derived artifact: rebuild
+        after bulk writes or resolver changes (like the reference's
+        OPTIMIZE, staleness is operational, not a correctness risk —
+        readers fall back to the main table when absent)."""
+        path = os.path.join(self.uri, "value_index")
+        tmp = path + ".build"
+        (
+            self.statements()
+            .filter(F.col("prop_type") == "entity")
+            .repartitionByRange(F.col("value"))
+            .sortWithinPartitions("value")
+            .write.mode("overwrite")
+            .parquet(tmp)
+        )
+        if os.path.exists(path):
+            shutil.rmtree(path)
+        os.rename(tmp, path)
+
+    def value_index(self) -> DataFrame | None:
+        """The value-clustered reverse-lookup copy, or None if not built."""
+        path = os.path.join(self.uri, "value_index")
+        if not os.path.exists(path):
+            return None
+        return self.spark.read.schema(STATEMENT_SCHEMA).parquet(path)
+
+    def entity_refs(self) -> DataFrame:
+        """Entity-reference statements (``prop_type='entity'``), served
+        from the value index when built (file-pruned point lookups),
+        falling back to a filtered scan of the main table."""
+        idx = self.value_index()
+        if idx is not None:
+            return idx
+        return self.statements().filter(F.col("prop_type") == "entity")
+
     def register_views(self, prefix: str = "") -> None:
         """Expose the store to ``spark.sql``: ``<prefix>statements`` (deduped)
         and ``<prefix>entities`` (assembled) temp views."""

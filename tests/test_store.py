@@ -150,3 +150,58 @@ def test_changed_entities_delta(store, entities_df, spark):
     # whole entity returned, not just the delta statement
     assert rows[0]["properties"]["name"] == ["Acme Holding AG"]
     assert rows[0]["properties"]["alias"] == ["ACME"]
+
+
+def test_value_index_parity_and_pruning(store, entities_df, spark):
+    """The value-clustered reverse-lookup copy returns the same edges as
+    the main-table scan, prunes with a pushed value filter, and readers
+    fall back gracefully when it is absent."""
+    from ftm_columnstore_spark.operators.graph import inverted
+
+    store.write_entities(entities_df, last_seen="2024-01-01 00:00:00")
+    # absent → fallback to filtered main table
+    assert store.value_index() is None
+    ref_id = (
+        store.statements()
+        .filter(F.col("prop_type") == "entity")
+        .select("value")
+        .first()["value"]
+    )
+    base = sorted(
+        (r["prop"], r["entity_id"])
+        for r in inverted(store.entity_refs(), ref_id).collect()
+    )
+    assert base  # the fixture has entity references
+
+    store.build_value_index()
+    idx = store.value_index()
+    assert idx is not None
+    via_index = sorted(
+        (r["prop"], r["entity_id"]) for r in inverted(idx, ref_id).collect()
+    )
+    assert via_index == base
+    # point lookup pushes the value predicate into the parquet scan
+    plan = (
+        idx.filter(F.col("value") == ref_id)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PushedFilters" in plan and "value" in plan
+
+    # the index is the entity_refs() source once built
+    assert store.entity_refs().count() == idx.count()
+
+
+def test_view_inverted_uses_index(store, entities_df):
+    store.write_entities(entities_df, last_seen="2024-01-01 00:00:00")
+    v = store.view()
+    ref_id = (
+        store.statements()
+        .filter(F.col("prop_type") == "entity")
+        .select("value")
+        .first()["value"]
+    )
+    before = sorted(v.get_inverted(ref_id))
+    store.build_value_index()
+    assert sorted(v.get_inverted(ref_id)) == before
