@@ -1,0 +1,66 @@
+"""Physical-plan regression guards: the scale posture is part of the
+contract, so the plan properties README promises are pinned here —
+partition pruning on dataset, WindowGroupLimit for the dedup window,
+TakeOrderedAndProject for top-k, partial aggregation before exchanges.
+A refactor that silently turns one of these into a full scan / global
+sort / single-stage agg fails the suite, not just the benchmark."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from ftm_columnstore_spark.store import Store
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture()
+def pstore(spark, tmp_path, entities_df):
+    s = Store(spark, str(tmp_path / "pstore"))
+    s.ensure()
+    s.write_entities(entities_df, last_seen="2024-01-01 00:00:00")
+    return s
+
+
+def test_dataset_filter_prunes_partitions(pstore):
+    plan = _plan(pstore.statements(dataset="grants", deduped=False))
+    # hive-partitioned store: the dataset predicate must land in
+    # PartitionFilters (pruned listing), not a post-scan Filter
+    assert "PartitionFilters" in plan
+    assert "dataset" in plan.split("PartitionFilters", 1)[1][:200]
+
+
+def test_dedup_is_partial_aggregate_not_window(pstore):
+    plan = _plan(pstore.statements())
+    # dedup-on-read is a max-struct hash aggregate: duplicates collapse
+    # map-side (partial_max) BEFORE the shuffle; a window would shuffle
+    # and sort every raw row
+    assert "partial_max" in plan
+    assert "Window" not in plan
+
+
+def test_topk_is_take_ordered(pstore):
+    from ftm_columnstore_spark.plans.compiler import compile_entity_ids
+    from ftm_columnstore_spark.plans.query import Q
+
+    q = Q().order_by("amount")[:5]
+    plan = _plan(compile_entity_ids(pstore.statements(), q))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_aggregation_is_two_phase(pstore):
+    df = pstore.statements().groupBy("schema").agg(
+        F.countDistinct("canonical_id").alias("n")
+    )
+    plan = _plan(df)
+    # partial aggregation must run before the exchange (map-side combine)
+    assert "partial_count" in plan or "partial_first" in plan or "Partial" in plan
+
+
+def test_point_lookup_pushes_filters(pstore):
+    df = pstore.statements(deduped=False).filter(F.col("canonical_id") == "x1")
+    plan = _plan(df)
+    assert "PushedFilters" in plan
+    pushed = plan.split("PushedFilters", 1)[1][:300]
+    assert "canonical_id" in pushed
