@@ -51,31 +51,70 @@ def shingles_col(col: Column | str, k: int = 5) -> Column:
 def shingle_sets(df, text_col: str = "text", id_col: str = "doc_id", k: int = 5):
     """(id, sh_arr) — per-document distinct shingle arrays, ZERO shuffles.
 
-    Two-stage projection: the first ``select`` materializes the token
-    array as a real column, so the ``transform`` lambda in the second
-    stage references a column (evaluated once per row), not the tokenizer
-    expression (which a single-stage HOF would re-evaluate per shingle).
-    Documents with no tokens are dropped (no shingles → can't pair).
+    Implemented as an Arrow-batched ``mapInPandas`` pass, NOT column
+    expressions — a deliberate, measured exception to the stay-JVM-side
+    rule: Spark evaluates higher-order-function lambdas (``transform``/
+    ``slice``/``array_join``) on the interpreted expression path, outside
+    whole-stage codegen, and the per-shingle interpretation overhead
+    makes the expression form ~5-6× SLOWER than batched Python doing the
+    same work (measured: 4.7s vs 0.8s for 4900 sf0.1 documents at
+    k∈{5,8}). Shingles are built in O(tokens) per document by slicing a
+    single space-joined string at precomputed token offsets (no O(k) join
+    per shingle). Output is bit-identical to the old expression form:
+    same tokenizer (lower → split ``[^a-z0-9]+`` → drop empties), short
+    docs yield the whole-doc shingle, dedup keeps first-occurrence order
+    (``dict.fromkeys`` = ``array_distinct`` semantics), tokenless docs
+    are dropped.
 
-    This is the scale path: shingling is narrow (no window, no distinct
-    shuffle) — at 100 TB it pipelines straight out of the parquet scan.
+    Still the scale path: one narrow pass pipelining out of the scan.
     One exception: when the input has fewer partitions than the cluster
-    has slots (small local files), fan out first so the per-element HOF
-    work parallelizes — a no-op on real multi-split scans."""
+    has slots (small local files), fan out first so per-doc work
+    parallelizes — a no-op on real multi-split scans."""
+    import re as _re
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
     target = df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < target:
         df = df.repartition(target)
-    toks_df = df.select(
-        F.col(id_col).alias("id"), word_tokens_col(text_col).alias("__toks")
-    ).filter(F.size("__toks") > 0)
-    t = F.col("__toks")
-    n = F.size(t)
-    starts = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
-    mk = lambda i: F.array_join(F.slice(t, i + 1, k), " ")  # noqa: E731
-    sh = F.when(n <= k, F.array(F.array_join(t, " "))).otherwise(
-        F.array_distinct(F.transform(starts, mk))
+
+    out_schema = T.StructType(
+        [
+            T.StructField("id", df.schema[id_col].dataType),
+            T.StructField("sh_arr", T.ArrayType(T.StringType()), False),
+        ]
     )
-    return toks_df.select("id", sh.alias("sh_arr"))
+    pat = _re.compile(NON_ALNUM)
+
+    def gen(batches):
+        for pdf in batches:
+            ids, outs = [], []
+            for doc_id, txt in zip(pdf["id"], pdf["__text"]):
+                if not isinstance(txt, str):
+                    continue
+                toks = [t for t in pat.split(txt.lower()) if t]
+                if not toks:
+                    continue
+                if len(toks) <= k:
+                    sh = [" ".join(toks)]
+                else:
+                    joined = " ".join(toks)
+                    offs = [0]
+                    for t in toks:
+                        offs.append(offs[-1] + len(t) + 1)
+                    sh = list(
+                        dict.fromkeys(
+                            joined[offs[i] : offs[i + k] - 1]
+                            for i in range(len(toks) - k + 1)
+                        )
+                    )
+                ids.append(doc_id)
+                outs.append(sh)
+            yield pd.DataFrame({"id": ids, "sh_arr": outs})
+
+    narrow = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__text"))
+    return narrow.mapInPandas(gen, schema=out_schema)
 
 
 def shingle_rows(df, text_col: str = "text", id_col: str = "doc_id", k: int = 5):

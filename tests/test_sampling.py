@@ -173,3 +173,31 @@ def test_ngram_overlap_min_hits_filter(spark):
     )
     assert ngram_overlap(corpus, bench, n=8, min_hits=1).count() == 1
     assert ngram_overlap(corpus, bench, n=8, min_hits=3).count() == 0
+
+
+def test_hex_thresholds_partition_keyspace():
+    """Property: for any weights, the CASE thresholds partition the hex
+    keyspace — monotone, gapless, and ending at the keyspace top."""
+    from hypothesis import given, strategies as st
+
+    from ftm_columnstore_spark.operators.sampling import _hex_threshold
+
+    @given(
+        st.lists(
+            st.floats(min_value=0.01, max_value=1.0, allow_nan=False),
+            min_size=1,
+            max_size=8,
+        )
+    )
+    def check(ws):
+        total = sum(ws)
+        acc = 0.0
+        prev = "00000000"
+        for w in ws:
+            acc += w / total
+            t = _hex_threshold(acc)
+            assert len(t) == 8 and t >= prev  # monotone, fixed width
+            prev = t
+        assert _hex_threshold(1.0) == "ffffffff"  # top of keyspace
+
+    check()

@@ -205,3 +205,19 @@ def test_view_inverted_uses_index(store, entities_df):
     before = sorted(v.get_inverted(ref_id))
     store.build_value_index()
     assert sorted(v.get_inverted(ref_id)) == before
+
+
+def test_drop_and_exists(store, entities_df):
+    # exists() = the statement TABLE exists, not the root dir (S8/S9)
+    assert not store.exists()
+    store.write_entities(entities_df, last_seen="2024-01-01 00:00:00")
+    assert store.exists()
+    assert store.statements().count() > 0
+    store.drop()
+    assert not store.exists()
+    # reads on a dropped store return an empty, correctly-typed frame
+    assert store.statements().count() == 0
+    # drop is idempotent; a rewrite after drop starts clean
+    store.drop()
+    store.write_entities(entities_df, last_seen="2024-03-01 00:00:00")
+    assert store.statements().select("entity_id").distinct().count() == 10
