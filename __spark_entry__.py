@@ -290,18 +290,18 @@ def u1_union(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def u2_upsert_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """U2/P5: double-ingest then dedup-on-read window — row count equals
-    the distinct key count (ReplacingMergeTree contract)."""
+    """U2/P5: double-ingest then dedup-on-read — row count equals the
+    distinct key count (ReplacingMergeTree contract). Mirrors the
+    store's actual mechanism (`store.dedup_statements`): a max-struct
+    hash aggregate keyed on the statement key, so duplicates collapse
+    map-side BEFORE the shuffle — a window would shuffle and sort every
+    raw row (the window shape itself is exercised by w1/st2)."""
     li = _t(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_linenumber", "l_shipdate"
     )
     doubled = li.unionByName(li)
-    w = Window.partitionBy("l_orderkey", "l_linenumber").orderBy(
-        F.col("l_shipdate").desc()
-    )
-    deduped = (
-        doubled.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
+    deduped = doubled.groupBy("l_orderkey", "l_linenumber").agg(
+        F.max(F.struct("l_shipdate")).alias("__winner")
     )
     return deduped.agg(F.count(F.lit(1)).alias("n_rows"))
 

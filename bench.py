@@ -44,6 +44,8 @@ HEADLINE = [
     "v2_knn_join",
     "st1_events_tumbling",
     "st3_session_windows",
+    "t8_deterministic_shuffle",
+    "d8_decontamination",
 ]
 
 
