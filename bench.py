@@ -53,7 +53,12 @@ def main() -> None:
     import __spark_entry__ as entry_mod
     from ftm_columnstore_spark.session import get_spark
 
-    spark = get_spark("ftmcs-bench", master=f"local[{CPUS}]")
+    spark = get_spark(
+        "ftmcs-bench",
+        master=f"local[{CPUS}]",
+        # no UI/event bus: its listener queue adds jitter to short queries
+        extra_conf={"spark.ui.enabled": "false"},
+    )
 
     # warm-up: touch every table once (OS page cache + codegen warm)
     for t in ["lineitem", "orders", "customer", "documents", "embeddings"]:
@@ -66,10 +71,12 @@ def main() -> None:
         qs[name](spark, SF_DIR).count()
         return time.perf_counter() - t0
 
-    # pass 1+2: sequential steady-state latencies
+    # sequential steady-state latencies, best of 3 (GC pauses land
+    # somewhere every suite pass; three samples isolate them)
     timings: dict[str, float] = {}
     for name in HEADLINE:
-        timings[name] = round(min(run(name) for _ in range(2)), 3)
+        timings[name] = round(min(run(name) for _ in range(3)), 3)
+        spark._jvm.System.gc()  # start each query from a clean heap
 
     # pass 3+4: throughput — whole suite, 8 concurrent submitters,
     # best of 2 (AQE/persist warm-up variance dominates a single run)
