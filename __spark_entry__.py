@@ -537,6 +537,15 @@ def v2_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return knn_join(e.filter(F.col("vec_id") < 3), e, k=5)
 
 
+def v7_knn_join_numpy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN join, Arrow/numpy BLAS path — same contract (and oracle) as
+    v2, one matmul per corpus partition instead of per-pair cosines."""
+    from ftm_columnstore_spark.operators.similarity import knn_join_np
+
+    e = _t(spark, sf_dir, "embeddings")
+    return knn_join_np(e.filter(F.col("vec_id") < 3), e, k=5)
+
+
 def x3_levenshtein_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D4 scoring primitive: supplier-name pairs within edit distance 2."""
     s = _t(spark, sf_dir, "supplier")
@@ -1569,6 +1578,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "v6_ann_topk_numpy": v6_ann_topk_numpy,
         "x5_phonetic_keys": x5_phonetic_keys,
         "t9_pack_sequences": t9_pack_sequences,
+        "v7_knn_join_numpy": v7_knn_join_numpy,
     }
 
 
@@ -1800,6 +1810,16 @@ def oracle_sql() -> dict[str, str]:
             FROM pairs WHERE inter / (ls + rs - inter) >= 0.5
         """,
         "v2_knn_join": """
+            SELECT q.vec_id AS qid, c.vec_id AS cid,
+                   round(list_cosine_similarity(
+                       CAST(q.embedding AS DOUBLE[]),
+                       CAST(c.embedding AS DOUBLE[])), 6) AS cosine
+            FROM embeddings q, embeddings c
+            WHERE q.vec_id < 3
+            QUALIFY row_number() OVER (
+                PARTITION BY q.vec_id ORDER BY cosine DESC, c.vec_id) <= 5
+        """,
+        "v7_knn_join_numpy": """
             SELECT q.vec_id AS qid, c.vec_id AS cid,
                    round(list_cosine_similarity(
                        CAST(q.embedding AS DOUBLE[]),

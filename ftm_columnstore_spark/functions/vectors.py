@@ -1,10 +1,15 @@
 """Vector primitives over ``array<float>`` embedding columns (north-star
 similarity-search extension; SURVEY §7 step 9).
 
-Pure-column implementations via ``zip_with`` + ``aggregate`` — Catalyst
-executes these inside codegen; no Python round-trip per row. For very wide
-vectors a Pandas-UDF BLAS path wins; these expressions are the portable
-default and the oracle-checkable baseline.
+Pure-column implementations via ``zip_with`` + ``aggregate``. NOTE:
+Spark evaluates higher-order-function lambdas on the INTERPRETED
+expression path, outside whole-stage codegen (measured ~5× penalty on
+the analogous shingling path — see NOTES.md "Hot-path rule, measured
+exception"), so these expressions are the portable, oracle-checkable
+baseline — NOT the scale path. For bulk similarity work use the
+Arrow/numpy BLAS variants (`operators/similarity.py:brute_force_topk_np`,
+IVF index probes), which batch whole partitions through one matrix
+multiply.
 """
 
 from __future__ import annotations

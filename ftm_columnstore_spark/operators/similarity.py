@@ -273,6 +273,70 @@ def knn_join(
     )
 
 
+def knn_join_np(
+    left: DataFrame,
+    right: DataFrame,
+    k: int = 5,
+    left_vec: str = "embedding",
+    right_vec: str = "embedding",
+    left_id: str = "vec_id",
+    right_id: str = "vec_id",
+) -> DataFrame:
+    """Exact kNN join via Arrow/numpy — the scale path for `knn_join`'s
+    pattern. The expression form pays the interpreted-HOF cosine per
+    (query, candidate) pair (Q·N·d interpreted ops — see NOTES.md);
+    here the bounded query side is collected into ONE (Q×d) matrix
+    shipped in the UDF closure, each corpus partition scores all queries
+    with a single BLAS matmul and keeps a local top-k per query, and the
+    final per-query window ranks only k·partitions rows. Same output
+    contract as `knn_join`: (qid, cid, cosine rounded to 6)."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import Window
+
+    qrows = left.select(F.col(left_id).alias("qid"), F.col(left_vec)).collect()
+    if not qrows:
+        return knn_join(left, right, k, left_vec, right_vec, left_id, right_id)
+    qids = np.array([r["qid"] for r in qrows])
+    qmat = np.vstack([np.asarray(r[left_vec], dtype=np.float64) for r in qrows])
+    qnorm = np.linalg.norm(qmat, axis=1)
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ids_parts, sims_parts = [], []
+        for pdf in it:
+            if pdf.empty:
+                continue
+            mat = np.vstack(pdf[right_vec].map(np.asarray)).astype(np.float64)
+            # (N×d)·(d×Q) → N×Q similarity block in one matmul
+            sims = (mat @ qmat.T) / np.outer(np.linalg.norm(mat, axis=1), qnorm)
+            ids_parts.append(pdf[right_id].to_numpy())
+            sims_parts.append(np.round(sims, 6))
+        if not ids_parts:
+            return
+        cids = np.concatenate(ids_parts)
+        sims = np.concatenate(sims_parts)  # N_partition × Q
+        out_q, out_c, out_s = [], [], []
+        for j in range(len(qids)):
+            col = sims[:, j]
+            order = np.lexsort((cids, -col))[:k]  # local top-k per query
+            out_q.extend([qids[j]] * len(order))
+            out_c.extend(cids[order])
+            out_s.extend(col[order])
+        yield pd.DataFrame({"qid": out_q, "cid": out_c, "cosine": out_s})
+
+    partial = right.select(right_id, right_vec).mapInPandas(
+        batches, "qid long, cid long, cosine double"
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("cid"))
+    return (
+        partial.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
 # --- persisted IVF index (partition-pruned probes) -------------------------
 
 def build_ivf_index(

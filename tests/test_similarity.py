@@ -138,3 +138,29 @@ def test_ivf_index_build_and_probe(vectors, tmp_path):
     assert "PartitionFilters" in plan and "__bucket" in plan.split(
         "PartitionFilters"
     )[1][:200]
+
+
+def test_knn_join_np_matches_expression_path(spark):
+    """The BLAS kNN join returns exactly what the expression form does."""
+    import random
+
+    from ftm_columnstore_spark.operators.similarity import knn_join, knn_join_np
+
+    rng = random.Random(7)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(16)]) for i in range(200)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    q = df.filter("vec_id < 4")
+    a = sorted(map(tuple, knn_join(q, df, k=3).collect()))
+    b = sorted(map(tuple, knn_join_np(q, df, k=3).collect()))
+    assert [x[:2] for x in a] == [x[:2] for x in b]  # same neighbours
+    for (_, _, ca), (_, _, cb) in zip(a, b):
+        assert abs(ca - cb) < 1e-6  # cosines agree to rounding
+
+
+def test_knn_join_np_empty_query_side(spark):
+    from ftm_columnstore_spark.operators.similarity import knn_join_np
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0])], ["vec_id", "embedding"]
+    )
+    assert knn_join_np(df.filter("vec_id > 99"), df, k=2).count() == 0
