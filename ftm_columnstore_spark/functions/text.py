@@ -15,6 +15,16 @@ from pyspark.sql import functions as F
 NON_ALNUM = "[^a-z0-9]+"
 
 
+def fan_out(df):
+    """Repartition up to the cluster's slot count when the input has
+    fewer partitions (small local files) so per-row Arrow/Python work
+    parallelizes — a no-op on real multi-split scans."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def word_tokens_col(col: Column | str) -> Column:
     """Lowercased alphanumeric tokens, empties dropped."""
     c = F.col(col) if isinstance(col, str) else col
@@ -75,9 +85,7 @@ def shingle_sets(df, text_col: str = "text", id_col: str = "doc_id", k: int = 5)
     import pandas as pd
     from pyspark.sql import types as T
 
-    target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        df = df.repartition(target)
+    df = fan_out(df)
 
     out_schema = T.StructType(
         [

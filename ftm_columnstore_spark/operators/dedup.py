@@ -9,9 +9,12 @@ extension; grades alongside SURVEY §2). Four families:
 - **n-gram Jaccard**: exact Jaccard on shingle sets for candidate pairs
   (inverted-index self-join, prefix-filtered).
 
-Everything is built from pure-column expressions (xxhash64, higher-order
-array functions); no Python UDF in any hot path. At 100 TB the pattern per
-family is scan → narrow derive → one keyed shuffle → grouped reduce.
+Hot paths are codegen'd column expressions OR Arrow-batched vectorized
+passes — never interpreted per-row work: Spark runs HOF lambdas on the
+interpreted path, so token-granular derives (shingling, simhash votes)
+use mapInPandas + numpy (see NOTES.md "Hot-path rule, measured
+exception"), while joins/aggregates stay JVM-side. At 100 TB the pattern
+per family is scan → narrow derive → one keyed shuffle → grouped reduce.
 
 Background (public literature): banded MinHash-LSH per Broder'97 /
 Leskovec-Rajaraman-Ullman (MMDS ch.3); SimHash per Charikar'02 as used in
@@ -225,6 +228,68 @@ def simhash_col(text_col: str, bits: int = 64):
     )
 
 
+def simhash_docs(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, sh) — 64-bit SimHash per document via Arrow-batched numpy:
+    the expression form (`simhash_col`) walks tokens×64 bits through
+    interpreted HOF lambdas (~4.3s for 5k sf0.1 docs); here the whole
+    batch is vectorized — ONE `pd.util.hash_array` call hashes every
+    token of every doc (C-speed, deterministic fixed-key siphash,
+    PYTHONHASHSEED-independent), one broadcast builds the bit matrix,
+    and `np.add.reduceat` folds per-doc votes without a Python-level
+    doc loop. SimHash values differ from `simhash_col`'s xxhash64-based
+    ones, but any good 64-bit token hash yields the same near-dup
+    geometry, which is the operator's contract."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    import re as _re
+
+    from ftm_columnstore_spark.functions.text import NON_ALNUM, fan_out
+
+    df = fan_out(df)
+    pat = _re.compile(NON_ALNUM)
+    out_schema = T.StructType(
+        [
+            T.StructField("id", df.schema[id_col].dataType),
+            T.StructField("sh", T.LongType()),
+        ]
+    )
+    shifts = np.arange(64, dtype=np.uint64)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, tok_lists = [], []
+            for doc_id, txt in zip(pdf["id"], pdf["__text"]):
+                if not isinstance(txt, str):
+                    continue
+                toks = [t for t in pat.split(txt.lower()) if t]
+                if toks:
+                    ids.append(doc_id)
+                    tok_lists.append(toks)
+            if not ids:
+                continue
+            lens = np.array([len(t) for t in tok_lists])
+            flat = np.concatenate([np.array(t, dtype=object) for t in tok_lists])
+            hs = pd.util.hash_array(flat)  # ΣT uint64, one C call
+            bits = ((hs[:, None] >> shifts) & np.uint64(1)).astype(np.int64)
+            offsets = np.concatenate(([0], np.cumsum(lens)[:-1]))
+            votes = 2 * np.add.reduceat(bits, offsets, axis=0) - lens[:, None]
+            sh = ((votes > 0).astype(np.uint64) << shifts).sum(
+                axis=1, dtype=np.uint64
+            )
+            yield pd.DataFrame(
+                {"id": ids, "sh": sh.view(np.int64)}  # two's-complement reinterpret
+            )
+
+    narrow = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__text"))
+    return narrow.mapInPandas(gen, schema=out_schema)
+
+
 def simhash_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -234,10 +299,18 @@ def simhash_pairs(
 ) -> DataFrame:
     """Near-dup pairs by SimHash: band the 64 bits into ``bands`` chunks —
     any pair within ``max_hamming`` (< bands) shares ≥1 exact chunk
-    (pigeonhole), so the candidate join is equi on (band, chunk)."""
-    hashed = df.select(
-        F.col(id_col).alias("id"), simhash_col(text_col).alias("sh")
-    )
+    (pigeonhole). Pairs are generated INSIDE each (band, chunk) bucket
+    (groupBy + sorted collect_list + positional pair expansion) rather
+    than by a banded self-join: the self-join form computes the simhash
+    lineage twice (no exchange reuse across the join's two sides —
+    measured 3.4s vs 1.2s at sf0.1) and shuffles 2× the rows. One hash
+    pass, one shuffle on (band, chunk), one distinct on the pair key.
+    ``max_bucket`` skips degenerate hot buckets (boilerplate/identical
+    docs — run `dedup_exact` first, see NOTES.md pipeline order): a
+    bucket of m docs emits m² pairs, so an uncapped 10⁶-doc bucket would
+    be quadratic; capped buckets are dropped whole (no partial sample),
+    keeping the output deterministic."""
+    hashed = simhash_docs(df, text_col, id_col)
     width = 64 // bands
     banded = hashed.select(
         "id",
@@ -255,27 +328,38 @@ def simhash_pairs(
                 ]
             )
         ).alias("bc"),
-    ).select("id", "sh", "bc.band", "bc.chunk")
-    l, r = banded.alias("l"), banded.alias("r")
-    cand = (
-        l.join(
-            r,
-            on=[
-                F.col("l.band") == F.col("r.band"),
-                F.col("l.chunk") == F.col("r.chunk"),
-                F.col("l.id") < F.col("r.id"),
-            ],
+    ).select("bc.band", "bc.chunk", "id", "sh")
+    max_bucket = 1024
+    buckets = (
+        banded.groupBy("band", "chunk")
+        .agg(F.array_sort(F.collect_list(F.struct("id", "sh"))).alias("ms"))
+        .filter((F.size("ms") > 1) & (F.size("ms") <= max_bucket))
+    )
+    # positional expansion keeps left_id < right_id for free: ms is
+    # sorted by id, and each element pairs only with its successors
+    pair = F.explode(
+        F.flatten(
+            F.transform(
+                F.col("ms"),
+                lambda x, i: F.transform(
+                    F.slice(F.col("ms"), i + 2, F.size(F.col("ms"))),
+                    lambda y: F.struct(
+                        x.getField("id").alias("left_id"),
+                        y.getField("id").alias("right_id"),
+                        F.bit_count(
+                            x.getField("sh").bitwiseXOR(y.getField("sh"))
+                        ).alias("hamming"),
+                    ),
+                ),
+            )
         )
-        .select(
-            F.col("l.id").alias("left_id"),
-            F.col("r.id").alias("right_id"),
-            F.bit_count(
-                F.col("l.sh").bitwiseXOR(F.col("r.sh"))
-            ).alias("hamming"),
-        )
+    )
+    return (
+        buckets.select(pair.alias("p"))
+        .select("p.left_id", "p.right_id", "p.hamming")
+        .filter(F.col("hamming") <= max_hamming)
         .dropDuplicates(["left_id", "right_id"])
     )
-    return cand.filter(F.col("hamming") <= max_hamming)
 
 
 # --- n-gram Jaccard ------------------------------------------------------------

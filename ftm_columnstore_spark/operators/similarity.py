@@ -326,7 +326,9 @@ def knn_join_np(
             out_s.extend(col[order])
         yield pd.DataFrame({"qid": out_q, "cid": out_c, "cosine": out_s})
 
-    partial = right.select(right_id, right_vec).mapInPandas(
+    from ftm_columnstore_spark.functions.text import fan_out
+
+    partial = fan_out(right.select(right_id, right_vec)).mapInPandas(
         batches, "qid long, cid long, cosine double"
     )
     w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("cid"))

@@ -79,9 +79,32 @@ def test_simhash_pairs(corpus):
         (r["left_id"], r["right_id"]): r["hamming"]
         for r in simhash_pairs(corpus, max_hamming=6, bands=8).collect()
     }
-    assert pairs[(1, 2)] == 0
-    assert (1, 3) in pairs
-    assert (4, 5) not in pairs
+    assert pairs[(1, 2)] == 0  # identical text → identical simhash
+    assert (4, 5) not in pairs  # unrelated docs don't pair
+
+
+def test_simhash_near_dup_long_doc(spark):
+    """One changed token out of 100: expected bit flips ≈ 64·P(|margin|
+    of the other 99 votes ≤ 1)/2 ≈ 5 (σ≈2.2), so hamming ≤ 14 holds with
+    overwhelming margin — a threshold from the SimHash math, not from
+    luck of a particular hash draw (the 20-token corpus version sat at
+    expected hamming ~11 and only passed by hash accident)."""
+    base_tokens = [f"tok{i}" for i in range(100)]
+    near_tokens = base_tokens[:50] + ["CHANGED"] + base_tokens[51:]
+    df = spark.createDataFrame(
+        [
+            (1, " ".join(base_tokens)),
+            (2, " ".join(near_tokens)),
+            (3, " ".join(f"other{i}" for i in range(100))),
+        ],
+        ["doc_id", "text"],
+    )
+    pairs = {
+        (r["left_id"], r["right_id"]): r["hamming"]
+        for r in simhash_pairs(df, max_hamming=14, bands=16).collect()
+    }
+    assert (1, 2) in pairs
+    assert (1, 3) not in pairs and (2, 3) not in pairs
 
 
 def test_ngram_jaccard_pairs(corpus):
