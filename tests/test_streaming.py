@@ -249,3 +249,40 @@ def test_streaming_xref_pairs(spark, tmp_path):
         ).collect()
     }
     assert got2 == batch_pairs | {("h1", "h2"), ("h1", "h3"), ("h2", "h3")}
+
+
+def test_sampling_ops_compose_with_streams(spark, tmp_path):
+    """split_by_hash / sample_mixture are stateless pure-column
+    expressions, so the same operators run unchanged on a stream —
+    and assign the same splits a batch run assigns (the md5 contract
+    doesn't know or care about the execution mode)."""
+    import json
+
+    from ftm_columnstore_spark.operators.sampling import split_by_hash
+
+    src = tmp_path / "docs_in"
+    src.mkdir()
+    docs = [{"doc_id": i, "text": f"streamed document {i}"} for i in range(50)]
+    (src / "b1.json").write_text("\n".join(json.dumps(d) for d in docs))
+
+    schema = "doc_id long, text string"
+    stream = spark.readStream.schema(schema).json(str(src))
+    out = tmp_path / "split_out"
+    q = (
+        split_by_hash(stream, {"train": 0.8, "test": 0.2}, seed="s")
+        .writeStream.format("parquet")
+        .option("path", str(out))
+        .option("checkpointLocation", str(tmp_path / "split_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    streamed = spark.read.parquet(str(out)).select("doc_id", "split")
+    batch = split_by_hash(
+        spark.createDataFrame([(d["doc_id"], d["text"]) for d in docs], schema),
+        {"train": 0.8, "test": 0.2},
+        seed="s",
+    ).select("doc_id", "split")
+    assert streamed.count() == 50
+    assert streamed.exceptAll(batch).count() == 0  # identical assignment
