@@ -76,12 +76,19 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name in HEADLINE:
         timings[name] = round(min(run(name) for _ in range(3)), 3)
-        spark._jvm.System.gc()  # start each query from a clean heap
+        # drop caches persisted inside operators (d3/d5 reuse their
+        # mid-relations within a query; stranded entries otherwise pile
+        # up across 100+ invocations and surface as GC-pressure spikes
+        # on whatever runs next) and start from a clean heap
+        spark.catalog.clearCache()
+        spark._jvm.System.gc()
 
     # pass 3+4: throughput — whole suite, 8 concurrent submitters,
     # best of 2 (AQE/persist warm-up variance dominates a single run)
     wall = float("inf")
     for _ in range(2):
+        spark.catalog.clearCache()
+        spark._jvm.System.gc()
         t0 = time.perf_counter()
         with ThreadPoolExecutor(max_workers=8) as pool:
             list(pool.map(run, HEADLINE))
