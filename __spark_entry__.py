@@ -1478,6 +1478,31 @@ def t10_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
 
 
+def w3_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each error event matched to the same user's latest
+    click at or before it — union + carry-forward window (one shuffle,
+    no range-join explosion). Oracle: DuckDB's native ASOF JOIN, an
+    entirely independent implementation of the same semantics."""
+    from ftm_columnstore_spark.operators.temporal import asof_join
+
+    ev = _events(spark, sf_dir)
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    out = asof_join(
+        errors, clicks, on="user_id", right_cols=["event_id", "value"]
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.col("event_id_right").alias("prior_click_id"),
+        F.round("value_right", 2).alias("prior_click_value"),
+    )
+
+
 def t9_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequence packing (best-fit-decreasing per hash partition) —
     NON-SQL: per-partition stateful pass; rows-only check."""
@@ -1579,6 +1604,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x5_phonetic_keys": x5_phonetic_keys,
         "t9_pack_sequences": t9_pack_sequences,
         "v7_knn_join_numpy": v7_knn_join_numpy,
+        "w3_asof_join": w3_asof_join,
     }
 
 
@@ -2324,6 +2350,14 @@ def oracle_sql() -> dict[str, str]:
                       WHEN 'src2' THEN '00000000'
                       ELSE 'c0000000' END
             GROUP BY source
+        """,
+        "w3_asof_join": """
+            SELECT e.event_id, e.user_id,
+                   c.event_id AS prior_click_id,
+                   round(c.value, 2) AS prior_click_value
+            FROM (SELECT * FROM events WHERE event_type = 'error') e
+            ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') c
+              ON e.user_id = c.user_id AND e.ts >= c.ts
         """,
         "d8_decontamination": """
             WITH toks AS (

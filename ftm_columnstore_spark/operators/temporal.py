@@ -1,0 +1,67 @@
+"""Temporal join operators (extension; SURVEY §2.3 lists as-of joins as
+absent in the reference — they're table stakes for event/feature
+pipelines, so the engine provides them Spark-first).
+
+The classic as-of join ("for each left row, the latest right row at or
+before its timestamp, per key") is NOT implemented as a range join — a
+range join explodes to |left|·|right| per key before filtering. Instead:
+union both sides, one window pass per key carrying the last-seen right
+row forward. One shuffle on the key, one ordered scan — the same cost
+profile as a groupBy, at any scale, with no pair blow-up even for hot
+keys."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | list[str],
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    right_cols: list[str] | None = None,
+    suffix: str = "_right",
+    keep_unmatched: bool = False,
+) -> DataFrame:
+    """For each left row: the latest right row with
+    ``right_ts <= left_ts`` sharing the join key(s).
+
+    Output: all left columns + each requested right column renamed with
+    ``suffix`` (always applied — predictable names beat conditional
+    ones). ``keep_unmatched=False`` mirrors SQL ``ASOF JOIN`` (inner):
+    left rows with no prior right row are dropped; ``True`` keeps them
+    with nulls (``ASOF LEFT JOIN``).
+
+    Ties (right_ts == left_ts) match, per ASOF convention; among equal
+    right timestamps the row with the largest ordering key wins
+    deterministically (the window orders by (ts, side, right cols))."""
+    keys = [on] if isinstance(on, str) else list(on)
+    rcols = right_cols or [c for c in right.columns if c not in keys]
+
+    r = right.select(
+        *keys,
+        F.col(right_ts).alias("__ts"),
+        F.lit(0).alias("__side"),
+        F.struct(*[F.col(c) for c in rcols]).alias("__r"),
+    )
+    l = left.withColumn("__ts", F.col(left_ts)).withColumn(
+        "__side", F.lit(1)
+    )
+    u = l.unionByName(r, allowMissingColumns=True)
+
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy("__ts", "__side", "__r")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    u = u.withColumn("__match", F.last("__r", ignorenulls=True).over(w))
+
+    out = u.filter(F.col("__side") == 1)
+    if not keep_unmatched:
+        out = out.filter(F.col("__match").isNotNull())
+    for c in rcols:
+        out = out.withColumn(c + suffix, F.col(f"__match.{c}"))
+    return out.drop("__ts", "__side", "__r", "__match")
