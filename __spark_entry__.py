@@ -1503,6 +1503,70 @@ def w3_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def w4_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Band/interval join: clicks within the 10 minutes before each error
+    by the same user, reduced to a (prior_clicks → n_errors) histogram.
+    Spark side uses the bucketed band join (pair expansion bucket-local,
+    not per-key quadratic); oracle is a plain interval LEFT JOIN."""
+    from ftm_columnstore_spark.operators.temporal import band_join
+
+    ev = _events(spark, sf_dir)
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("cts"), F.col("event_id").alias("cid")
+    )
+    pairs = band_join(
+        errors, clicks, on="user_id", left_ts="ts", right_ts="cts",
+        lower=-600, upper=0, right_cols=["cid"],
+    )
+    counts = pairs.groupBy("event_id").agg(
+        F.count("cid_right").alias("prior_clicks")
+    )
+    per_error = errors.join(counts, "event_id", "left").select(
+        F.coalesce("prior_clicks", F.lit(0)).alias("prior_clicks")
+    )
+    return per_error.groupBy("prior_clicks").agg(
+        F.count(F.lit(1)).alias("n_errors")
+    )
+
+
+def a19_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles (median / p90 order value per priority) —
+    Spark's exact `percentile` vs DuckDB `quantile_cont`, both linear
+    interpolation. The scale path for sketched quantiles is
+    `percentile_approx` (t-digest-style mergeable state, one pass)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.round(F.expr("percentile(o_totalprice, 0.5)"), 2).alias("median_price"),
+        F.round(F.expr("percentile(o_totalprice, 0.9)"), 2).alias("p90_price"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+def m5_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style time rollup: events per (event_type, day) with
+    ROLLUP subtotals per type and a grand total — the multi-granularity
+    continuous-aggregate shape, one pass, partial aggs map-side."""
+    ev = _events(spark, sf_dir)
+    day = F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd")
+    return (
+        ev.withColumn("day", day)
+        .rollup("event_type", "day")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(_dsum(F.col("value")), 2).cast("double").alias("total_value"),
+        )
+        .select(
+            F.coalesce("event_type", F.lit("(all)")).alias("event_type"),
+            F.coalesce("day", F.lit("(all)")).alias("day"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
 def t9_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequence packing (best-fit-decreasing per hash partition) —
     NON-SQL: per-partition stateful pass; rows-only check."""
@@ -1605,6 +1669,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t9_pack_sequences": t9_pack_sequences,
         "v7_knn_join_numpy": v7_knn_join_numpy,
         "w3_asof_join": w3_asof_join,
+        "w4_band_join": w4_band_join,
+        "a19_percentiles": a19_percentiles,
+        "m5_time_rollup": m5_time_rollup,
     }
 
 
@@ -2358,6 +2425,41 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT * FROM events WHERE event_type = 'error') e
             ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') c
               ON e.user_id = c.user_id AND e.ts >= c.ts
+        """,
+        "w4_band_join": """
+            WITH per_error AS (
+                SELECT e.event_id, count(c.event_id) AS prior_clicks
+                FROM (SELECT * FROM events WHERE event_type = 'error') e
+                LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+                  ON e.user_id = c.user_id
+                 AND c.ts >= e.ts - INTERVAL 10 MINUTE
+                 AND c.ts <= e.ts
+                GROUP BY e.event_id
+            )
+            SELECT prior_clicks, count(*) AS n_errors
+            FROM per_error GROUP BY prior_clicks
+        """,
+        "a19_percentiles": """
+            SELECT o_orderpriority,
+                   round(quantile_cont(o_totalprice, 0.5), 2) AS median_price,
+                   round(quantile_cont(o_totalprice, 0.9), 2) AS p90_price,
+                   count(*) AS n_orders
+            FROM orders GROUP BY o_orderpriority
+        """,
+        "m5_time_rollup": """
+            WITH e AS (
+                SELECT event_type,
+                       strftime(date_trunc('day', ts), '%Y-%m-%d') AS d,
+                       value
+                FROM events
+            )
+            SELECT coalesce(event_type, '(all)') AS event_type,
+                   coalesce(d, '(all)') AS day,
+                   count(*) AS n_events,
+                   CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE)
+                     AS total_value
+            FROM e
+            GROUP BY ROLLUP(event_type, d)
         """,
         "d8_decontamination": """
             WITH toks AS (

@@ -65,3 +65,66 @@ def asof_join(
     for c in rcols:
         out = out.withColumn(c + suffix, F.col(f"__match.{c}"))
     return out.drop("__ts", "__side", "__r", "__match")
+
+
+def band_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | list[str],
+    left_ts: str,
+    right_ts: str,
+    lower: float,
+    upper: float,
+    right_cols: list[str] | None = None,
+    suffix: str = "_right",
+) -> DataFrame:
+    """Interval/range join: all (left, right) pairs sharing the key(s)
+    with ``right_ts`` in ``[left_ts + lower, left_ts + upper]``
+    (inclusive both ends; for timestamp columns the bounds are seconds).
+
+    NOT implemented as an equi-join on the key with a post-filter: on a
+    hot key that materializes |L_k|·|R_k| pairs before filtering. Instead
+    the time axis is bucketed at the band width ``w = upper - lower``:
+    each right row lands in one bucket, each left row probes exactly two
+    (its band spans at most two bucket boundaries), and the join is a
+    plain equi-join on (keys…, bucket) followed by the exact band filter.
+    Pair expansion is bucket-local — proportional to data density times
+    band width, independent of per-key cardinality — and Catalyst still
+    sees an ordinary shuffled hash/sort-merge join it can plan with AQE.
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    if not upper > lower:
+        raise ValueError("band_join requires upper > lower")
+    rcols = right_cols or [c for c in right.columns if c not in keys]
+
+    lt_type = dict(left.dtypes)[left_ts]
+    rt_type = dict(right.dtypes)[right_ts]
+    if lt_type.startswith("timestamp") != rt_type.startswith("timestamp"):
+        raise ValueError("left_ts and right_ts must both be timestamps or both numeric")
+    if lt_type.startswith("timestamp"):
+        lt, rt = F.unix_micros(F.col(left_ts)), F.unix_micros(F.col(right_ts))
+        lo, hi = int(lower * 1_000_000), int(upper * 1_000_000)
+    else:
+        lt = F.col(left_ts).cast("double")
+        rt = F.col(right_ts).cast("double")
+        lo, hi = lower, upper
+    w = hi - lo
+
+    r = right.select(
+        *keys,
+        rt.alias("__rt"),
+        F.struct(*[F.col(c) for c in rcols]).alias("__r"),
+    ).withColumn("__b", F.floor(F.col("__rt") / F.lit(w)))
+    l = (
+        left.withColumn("__lt", lt)
+        .withColumn("__b0", F.floor((F.col("__lt") + F.lit(lo)) / F.lit(w)))
+        .withColumn("__b", F.explode(F.array(F.col("__b0"), F.col("__b0") + 1)))
+        .drop("__b0")
+    )
+    out = l.join(r, keys + ["__b"]).filter(
+        (F.col("__rt") >= F.col("__lt") + F.lit(lo))
+        & (F.col("__rt") <= F.col("__lt") + F.lit(hi))
+    )
+    for c in rcols:
+        out = out.withColumn(c + suffix, F.col(f"__r.{c}"))
+    return out.drop("__lt", "__rt", "__b", "__r")

@@ -1,9 +1,9 @@
-"""As-of join: golden cases + equivalence with the naive range-join form."""
+"""Temporal joins: golden cases + equivalence with naive range-join forms."""
 
 import pytest
 from pyspark.sql import functions as F
 
-from ftm_columnstore_spark.operators.temporal import asof_join
+from ftm_columnstore_spark.operators.temporal import asof_join, band_join
 
 
 @pytest.fixture(scope="module")
@@ -83,3 +83,69 @@ def test_asof_matches_naive_range_join(spark):
     )
     want = {r.lid: r.best for r in naive.collect()}
     assert got == want
+
+
+def test_band_join_golden(spark):
+    """Inclusive bounds, per-key scoping, bucket-boundary pairs."""
+    left = spark.createDataFrame(
+        [("A", 10.0, 1), ("A", 20.0, 2), ("B", 10.0, 3)], ["k", "lts", "lid"]
+    )
+    right = spark.createDataFrame(
+        [("A", 5.0, 10), ("A", 10.0, 11), ("A", 16.0, 12), ("B", 21.0, 13)],
+        ["k", "rts", "rid"],
+    )
+    # band: rts in [lts - 5, lts] inclusive
+    out = band_join(
+        left, right, on="k", left_ts="lts", right_ts="rts",
+        lower=-5, upper=0, right_cols=["rid"],
+    )
+    got = sorted((r.lid, r.rid_right) for r in out.collect())
+    # lid 1: rts in [5,10] -> 10, 11; lid 2: [15,20] -> 12; lid 3: [5,10] -> none
+    assert got == [(1, 10), (1, 11), (2, 12)]
+
+
+def test_band_join_matches_naive(spark):
+    """Bucketed form ≡ naive join+filter on random data (both band signs)."""
+    import random
+
+    rng = random.Random(7)
+    left = spark.createDataFrame(
+        [(rng.randrange(3), rng.uniform(0, 100), i) for i in range(120)],
+        ["k", "lts", "lid"],
+    )
+    right = spark.createDataFrame(
+        [(rng.randrange(3), rng.uniform(0, 100), i) for i in range(200)],
+        ["k", "rts", "rid"],
+    )
+    for lo, hi in [(-7.5, 0.0), (-3.0, 3.0), (2.0, 11.0)]:
+        out = band_join(
+            left, right, on="k", left_ts="lts", right_ts="rts",
+            lower=lo, upper=hi, right_cols=["rid"],
+        )
+        got = sorted((r.lid, r.rid_right) for r in out.collect())
+        naive = left.join(right, on="k").filter(
+            (F.col("rts") >= F.col("lts") + lo) & (F.col("rts") <= F.col("lts") + hi)
+        )
+        want = sorted((r.lid, r.rid) for r in naive.collect())
+        assert got == want, (lo, hi)
+
+
+def test_band_join_timestamps(spark):
+    """Timestamp axis: bounds are seconds, micros-exact arithmetic."""
+    left = spark.createDataFrame(
+        [(1, "2024-01-01 00:10:00", 1)], ["k", "ts", "lid"]
+    ).withColumn("ts", F.to_timestamp("ts"))
+    right = spark.createDataFrame(
+        [
+            (1, "2024-01-01 00:04:59.999999", 20),  # just outside
+            (1, "2024-01-01 00:05:00", 21),         # exactly on lower bound
+            (1, "2024-01-01 00:10:00", 22),         # on upper bound (tie)
+            (1, "2024-01-01 00:10:00.000001", 23),  # just after
+        ],
+        ["k", "ts", "rid"],
+    ).withColumn("ts", F.to_timestamp("ts"))
+    out = band_join(
+        left, right, on="k", left_ts="ts", right_ts="ts",
+        lower=-300, upper=0, right_cols=["rid"],
+    )
+    assert sorted(r.rid_right for r in out.collect()) == [21, 22]
