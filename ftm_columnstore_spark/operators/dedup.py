@@ -112,31 +112,35 @@ def minhash_lsh_pairs(
     estimator). The band join shuffles on (band, band-hash); bucket skew
     (boilerplate shingles) is handled by AQE skew-join splitting.
     """
-    # Materialize signatures once: the band join references this relation
-    # twice (left/right) and projection collapse would otherwise inline —
-    # and re-evaluate — the whole signature computation into both sides.
-    signatures = signatures.persist()
+    # Band structs via a Python loop over the (small, fixed) band count,
+    # NOT transform()-over-sequence(): lambda HOFs run on Spark's
+    # interpreted expression path, while this unrolled form is plain
+    # slice/cast/hash — whole-stage codegen. Persist the *banded*
+    # relation: the self-join references it twice, and projection
+    # collapse would otherwise inline (and re-evaluate) the entire
+    # signature+banding computation into both sides.
     n = F.size("signature")
     rows_per_band = (n / num_bands).cast("int")
-    banded = signatures.select(
-        "id",
-        "signature",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(num_bands - 1)),
-                lambda b: F.struct(
-                    b.alias("band"),
-                    F.xxhash64(
-                        F.slice(
-                            "signature",
-                            (b * rows_per_band + 1).cast("int"),
-                            rows_per_band,
-                        ).cast("string")
-                    ).alias("bucket"),
-                ),
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.xxhash64(
+                    F.slice(
+                        "signature",
+                        (F.lit(b) * rows_per_band + 1).cast("int"),
+                        rows_per_band,
+                    ).cast("string")
+                ).alias("bucket"),
             )
-        ).alias("bb"),
-    ).select("id", "signature", "bb.band", "bb.bucket")
+            for b in range(num_bands)
+        ]
+    )
+    banded = (
+        signatures.select("id", "signature", F.explode(band_structs).alias("bb"))
+        .select("id", "signature", "bb.band", "bb.bucket")
+        .persist()
+    )
 
     left = banded.alias("l")
     right = banded.alias("r")
