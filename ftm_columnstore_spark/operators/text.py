@@ -71,6 +71,78 @@ def doc_fingerprint_col(text: Column | str) -> Column:
     return F.xxhash64(F.array_join(word_tokens_col(text), " "))
 
 
+def repetition_stats(
+    documents: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ngram_n: int = 3,
+) -> DataFrame:
+    """Within-document repetition profile (the Gopher/MassiveText
+    repetition filters, Rae et al. 2021 §A1.1): per document, the total /
+    distinct / most-frequent n-gram counts, from which the duplicate-
+    n-gram fraction (``1 - n_distinct/n_grams``) and top-gram fraction
+    follow as plain columns.
+
+    Shape: a single Arrow-batched narrow pass — each document's Counter
+    lives only inside its batch, so the operator is embarrassingly
+    parallel with ZERO shuffles at any corpus size (contrast a relational
+    groupBy(doc, gram) formulation, which shuffles one row per n-gram
+    occurrence). Same measured rationale as `shingle_sets`: token-
+    granular derives are Arrow + C-speed, not interpreted HOF lambdas.
+
+    Documents with fewer than ``ngram_n`` tokens yield no row (they have
+    no n-grams — matches the SQL formulation's WHERE len >= n)."""
+    import re as _re
+    from collections import Counter
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from ftm_columnstore_spark.functions.text import NON_ALNUM, fan_out
+
+    documents = fan_out(documents)
+    out_schema = T.StructType(
+        [
+            T.StructField("id", documents.schema[id_col].dataType),
+            T.StructField("n_grams", T.LongType(), False),
+            T.StructField("n_distinct", T.LongType(), False),
+            T.StructField("top_count", T.LongType(), False),
+        ]
+    )
+    pat = _re.compile(NON_ALNUM)
+    n = ngram_n
+
+    def gen(batches):
+        for pdf in batches:
+            ids, totals, dists, tops = [], [], [], []
+            for doc_id, txt in zip(pdf["id"], pdf["__text"]):
+                if not isinstance(txt, str):
+                    continue
+                toks = [t for t in pat.split(txt.lower()) if t]
+                if len(toks) < n:
+                    continue
+                counts = Counter(
+                    tuple(toks[i : i + n]) for i in range(len(toks) - n + 1)
+                )
+                ids.append(doc_id)
+                totals.append(sum(counts.values()))
+                dists.append(len(counts))
+                tops.append(max(counts.values()))
+            yield pd.DataFrame(
+                {
+                    "id": ids,
+                    "n_grams": pd.Series(totals, dtype="int64"),
+                    "n_distinct": pd.Series(dists, dtype="int64"),
+                    "top_count": pd.Series(tops, dtype="int64"),
+                }
+            )
+
+    narrow = documents.select(
+        F.col(id_col).alias("id"), F.col(text_col).alias("__text")
+    )
+    return narrow.mapInPandas(gen, schema=out_schema)
+
+
 def analyze_documents(
     documents: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

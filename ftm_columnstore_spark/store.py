@@ -137,11 +137,19 @@ class Store:
         self,
         dataset: str | list[str] | None = None,
         deduped: bool = True,
+        as_of: str | None = None,
     ) -> DataFrame:
         """The statement table. ``dataset`` may be one name or a catalog
         (list) of names — either way the predicate prunes the hive
         partitions, so a catalog view only scans its member datasets
-        (reference: store over a catalog, tests/test_store.py:72-75)."""
+        (reference: store over a catalog, tests/test_store.py:72-75).
+
+        ``as_of`` time-travels the upsert log: the append-only layout
+        plus dedup-on-read means "state at time T" is just the same
+        max-``last_seen`` reduction restricted to versions written by T —
+        a pushed-down min/max-prunable predicate, no snapshot copies
+        (the ReplacingMergeTree analogue keeps only the latest row, so
+        the reference cannot answer this at all)."""
         if not self.exists():
             return self.spark.createDataFrame([], STATEMENT_SCHEMA)
         df = self.spark.read.schema(STATEMENT_SCHEMA).parquet(self._path)
@@ -149,6 +157,10 @@ class Store:
             df = df.filter(F.col("dataset") == dataset)
         elif dataset is not None:
             df = df.filter(F.col("dataset").isin(list(dataset)))
+        if as_of is not None:
+            df = df.filter(
+                F.col("last_seen") <= F.to_timestamp(F.lit(as_of))
+            )
         df = self._apply_canonical(df)
         return dedup_statements(df) if deduped else df
 

@@ -221,3 +221,33 @@ def test_drop_and_exists(store, entities_df):
     store.drop()
     store.write_entities(entities_df, last_seen="2024-03-01 00:00:00")
     assert store.statements().select("entity_id").distinct().count() == 10
+
+
+def test_statements_as_of_time_travel(store, spark):
+    from ftm_columnstore_spark.sources.statements import statements_from_rows
+
+    def batch(rows, seen):
+        df = statements_from_rows(spark, rows).withColumn(
+            "last_seen", F.to_timestamp(F.lit(seen))
+        )
+        store.write_statements(df)
+
+    batch([dict(id="s1", entity_id="e1", prop="name", schema="Person",
+                value="A", dataset="d", last_seen=None)], "2024-01-01")
+    # same statement re-seen later + a brand-new statement
+    batch([dict(id="s1", entity_id="e1", prop="name", schema="Person",
+                value="A", dataset="d", last_seen=None),
+           dict(id="s2", entity_id="e2", prop="name", schema="Person",
+                value="B", dataset="d", last_seen=None)], "2024-02-01")
+
+    # snapshot between the writes: only the first batch, at its own version
+    old = store.statements(as_of="2024-01-15").collect()
+    assert [r.entity_id for r in old] == ["e1"]
+    assert str(old[0].last_seen).startswith("2024-01-01")
+
+    # current view: both, s1 at its re-seen version
+    cur = {r.entity_id: str(r.last_seen) for r in store.statements().collect()}
+    assert set(cur) == {"e1", "e2"} and cur["e1"].startswith("2024-02-01")
+
+    # snapshot before anything existed: empty
+    assert store.statements(as_of="2023-12-01").count() == 0

@@ -55,3 +55,23 @@ def test_analyze_documents(spark):
     assert 0.0 <= out[3]["quality"] <= 0.2
     assert out[1]["quality"] > out[3]["quality"]
     assert isinstance(out[1]["fingerprint"], int)
+
+
+def test_repetition_stats(spark):
+    from ftm_columnstore_spark.operators.text import repetition_stats
+
+    df = spark.createDataFrame(
+        [
+            # "a b c" ×3 → grams: ababab... tokens a b c a b c a b c:
+            # 7 trigrams, distinct {abc, bca, cab} = 3, top (abc) = 3
+            (1, "a b c a b c a b c"),
+            (2, "all distinct words here now"),  # 3 grams, all distinct
+            (3, "two words"),                    # < 3 tokens → no row
+        ],
+        ["doc_id", "text"],
+    )
+    got = {
+        r.id: (r.n_grams, r.n_distinct, r.top_count)
+        for r in repetition_stats(df, ngram_n=3).collect()
+    }
+    assert got == {1: (7, 3, 3), 2: (3, 3, 1)}
