@@ -1215,19 +1215,28 @@ def j13_late_sole_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
     lo = li.join(o, li.l_orderkey == o.o_orderkey)
     is_late = F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 90)
 
-    # Both existentials collapse into ONE per-order conditional
-    # aggregation over the joined fact: "another supplier shipped this
-    # order" == >=2 distinct suppliers; "no OTHER supplier was late" ==
-    # exactly 1 distinct late supplier — and when that holds, every late
-    # row in the order belongs to that one supplier, so (max late
-    # suppkey, count late rows) IS the per-supplier contribution. One
-    # join + one map-side-combined agg replace the semi-join and the
-    # "<>"-residual anti-join over the pair blow-up (2.0s -> 0.7s sf0.1).
-    per_order = lo.groupBy("l_orderkey").agg(
-        F.countDistinct("l_suppkey").alias("__n_supp"),
-        F.countDistinct(F.when(is_late, F.col("l_suppkey"))).alias("__n_late"),
-        F.count(F.when(is_late, F.lit(1))).alias("__late_rows"),
-        F.max(F.when(is_late, F.col("l_suppkey"))).alias("__late_supp"),
+    # Both existentials collapse into per-order conditional aggregation
+    # over the joined fact: "another supplier shipped this order" ==
+    # >=2 distinct suppliers; "no OTHER supplier was late" == exactly 1
+    # distinct late supplier — and when that holds, every late row in
+    # the order belongs to that one supplier, so (max late suppkey,
+    # count late rows) IS the per-supplier contribution. Distinctness is
+    # computed as TWO stacked aggs (pair grain, then order grain), NOT
+    # countDistinct: multiple distinct aggregates make Catalyst plan an
+    # Expand that triples the fact rows through the shuffle — fine in
+    # isolation, but it monopolizes the cores every concurrent query
+    # shares. Both agg levels are map-side combinable.
+    per_pair = lo.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max(F.when(is_late, 1).otherwise(0)).alias("__late"),
+        F.count(F.when(is_late, F.lit(1))).alias("__lr"),
+    )
+    per_order = per_pair.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("__n_supp"),
+        F.sum("__late").alias("__n_late"),
+        F.sum("__lr").alias("__late_rows"),
+        F.max(F.when(F.col("__late") == 1, F.col("l_suppkey"))).alias(
+            "__late_supp"
+        ),
     )
     qual = per_order.filter(
         (F.col("__n_supp") >= 2) & (F.col("__n_late") == 1)
