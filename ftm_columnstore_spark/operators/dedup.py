@@ -419,10 +419,20 @@ def ngram_jaccard_pairs(
     else:
         tall = tall.withColumn("freq", F.xxhash64("shingle"))
 
-    # one aggregation yields the full set AND its canonical-order prefix
-    ordered = F.transform(
-        F.array_sort(F.collect_list(F.struct("freq", "shingle"))),
-        lambda x: x.getField("shingle"),
+    # one aggregation yields the full set AND its canonical-order prefix.
+    # The (freq, shingle) sort key is ENCODED into one sortable string
+    # (zero-padded hex freq + separator + shingle) so the whole pipeline
+    # is native array_sort/slice/array_intersect — no transform() lambda,
+    # which Spark would evaluate on the interpreted path per shingle per
+    # doc. The encoding is injective, so set sizes, prefix collisions and
+    # intersection cardinalities are unchanged; only the (opaque) element
+    # spelling differs on both sides equally.
+    ordered = F.array_sort(
+        F.collect_list(
+            F.concat_ws(
+                "|", F.lpad(F.hex(F.col("freq")), 16, "0"), F.col("shingle")
+            )
+        )
     )
     sets = (
         tall.groupBy("id")
