@@ -48,12 +48,17 @@ def _fmt(col, fmt: str = "yyyy-MM-dd") -> F.Column:
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events.parquet stores TIMESTAMP(NANOS), which Spark's parquet reader
-    rejects; read it as raw nanos (legacy conf) and convert to a
-    microsecond timestamp with integer arithmetic (no double round-trip)."""
+    """events.parquet has shipped with either TIMESTAMP(NANOS) (read as raw
+    nanos via the legacy conf, then converted with integer arithmetic) or
+    plain TIMESTAMP(MICROS); adapt to whichever the file declares."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/events.parquet")
-    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    ts_type = df.schema["ts"].dataType.typeName()
+    if ts_type == "long":  # raw nanos
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif ts_type == "timestamp_ntz":
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
 
 
 # --------------------------------------------------------------------------
