@@ -1712,6 +1712,66 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
 
 
+def _d3_oracle(nh: int = 32, k: int = 3, nb: int = 8) -> str:
+    """DuckDB oracle for portable MinHash-LSH (must mirror
+    operators/dedup.py exactly: md5-60bit shingle hash, (a*hi+b*lo+c) mod
+    2^31-1 permutation family, band buckets as comma-joined values)."""
+    from ftm_columnstore_spark.operators.dedup import (
+        _MERSENNE31,
+        _SPLIT,
+        _perm_constants,
+    )
+
+    r = nh // nb
+    mins = ",\n                   ".join(
+        f"min(({a}*hi + {b}*lo + {c}) % {_MERSENNE31}) AS m{i}"
+        for i, (a, b, c) in enumerate(_perm_constants(nh))
+    )
+    sig = "[" + ", ".join(f"m{i}" for i in range(nh)) + "]"
+    return f"""
+        WITH toks AS (
+            SELECT doc_id AS id,
+                   list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                               x -> x <> '') AS tk
+            FROM documents WHERE text IS NOT NULL
+        ), sh AS (
+            SELECT id,
+                   unnest(CASE WHEN len(tk) <= {k}
+                          THEN [array_to_string(tk, ' ')]
+                          ELSE list_transform(
+                               range(1, len(tk) - {k} + 2),
+                               i -> array_to_string(tk[i:i+{k - 1}], ' ')) END
+                   ) AS shingle
+            FROM toks WHERE len(tk) > 0
+        ), h AS (
+            SELECT id,
+                   ('0x' || substr(md5(shingle), 1, 15))::BIGINT // {_SPLIT} AS hi,
+                   ('0x' || substr(md5(shingle), 1, 15))::BIGINT % {_SPLIT} AS lo
+            FROM sh
+        ), sigs AS (
+            SELECT id, {sig} AS sig
+            FROM (SELECT id,
+                   {mins}
+                  FROM h GROUP BY id)
+        ), banded AS (
+            SELECT id, sig, band,
+                   array_to_string(list_slice(sig, band*{r}+1, band*{r}+{r})::VARCHAR[],
+                                   ',') AS bucket
+            FROM sigs, range(0, {nb}) t(band)
+        ), pairs AS (
+            SELECT DISTINCT l.id AS left_id, r.id AS right_id,
+                            l.sig AS ls, r.sig AS rs
+            FROM banded l
+            JOIN banded r ON l.band = r.band AND l.bucket = r.bucket
+                         AND l.id < r.id
+        )
+        SELECT left_id, right_id,
+               round(len(list_filter(range(1, {nh + 1}), i -> ls[i] = rs[i]))
+                     / {nh}.0, 6) AS jaccard_est
+        FROM pairs
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "s1_scan_project": """
@@ -2521,6 +2581,7 @@ def oracle_sql() -> dict[str, str]:
             FROM e
             GROUP BY ROLLUP(event_type, d)
         """,
+        "d3_minhash_lsh_pairs": _d3_oracle(),
         "d8_decontamination": """
             WITH toks AS (
                 SELECT doc_id,

@@ -62,12 +62,38 @@ def dedup_exact(
 
 # --- MinHash + LSH -----------------------------------------------------------
 
+# Portable permutation family: h(shingle) = 60-bit int from the md5 hex
+# prefix (both Spark `conv(substr(md5(x),1,15),16,10)` and DuckDB
+# `('0x'||substr(md5(x),1,15))::BIGINT` compute it bit-identically), then
+# h_i = (a_i*hi + b_i*lo + c_i) mod (2^31-1) where hi/lo split h at 2^30.
+# Every product stays < 2^61, so the whole family is exact int64
+# arithmetic in ANY engine — the property that makes MinHash output
+# oracle-checkable instead of rows-only.
+_MERSENNE31 = (1 << 31) - 1
+_SPLIT = 1 << 30
+
+
+def _perm_constants(num_hashes: int, seed: int = 0x5EED) -> list[tuple[int, int, int]]:
+    import random
+
+    rng = random.Random(seed)
+    return [
+        (
+            rng.randrange(1, _MERSENNE31),
+            rng.randrange(1, _MERSENNE31),
+            rng.randrange(0, _MERSENNE31),
+        )
+        for _ in range(num_hashes)
+    ]
+
+
 def minhash_signature(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     num_hashes: int = 64,
     shingle_k: int = 5,
+    hash_family: str = "portable",
 ) -> DataFrame:
     """(id, signature array<bigint>) — min over per-permutation hashes of the
     shingle set.
@@ -78,18 +104,37 @@ def minhash_signature(
     common-subexpression elimination (the shingle expression would be
     re-evaluated per seed per join side — measured 100× slower); the
     grouped form is one codegen'd partial+final aggregation whose only
-    shuffle key is the doc id."""
+    shuffle key is the doc id.
+
+    ``hash_family="portable"`` (default) uses the md5-based engine-portable
+    permutation family above, so results are reproducible outside Spark
+    (DuckDB oracle, offline audits). ``"fast"`` uses xxhash64 mixing —
+    same candidate-pair geometry, marginally cheaper per shingle."""
     from ftm_columnstore_spark.functions.text import shingle_rows
 
-    shingled = shingle_rows(df, text_col, id_col, shingle_k).select(
-        "id", F.xxhash64("shingle").alias("__h")
-    )
-    aggs = [
-        F.min(F.xxhash64("__h", F.lit(i))).alias(f"__m{i}")
-        for i in range(num_hashes)
-    ]
+    shingled = shingle_rows(df, text_col, id_col, shingle_k)
+    if hash_family == "fast":
+        hashed = shingled.select("id", F.xxhash64("shingle").alias("__h"))
+        aggs = [
+            F.min(F.xxhash64("__h", F.lit(i))).alias(f"__m{i}")
+            for i in range(num_hashes)
+        ]
+    else:
+        h = F.conv(F.substring(F.md5("shingle"), 1, 15), 16, 10).cast("long")
+        hashed = shingled.select(
+            "id",
+            F.shiftrightunsigned(h, 30).alias("__hi"),
+            (h % F.lit(_SPLIT)).alias("__lo"),
+        )
+        aggs = [
+            F.min(
+                (F.lit(a) * F.col("__hi") + F.lit(b) * F.col("__lo") + F.lit(c))
+                % F.lit(_MERSENNE31)
+            ).alias(f"__m{i}")
+            for i, (a, b, c) in enumerate(_perm_constants(num_hashes))
+        ]
     return (
-        shingled.groupBy("id")
+        hashed.groupBy("id")
         .agg(*aggs)
         .select(
             "id",
@@ -121,16 +166,21 @@ def minhash_lsh_pairs(
     # signature+banding computation into both sides.
     n = F.size("signature")
     rows_per_band = (n / num_bands).cast("int")
+    # bucket key = the band's values spelled out (not a hash of them):
+    # same shuffle-key cost class, but bucket equality is then EXACTLY
+    # set equality — no cross-band hash collisions, and the candidate
+    # set is reproducible in any engine (oracle parity)
     band_structs = F.array(
         *[
             F.struct(
                 F.lit(b).alias("band"),
-                F.xxhash64(
+                F.concat_ws(
+                    ",",
                     F.slice(
                         "signature",
                         (F.lit(b) * rows_per_band + 1).cast("int"),
                         rows_per_band,
-                    ).cast("string")
+                    ).cast("array<string>"),
                 ).alias("bucket"),
             )
             for b in range(num_bands)
