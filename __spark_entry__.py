@@ -1102,9 +1102,9 @@ def d3_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def d4_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ftm_columnstore_spark.operators.dedup import simhash_pairs
+    from ftm_columnstore_spark.operators.dedup import simhash_pairs_portable
 
-    return simhash_pairs(_t(spark, sf_dir, "documents"), max_hamming=3)
+    return simhash_pairs_portable(_t(spark, sf_dir, "documents"), max_hamming=3)
 
 
 def v3_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1694,9 +1694,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a18_product_profit": a18_product_profit,
         "j15_dominant_suppliers": j15_dominant_suppliers,
         "t10_mixture_sample": t10_mixture_sample,
-        # NON-SQL (probabilistic/LSH) — rows-only:
+        # oracle-checked via engine-portable md5 hash families:
         "d3_minhash_lsh_pairs": d3_minhash_lsh_pairs,
         "d4_simhash_pairs": d4_simhash_pairs,
+        # NON-SQL (probabilistic/LSH) — rows-only:
         "v3_lsh_topk": v3_lsh_topk,
         "v4_embedding_dups": v4_embedding_dups,
         "v5_ivf_topk": v5_ivf_topk,
@@ -1769,6 +1770,72 @@ def _d3_oracle(nh: int = 32, k: int = 3, nb: int = 8) -> str:
                round(len(list_filter(range(1, {nh + 1}), i -> ls[i] = rs[i]))
                      / {nh}.0, 6) AS jaccard_est
         FROM pairs
+    """
+
+
+def _d4_oracle(bands: int = 4, max_hamming: int = 3, max_bucket: int = 1024) -> str:
+    """DuckDB oracle for portable SimHash pairs (mirrors
+    operators/dedup.py simhash_chunks/simhash_pairs_portable: md5 32-bit
+    halves per token occurrence, ±1 votes, chunk packing, pigeonhole
+    band join with whole-bucket caps)."""
+    width = 64 // bands
+
+    def vote(j: int) -> str:
+        src, off = ("lo", j) if j < 32 else ("hi", j - 32)
+        return f"sum(2*(({src} >> {off}) & 1) - 1) AS v{j}"
+
+    votes = ",\n                   ".join(vote(j) for j in range(64))
+    chunks = ",\n                   ".join(
+        "("
+        + " + ".join(
+            f"(CASE WHEN v{b * width + t} > 0 THEN {1 << t} ELSE 0 END)"
+            for t in range(width)
+        )
+        + f")::BIGINT AS c{b}"
+        for b in range(bands)
+    )
+    chunk_case = (
+        "CASE band "
+        + " ".join(f"WHEN {b} THEN c{b}" for b in range(bands))
+        + " END"
+    )
+    carry = ", ".join(f"c{b}" for b in range(bands))
+    ham = " + ".join(
+        f"bit_count(xor(l.c{b}, r.c{b}))" for b in range(bands)
+    )
+    return f"""
+        WITH toks AS (
+            SELECT doc_id AS id,
+                   unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                                      x -> x <> '')) AS t
+            FROM documents WHERE text IS NOT NULL
+        ), h AS (
+            SELECT id,
+                   ('0x' || substr(md5(t), 1, 8))::BIGINT AS hi,
+                   ('0x' || substr(md5(t), 9, 8))::BIGINT AS lo
+            FROM toks
+        ), votes AS (
+            SELECT id,
+                   {votes}
+            FROM h GROUP BY id
+        ), chunks AS (
+            SELECT id,
+                   {chunks}
+            FROM votes
+        ), banded AS (
+            SELECT id, {carry}, band, {chunk_case} AS chunk
+            FROM chunks, range(0, {bands}) t(band)
+        ), sizes AS (
+            SELECT band, chunk FROM banded GROUP BY band, chunk
+            HAVING count(*) > 1 AND count(*) <= {max_bucket}
+        ), el AS (
+            SELECT banded.* FROM banded JOIN sizes USING (band, chunk)
+        )
+        SELECT DISTINCT l.id AS left_id, r.id AS right_id,
+               ({ham})::INT AS hamming
+        FROM el l JOIN el r
+          ON l.band = r.band AND l.chunk = r.chunk AND l.id < r.id
+        WHERE ({ham}) <= {max_hamming}
     """
 
 
@@ -2582,6 +2649,7 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY ROLLUP(event_type, d)
         """,
         "d3_minhash_lsh_pairs": _d3_oracle(),
+        "d4_simhash_pairs": _d4_oracle(),
         "d8_decontamination": """
             WITH toks AS (
                 SELECT doc_id,

@@ -416,6 +416,125 @@ def simhash_pairs(
     )
 
 
+def simhash_chunks(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bands: int = 4,
+) -> DataFrame:
+    """(id, c0..c{bands-1}) — the 64-bit SimHash packed as ``bands``
+    unsigned chunks, computed with the engine-portable md5 token hash
+    (two 32-bit halves of the md5 hex prefix), so the whole derivation is
+    exact integer arithmetic reproducible in any SQL engine (oracle
+    parity — the pd.util.hash_array fast path in :func:`simhash_docs`
+    is Spark-only).
+
+    Relational single-aggregation shape: token rows → two conv(md5)
+    halves per occurrence → ONE groupBy(id) with 64 codegen'd
+    sum(±1) vote aggregates → chunk packing. The only shuffle key is
+    the doc id."""
+    from ftm_columnstore_spark.functions.text import word_tokens_col
+
+    width = 64 // bands
+    tok = df.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col).alias("id"),
+        F.explode(word_tokens_col(text_col)).alias("__t"),
+    )
+    hi = F.conv(F.substring(F.md5("__t"), 1, 8), 16, 10).cast("long")
+    lo = F.conv(F.substring(F.md5("__t"), 9, 8), 16, 10).cast("long")
+    hashed = tok.select("id", hi.alias("__hi"), lo.alias("__lo"))
+
+    def bit(j: int) -> F.Column:
+        src, off = ("__lo", j) if j < 32 else ("__hi", j - 32)
+        return F.shiftright(F.col(src), off).bitwiseAND(F.lit(1))
+
+    votes = hashed.groupBy("id").agg(
+        *[
+            F.sum(bit(j) * 2 - F.lit(1)).alias(f"__v{j}")
+            for j in range(64)
+        ]
+    )
+    chunk_cols = [
+        sum(
+            (
+                F.when(F.col(f"__v{b * width + t}") > 0, F.lit(1 << t)).otherwise(
+                    F.lit(0)
+                )
+                for t in range(width)
+            ),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias(f"c{b}")
+        for b in range(bands)
+    ]
+    return votes.select("id", *chunk_cols)
+
+
+def simhash_pairs_portable(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    bands: int = 4,
+    max_bucket: int = 1024,
+) -> DataFrame:
+    """Near-dup pairs from the portable SimHash (:func:`simhash_chunks`).
+    Same pigeonhole banding contract as :func:`simhash_pairs` (any pair
+    within ``max_hamming`` < ``bands`` shares an exact chunk; oversized
+    buckets dropped whole, deterministically), but every value is
+    reproducible outside Spark — this is the oracle-checked variant; the
+    numpy/siphash one stays as the single-engine throughput path."""
+    chunks = simhash_chunks(df, text_col, id_col, bands).persist()
+    banded = chunks.select(
+        "*",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"), F.col(f"c{b}").alias("chunk")
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bc"),
+    ).select("bc.band", "bc.chunk", *(["id"] + [f"c{b}" for b in range(bands)]))
+    sizes = (
+        banded.groupBy("band", "chunk")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .filter((F.col("__n") > 1) & (F.col("__n") <= max_bucket))
+        .select("band", "chunk")
+    )
+    eligible = banded.join(sizes, on=["band", "chunk"])
+    l, r = eligible.alias("l"), eligible.alias("r")
+    hamming = sum(
+        (
+            F.bit_count(
+                F.col(f"l.c{b}").bitwiseXOR(F.col(f"r.c{b}"))
+            )
+            for b in range(bands)
+        ),
+        F.lit(0),
+    )
+    return (
+        l.join(
+            r,
+            on=[
+                F.col("l.band") == F.col("r.band"),
+                F.col("l.chunk") == F.col("r.chunk"),
+                F.col("l.id") < F.col("r.id"),
+            ],
+        )
+        .select(
+            F.col("l.id").alias("left_id"),
+            F.col("r.id").alias("right_id"),
+            hamming.cast("int").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["left_id", "right_id"])
+    )
+
+
 # --- n-gram Jaccard ------------------------------------------------------------
 
 def ngram_jaccard_pairs(

@@ -83,6 +83,17 @@ def test_simhash_pairs(corpus):
     assert (4, 5) not in pairs  # unrelated docs don't pair
 
 
+def test_simhash_pairs_portable(corpus):
+    from ftm_columnstore_spark.operators.dedup import simhash_pairs_portable
+
+    pairs = {
+        (r["left_id"], r["right_id"]): r["hamming"]
+        for r in simhash_pairs_portable(corpus, max_hamming=6, bands=8).collect()
+    }
+    assert pairs[(1, 2)] == 0  # identical text → identical simhash
+    assert (4, 5) not in pairs  # unrelated docs don't pair
+
+
 def test_simhash_near_dup_long_doc(spark):
     """One changed token out of 100: expected bit flips ≈ 64·P(|margin|
     of the other 99 votes ≤ 1)/2 ≈ 5 (σ≈2.2), so hamming ≤ 14 holds with
