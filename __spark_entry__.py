@@ -1048,10 +1048,13 @@ def t4_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def v4_embedding_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ftm_columnstore_spark.operators.dedup import embedding_dup_pairs
+    from ftm_columnstore_spark.operators.dedup import embedding_dup_pairs_portable
 
-    return embedding_dup_pairs(
-        _t(spark, sf_dir, "embeddings"), min_cosine=0.9, num_planes=8
+    # the synthetic embeddings have no planted near-dups (max pairwise
+    # cosine ≈ 0.51), so the demo threshold sits below that to keep the
+    # oracle check non-vacuous
+    return embedding_dup_pairs_portable(
+        _t(spark, sf_dir, "embeddings"), min_cosine=0.40, num_planes=4
     )
 
 
@@ -1836,6 +1839,56 @@ def _d4_oracle(bands: int = 4, max_hamming: int = 3, max_bucket: int = 1024) -> 
         FROM el l JOIN el r
           ON l.band = r.band AND l.chunk = r.chunk AND l.id < r.id
         WHERE ({ham}) <= {max_hamming}
+    """
+
+
+def _v4_oracle(
+    min_cosine: float = 0.9,
+    num_planes: int = 8,
+    dim: int = 64,
+    scale: int = 1_000_000,
+) -> str:
+    """DuckDB oracle for portable embedding near-dup (mirrors
+    operators/dedup.py embedding_dup_pairs_portable: floor-quantized
+    int64 components, ±1-plane integer signature, cosine from quantized
+    ints — IEEE-exact, so candidate set and values are bit-identical)."""
+    from ftm_columnstore_spark.operators.dedup import _plane_signs
+
+    signs = _plane_signs(num_planes, dim)
+    plane_rows = ", ".join(
+        f"({p}, [{', '.join(str(s) for s in row)}])"
+        for p, row in enumerate(signs)
+    )
+    return f"""
+        WITH q AS (
+            SELECT vec_id AS id,
+                   list_transform(embedding,
+                       x -> CAST(floor(x::DOUBLE * {scale} + 0.5) AS BIGINT)) AS q
+            FROM embeddings
+        ), planes(p, sarr) AS (
+            SELECT * FROM (VALUES {plane_rows})
+        ), dots AS (
+            SELECT id, p,
+                   list_sum(list_transform(range(1, {dim + 1}),
+                                           i -> q[i] * sarr[i])) AS dot
+            FROM q, planes
+        ), sigs AS (
+            SELECT id, sum(CASE WHEN dot >= 0 THEN 1 << p ELSE 0 END) AS sig
+            FROM dots GROUP BY id
+        ), norms AS (
+            SELECT id, list_sum(list_transform(q, x -> x * x)) AS nq FROM q
+        ), feats AS (
+            SELECT q.id, q.q, sigs.sig, norms.nq
+            FROM q JOIN sigs USING (id) JOIN norms ON norms.id = q.id
+        ), cand AS (
+            SELECT l.id AS left_id, r.id AS right_id,
+                   CAST(list_sum(list_transform(range(1, {dim + 1}),
+                                 i -> l.q[i] * r.q[i])) AS DOUBLE)
+                   / sqrt(l.nq::DOUBLE * r.nq::DOUBLE) AS cos
+            FROM feats l JOIN feats r ON l.sig = r.sig AND l.id < r.id
+        )
+        SELECT left_id, right_id, round(cos, 6) AS cosine
+        FROM cand WHERE cos >= {min_cosine}
     """
 
 
@@ -2650,6 +2703,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "d3_minhash_lsh_pairs": _d3_oracle(),
         "d4_simhash_pairs": _d4_oracle(),
+        "v4_embedding_dups": _v4_oracle(min_cosine=0.40, num_planes=4),
         "d8_decontamination": """
             WITH toks AS (
                 SELECT doc_id,

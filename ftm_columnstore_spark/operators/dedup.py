@@ -695,6 +695,96 @@ def jaccard_dedup(
 
 # --- embedding near-dup ---------------------------------------------------------
 
+def _plane_signs(num_planes: int, dim: int, seed: int = 0xB5) -> list[list[int]]:
+    """Deterministic ±1 (Rademacher) hyperplane components, shared with the
+    DuckDB oracle generator — random-hyperplane LSH only needs symmetric
+    sign vectors, and ±1 keeps every dot product in exact int64."""
+    import random
+
+    rng = random.Random(seed)
+    return [
+        [1 if rng.random() < 0.5 else -1 for _ in range(dim)]
+        for _ in range(num_planes)
+    ]
+
+
+def embedding_dup_pairs_portable(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    min_cosine: float = 0.9,
+    num_planes: int = 8,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Embedding-cosine near-dup, engine-portable (oracle-checkable):
+
+    1. quantize each component to int64 via ``floor(x*scale + 0.5)`` —
+       float→double widening and floor are exact IEEE ops, so both
+       engines hold IDENTICAL integers from identical parquet floats;
+    2. LSH signature = sign pattern of ±1-hyperplane dot products over
+       the quantized ints (exact integer arithmetic, no float-order
+       ambiguity in the candidate set);
+    3. verify: cosine from the quantized ints — int64 dot / sqrt of
+       int64 norms; IEEE *, /, sqrt are correctly rounded, so the float
+       result is bit-identical cross-engine and the ≥ τ cut is exact.
+
+    Relational shape (100 TB path): quantize is narrow; dots/norms are
+    one explode + broadcast-join(512-row plane table) + groupBy(id);
+    the only wide op is the signature-bucket self-join."""
+    spark = df.sparkSession
+    dim = len(df.select(vec_col).first()[0])
+    signs = _plane_signs(num_planes, dim)
+    planes = spark.createDataFrame(
+        [(p, d, s) for p, row in enumerate(signs) for d, s in enumerate(row)],
+        "plane int, pos int, s long",
+    )
+    q = df.select(
+        F.col(id_col).alias("id"),
+        F.transform(
+            F.col(vec_col),
+            lambda x: F.floor(x.cast("double") * scale + F.lit(0.5)),
+        ).alias("q"),
+    )
+    ex = q.select("id", F.posexplode("q").alias("pos", "qv"))
+    dots = (
+        ex.join(F.broadcast(planes), on="pos")
+        .groupBy("id", "plane")
+        .agg(F.sum(F.col("qv") * F.col("s")).alias("dot"))
+    )
+    sigs = dots.groupBy("id").agg(
+        F.sum(
+            F.when(F.col("dot") >= 0, F.expr("shiftleft(1L, plane)")).otherwise(
+                F.lit(0)
+            )
+        ).alias("sig")
+    )
+    norms = ex.groupBy("id").agg(F.sum(F.col("qv") * F.col("qv")).alias("nq"))
+    feats = q.join(sigs, on="id").join(norms, on="id")
+    l, r = feats.alias("l"), feats.alias("r")
+    dotq = F.aggregate(
+        F.zip_with("l.q", "r.q", lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    cos = dotq.cast("double") / F.sqrt(
+        F.col("l.nq").cast("double") * F.col("r.nq").cast("double")
+    )
+    return (
+        l.join(
+            r,
+            on=[F.col("l.sig") == F.col("r.sig"), F.col("l.id") < F.col("r.id")],
+        )
+        .select(
+            F.col("l.id").alias("left_id"),
+            F.col("r.id").alias("right_id"),
+            cos.alias("__cos"),
+        )
+        .filter(F.col("__cos") >= min_cosine)
+        .select(
+            "left_id", "right_id", F.round("__cos", 6).alias("cosine")
+        )
+    )
+
 def embedding_dup_pairs(
     df: DataFrame,
     vec_col: str = "embedding",

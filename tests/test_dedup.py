@@ -83,6 +83,23 @@ def test_simhash_pairs(corpus):
     assert (4, 5) not in pairs  # unrelated docs don't pair
 
 
+def test_embedding_dup_pairs_portable(spark):
+    from ftm_columnstore_spark.operators.dedup import embedding_dup_pairs_portable
+
+    vecs = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [0.999, 0.01, 0.0, 0.0]),   # near-dup of 1
+        (3, [0.0, 1.0, 0.0, 0.0]),      # orthogonal
+    ]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    pairs = {
+        (r["left_id"], r["right_id"]): r["cosine"]
+        for r in embedding_dup_pairs_portable(df, min_cosine=0.95).collect()
+    }
+    assert (1, 2) in pairs and pairs[(1, 2)] > 0.99
+    assert all(3 not in p for p in pairs)
+
+
 def test_simhash_pairs_portable(corpus):
     from ftm_columnstore_spark.operators.dedup import simhash_pairs_portable
 
