@@ -1111,14 +1111,16 @@ def d4_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def v3_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ftm_columnstore_spark.operators.similarity import lsh_topk
+    from ftm_columnstore_spark.operators.similarity import lsh_topk_portable
 
     e = _t(spark, sf_dir, "embeddings")
     qvec = [
         float(x)
         for x in e.filter(F.col("vec_id") == 0).collect()[0]["embedding"]
     ]
-    return lsh_topk(e.filter(F.col("vec_id") != 0), qvec, k=20, num_planes=10, probe_bits=2)
+    return lsh_topk_portable(
+        e.filter(F.col("vec_id") != 0), qvec, k=20, num_planes=10, probe_bits=2
+    )
 
 
 # --------------------------------------------------------------------------
@@ -1697,12 +1699,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a18_product_profit": a18_product_profit,
         "j15_dominant_suppliers": j15_dominant_suppliers,
         "t10_mixture_sample": t10_mixture_sample,
-        # oracle-checked via engine-portable md5 hash families:
+        # oracle-checked via engine-portable hash/quantization families:
         "d3_minhash_lsh_pairs": d3_minhash_lsh_pairs,
         "d4_simhash_pairs": d4_simhash_pairs,
-        # NON-SQL (probabilistic/LSH) — rows-only:
         "v3_lsh_topk": v3_lsh_topk,
         "v4_embedding_dups": v4_embedding_dups,
+        # NON-SQL — rows-only (v5: iterative k-means training; x5:
+        # metaphone; t9: per-partition bin packing):
         "v5_ivf_topk": v5_ivf_topk,
         "v6_ann_topk_numpy": v6_ann_topk_numpy,
         "x5_phonetic_keys": x5_phonetic_keys,
@@ -1889,6 +1892,63 @@ def _v4_oracle(
         )
         SELECT left_id, right_id, round(cos, 6) AS cosine
         FROM cand WHERE cos >= {min_cosine}
+    """
+
+
+def _v3_oracle(
+    k: int = 20,
+    num_planes: int = 10,
+    probe_bits: int = 2,
+    dim: int = 64,
+    scale: int = 1_000_000,
+) -> str:
+    """DuckDB oracle for portable multi-probe LSH top-k (mirrors
+    operators/similarity.py lsh_topk_portable on the quantized integer
+    features; query = vec_id 0, corpus = the rest)."""
+    from ftm_columnstore_spark.operators.dedup import _plane_signs
+
+    signs = _plane_signs(num_planes, dim)
+    plane_rows = ", ".join(
+        f"({p}, [{', '.join(str(s) for s in row)}])"
+        for p, row in enumerate(signs)
+    )
+    return f"""
+        WITH allq AS (
+            SELECT vec_id AS id,
+                   list_transform(embedding,
+                       x -> CAST(floor(x::DOUBLE * {scale} + 0.5) AS BIGINT)) AS q
+            FROM embeddings
+        ), corpus AS (
+            SELECT * FROM allq WHERE id <> 0
+        ), qv AS (
+            SELECT q FROM allq WHERE id = 0
+        ), planes(p, sarr) AS (
+            SELECT * FROM (VALUES {plane_rows})
+        ), sigs AS (
+            SELECT id, sum(CASE WHEN list_sum(list_transform(range(1, {dim + 1}),
+                                     i -> c.q[i] * sarr[i])) >= 0
+                           THEN 1 << p ELSE 0 END) AS sig
+            FROM corpus c, planes GROUP BY id
+        ), qsig AS (
+            SELECT sum(CASE WHEN list_sum(list_transform(range(1, {dim + 1}),
+                                i -> qv.q[i] * sarr[i])) >= 0
+                       THEN 1 << p ELSE 0 END) AS sig
+            FROM qv, planes
+        ), cand AS (
+            SELECT c.id, c.q FROM corpus c
+            JOIN sigs s ON s.id = c.id, qsig
+            WHERE bit_count(xor(s.sig, qsig.sig)) <= {probe_bits}
+        ), scored AS (
+            SELECT c.id,
+                   CAST(list_sum(list_transform(range(1, {dim + 1}),
+                                 i -> c.q[i] * qv.q[i])) AS DOUBLE)
+                   / sqrt(list_sum(list_transform(c.q, x -> x * x))::DOUBLE
+                          * list_sum(list_transform(qv.q, x -> x * x))::DOUBLE)
+                   AS cos
+            FROM cand c, qv
+        )
+        SELECT id AS vec_id, round(cos, 6) AS cosine
+        FROM scored ORDER BY cos DESC, id LIMIT {k}
     """
 
 
@@ -2704,6 +2764,7 @@ def oracle_sql() -> dict[str, str]:
         "d3_minhash_lsh_pairs": _d3_oracle(),
         "d4_simhash_pairs": _d4_oracle(),
         "v4_embedding_dups": _v4_oracle(min_cosine=0.40, num_planes=4),
+        "v3_lsh_topk": _v3_oracle(),
         "d8_decontamination": """
             WITH toks AS (
                 SELECT doc_id,

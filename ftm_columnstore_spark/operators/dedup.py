@@ -731,35 +731,9 @@ def embedding_dup_pairs_portable(
     Relational shape (100 TB path): quantize is narrow; dots/norms are
     one explode + broadcast-join(512-row plane table) + groupBy(id);
     the only wide op is the signature-bucket self-join."""
-    spark = df.sparkSession
-    dim = len(df.select(vec_col).first()[0])
-    signs = _plane_signs(num_planes, dim)
-    planes = spark.createDataFrame(
-        [(p, d, s) for p, row in enumerate(signs) for d, s in enumerate(row)],
-        "plane int, pos int, s long",
-    )
-    q = df.select(
-        F.col(id_col).alias("id"),
-        F.transform(
-            F.col(vec_col),
-            lambda x: F.floor(x.cast("double") * scale + F.lit(0.5)),
-        ).alias("q"),
-    )
-    ex = q.select("id", F.posexplode("q").alias("pos", "qv"))
-    dots = (
-        ex.join(F.broadcast(planes), on="pos")
-        .groupBy("id", "plane")
-        .agg(F.sum(F.col("qv") * F.col("s")).alias("dot"))
-    )
-    sigs = dots.groupBy("id").agg(
-        F.sum(
-            F.when(F.col("dot") >= 0, F.expr("shiftleft(1L, plane)")).otherwise(
-                F.lit(0)
-            )
-        ).alias("sig")
-    )
-    norms = ex.groupBy("id").agg(F.sum(F.col("qv") * F.col("qv")).alias("nq"))
-    feats = q.join(sigs, on="id").join(norms, on="id")
+    from ftm_columnstore_spark.operators.similarity import quantized_features
+
+    feats = quantized_features(df, vec_col, id_col, num_planes, scale)
     l, r = feats.alias("l"), feats.alias("r")
     dotq = F.aggregate(
         F.zip_with("l.q", "r.q", lambda a, b: a * b),

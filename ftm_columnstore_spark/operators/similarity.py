@@ -93,6 +93,105 @@ def lsh_topk(
     return scored.orderBy(F.col("cosine").desc(), F.col(id_col)).limit(k)
 
 
+def quantized_features(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    num_planes: int = 8,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """(id, q array<long>, sig long, nq long) — engine-portable quantized
+    vector features: ``floor(x*scale + 0.5)`` int64 components, ±1-plane
+    integer LSH signature (bit set when dot ≥ 0), int64 squared norm.
+    Exact integer arithmetic end-to-end, so any engine reproduces it
+    bit-for-bit (the basis for the oracle-checked near-dup and ANN
+    variants). Relational shape: narrow quantize → explode + broadcast
+    plane join → two groupBy(id) aggregates."""
+    from ftm_columnstore_spark.operators.dedup import _plane_signs
+
+    spark = df.sparkSession
+    dim = len(df.select(vec_col).first()[0])
+    signs = _plane_signs(num_planes, dim)
+    planes = spark.createDataFrame(
+        [(p, d, s) for p, row in enumerate(signs) for d, s in enumerate(row)],
+        "plane int, pos int, s long",
+    )
+    q = df.select(
+        F.col(id_col).alias("id"),
+        F.transform(
+            F.col(vec_col),
+            lambda x: F.floor(x.cast("double") * scale + F.lit(0.5)),
+        ).alias("q"),
+    )
+    ex = q.select("id", F.posexplode("q").alias("pos", "qv"))
+    dots = (
+        ex.join(F.broadcast(planes), on="pos")
+        .groupBy("id", "plane")
+        .agg(F.sum(F.col("qv") * F.col("s")).alias("dot"))
+    )
+    sigs = dots.groupBy("id").agg(
+        F.sum(
+            F.when(F.col("dot") >= 0, F.expr("shiftleft(1L, plane)")).otherwise(
+                F.lit(0)
+            )
+        ).alias("sig")
+    )
+    norms = ex.groupBy("id").agg(F.sum(F.col("qv") * F.col("qv")).alias("nq"))
+    return q.join(sigs, on="id").join(norms, on="id")
+
+
+def lsh_topk_portable(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    num_planes: int = 12,
+    probe_bits: int = 1,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Multi-probe LSH top-k on the engine-portable quantized features:
+    candidates are rows whose integer signature is within ``probe_bits``
+    Hamming of the query's, re-ranked by cosine computed from the
+    quantized ints (IEEE *, /, sqrt are correctly rounded → bit-identical
+    across engines, so candidate set, scores AND the k-cut are
+    oracle-checkable, unlike the float-plane :func:`lsh_topk`)."""
+    import math
+
+    from ftm_columnstore_spark.operators.dedup import _plane_signs
+
+    dim = len(query_vec)
+    signs = _plane_signs(num_planes, dim)
+    qq = [math.floor(float(x) * scale + 0.5) for x in query_vec]
+    qsig = 0
+    for p, row in enumerate(signs):
+        if sum(a * b for a, b in zip(qq, row)) >= 0:
+            qsig |= 1 << p
+    qnorm = sum(a * a for a in qq)
+
+    feats = quantized_features(df, vec_col, id_col, num_planes, scale)
+    cand = feats.filter(
+        F.bit_count(F.col("sig").bitwiseXOR(F.lit(qsig))) <= probe_bits
+    )
+    qarr = F.array(*[F.lit(v).cast("long") for v in qq])
+    dotq = F.aggregate(
+        F.zip_with("q", qarr, lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    cos = dotq.cast("double") / F.sqrt(
+        F.col("nq").cast("double") * F.lit(float(qnorm))
+    )
+    scored = cand.select(
+        F.col("id").alias(id_col), cos.alias("__cos")
+    )
+    return (
+        scored.orderBy(F.col("__cos").desc(), F.col(id_col))
+        .limit(k)
+        .select(id_col, F.round("__cos", 6).alias("cosine"))
+    )
+
+
 def brute_force_topk_np(
     df: DataFrame,
     query_vec: list[float],
