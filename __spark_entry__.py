@@ -1110,6 +1110,23 @@ def d4_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_pairs_portable(_t(spark, sf_dir, "documents"), max_hamming=3)
 
 
+def v8_ivf_topk_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF probe path with fixed centroids — the serve-path counterpart
+    of v5 (trained k-means, rows-only): pinning centroids to the lowest
+    corpus ids makes assignment/probe/re-rank exact arithmetic, so this
+    one is fully oracle-checked."""
+    from ftm_columnstore_spark.operators.similarity import ivf_topk_portable
+
+    e = _t(spark, sf_dir, "embeddings")
+    qvec = [
+        float(x)
+        for x in e.filter(F.col("vec_id") == 0).collect()[0]["embedding"]
+    ]
+    return ivf_topk_portable(
+        e.filter(F.col("vec_id") != 0), qvec, k=20, n_centroids=16, n_probe=6
+    )
+
+
 def v3_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ftm_columnstore_spark.operators.similarity import lsh_topk_portable
 
@@ -1704,6 +1721,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d4_simhash_pairs": d4_simhash_pairs,
         "v3_lsh_topk": v3_lsh_topk,
         "v4_embedding_dups": v4_embedding_dups,
+        "v8_ivf_topk_portable": v8_ivf_topk_portable,
         # NON-SQL — rows-only (v5: iterative k-means training; x5:
         # metaphone; t9: per-partition bin packing):
         "v5_ivf_topk": v5_ivf_topk,
@@ -1938,6 +1956,71 @@ def _v3_oracle(
             SELECT c.id, c.q FROM corpus c
             JOIN sigs s ON s.id = c.id, qsig
             WHERE bit_count(xor(s.sig, qsig.sig)) <= {probe_bits}
+        ), scored AS (
+            SELECT c.id,
+                   CAST(list_sum(list_transform(range(1, {dim + 1}),
+                                 i -> c.q[i] * qv.q[i])) AS DOUBLE)
+                   / sqrt(list_sum(list_transform(c.q, x -> x * x))::DOUBLE
+                          * list_sum(list_transform(qv.q, x -> x * x))::DOUBLE)
+                   AS cos
+            FROM cand c, qv
+        )
+        SELECT id AS vec_id, round(cos, 6) AS cosine
+        FROM scored ORDER BY cos DESC, id LIMIT {k}
+    """
+
+
+def _v8_oracle(
+    k: int = 20,
+    n_centroids: int = 16,
+    n_probe: int = 6,
+    dim: int = 64,
+    scale: int = 1_000_000,
+) -> str:
+    """DuckDB oracle for the fixed-centroid IVF probe path (mirrors
+    operators/similarity.py ivf_topk_portable: centroids = lowest-id
+    corpus vectors, assignment by integer-dot/centroid-norm argmax with
+    (score DESC, cid) tiebreak, probe top-n centroids for the query,
+    exact quantized-cosine re-rank)."""
+    return f"""
+        WITH allq AS (
+            SELECT vec_id AS id,
+                   list_transform(embedding,
+                       x -> CAST(floor(x::DOUBLE * {scale} + 0.5) AS BIGINT)) AS q
+            FROM embeddings
+        ), corpus AS (
+            SELECT * FROM allq WHERE id <> 0
+        ), qv AS (
+            SELECT q FROM allq WHERE id = 0
+        ), cents AS (
+            SELECT id AS cid, q AS cq FROM corpus ORDER BY id LIMIT {n_centroids}
+        ), cnorm AS (
+            SELECT cid, list_sum(list_transform(cq, x -> x * x)) AS nqc
+            FROM cents
+        ), scores AS (
+            SELECT c.id, ct.cid,
+                   CAST(list_sum(list_transform(range(1, {dim + 1}),
+                                 i -> c.q[i] * ct.cq[i])) AS DOUBLE)
+                   / sqrt(cn.nqc::DOUBLE) AS score
+            FROM corpus c, cents ct JOIN cnorm cn USING (cid)
+        ), assign AS (
+            SELECT id, cid FROM (
+                SELECT id, cid,
+                       row_number() OVER (PARTITION BY id
+                                          ORDER BY score DESC, cid) AS rn
+                FROM scores) WHERE rn = 1
+        ), qscore AS (
+            SELECT ct.cid,
+                   CAST(list_sum(list_transform(range(1, {dim + 1}),
+                                 i -> qv.q[i] * ct.cq[i])) AS DOUBLE)
+                   / sqrt(cn.nqc::DOUBLE) AS score
+            FROM qv, cents ct JOIN cnorm cn USING (cid)
+        ), probes AS (
+            SELECT cid FROM qscore ORDER BY score DESC, cid LIMIT {n_probe}
+        ), cand AS (
+            SELECT c.id, c.q FROM corpus c
+            JOIN assign a ON a.id = c.id
+            JOIN probes p ON p.cid = a.cid
         ), scored AS (
             SELECT c.id,
                    CAST(list_sum(list_transform(range(1, {dim + 1}),
@@ -2765,6 +2848,7 @@ def oracle_sql() -> dict[str, str]:
         "d4_simhash_pairs": _d4_oracle(),
         "v4_embedding_dups": _v4_oracle(min_cosine=0.40, num_planes=4),
         "v3_lsh_topk": _v3_oracle(),
+        "v8_ivf_topk_portable": _v8_oracle(),
         "d8_decontamination": """
             WITH toks AS (
                 SELECT doc_id,

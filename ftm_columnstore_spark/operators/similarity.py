@@ -192,6 +192,104 @@ def lsh_topk_portable(
     )
 
 
+def ivf_topk_portable(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """IVF probe path on the engine-portable quantized ints, with FIXED
+    centroids (the ``n_centroids`` lowest-id corpus vectors) instead of
+    trained ones — index *training* is an offline job in any real ANN
+    system, and pinning the centroids makes the entire serve path
+    (assignment → probe selection → re-rank) exact integer/IEEE
+    arithmetic, hence oracle-checkable. For trained centroids use
+    :func:`ivf_topk`/:func:`build_ivf_index`; the plan shape is
+    identical.
+
+    Assignment is relational (explode + broadcast centroid components +
+    groupBy) — the correctness-first O(N·D·C) form; at scale use
+    :func:`build_ivf_index`'s partition-pruned layout with the numpy
+    assignment pass."""
+    import math
+
+    from pyspark.sql import Window
+
+    spark = df.sparkSession
+    q = df.select(
+        F.col(id_col).alias("id"),
+        F.transform(
+            F.col(vec_col),
+            lambda x: F.floor(x.cast("double") * scale + F.lit(0.5)),
+        ).alias("q"),
+    )
+    cent_rows = q.orderBy("id").limit(n_centroids).collect()
+    cents = [(int(r["id"]), [int(v) for v in r["q"]]) for r in cent_rows]
+    cent_comp = spark.createDataFrame(
+        [(cid, p, v) for cid, vec in cents for p, v in enumerate(vec)],
+        "cid long, pos int, cv long",
+    )
+    cent_norm = spark.createDataFrame(
+        [(cid, sum(v * v for v in vec)) for cid, vec in cents],
+        "cid long, nqc long",
+    )
+    ex = q.select("id", F.posexplode("q").alias("pos", "qv"))
+    scores = (
+        ex.join(F.broadcast(cent_comp), on="pos")
+        .groupBy("id", "cid")
+        .agg(F.sum(F.col("qv") * F.col("cv")).alias("dot"))
+        .join(F.broadcast(cent_norm), on="cid")
+        .withColumn(
+            "score",
+            F.col("dot").cast("double") / F.sqrt(F.col("nqc").cast("double")),
+        )
+    )
+    w = Window.partitionBy("id").orderBy(F.col("score").desc(), F.col("cid"))
+    assign = (
+        scores.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("id", "cid")
+    )
+
+    qq = [math.floor(float(x) * scale + 0.5) for x in query_vec]
+    qnorm = sum(a * a for a in qq)
+    probe_scores = sorted(
+        (
+            (
+                -sum(a * b for a, b in zip(qq, vec))
+                / math.sqrt(float(sum(v * v for v in vec))),
+                cid,
+            )
+            for cid, vec in cents
+        ),
+    )[:n_probe]
+    probed = [cid for _, cid in probe_scores]
+
+    cand = q.join(assign, on="id").filter(F.col("cid").isin(probed))
+    qarr = F.array(*[F.lit(v).cast("long") for v in qq])
+    dotq = F.aggregate(
+        F.zip_with("q", qarr, lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    nq = F.aggregate(
+        F.transform("q", lambda x: x * x),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    cos = dotq.cast("double") / F.sqrt(nq.cast("double") * F.lit(float(qnorm)))
+    return (
+        cand.select(F.col("id").alias(id_col), cos.alias("__cos"))
+        .orderBy(F.col("__cos").desc(), F.col(id_col))
+        .limit(k)
+        .select(id_col, F.round("__cos", 6).alias("cosine"))
+    )
+
+
 def brute_force_topk_np(
     df: DataFrame,
     query_vec: list[float],

@@ -57,6 +57,36 @@ def test_lsh_topk_recall(vectors):
     assert len(exact & approx) >= 5
 
 
+def test_lsh_topk_portable_recall(vectors):
+    from ftm_columnstore_spark.operators.similarity import lsh_topk_portable
+
+    q = list(vectors.filter(F.col("vec_id") == 0).collect()[0]["embedding"])
+    exact = {r["vec_id"] for r in brute_force_topk(vectors, q, k=10).collect()}
+    approx = {
+        r["vec_id"]
+        for r in lsh_topk_portable(
+            vectors, q, k=10, num_planes=8, probe_bits=3
+        ).collect()
+    }
+    assert len(exact & approx) >= 5
+
+
+def test_ivf_topk_portable_recall(vectors):
+    from ftm_columnstore_spark.operators.similarity import ivf_topk_portable
+
+    q = list(vectors.filter(F.col("vec_id") == 0).collect()[0]["embedding"])
+    corpus = vectors.filter(F.col("vec_id") != 0)
+    exact = {r["vec_id"] for r in brute_force_topk(corpus, q, k=10).collect()}
+    approx = {
+        r["vec_id"]
+        for r in ivf_topk_portable(
+            corpus, q, k=10, n_centroids=8, n_probe=5
+        ).collect()
+    }
+    assert len(approx) == 10
+    assert len(exact & approx) >= 4
+
+
 def test_knn_join(vectors):
     queries = vectors.filter(F.col("vec_id") < 3)
     out = knn_join(queries, vectors, k=4).collect()
