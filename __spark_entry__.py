@@ -1021,6 +1021,23 @@ def o4_deterministic_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
+def t11_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style corpus-LM quality proxy: per-doc bits/bigram under an
+    add-k bigram model trained on the corpus itself."""
+    from ftm_columnstore_spark.operators.text import bigram_lm_scores
+
+    d = _t(spark, sf_dir, "documents")
+    return bigram_lm_scores(d).withColumnRenamed("id", "doc_id")
+
+
+def t12_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 characteristic terms per doc by smoothed TF-IDF."""
+    from ftm_columnstore_spark.operators.text import tfidf_top_terms
+
+    d = _t(spark, sf_dir, "documents")
+    return tfidf_top_terms(d, top=3).withColumnRenamed("id", "doc_id")
+
+
 def t5_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heuristic quality scoring per document (oracle: same arithmetic in
     DuckDB over the same tokenizer regex)."""
@@ -1722,6 +1739,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "v3_lsh_topk": v3_lsh_topk,
         "v4_embedding_dups": v4_embedding_dups,
         "v8_ivf_topk_portable": v8_ivf_topk_portable,
+        "t11_bigram_lm": t11_bigram_lm,
+        "t12_tfidf_terms": t12_tfidf_terms,
         # NON-SQL — rows-only (v5: iterative k-means training; x5:
         # metaphone; t9: per-partition bin packing):
         "v5_ivf_topk": v5_ivf_topk,
@@ -2849,6 +2868,58 @@ def oracle_sql() -> dict[str, str]:
         "v4_embedding_dups": _v4_oracle(min_cosine=0.40, num_planes=4),
         "v3_lsh_topk": _v3_oracle(),
         "v8_ivf_topk_portable": _v8_oracle(),
+        "t11_bigram_lm": """
+            WITH toks AS (
+                SELECT doc_id AS id,
+                       list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                                   x -> x <> '') AS tk
+                FROM documents WHERE text IS NOT NULL
+            ), v AS (
+                SELECT count(DISTINCT w) AS vs
+                FROM (SELECT unnest(tk) AS w FROM toks)
+            ), big AS (
+                SELECT id, bg.w1 AS w1, bg.w2 AS w2
+                FROM (SELECT id,
+                             unnest(list_transform(range(1, len(tk)),
+                                    i -> {'w1': tk[i], 'w2': tk[i+1]})) AS bg
+                      FROM toks WHERE len(tk) >= 2)
+            ), c2 AS (
+                SELECT w1, w2, count(*) AS c2 FROM big GROUP BY w1, w2
+            ), c1 AS (
+                SELECT w1, count(*) AS c1 FROM big GROUP BY w1
+            )
+            SELECT id AS doc_id, count(*) AS n_bigrams,
+                   round(avg((ln(c1.c1 + 0.5 * v.vs) - ln(c2.c2 + 0.5))
+                             / ln(2)), 6) AS bits_per_bigram
+            FROM big JOIN c2 USING (w1, w2) JOIN c1 USING (w1), v
+            GROUP BY id
+        """,
+        "t12_tfidf_terms": """
+            WITH toks AS (
+                SELECT doc_id AS id,
+                       list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                                   x -> x <> '') AS tk
+                FROM documents WHERE text IS NOT NULL
+            ), nd AS (
+                SELECT count(DISTINCT doc_id) AS n FROM documents
+            ), tf AS (
+                SELECT id, term, count(*) AS tf
+                FROM (SELECT id, unnest(tk) AS term FROM toks)
+                GROUP BY id, term
+            ), dfreq AS (
+                SELECT term, count(*) AS df FROM tf GROUP BY term
+            ), scored AS (
+                SELECT id, term,
+                       tf * (ln((nd.n + 1) / (dfreq.df + 1)) + 1) AS tfidf
+                FROM tf JOIN dfreq USING (term), nd
+            )
+            SELECT id AS doc_id, term, round(tfidf, 6) AS tfidf, rank
+            FROM (SELECT id, term, tfidf,
+                         row_number() OVER (PARTITION BY id
+                                            ORDER BY tfidf DESC, term) AS rank
+                  FROM scored)
+            WHERE rank <= 3
+        """,
         "d8_decontamination": """
             WITH toks AS (
                 SELECT doc_id,

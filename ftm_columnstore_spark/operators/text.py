@@ -154,3 +154,88 @@ def analyze_documents(
         quality_score_col(text_col).alias("quality"),
         doc_fingerprint_col(text_col).alias("fingerprint"),
     )
+
+
+def bigram_lm_scores(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: float = 0.5,
+) -> DataFrame:
+    """Per-document cross-entropy under a corpus-trained add-k bigram LM —
+    the KenLM-style quality proxy used by CCNet-like pipelines: documents
+    scoring far above the corpus mean are atypical (boilerplate, noise,
+    wrong language). score = mean over a doc's bigrams of
+    ``-log2 P(w2|w1)`` with ``P = (c(w1,w2)+k) / (c(w1)+k·V)``.
+
+    Fully relational (100 TB path): tokenize is narrow; bigrams come from
+    ONE per-doc window pass (shuffle on doc id); the LM "training" is two
+    corpus-wide aggregations on token keys whose outputs are
+    vocabulary-sized (AQE broadcasts them back when small); the scoring
+    join shuffles on the bigram key. Docs with < 2 tokens are excluded
+    (they have no bigrams). Output: (id, n_bigrams, bits_per_bigram)."""
+    from pyspark.sql import Window
+
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(word_tokens_col(text_col)).alias("pos", "w"),
+    )
+    vocab_size = toks.select("w").distinct().count()
+    w = Window.partitionBy("id").orderBy("pos")
+    big = (
+        toks.withColumn("w1", F.lag("w").over(w))
+        .filter(F.col("w1").isNotNull())
+        .select("id", "w1", F.col("w").alias("w2"))
+    )
+    c2 = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    c1 = big.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    bits = (
+        F.log(F.col("c1").cast("double") + F.lit(float(k) * vocab_size))
+        - F.log(F.col("c2").cast("double") + F.lit(float(k)))
+    ) / F.log(F.lit(2.0))
+    return (
+        big.join(c2, on=["w1", "w2"])
+        .join(c1, on="w1")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(F.avg(bits), 6).alias("bits_per_bigram"),
+        )
+    )
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top: int = 3,
+) -> DataFrame:
+    """Top-``top`` characteristic terms per document by smoothed TF-IDF
+    (``tf · (ln((N+1)/(df+1)) + 1)``), ties broken lexicographically —
+    the classic keyword-extraction / feature-selection pass.
+
+    Relational: term frequencies are one groupBy(id, term); document
+    frequencies one vocabulary-keyed aggregation; ranking one window on
+    the doc id (WindowGroupLimit prunes to top-k per group before the
+    final sort). Output: (id, term, tfidf, rank)."""
+    from pyspark.sql import Window
+
+    n_docs = df.select(F.col(id_col)).distinct().count()
+    terms = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(word_tokens_col(text_col)).alias("term"),
+    )
+    tf = terms.groupBy("id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log(
+        F.lit(float(n_docs + 1)) / (F.col("df").cast("double") + F.lit(1.0))
+    ) + F.lit(1.0)
+    scored = tf.join(dfreq, on="term").select(
+        "id", "term", (F.col("tf").cast("double") * idf).alias("tfidf")
+    )
+    w = Window.partitionBy("id").orderBy(F.col("tfidf").desc(), F.col("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top)
+        .select("id", "term", F.round("tfidf", 6).alias("tfidf"), "rank")
+    )

@@ -75,3 +75,49 @@ def test_repetition_stats(spark):
         for r in repetition_stats(df, ngram_n=3).collect()
     }
     assert got == {1: (7, 3, 3), 2: (3, 3, 1)}
+
+
+def test_bigram_lm_scores(spark):
+    import math
+
+    from ftm_columnstore_spark.operators.text import bigram_lm_scores
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b a b a b"),      # typical: bigrams (a,b)x3 (b,a)x2
+            (2, "a b"),              # one common bigram
+            (3, "x q"),              # rare bigram → high bits
+            (4, "solo"),             # 1 token → no bigrams, excluded
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r.id: (r.n_bigrams, r.bits_per_bigram)
+           for r in bigram_lm_scores(df).collect()}
+    assert set(got) == {1, 2, 3}
+    assert got[1][0] == 5 and got[2][0] == 1 and got[3][0] == 1
+    # the rare (x,q) bigram must cost more bits than the common (a,b)
+    assert got[3][1] > got[2][1]
+    # hand-checked: V=5 tokens {a,b,x,q,solo}; c2(a,b)=4, c1(a)=4 →
+    # P(b|a) = (4+.5)/(4+.5·5) = 4.5/6.5
+    assert math.isclose(got[2][1], -math.log2(4.5 / 6.5), rel_tol=1e-6)
+
+
+def test_tfidf_top_terms(spark):
+    from ftm_columnstore_spark.operators.text import tfidf_top_terms
+
+    df = spark.createDataFrame(
+        [
+            (1, "spark spark spark common"),
+            (2, "duck duck common"),
+            (3, "common only words"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = tfidf_top_terms(df, top=2).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.id, []).append((r.rank, r.term))
+    # each doc's rank-1 term is its distinctive repeated word where present
+    assert sorted(by_doc[1])[0][1] == "spark"
+    assert sorted(by_doc[2])[0][1] == "duck"
+    assert all(len(v) == 2 for v in by_doc.values())
