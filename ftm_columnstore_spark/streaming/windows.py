@@ -78,6 +78,43 @@ def streaming_dataset_stats(statements: DataFrame) -> DataFrame:
     )
 
 
+def interval_join_streams(
+    left: DataFrame,
+    right: DataFrame,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    band: str = "10 minutes",
+    watermark: str | None = "1 hour",
+) -> DataFrame:
+    """Watermarked stream-stream inner join: pair left/right events with
+    equal ``key`` whose timestamps lie within ``band`` of each other
+    (``r.ts ∈ [l.ts − band, l.ts + band]``).
+
+    On streams, BOTH sides carry watermarks and the time-range predicate
+    is what lets Spark bound the join state — buffered rows older than
+    watermark+band are evicted, so state never grows with stream length.
+    On batch frames the identical plan is the band join
+    (operators/temporal.py shows the bucketed batch formulation for the
+    quadratic-safe variant). Shuffle key is ``key`` — horizontal
+    scale-out; output prefixes columns with ``l_``/``r_``."""
+    l = _with_watermark(left, ts_col, watermark)
+    r = _with_watermark(right, ts_col, watermark)
+    l = l.select([F.col(c).alias(f"l_{c}") for c in l.columns])
+    r = r.select([F.col(c).alias(f"r_{c}") for c in r.columns])
+    cond = (
+        (F.col(f"l_{key}") == F.col(f"r_{key}"))
+        & (
+            F.col(f"r_{ts_col}")
+            >= F.col(f"l_{ts_col}") - F.expr(f"INTERVAL {band}")
+        )
+        & (
+            F.col(f"r_{ts_col}")
+            <= F.col(f"l_{ts_col}") + F.expr(f"INTERVAL {band}")
+        )
+    )
+    return l.join(r, cond, "inner")
+
+
 def session_window_agg(
     events: DataFrame,
     gap: str = "30 minutes",

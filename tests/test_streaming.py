@@ -286,3 +286,44 @@ def test_sampling_ops_compose_with_streams(spark, tmp_path):
     ).select("doc_id", "split")
     assert streamed.count() == 50
     assert streamed.exceptAll(batch).count() == 0  # identical assignment
+
+
+def test_stream_stream_interval_join(spark, tmp_path):
+    """Watermarked stream-stream join: clicks matched to errors of the
+    same user within the band; the cross-user / out-of-band pairs drop."""
+    from ftm_columnstore_spark.streaming.windows import interval_join_streams
+
+    src = tmp_path / "ssj"
+    src.mkdir()
+    rows = [
+        {"event_id": 1, "ts": "2024-01-01T10:00:00.000Z", "user_id": 7, "event_type": "click"},
+        {"event_id": 2, "ts": "2024-01-01T10:04:00.000Z", "user_id": 7, "event_type": "error"},
+        {"event_id": 3, "ts": "2024-01-01T11:30:00.000Z", "user_id": 7, "event_type": "error"},
+        {"event_id": 4, "ts": "2024-01-01T10:03:00.000Z", "user_id": 9, "event_type": "error"},
+    ]
+    (src / "p1.json").write_text("\n".join(json.dumps(r) for r in rows))
+    schema = "event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING"
+
+    def stream():
+        return spark.readStream.schema(schema).json(str(src))
+
+    joined = interval_join_streams(
+        stream().filter("event_type = 'click'"),
+        stream().filter("event_type = 'error'"),
+        key="user_id",
+        band="10 minutes",
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ssj_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql(
+        "select l_event_id, r_event_id from ssj_test"
+    ).collect()
+    # click 1 pairs only with error 2 (same user, 4 min apart);
+    # error 3 is out of band, error 4 is another user
+    assert [(r["l_event_id"], r["r_event_id"]) for r in got] == [(1, 2)]
