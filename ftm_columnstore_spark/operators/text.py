@@ -237,5 +237,10 @@ def tfidf_top_terms(
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= top)
-        .select("id", "term", F.round("tfidf", 6).alias("tfidf"), "rank")
+        .select(
+            "id",
+            "term",
+            F.round("tfidf", 6).alias("tfidf"),
+            F.col("rank").cast("long").alias("rank"),
+        )
     )
