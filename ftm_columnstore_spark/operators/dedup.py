@@ -429,20 +429,28 @@ def simhash_chunks(
     parity — the pd.util.hash_array fast path in :func:`simhash_docs`
     is Spark-only).
 
-    Relational single-aggregation shape: token rows → two conv(md5)
-    halves per occurrence → ONE groupBy(id) with 64 codegen'd
-    sum(±1) vote aggregates → chunk packing. The only shuffle key is
-    the doc id."""
+    Relational two-aggregation shape: token rows → groupBy(id, token)
+    occurrence counts (collapses repeated tokens BEFORE the expensive
+    stages — md5 runs once per distinct (doc, token), and the 64-way
+    vote aggregation reads ~10× fewer rows on natural-language token
+    distributions) → ONE groupBy(id) with 64 codegen'd sum(cnt·±1)
+    vote aggregates → chunk packing. Identical votes to the
+    per-occurrence form; both shuffles are keyed by the doc id."""
     from ftm_columnstore_spark.functions.text import word_tokens_col
 
     width = 64 // bands
-    tok = df.filter(F.col(text_col).isNotNull()).select(
-        F.col(id_col).alias("id"),
-        F.explode(word_tokens_col(text_col)).alias("__t"),
+    tok = (
+        df.filter(F.col(text_col).isNotNull())
+        .select(
+            F.col(id_col).alias("id"),
+            F.explode(word_tokens_col(text_col)).alias("__t"),
+        )
+        .groupBy("id", "__t")
+        .agg(F.count(F.lit(1)).alias("__cnt"))
     )
     hi = F.conv(F.substring(F.md5("__t"), 1, 8), 16, 10).cast("long")
     lo = F.conv(F.substring(F.md5("__t"), 9, 8), 16, 10).cast("long")
-    hashed = tok.select("id", hi.alias("__hi"), lo.alias("__lo"))
+    hashed = tok.select("id", "__cnt", hi.alias("__hi"), lo.alias("__lo"))
 
     def bit(j: int) -> F.Column:
         src, off = ("__lo", j) if j < 32 else ("__hi", j - 32)
@@ -450,7 +458,7 @@ def simhash_chunks(
 
     votes = hashed.groupBy("id").agg(
         *[
-            F.sum(bit(j) * 2 - F.lit(1)).alias(f"__v{j}")
+            F.sum(F.col("__cnt") * (bit(j) * 2 - F.lit(1))).alias(f"__v{j}")
             for j in range(64)
         ]
     )
