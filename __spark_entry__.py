@@ -1920,6 +1920,7 @@ def _v4_oracle(
         ), feats AS (
             SELECT q.id, q.q, sigs.sig, norms.nq
             FROM q JOIN sigs USING (id) JOIN norms ON norms.id = q.id
+            WHERE norms.nq > 0
         ), cand AS (
             SELECT l.id AS left_id, r.id AS right_id,
                    CAST(list_sum(list_transform(range(1, {dim + 1}),
@@ -1975,6 +1976,7 @@ def _v3_oracle(
             SELECT c.id, c.q FROM corpus c
             JOIN sigs s ON s.id = c.id, qsig
             WHERE bit_count(xor(s.sig, qsig.sig)) <= {probe_bits}
+              AND list_sum(list_transform(c.q, x -> x * x)) > 0
         ), scored AS (
             SELECT c.id,
                    CAST(list_sum(list_transform(range(1, {dim + 1}),
@@ -2012,7 +2014,10 @@ def _v8_oracle(
         ), qv AS (
             SELECT q FROM allq WHERE id = 0
         ), cents AS (
-            SELECT id AS cid, q AS cq FROM corpus ORDER BY id LIMIT {n_centroids}
+            SELECT * FROM (
+                SELECT id AS cid, q AS cq FROM corpus
+                ORDER BY id LIMIT {n_centroids}
+            ) WHERE list_sum(list_transform(cq, x -> x * x)) > 0
         ), cnorm AS (
             SELECT cid, list_sum(list_transform(cq, x -> x * x)) AS nqc
             FROM cents
@@ -2040,6 +2045,7 @@ def _v8_oracle(
             SELECT c.id, c.q FROM corpus c
             JOIN assign a ON a.id = c.id
             JOIN probes p ON p.cid = a.cid
+            WHERE list_sum(list_transform(c.q, x -> x * x)) > 0
         ), scored AS (
             SELECT c.id,
                    CAST(list_sum(list_transform(range(1, {dim + 1}),

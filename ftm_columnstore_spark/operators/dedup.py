@@ -112,6 +112,10 @@ def minhash_signature(
     same candidate-pair geometry, marginally cheaper per shingle."""
     from ftm_columnstore_spark.functions.text import shingle_rows
 
+    if hash_family not in ("portable", "fast"):
+        raise ValueError(
+            f"hash_family must be 'portable' or 'fast', got {hash_family!r}"
+        )
     shingled = shingle_rows(df, text_col, id_col, shingle_k)
     if hash_family == "fast":
         hashed = shingled.select("id", F.xxhash64("shingle").alias("__h"))
@@ -741,7 +745,10 @@ def embedding_dup_pairs_portable(
     the only wide op is the signature-bucket self-join."""
     from ftm_columnstore_spark.operators.similarity import quantized_features
 
-    feats = quantized_features(df, vec_col, id_col, num_planes, scale)
+    # persist: the self-join references feats twice — without it the
+    # whole quantize+signature lineage is inlined into BOTH sides
+    # (same lesson as the banded MinHash relation)
+    feats = quantized_features(df, vec_col, id_col, num_planes, scale).persist()
     l, r = feats.alias("l"), feats.alias("r")
     dotq = F.aggregate(
         F.zip_with("l.q", "r.q", lambda a, b: a * b),

@@ -93,12 +93,69 @@ def lsh_topk(
     return scored.orderBy(F.col("cosine").desc(), F.col(id_col)).limit(k)
 
 
+def _quantize_col(vec_col: str, scale: int) -> Column:
+    """``floor(x*scale + 0.5)`` int64 components — float→double widening
+    and floor are exact IEEE ops, so every engine derives IDENTICAL
+    integers from identical parquet floats. THE quantization contract:
+    the DuckDB oracle generators in __spark_entry__ mirror this exact
+    expression; change them in lockstep."""
+    return F.transform(
+        F.col(vec_col),
+        lambda x: F.floor(x.cast("double") * scale + F.lit(0.5)),
+    )
+
+
+def _rerank_topk(
+    cand: DataFrame,
+    qq: list[int],
+    qnorm: int,
+    id_col: str,
+    k: int,
+) -> DataFrame:
+    """Exact cosine re-rank of candidate rows (id, q, …) against the
+    quantized query: int64 dot / sqrt of int64 norms (correctly-rounded
+    IEEE → bit-identical cross-engine), (cos DESC, id) order, top-k."""
+    qarr = F.array(*[F.lit(v).cast("long") for v in qq])
+    dotq = F.aggregate(
+        F.zip_with("q", qarr, lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    nq = F.aggregate(
+        F.transform("q", lambda x: x * x),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    cos = dotq.cast("double") / F.sqrt(nq.cast("double") * F.lit(float(qnorm)))
+    return (
+        cand.filter(nq > 0)  # zero-norm rows: cosine undefined (NaN)
+        .select(F.col("id").alias(id_col), cos.alias("__cos"))
+        .orderBy(F.col("__cos").desc(), F.col(id_col))
+        .limit(k)
+        .select(id_col, F.round("__cos", 6).alias("cosine"))
+    )
+
+
+def _quantize_query(query_vec: list[float], scale: int) -> tuple[list[int], int]:
+    """Driver-side quantization of the query vector (same IEEE ops as the
+    executors run); rejects zero-norm queries up front — cosine against
+    them is undefined (NaN) and engines disagree on NaN comparisons."""
+    import math
+
+    qq = [math.floor(float(x) * scale + 0.5) for x in query_vec]
+    qnorm = sum(a * a for a in qq)
+    if qnorm == 0:
+        raise ValueError("query vector has zero norm after quantization")
+    return qq, qnorm
+
+
 def quantized_features(
     df: DataFrame,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     num_planes: int = 8,
     scale: int = 1_000_000,
+    dim: int | None = None,
 ) -> DataFrame:
     """(id, q array<long>, sig long, nq long) — engine-portable quantized
     vector features: ``floor(x*scale + 0.5)`` int64 components, ±1-plane
@@ -106,22 +163,26 @@ def quantized_features(
     Exact integer arithmetic end-to-end, so any engine reproduces it
     bit-for-bit (the basis for the oracle-checked near-dup and ANN
     variants). Relational shape: narrow quantize → explode + broadcast
-    plane join → two groupBy(id) aggregates."""
+    plane join → two groupBy(id) aggregates.
+
+    Pass ``dim`` when known to skip the dimension-probe job (one
+    ``first()`` action otherwise); an empty input yields an empty
+    result."""
     from ftm_columnstore_spark.operators.dedup import _plane_signs
 
     spark = df.sparkSession
-    dim = len(df.select(vec_col).first()[0])
+    if dim is None:
+        probe = df.select(vec_col).filter(F.col(vec_col).isNotNull()).first()
+        # empty input: any dim builds the same (empty) result with the
+        # input's id dtype preserved — no special-case schema
+        dim = len(probe[0]) if probe is not None else 1
     signs = _plane_signs(num_planes, dim)
     planes = spark.createDataFrame(
         [(p, d, s) for p, row in enumerate(signs) for d, s in enumerate(row)],
         "plane int, pos int, s long",
     )
     q = df.select(
-        F.col(id_col).alias("id"),
-        F.transform(
-            F.col(vec_col),
-            lambda x: F.floor(x.cast("double") * scale + F.lit(0.5)),
-        ).alias("q"),
+        F.col(id_col).alias("id"), _quantize_col(vec_col, scale).alias("q")
     )
     ex = q.select("id", F.posexplode("q").alias("pos", "qv"))
     dots = (
@@ -137,7 +198,14 @@ def quantized_features(
         ).alias("sig")
     )
     norms = ex.groupBy("id").agg(F.sum(F.col("qv") * F.col("qv")).alias("nq"))
-    return q.join(sigs, on="id").join(norms, on="id")
+    # zero-norm rows dropped: cosine against them is NaN, and engines
+    # disagree on NaN comparisons (Spark: NaN fails >=; DuckDB: NaN
+    # sorts above everything) — excluding them keeps oracle parity
+    return (
+        q.join(sigs, on="id")
+        .join(norms, on="id")
+        .filter(F.col("nq") > 0)
+    )
 
 
 def lsh_topk_portable(
@@ -156,40 +224,21 @@ def lsh_topk_portable(
     quantized ints (IEEE *, /, sqrt are correctly rounded → bit-identical
     across engines, so candidate set, scores AND the k-cut are
     oracle-checkable, unlike the float-plane :func:`lsh_topk`)."""
-    import math
-
     from ftm_columnstore_spark.operators.dedup import _plane_signs
 
     dim = len(query_vec)
     signs = _plane_signs(num_planes, dim)
-    qq = [math.floor(float(x) * scale + 0.5) for x in query_vec]
+    qq, qnorm = _quantize_query(query_vec, scale)
     qsig = 0
     for p, row in enumerate(signs):
         if sum(a * b for a, b in zip(qq, row)) >= 0:
             qsig |= 1 << p
-    qnorm = sum(a * a for a in qq)
 
-    feats = quantized_features(df, vec_col, id_col, num_planes, scale)
+    feats = quantized_features(df, vec_col, id_col, num_planes, scale, dim=dim)
     cand = feats.filter(
         F.bit_count(F.col("sig").bitwiseXOR(F.lit(qsig))) <= probe_bits
     )
-    qarr = F.array(*[F.lit(v).cast("long") for v in qq])
-    dotq = F.aggregate(
-        F.zip_with("q", qarr, lambda a, b: a * b),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
-    cos = dotq.cast("double") / F.sqrt(
-        F.col("nq").cast("double") * F.lit(float(qnorm))
-    )
-    scored = cand.select(
-        F.col("id").alias(id_col), cos.alias("__cos")
-    )
-    return (
-        scored.orderBy(F.col("__cos").desc(), F.col(id_col))
-        .limit(k)
-        .select(id_col, F.round("__cos", 6).alias("cosine"))
-    )
+    return _rerank_topk(cand, qq, qnorm, id_col, k)
 
 
 def ivf_topk_portable(
@@ -221,14 +270,20 @@ def ivf_topk_portable(
 
     spark = df.sparkSession
     q = df.select(
-        F.col(id_col).alias("id"),
-        F.transform(
-            F.col(vec_col),
-            lambda x: F.floor(x.cast("double") * scale + F.lit(0.5)),
-        ).alias("q"),
+        F.col(id_col).alias("id"), _quantize_col(vec_col, scale).alias("q")
     )
     cent_rows = q.orderBy("id").limit(n_centroids).collect()
-    cents = [(int(r["id"]), [int(v) for v in r["q"]]) for r in cent_rows]
+    # zero-norm centroids dropped (cosine-to-centroid undefined there);
+    # selection-then-filter order is mirrored by the oracle
+    cents = [
+        (int(r["id"]), [int(v) for v in r["q"]])
+        for r in cent_rows
+        if any(v != 0 for v in r["q"])
+    ]
+    if not cents:
+        return df.sparkSession.createDataFrame(
+            [], f"{id_col} long, cosine double"
+        )
     cent_comp = spark.createDataFrame(
         [(cid, p, v) for cid, vec in cents for p, v in enumerate(vec)],
         "cid long, pos int, cv long",
@@ -255,8 +310,7 @@ def ivf_topk_portable(
         .select("id", "cid")
     )
 
-    qq = [math.floor(float(x) * scale + 0.5) for x in query_vec]
-    qnorm = sum(a * a for a in qq)
+    qq, qnorm = _quantize_query(query_vec, scale)
     probe_scores = sorted(
         (
             (
@@ -270,24 +324,7 @@ def ivf_topk_portable(
     probed = [cid for _, cid in probe_scores]
 
     cand = q.join(assign, on="id").filter(F.col("cid").isin(probed))
-    qarr = F.array(*[F.lit(v).cast("long") for v in qq])
-    dotq = F.aggregate(
-        F.zip_with("q", qarr, lambda a, b: a * b),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
-    nq = F.aggregate(
-        F.transform("q", lambda x: x * x),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
-    cos = dotq.cast("double") / F.sqrt(nq.cast("double") * F.lit(float(qnorm)))
-    return (
-        cand.select(F.col("id").alias(id_col), cos.alias("__cos"))
-        .orderBy(F.col("__cos").desc(), F.col(id_col))
-        .limit(k)
-        .select(id_col, F.round("__cos", 6).alias("cosine"))
-    )
+    return _rerank_topk(cand, qq, qnorm, id_col, k)
 
 
 def brute_force_topk_np(
