@@ -119,7 +119,10 @@ def shingle_sets(df, text_col: str = "text", id_col: str = "doc_id", k: int = 5)
                     )
                 ids.append(doc_id)
                 outs.append(sh)
-            yield pd.DataFrame({"id": ids, "sh_arr": outs})
+            if ids:
+                # an unguarded empty frame defaults every column to
+                # float64, which Arrow cannot convert to list<string>
+                yield pd.DataFrame({"id": ids, "sh_arr": outs})
 
     narrow = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__text"))
     return narrow.mapInPandas(gen, schema=out_schema)

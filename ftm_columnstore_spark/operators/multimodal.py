@@ -149,9 +149,10 @@ def sample_frames(
                     ids.append(mid)
                     nos.append(i)
                     frames.append(fr)
-            yield pd.DataFrame(
-                {"media_id": ids, "frame_no": nos, "frame": frames}
-            )
+            if ids:  # empty frames default to float64 (no BinaryType)
+                yield pd.DataFrame(
+                    {"media_id": ids, "frame_no": nos, "frame": frames}
+                )
 
     return media.select(id_col, payload_col).mapInPandas(batches, out_schema)
 

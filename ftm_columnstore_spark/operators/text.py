@@ -128,14 +128,15 @@ def repetition_stats(
                 totals.append(sum(counts.values()))
                 dists.append(len(counts))
                 tops.append(max(counts.values()))
-            yield pd.DataFrame(
-                {
-                    "id": ids,
-                    "n_grams": pd.Series(totals, dtype="int64"),
-                    "n_distinct": pd.Series(dists, dtype="int64"),
-                    "top_count": pd.Series(tops, dtype="int64"),
-                }
-            )
+            if ids:  # empty frames default to float64 columns
+                yield pd.DataFrame(
+                    {
+                        "id": ids,
+                        "n_grams": pd.Series(totals, dtype="int64"),
+                        "n_distinct": pd.Series(dists, dtype="int64"),
+                        "top_count": pd.Series(tops, dtype="int64"),
+                    }
+                )
 
     narrow = documents.select(
         F.col(id_col).alias("id"), F.col(text_col).alias("__text")

@@ -27,8 +27,13 @@ VOCAB = [
     "eta", "theta", "iota", "kappa", "x1", "y22",
 ]
 
-doc = st.lists(st.sampled_from(VOCAB), min_size=1, max_size=25).map(" ".join)
-corpus = st.lists(doc, min_size=2, max_size=8)
+doc = st.one_of(
+    st.none(),  # null text: operators and oracles must both drop it
+    st.lists(st.sampled_from(VOCAB), min_size=1, max_size=25).map(" ".join),
+)
+corpus = st.lists(doc, min_size=2, max_size=8).filter(
+    lambda ts: sum(t is not None for t in ts) >= 2
+)
 
 SETTINGS = settings(
     max_examples=5,
@@ -46,17 +51,25 @@ def _oracle(pdf: pd.DataFrame, sql: str) -> pd.DataFrame:
 def _assert_same(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame) -> None:
     cols = sorted(spark_pdf.columns)
     assert cols == sorted(oracle_pdf.columns)
-    s = spark_pdf[cols].sort_values(cols).reset_index(drop=True)
-    o = oracle_pdf[cols].sort_values(cols).reset_index(drop=True)
+    # sort by exact (non-float) columns first: float values may differ in
+    # the last ulps between engines, and a float-led sort could then
+    # misalign otherwise-identical rows
+    sort_cols = sorted(cols, key=lambda c: spark_pdf[c].dtype.kind == "f")
+    s = spark_pdf[cols].sort_values(sort_cols).reset_index(drop=True)
+    o = oracle_pdf[cols].sort_values(sort_cols).reset_index(drop=True)
     assert len(s) == len(o), (len(s), len(o))
     for c in cols:
         if s[c].dtype.kind == "f" or o[c].dtype.kind == "f":
             assert np.allclose(
                 s[c].astype(float), o[c].astype(float), rtol=1e-9
             ), c
-        else:
+        elif s[c].dtype.kind in "iu" and o[c].dtype.kind in "iu":
             assert (
                 s[c].astype("int64").values == o[c].astype("int64").values
+            ).all(), c
+        else:
+            assert (
+                s[c].astype(str).values == o[c].astype(str).values
             ).all(), c
 
 
@@ -85,6 +98,42 @@ def test_simhash_pairs_match_duckdb(spark, texts):
     want = _oracle(
         pd.DataFrame({"doc_id": range(len(texts)), "text": texts}),
         entry._d4_oracle(bands=4, max_hamming=20),
+    )
+    _assert_same(got, want)
+
+
+@SETTINGS
+@given(texts=corpus)
+def test_bigram_lm_match_duckdb(spark, texts):
+    from ftm_columnstore_spark.operators.text import bigram_lm_scores
+
+    df = spark.createDataFrame(list(enumerate(texts)), ["doc_id", "text"])
+    got = (
+        bigram_lm_scores(df)
+        .withColumnRenamed("id", "doc_id")
+        .toPandas()
+    )
+    want = _oracle(
+        pd.DataFrame({"doc_id": range(len(texts)), "text": texts}),
+        entry.oracle_sql()["t11_bigram_lm"],
+    )
+    _assert_same(got, want)
+
+
+@SETTINGS
+@given(texts=corpus)
+def test_tfidf_match_duckdb(spark, texts):
+    from ftm_columnstore_spark.operators.text import tfidf_top_terms
+
+    df = spark.createDataFrame(list(enumerate(texts)), ["doc_id", "text"])
+    got = (
+        tfidf_top_terms(df, top=3)
+        .withColumnRenamed("id", "doc_id")
+        .toPandas()
+    )
+    want = _oracle(
+        pd.DataFrame({"doc_id": range(len(texts)), "text": texts}),
+        entry.oracle_sql()["t12_tfidf_terms"],
     )
     _assert_same(got, want)
 
