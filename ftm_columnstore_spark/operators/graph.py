@@ -55,6 +55,49 @@ def reverse_ids(statements: DataFrame, value_id: str) -> DataFrame:
     )
 
 
+def expand(
+    statements: DataFrame,
+    entity_ids: list[str],
+    hops: int = 2,
+) -> DataFrame:
+    """K-hop entity neighbourhood — the investigative "everything within
+    N hops of this company" query the reference stops short of (its
+    ``get_adjacent`` is 1-hop, tests/test_store.py:40-41). Frontier BFS
+    over the entity-reference edges: per hop, outgoing (frontier's
+    entity-typed values) ∪ incoming (statements referencing the
+    frontier), minus already-visited — each hop is two broadcast joins
+    of the (tiny) frontier against the statement table plus one
+    anti-join, so no shuffle of the big side and bounded driver rounds
+    (early exit on an empty frontier). Returns (id, dist) with the
+    minimum hop distance, dist 0 = the seeds."""
+    spark = statements.sparkSession
+    visited = spark.createDataFrame(
+        [(e, 0) for e in entity_ids], "id string, dist int"
+    )
+    frontier = visited.select("id")
+    edges = statements.filter(F.col("prop_type") == "entity").select(
+        "canonical_id", "value"
+    )
+    for h in range(1, hops + 1):
+        out_ids = edges.join(
+            F.broadcast(frontier), edges.canonical_id == frontier.id
+        ).select(F.col("value").alias("id"))
+        in_ids = edges.join(
+            F.broadcast(frontier), edges.value == frontier.id
+        ).select(F.col("canonical_id").alias("id"))
+        nxt = (
+            out_ids.union(in_ids)
+            .distinct()
+            .join(visited, on="id", how="left_anti")
+            .persist()
+        )
+        if nxt.isEmpty():
+            break
+        visited = visited.union(nxt.withColumn("dist", F.lit(h))).persist()
+        frontier = nxt.select("id")
+    return visited
+
+
 def adjacent(statements: DataFrame, entity_id: str) -> DataFrame:
     """1-hop neighbourhood (reference ``tests/test_store.py:40-41``):
     outgoing (this entity's entity-typed values) ∪ incoming (inverted).

@@ -23,3 +23,25 @@ def test_adjacent_bidirectional(statements):
         ("in", "paymentsReceived", "pay-2"),
         ("out", "addressEntity", "addr-1"),
     ]
+
+
+def test_expand_khop(statements):
+    from ftm_columnstore_spark.operators.graph import expand
+
+    got = {r["id"]: r["dist"] for r in expand(statements, ["addr-1"], hops=2).collect()}
+    # addr-1 ← org-acme/per-carol (1 hop) ← pay-1/pay-2 (2 hops via org-acme)
+    assert got["addr-1"] == 0
+    assert got["org-acme"] == 1 and got["per-carol"] == 1
+    assert got["pay-1"] == 2 and got["pay-2"] == 2
+
+
+def test_expand_early_exit(statements):
+    from ftm_columnstore_spark.operators.graph import expand
+
+    # hops beyond the component's diameter terminate early and return
+    # the full component with stable distances
+    a = {r["id"]: r["dist"] for r in expand(statements, ["addr-1"], hops=2).collect()}
+    b = {r["id"]: r["dist"] for r in expand(statements, ["addr-1"], hops=10).collect()}
+    assert set(a).issubset(set(b))
+    for k, v in a.items():
+        assert b[k] == v
