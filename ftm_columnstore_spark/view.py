@@ -89,6 +89,16 @@ class View:
         for row in adjacent(self._statements(), entity_id).collect():
             yield row["direction"], row["prop"], row["neighbour_id"]
 
+    def get_expanded(
+        self, entity_id: str, hops: int = 2
+    ) -> Iterator[tuple[str, int]]:
+        """K-hop neighbourhood (extension beyond the reference's 1-hop
+        get_adjacent): yields (entity_id, min_hop_distance)."""
+        from ftm_columnstore_spark.operators.graph import expand
+
+        for row in expand(self._statements(), [entity_id], hops).collect():
+            yield row["id"], row["dist"]
+
     # --- reporting ----------------------------------------------------------
     def stats(self, dataset: str | None = None) -> dict[str, Any]:
         from ftm_columnstore_spark.operators.aggregations import stats

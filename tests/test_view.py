@@ -56,3 +56,10 @@ def test_catalog_view(spark, tmp_path, entities_df):
     assert len(list(both.entities())) == 10
     one = store.view(dataset=["registry"])
     assert len(list(one.entities())) == 3
+
+
+def test_get_expanded(view):
+    got = dict(view.get_expanded("addr-1", hops=2))
+    assert got["addr-1"] == 0
+    assert got.get("org-acme") == 1
+    assert got.get("pay-1") == 2
