@@ -5,12 +5,19 @@ The reference's nearest analogues are batch upsert + incremental MVs
 continuously-appended statement store:
 
   readStream(json) → entities_to_statements → withWatermark(last_seen)
-  → dropDuplicates(id)  [exactly-once-ish within the watermark horizon]
+  → dropDuplicatesWithinWatermark(id)  [exactly-once-ish within horizon]
   → writeStream(parquet, partitionBy=dataset, checkpointed)
 
-Late duplicates beyond the watermark are caught by the store's
-dedup-on-read window, so correctness never depends on streaming state
-size — the watermark only bounds how much work dedup-on-read has left.
+``dropDuplicatesWithinWatermark`` (not plain ``dropDuplicates``): with
+the event-time column absent from the dedup key, plain dropDuplicates
+NEVER evicts its state even under a watermark (documented Spark
+caveat) — state would grow with the full stream history. The
+WithinWatermark variant dedups on the id alone while evicting each
+key's state once the watermark passes it, so state is bounded by the
+horizon. Late duplicates beyond the watermark are caught by the
+store's dedup-on-read window, so correctness never depends on
+streaming state size — the watermark only bounds how much work
+dedup-on-read has left.
 """
 
 from __future__ import annotations
@@ -40,7 +47,7 @@ def stream_statements_to_store(
     statements = (
         entities_to_statements(entities, default_dataset=dataset)
         .withWatermark("last_seen", watermark)
-        .dropDuplicates(["id"])
+        .dropDuplicatesWithinWatermark(["id"])
     )
     writer = (
         statements.writeStream.format("parquet")
