@@ -30,7 +30,13 @@ def _update_anomalies(
     key: tuple[Any, ...],
     pdfs: Iterator[pd.DataFrame],
     state: GroupState,
+    idle_timeout_ms: int | None = None,
 ) -> Iterator[pd.DataFrame]:
+    if idle_timeout_ms is not None and state.hasTimedOut:
+        # user idle past the TTL: drop their running stats (they rebuild
+        # on return) — keeps total state ∝ ACTIVE users, not all-time
+        state.remove()
+        return
     (count, mean, m2) = state.get if state.exists else (0, 0.0, 0.0)
     out_rows = []
     for pdf in pdfs:
@@ -49,20 +55,39 @@ def _update_anomalies(
             mean += delta / count
             m2 += delta * (x - mean)
     state.update((count, mean, m2))
+    if idle_timeout_ms is not None:
+        state.setTimeoutDuration(idle_timeout_ms)
     if out_rows:
         yield pd.DataFrame(
             out_rows, columns=["user_id", "event_id", "value", "zscore"]
         )
 
 
-def streaming_anomalies(events: DataFrame) -> DataFrame:
+def streaming_anomalies(
+    events: DataFrame,
+    idle_timeout_ms: int | None = 7 * 24 * 3600 * 1000,
+) -> DataFrame:
     """events(user_id, event_id, value, ...) → anomalous events, stateful
     per user. Input may be a streaming OR batch DataFrame grouped the same
-    way (batch runs with a fresh empty state per key)."""
+    way (batch runs with a fresh empty state per key; the timeout calls
+    are documented no-ops there).
+
+    ``idle_timeout_ms`` (default 7 days) evicts state for users idle past
+    the TTL, so total state is proportional to ACTIVE users rather than
+    the all-time user space — without it, an unbounded key domain grows
+    the state store forever. Pass ``None`` to keep state indefinitely."""
+
+    def update(key, pdfs, state):
+        yield from _update_anomalies(key, pdfs, state, idle_timeout_ms)
+
     return events.groupBy("user_id").applyInPandasWithState(
-        _update_anomalies,
+        update,
         outputStructType=OUT_SCHEMA,
         stateStructType=STATE_SCHEMA,
         outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=(
+            GroupStateTimeout.NoTimeout
+            if idle_timeout_ms is None
+            else GroupStateTimeout.ProcessingTimeTimeout
+        ),
     )
