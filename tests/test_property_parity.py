@@ -139,6 +139,32 @@ def test_tfidf_match_duckdb(spark, texts):
 
 
 @SETTINGS
+@given(ids=st.lists(st.integers(min_value=0, max_value=10**12), min_size=1,
+                    max_size=40, unique=True))
+def test_hash_split_match_duckdb(spark, ids):
+    """The md5-threshold split contract must be reproducible outside
+    Spark — per-ROW assignment equality, not just aggregate counts."""
+    from ftm_columnstore_spark.operators.sampling import split_by_hash
+
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    got = split_by_hash(
+        df, {"train": 0.8, "val": 0.1, "test": 0.1}, seed="seed"
+    ).toPandas()
+    con = duckdb.connect()
+    con.register("docs", pd.DataFrame({"doc_id": ids}))
+    want = con.execute("""
+        SELECT doc_id, CASE
+            WHEN substr(md5('seed' || CAST(doc_id AS VARCHAR)), 1, 8)
+                 < 'cccccccc' THEN 'train'
+            WHEN substr(md5('seed' || CAST(doc_id AS VARCHAR)), 1, 8)
+                 < 'e6666666' THEN 'val'
+            ELSE 'test' END AS split
+        FROM docs
+    """).df()
+    _assert_same(got, want)
+
+
+@SETTINGS
 @given(
     vecs=st.lists(
         st.lists(
