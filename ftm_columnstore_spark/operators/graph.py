@@ -85,15 +85,19 @@ def expand(
         in_ids = edges.join(
             F.broadcast(frontier), edges.value == frontier.id
         ).select(F.col("canonical_id").alias("id"))
+        # eager localCheckpoint (the connected-components pattern): cuts
+        # the per-hop lineage growth and leaves no stranded cache entries
         nxt = (
             out_ids.union(in_ids)
             .distinct()
             .join(visited, on="id", how="left_anti")
-            .persist()
+            .localCheckpoint(eager=True)
         )
         if nxt.isEmpty():
             break
-        visited = visited.union(nxt.withColumn("dist", F.lit(h))).persist()
+        visited = visited.union(
+            nxt.withColumn("dist", F.lit(h))
+        ).localCheckpoint(eager=True)
         frontier = nxt.select("id")
     return visited
 
