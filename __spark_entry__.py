@@ -1654,7 +1654,62 @@ def t9_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # Registry order matters: the driver's CORRECTNESS run covers the first
+    # ~50 entries.  Round 1 verified the trailing block (see
+    # CORRECTNESS_r01.json, all pass); round 2 rotates the 45 entries that
+    # had no r01 row to the front so every declared query accumulates an
+    # oracle verdict across rounds.
     return {
+        # --- unchecked in r01: oracle-SQL-backed entries first ---
+        "a4_avg_via_dsl": a4_avg_via_dsl,
+        "m2_fingerprint_freq": m2_fingerprint_freq,
+        "u3_intersect": u3_intersect,
+        "u4_except": u4_except,
+        "e6_schema_hierarchy": e6_schema_hierarchy,
+        "d6_jaccard_dedup_kept": d6_jaccard_dedup_kept,
+        "d7_connected_components": d7_connected_components,
+        "w2_rank_spenders": w2_rank_spenders,
+        "a10_rollup": a10_rollup,
+        "o4_deterministic_scan": o4_deterministic_scan,
+        "t4_language_id": t4_language_id,
+        "t5_quality_scores": t5_quality_scores,
+        "j11_order_count_distribution": j11_order_count_distribution,
+        "a14_small_quantity_revenue": a14_small_quantity_revenue,
+        "m4_top_supplier_revenue": m4_top_supplier_revenue,
+        "j12_supplier_counts_anti": j12_supplier_counts_anti,
+        "j13_late_sole_shippers": j13_late_sole_shippers,
+        "a15_idle_rich_customers": a15_idle_rich_customers,
+        "j14_best_supplier_per_part": j14_best_supplier_per_part,
+        "a16_part_value_share": a16_part_value_share,
+        "t6_hash_split": t6_hash_split,
+        "t7_stratified_sample": t7_stratified_sample,
+        "t8_deterministic_shuffle": t8_deterministic_shuffle,
+        "d8_decontamination": d8_decontamination,
+        "a17_regional_share": a17_regional_share,
+        "a18_product_profit": a18_product_profit,
+        "j15_dominant_suppliers": j15_dominant_suppliers,
+        "t10_mixture_sample": t10_mixture_sample,
+        # oracle-checked via engine-portable hash/quantization families:
+        "d3_minhash_lsh_pairs": d3_minhash_lsh_pairs,
+        "d4_simhash_pairs": d4_simhash_pairs,
+        "v3_lsh_topk": v3_lsh_topk,
+        "v4_embedding_dups": v4_embedding_dups,
+        "v8_ivf_topk_portable": v8_ivf_topk_portable,
+        "t11_bigram_lm": t11_bigram_lm,
+        "t12_tfidf_terms": t12_tfidf_terms,
+        "v6_ann_topk_numpy": v6_ann_topk_numpy,
+        "v7_knn_join_numpy": v7_knn_join_numpy,
+        "w3_asof_join": w3_asof_join,
+        "w4_band_join": w4_band_join,
+        "d9_repetition_filter": d9_repetition_filter,
+        "a19_percentiles": a19_percentiles,
+        "m5_time_rollup": m5_time_rollup,
+        # NON-SQL — rows-only (v5: iterative k-means training; x5:
+        # metaphone; t9: per-partition bin packing):
+        "v5_ivf_topk": v5_ivf_topk,
+        "x5_phonetic_keys": x5_phonetic_keys,
+        "t9_pack_sequences": t9_pack_sequences,
+        # --- verified green in CORRECTNESS_r01.json ---
         "s1_scan_project": s1_scan_project,
         "f3_comparator_filters": f3_comparator_filters,
         "f5_prefix_filter": f5_prefix_filter,
@@ -1705,54 +1760,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a13_late_shipments": a13_late_shipments,
         "j6_top_customers": j6_top_customers,
         "j7_big_orders": j7_big_orders,
-        "a4_avg_via_dsl": a4_avg_via_dsl,
-        "m2_fingerprint_freq": m2_fingerprint_freq,
-        "u3_intersect": u3_intersect,
-        "u4_except": u4_except,
-        "e6_schema_hierarchy": e6_schema_hierarchy,
-        "d6_jaccard_dedup_kept": d6_jaccard_dedup_kept,
-        "d7_connected_components": d7_connected_components,
-        "w2_rank_spenders": w2_rank_spenders,
-        "a10_rollup": a10_rollup,
-        "o4_deterministic_scan": o4_deterministic_scan,
-        "t4_language_id": t4_language_id,
-        "t5_quality_scores": t5_quality_scores,
-        "j11_order_count_distribution": j11_order_count_distribution,
-        "a14_small_quantity_revenue": a14_small_quantity_revenue,
-        "m4_top_supplier_revenue": m4_top_supplier_revenue,
-        "j12_supplier_counts_anti": j12_supplier_counts_anti,
-        "j13_late_sole_shippers": j13_late_sole_shippers,
-        "a15_idle_rich_customers": a15_idle_rich_customers,
-        "j14_best_supplier_per_part": j14_best_supplier_per_part,
-        "a16_part_value_share": a16_part_value_share,
-        "t6_hash_split": t6_hash_split,
-        "t7_stratified_sample": t7_stratified_sample,
-        "t8_deterministic_shuffle": t8_deterministic_shuffle,
-        "d8_decontamination": d8_decontamination,
-        "a17_regional_share": a17_regional_share,
-        "a18_product_profit": a18_product_profit,
-        "j15_dominant_suppliers": j15_dominant_suppliers,
-        "t10_mixture_sample": t10_mixture_sample,
-        # oracle-checked via engine-portable hash/quantization families:
-        "d3_minhash_lsh_pairs": d3_minhash_lsh_pairs,
-        "d4_simhash_pairs": d4_simhash_pairs,
-        "v3_lsh_topk": v3_lsh_topk,
-        "v4_embedding_dups": v4_embedding_dups,
-        "v8_ivf_topk_portable": v8_ivf_topk_portable,
-        "t11_bigram_lm": t11_bigram_lm,
-        "t12_tfidf_terms": t12_tfidf_terms,
-        # NON-SQL — rows-only (v5: iterative k-means training; x5:
-        # metaphone; t9: per-partition bin packing):
-        "v5_ivf_topk": v5_ivf_topk,
-        "v6_ann_topk_numpy": v6_ann_topk_numpy,
-        "x5_phonetic_keys": x5_phonetic_keys,
-        "t9_pack_sequences": t9_pack_sequences,
-        "v7_knn_join_numpy": v7_knn_join_numpy,
-        "w3_asof_join": w3_asof_join,
-        "w4_band_join": w4_band_join,
-        "d9_repetition_filter": d9_repetition_filter,
-        "a19_percentiles": a19_percentiles,
-        "m5_time_rollup": m5_time_rollup,
     }
 
 

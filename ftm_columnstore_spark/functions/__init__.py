@@ -1,5 +1,7 @@
+from ftm_columnstore_spark.functions.double_metaphone import double_metaphone
 from ftm_columnstore_spark.functions.phonetics import (
     fingerprint_col,
+    metaphone2_udf,
     metaphone_udf,
     soundex_col,
     tokenize_col,
@@ -19,7 +21,9 @@ __all__ = [
     "clean_tokens_col",
     "cosine_similarity_col",
     "dot_col",
+    "double_metaphone",
     "fingerprint_col",
+    "metaphone2_udf",
     "metaphone_udf",
     "norm_col",
     "shingles_col",

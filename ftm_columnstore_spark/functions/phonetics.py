@@ -9,13 +9,13 @@ golden at ``tests/test_store.py:50-56``):
 - ``metaphone1/2``: double-metaphone primary/secondary per token;
 - ``soundex``: per-token soundex.
 
-Fingerprint/tokenize/soundex are pure-column (codegen). Metaphone has no
-Spark builtin → Arrow-batched pandas UDF around a self-contained
-simplified-metaphone encoder (classic Lawrence-Philips rules subset; the
-reference's C double-metaphone differs on rare digraphs — documented
-divergence, same blocking power). The reference's 10M-entry lru_caches
-(phonetic.py:32-56) are unnecessary: we ``distinct()`` values before
-encoding, which is the distributed form of memoization.
+Fingerprint/tokenize/soundex are pure-column (codegen). Metaphone has
+no Spark builtin → Arrow-batched pandas UDF around a faithful Double
+Metaphone port (``double_metaphone.py``; primary+secondary, same
+contract as the ``metaphone`` package the reference consumes). The
+reference's 10M-entry lru_caches (phonetic.py:32-56) are unnecessary:
+we ``distinct()`` values before encoding, which is the distributed form
+of memoization.
 """
 
 from __future__ import annotations
@@ -78,101 +78,52 @@ def soundex_col(col: Column | str) -> Column:
     return F.soundex(_c(col))
 
 
-# --- simplified metaphone ----------------------------------------------------
+# --- double metaphone --------------------------------------------------------
 
-_VOWELS = set("aeiou")
+from ftm_columnstore_spark.functions.double_metaphone import double_metaphone
 
 
-def _metaphone_word(word: str) -> str:
-    """Simplified Metaphone (public Lawrence-Philips rule subset):
-    good enough for blocking keys; not byte-identical to double-metaphone."""
-    w = "".join(ch for ch in word.lower() if ch.isalpha())
-    if not w:
-        return ""
-    # leading-letter exceptions
-    for pre, rep in (("kn", "n"), ("gn", "n"), ("pn", "n"), ("wr", "r"), ("x", "s"), ("wh", "w")):
-        if w.startswith(pre):
-            w = rep + w[len(pre):]
-            break
-    out: list[str] = []
-    i = 0
-    n = len(w)
-    while i < n:
-        ch = w[i]
-        nxt = w[i + 1] if i + 1 < n else ""
-        prv = w[i - 1] if i > 0 else ""
-        if ch in _VOWELS:
-            if i == 0:
-                out.append(ch.upper())
-        elif ch == "b":
-            if not (i == n - 1 and prv == "m"):
-                out.append("B")
-        elif ch == "c":
-            if nxt == "h":
-                out.append("X"); i += 1
-            elif nxt in "iey":
-                out.append("S")
-            else:
-                out.append("K")
-        elif ch == "d":
-            if nxt == "g" and i + 2 < n and w[i + 2] in "iey":
-                out.append("J"); i += 1
-            else:
-                out.append("T")
-        elif ch == "g":
-            if nxt == "h":
-                out.append("K"); i += 1
-            elif nxt in "iey":
-                out.append("J")
-            else:
-                out.append("K")
-        elif ch == "h":
-            if prv in _VOWELS and nxt not in _VOWELS:
-                pass
-            else:
-                out.append("H")
-        elif ch == "k":
-            if prv != "c":
-                out.append("K")
-        elif ch == "p":
-            out.append("F" if nxt == "h" else "P")
-            if nxt == "h":
-                i += 1
-        elif ch == "q":
-            out.append("K")
-        elif ch == "s":
-            if nxt == "h":
-                out.append("X"); i += 1
-            elif nxt == "i" and i + 2 < n and w[i + 2] in "oa":
-                out.append("X")
-            else:
-                out.append("S")
-        elif ch == "t":
-            if nxt == "h":
-                out.append("0"); i += 1
-            elif nxt == "i" and i + 2 < n and w[i + 2] in "oa":
-                out.append("X")
-            else:
-                out.append("T")
-        elif ch == "v":
-            out.append("F")
-        elif ch == "w":
-            if nxt in _VOWELS:
-                out.append("W")
-        elif ch == "x":
-            out.append("KS")
-        elif ch == "y":
-            if nxt in _VOWELS:
-                out.append("Y")
-        elif ch == "z":
-            out.append("S")
-        elif ch in "flmnr":
-            out.append(ch.upper())
-        # skip doubled letters
-        while i + 1 < n and w[i + 1] == w[i] and ch not in "c":
-            i += 1
-        i += 1
-    return "".join(out)
+def _metaphone_series(values: pd.Series, index: int) -> pd.Series:
+    """Per-token double-metaphone codes, space-joined; memoized per batch
+    via ``map`` over unique values. ``index`` picks primary (0) or
+    secondary (1) — the reference's metaphone1/metaphone2 split
+    (phonetic.py:65-68)."""
+
+    def encode(v):
+        if v is None:
+            return None
+        codes = (double_metaphone(t)[index] for t in str(v).split())
+        return " ".join(c for c in codes if c)
+
+    uniques = values.drop_duplicates()
+    mapping = {v: encode(v) for v in uniques}
+    return values.map(mapping)
+
+
+_METAPHONE_UDFS: dict[int, object] = {}
+
+
+def _metaphone(col: Column | str, index: int) -> Column:
+    # created lazily — registering a pandas UDF requires an active session
+    if index not in _METAPHONE_UDFS:
+        _METAPHONE_UDFS[index] = pandas_udf(
+            lambda v, _i=index: _metaphone_series(v, _i), "string"
+        )
+    return _METAPHONE_UDFS[index](_c(col))
+
+
+def metaphone_udf(col: Column | str) -> Column:
+    """X3: double-metaphone *primary* codes per token, space-joined.
+    Arrow-batched pandas UDF (faithful Philips double metaphone, see
+    ``double_metaphone.py``; matches the ``metaphone`` package the
+    reference consumes at phonetic.py:9,46-47)."""
+    return _metaphone(col, 0)
+
+
+def metaphone2_udf(col: Column | str) -> Column:
+    """X3: double-metaphone *secondary* codes per token ("" where the
+    secondary equals the primary, mirroring the package contract)."""
+    return _metaphone(col, 1)
 
 
 def phonetics_col(col: Column | str, algorithm: str) -> Column:
@@ -180,35 +131,10 @@ def phonetics_col(col: Column | str, algorithm: str) -> Column:
     one name for every algorithm; returns an array of keys."""
     if algorithm == "fingerprint":
         return tokenize_col(col)
-    if algorithm in ("metaphone1", "metaphone2"):
-        # one simplified-metaphone variant; primary == secondary here
+    if algorithm == "metaphone1":
         return F.split(metaphone_udf(col), " ")
+    if algorithm == "metaphone2":
+        return F.split(metaphone2_udf(col), " ")
     if algorithm == "soundex":
         return F.array(soundex_col(col))
     raise ValueError(f"unknown phonetic algorithm: {algorithm}")
-
-
-def _metaphone_series(values: pd.Series) -> pd.Series:
-    def encode(v):
-        if v is None:
-            return None
-        return " ".join(
-            filter(None, (_metaphone_word(t) for t in str(v).split()))
-        )
-
-    uniques = values.drop_duplicates()
-    mapping = {v: encode(v) for v in uniques}
-    return values.map(mapping)
-
-
-_METAPHONE_UDF = None
-
-
-def metaphone_udf(col: Column | str) -> Column:
-    """X3 analogue: per-token metaphone codes, space-joined. Arrow-batched
-    pandas UDF, memoized per batch via ``map`` over unique values. Created
-    lazily — registering a pandas UDF requires an active SparkSession."""
-    global _METAPHONE_UDF
-    if _METAPHONE_UDF is None:
-        _METAPHONE_UDF = pandas_udf(_metaphone_series, "string")
-    return _METAPHONE_UDF(_c(col))

@@ -61,11 +61,19 @@ def test_soundex(spark):
 
 
 def test_metaphone_stable(spark):
+    # faithful double metaphone: Schmidt and Schmitt block together
     a = one(spark, "Schmidt", metaphone_udf)
     b = one(spark, "Schmitt", metaphone_udf)
-    assert a[:3] == b[:3] == "SXM"  # s, ch → X, m
+    assert a == b == "XMT"
     assert one(spark, "", metaphone_udf) == ""
     assert one(spark, "Peter Maier", metaphone_udf).count(" ") == 1
+
+
+def test_metaphone_secondary(spark):
+    from ftm_columnstore_spark.functions.phonetics import metaphone2_udf
+
+    # Schmidt: primary XMT (germanic), secondary SMT (anglicized)
+    assert one(spark, "Schmidt", metaphone2_udf) == "SMT"
 
 
 def test_phonetics_dispatcher(spark):
@@ -75,6 +83,7 @@ def test_phonetics_dispatcher(spark):
     out = one(spark, "Deutsche Telekom", lambda c: phonetics_col(c, "fingerprint"))
     assert "deutsche telekom" in out
     assert one(spark, "Robert", lambda c: phonetics_col(c, "soundex")) == ["R163"]
-    assert one(spark, "Robert", lambda c: phonetics_col(c, "metaphone1")) == ["RBRT"]
+    assert one(spark, "Robert", lambda c: phonetics_col(c, "metaphone1")) == ["RPRT"]
+    assert one(spark, "Schmidt", lambda c: phonetics_col(c, "metaphone2")) == ["SMT"]
     with pytest.raises(ValueError):
         phonetics_col("v", "nope")
