@@ -1653,6 +1653,54 @@ def t9_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def m6_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal pipeline, REAL decode end-to-end — NON-SQL (binary
+    codecs), rows-only check: synthesize a deterministic BMP per document
+    (pixels derived from doc_id), run the Arrow-batched mapInPandas
+    feature extractor (operators/multimodal.py) with ``fake=False`` so
+    the dependency-free BMP codec actually decodes every payload, and
+    return rounded feature components."""
+    import numpy as np
+    import pandas as pd
+
+    from ftm_columnstore_spark.operators.codecs import encode_bmp
+    from ftm_columnstore_spark.operators.multimodal import extract_features
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id")
+        .filter(F.col("doc_id") < 64)
+    )
+
+    def gen(it):
+        for pdf in it:
+            payloads = []
+            for did in pdf["doc_id"]:
+                s = int(did)
+                y, x = np.mgrid[0:8, 0:8]
+                img = np.stack(
+                    [
+                        (x * (s % 17 + 1) + 3) % 256,
+                        (y * 7 + s) % 256,
+                        (x + y + s * 5) % 256,
+                    ],
+                    axis=-1,
+                ).astype(np.uint8)
+                payloads.append(encode_bmp(img))
+            yield pd.DataFrame(
+                {"media_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    media = docs.mapInPandas(gen, "media_id long, payload binary")
+    feats = extract_features(media, dim=16, fake=False)
+    return feats.select(
+        "media_id",
+        F.round(F.element_at("features", 1), 6).alias("mean_r"),
+        F.round(F.element_at("features", 2), 6).alias("mean_g"),
+        F.round(F.element_at("features", 3), 6).alias("mean_b"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order matters: the driver's CORRECTNESS run covers the first
     # ~50 entries.  Round 1 verified the trailing block (see
@@ -1705,10 +1753,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a19_percentiles": a19_percentiles,
         "m5_time_rollup": m5_time_rollup,
         # NON-SQL — rows-only (v5: iterative k-means training; x5:
-        # metaphone; t9: per-partition bin packing):
+        # metaphone; t9: per-partition bin packing; m6: binary codecs):
         "v5_ivf_topk": v5_ivf_topk,
         "x5_phonetic_keys": x5_phonetic_keys,
         "t9_pack_sequences": t9_pack_sequences,
+        "m6_multimodal_features": m6_multimodal_features,
         # --- verified green in CORRECTNESS_r01.json ---
         "s1_scan_project": s1_scan_project,
         "f3_comparator_filters": f3_comparator_filters,

@@ -126,15 +126,52 @@ def metaphone2_udf(col: Column | str) -> Column:
     return _metaphone(col, 1)
 
 
+def _dm_array_series(values: pd.Series, index: int) -> pd.Series:
+    """Encode each element of an array column with double metaphone —
+    whole-element encoding (a multi-word fingerprint is ONE token, as in
+    reference ``get_metaphone(t)`` over ``tokenize()`` output)."""
+
+    memo: dict[str, str] = {}
+
+    def enc_one(t: str) -> str:
+        if t not in memo:
+            memo[t] = double_metaphone(t)[index]
+        return memo[t]
+
+    return values.map(
+        lambda arr: None if arr is None else [enc_one(t) for t in arr]
+    )
+
+
+_DM_ARRAY_UDFS: dict[int, object] = {}
+
+
+def dm_array_col(col: Column, index: int = 0) -> Column:
+    """Double-metaphone over every element of an array<string> column
+    (whole-element encoding — multi-word strings are one call, as the
+    reference's ``get_metaphone(t)`` behaves)."""
+    if index not in _DM_ARRAY_UDFS:
+        _DM_ARRAY_UDFS[index] = pandas_udf(
+            lambda v, _i=index: _dm_array_series(v, _i), "array<string>"
+        )
+    return _DM_ARRAY_UDFS[index](col)
+
+
+_dm_array = dm_array_col
+
+
 def phonetics_col(col: Column | str, algorithm: str) -> Column:
     """X5 dispatcher (reference ``get_phonetics``, phonetic.py:55-70):
-    one name for every algorithm; returns an array of keys."""
+    fingerprint first, then tokenize ({full fingerprint} ∪ {tokens with
+    len > 5}), then encode every token — so the multi-word fingerprint
+    itself is one encoded key, exactly as the reference emits it."""
+    tokens = tokenize_col(col)
     if algorithm == "fingerprint":
-        return tokenize_col(col)
+        return tokens
     if algorithm == "metaphone1":
-        return F.split(metaphone_udf(col), " ")
+        return _dm_array(tokens, 0)
     if algorithm == "metaphone2":
-        return F.split(metaphone2_udf(col), " ")
+        return _dm_array(tokens, 1)
     if algorithm == "soundex":
-        return F.array(soundex_col(col))
+        return F.transform(tokens, lambda t: F.soundex(t))
     raise ValueError(f"unknown phonetic algorithm: {algorithm}")

@@ -249,11 +249,12 @@ def prop_type(prop: str) -> str:
     return PROP_TYPES.get(prop, "string")
 
 
-#: Types whose values participate in full-text ``search()``
-#: (SURVEY §2.2 F8 — ftmq searches name/text-ish values).
-SEARCHABLE_TYPES: frozenset[str] = frozenset(
-    {"name", "text", "string", "address", "identifier"}
-)
+#: Types whose values participate in full-text ``search()``.
+#: Parity-calibrated against the reference golden (ftmq search matches
+#: name-typed values only: reference tests/test_store.py:260-263 expects
+#: 23 "agency" hits in eu_authorities — exactly the name/alias/weakAlias
+#: matches; including string/text types would yield 51).
+SEARCHABLE_TYPES: frozenset[str] = frozenset({"name"})
 
 # --- reversed properties ----------------------------------------------------
 # prop -> name of the reverse edge shown on the referenced entity

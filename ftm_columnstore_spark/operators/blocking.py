@@ -19,8 +19,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ftm_columnstore_spark.functions.phonetics import (
+    dm_array_col,
     fingerprint_col,
-    metaphone_udf,
     soundex_col,
     tokenize_col,
 )
@@ -39,24 +39,39 @@ def derive_fingerprints(statements: DataFrame) -> DataFrame:
         & F.col("schema").isin(list(NAME_SCHEMAS))
     ).select("value", "dataset", "entity_id", "schema", "prop", "prop_type")
 
+    # Reference pipeline (phonetic.py:55-70): fingerprint → tokenize →
+    # encode each token per algorithm (the multi-word fingerprint is one
+    # token). Tokens are distinct()-ed before the metaphone UDF so each
+    # unique token is encoded once across the cluster.
     uniq = names.select("value").distinct()
-    encoded = uniq.select(
-        "value",
-        tokenize_col("value").alias("fingerprint"),
-        F.split(metaphone_udf("value"), " ").alias("metaphone1"),
-        F.array(soundex_col("value")).alias("soundex"),
+    toks = uniq.select(
+        "value", F.explode(tokenize_col("value")).alias("token")
     )
-    tall = encoded.select(
-        "value",
-        F.explode(
-            F.map_from_arrays(
-                F.array(F.lit("fingerprint"), F.lit("metaphone1"), F.lit("soundex")),
-                F.array("fingerprint", "metaphone1", "soundex"),
-            )
-        ).alias("algorithm", "keys"),
-    ).select(
-        "value", "algorithm", F.explode("keys").alias("key")
-    ).filter(F.col("key") != "")
+    tok_uniq = toks.select("token").distinct()
+    enc = tok_uniq.select(
+        "token",
+        F.array(F.col("token")).alias("fingerprint"),
+        dm_array_col(F.array(F.col("token")), 0).alias("metaphone1"),
+        F.array(soundex_col("token")).alias("soundex"),
+    )
+    tall = (
+        toks.join(enc, on="token")
+        .select(
+            "value",
+            F.explode(
+                F.map_from_arrays(
+                    F.array(
+                        F.lit("fingerprint"),
+                        F.lit("metaphone1"),
+                        F.lit("soundex"),
+                    ),
+                    F.array("fingerprint", "metaphone1", "soundex"),
+                )
+            ).alias("algorithm", "keys"),
+        )
+        .select("value", "algorithm", F.explode("keys").alias("key"))
+        .filter(F.col("key") != "")
+    )
 
     return (
         names.join(tall, on="value")

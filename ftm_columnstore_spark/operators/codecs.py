@@ -1,0 +1,180 @@
+"""Dependency-free media codecs for the multimodal operators.
+
+Real decoding without optional libraries:
+
+- **BMP** (24-bit uncompressed, the format every tool can write): pure
+  numpy against the public BITMAPINFOHEADER layout — decode to an
+  (h, w, 3) RGB array, encode back, nearest-neighbour resize.
+- **WAV** (PCM16): stdlib ``wave`` + numpy.
+
+When Pillow is importable it is preferred for image decode (JPEG/PNG/
+anything PIL reads); otherwise only BMP payloads decode and other
+formats raise ``UnsupportedMediaError`` so callers can fall back to the
+deterministic stand-in (``fake=True``) or skip.
+
+All functions are plain bytes→numpy transforms — executors call them
+inside Arrow-batched ``mapInPandas`` stages; nothing here touches Spark.
+"""
+
+from __future__ import annotations
+
+import io
+import struct
+import wave
+
+import numpy as np
+
+
+class UnsupportedMediaError(ValueError):
+    """Payload is not in a format this environment can decode."""
+
+
+def has_pil() -> bool:
+    try:
+        import PIL.Image  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+# --- BMP ---------------------------------------------------------------------
+
+_BMP_HEADER = struct.Struct("<2sIHHI")  # magic, file size, res, res, offset
+_DIB_HEADER = struct.Struct("<IiiHHIIiiII")  # BITMAPINFOHEADER
+
+
+def encode_bmp(pixels: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 RGB → 24-bit uncompressed BMP bytes."""
+    arr = np.asarray(pixels, dtype=np.uint8)
+    if arr.ndim != 3 or arr.shape[2] != 3:
+        raise ValueError("expected (h, w, 3) RGB array")
+    h, w, _ = arr.shape
+    row_len = (w * 3 + 3) & ~3  # rows padded to 4 bytes
+    img_size = row_len * h
+    offset = _BMP_HEADER.size + _DIB_HEADER.size
+    out = bytearray()
+    out += _BMP_HEADER.pack(b"BM", offset + img_size, 0, 0, offset)
+    out += _DIB_HEADER.pack(40, w, h, 1, 24, 0, img_size, 2835, 2835, 0, 0)
+    bgr = arr[:, :, ::-1]  # BMP stores BGR
+    pad = b"\x00" * (row_len - w * 3)
+    for row in bgr[::-1]:  # bottom-up
+        out += row.tobytes() + pad
+    return bytes(out)
+
+
+def decode_bmp(payload: bytes) -> np.ndarray:
+    """24/32-bit uncompressed BMP bytes → (h, w, 3) uint8 RGB array."""
+    if payload[:2] != b"BM":
+        raise UnsupportedMediaError("not a BMP payload")
+    _, _, _, _, offset = _BMP_HEADER.unpack_from(payload, 0)
+    (
+        dib_size,
+        w,
+        h,
+        _planes,
+        bpp,
+        compression,
+        *_,
+    ) = _DIB_HEADER.unpack_from(payload, _BMP_HEADER.size)
+    if compression != 0 or bpp not in (24, 32):
+        raise UnsupportedMediaError(
+            f"unsupported BMP variant (bpp={bpp}, compression={compression})"
+        )
+    flip = h > 0  # positive height = bottom-up rows
+    h = abs(h)
+    nbytes = bpp // 8
+    row_len = (w * nbytes + 3) & ~3
+    data = np.frombuffer(payload, dtype=np.uint8, count=row_len * h, offset=offset)
+    rows = data.reshape(h, row_len)[:, : w * nbytes].reshape(h, w, nbytes)
+    rgb = rows[:, :, 2::-1]  # BGR(A) → RGB
+    return (rgb[::-1] if flip else rgb).copy()
+
+
+def decode_image(payload: bytes) -> np.ndarray:
+    """bytes → (h, w, 3) uint8 RGB. Pillow when available, else BMP."""
+    if has_pil():
+        import PIL.Image
+
+        with PIL.Image.open(io.BytesIO(payload)) as im:
+            return np.asarray(im.convert("RGB"))
+    return decode_bmp(payload)
+
+
+def resize_nearest(pixels: np.ndarray, width: int, height: int) -> np.ndarray:
+    """Nearest-neighbour resample to (height, width, 3)."""
+    h, w = pixels.shape[:2]
+    ys = (np.arange(height) * h // height).clip(0, h - 1)
+    xs = (np.arange(width) * w // width).clip(0, w - 1)
+    return pixels[ys][:, xs]
+
+
+def resize_image(payload: bytes, width: int, height: int) -> bytes:
+    """Decode → resize → re-encode. Pillow path keeps PIL's resampler;
+    the BMP path is nearest-neighbour numpy."""
+    if has_pil():
+        import PIL.Image
+
+        with PIL.Image.open(io.BytesIO(payload)) as im:
+            buf = io.BytesIO()
+            im.convert("RGB").resize((width, height)).save(buf, format="BMP")
+            return buf.getvalue()
+    return encode_bmp(resize_nearest(decode_bmp(payload), width, height))
+
+
+# --- WAV ---------------------------------------------------------------------
+
+
+def encode_wav(samples: np.ndarray, sample_rate: int = 16_000) -> bytes:
+    """1-D int16 PCM array → mono WAV bytes (stdlib ``wave``)."""
+    arr = np.asarray(samples, dtype=np.int16)
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(2)
+        wf.setframerate(sample_rate)
+        wf.writeframes(arr.tobytes())
+    return buf.getvalue()
+
+
+def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
+    """WAV bytes → (1-D int16 PCM array of the first channel, rate)."""
+    if payload[:4] != b"RIFF":
+        raise UnsupportedMediaError("not a WAV payload")
+    with wave.open(io.BytesIO(payload), "rb") as wf:
+        if wf.getsampwidth() != 2:
+            raise UnsupportedMediaError(
+                f"unsupported sample width {wf.getsampwidth()}"
+            )
+        frames = wf.readframes(wf.getnframes())
+        arr = np.frombuffer(frames, dtype=np.int16)
+        if wf.getnchannels() > 1:
+            arr = arr[:: wf.getnchannels()]
+        return arr.copy(), wf.getframerate()
+
+
+def split_wav(payload: bytes, n: int) -> list[bytes]:
+    """Sample ``n`` equal-duration chunks, each re-encoded as a
+    standalone WAV (real frame sampling for the audio path)."""
+    samples, rate = decode_wav(payload)
+    if len(samples) == 0 or n <= 0:
+        return []
+    n = min(n, len(samples))
+    bounds = np.linspace(0, len(samples), n + 1, dtype=int)
+    return [
+        encode_wav(samples[a:b], rate)
+        for a, b in zip(bounds[:-1], bounds[1:])
+        if b > a
+    ]
+
+
+def image_features(pixels: np.ndarray, dim: int = 16) -> list[float]:
+    """Deterministic real feature vector: per-channel means + a coarse
+    luminance histogram, padded/truncated to ``dim`` (unit scale)."""
+    arr = pixels.astype(np.float64) / 255.0
+    means = arr.reshape(-1, 3).mean(axis=0)
+    lum = arr @ np.array([0.299, 0.587, 0.114])
+    hist, _ = np.histogram(lum, bins=max(dim - 3, 1), range=(0.0, 1.0))
+    total = max(int(hist.sum()), 1)
+    feats = list(means) + [float(c) / total for c in hist]
+    return [float(x) for x in (feats + [0.0] * dim)[:dim]]

@@ -10,11 +10,12 @@ Design (the part that matters at 100 TB):
 - decode / feature-extract / resize / frame-sample run as **mapInPandas**
   stages: Arrow-batched, one Python worker per partition, constant memory
   (iterator of batches — a partition never fully materializes);
-- actual codecs (PIL/ffmpeg/torchaudio) are NOT in this container. Each
-  transform calls a ``_decode_*`` hook that raises NotImplementedError
-  unless ``fake=True``, which substitutes a deterministic stand-in
-  (xxhash-seeded) so the Spark-side plumbing — schema, batching,
-  partitioning, UDF signatures — is fully real and tested.
+- codecs resolve in three tiers: Pillow when importable (JPEG/PNG/...),
+  else the dependency-free BMP/WAV codecs in ``operators.codecs`` (pure
+  numpy / stdlib ``wave`` — REAL decode paths, tested end-to-end), else
+  the deterministic stand-in when ``fake=True``. Unsupported payloads
+  with ``fake=False`` raise, so bad data fails loudly rather than
+  silently producing stand-in features.
 """
 
 from __future__ import annotations
@@ -57,21 +58,35 @@ MEDIA_SCHEMA = StructType(
 
 
 def _decode_image(payload: bytes, fake: bool) -> list[float]:
-    """Stub for image decode → feature vector. Real impl: PIL/torchvision."""
-    if not fake:
-        raise NotImplementedError(
-            "image codecs not available in this environment; pass fake=True"
-        )
+    """Image → feature vector. Pillow/BMP real decode when the payload
+    is readable; deterministic stand-in only when ``fake=True``."""
+    from ftm_columnstore_spark.operators import codecs
+
+    try:
+        return codecs.image_features(codecs.decode_image(payload))
+    except Exception as exc:  # struct/wave errors on arbitrary bytes
+        if not fake:
+            raise NotImplementedError(
+                f"payload not decodable in this environment ({exc}); "
+                "pass fake=True for the deterministic stand-in"
+            ) from exc
     h = hashlib.sha1(payload).digest()
     return [b / 255.0 for b in h[:16]]
 
 
 def _decode_audio_frames(payload: bytes, n: int, fake: bool) -> list[bytes]:
-    """Stub for frame/chunk sampling. Real impl: ffmpeg segment demux."""
-    if not fake:
-        raise NotImplementedError(
-            "audio/video codecs not available in this environment; pass fake=True"
-        )
+    """Audio → n sampled chunks. WAV payloads decode for real (stdlib
+    ``wave``); other formats need ``fake=True`` (byte-range stand-in)."""
+    from ftm_columnstore_spark.operators import codecs
+
+    try:
+        return codecs.split_wav(payload, n)
+    except Exception as exc:  # struct/wave errors on arbitrary bytes
+        if not fake:
+            raise NotImplementedError(
+                f"payload not decodable in this environment ({exc}); "
+                "pass fake=True for the deterministic stand-in"
+            ) from exc
     step = max(1, len(payload) // max(n, 1))
     return [payload[i * step : (i + 1) * step] for i in range(min(n, len(payload)))]
 
@@ -160,11 +175,18 @@ def sample_frames(
 def _resize_image(
     payload: bytes, width: int, height: int, fake: bool
 ) -> bytes:
-    """Stub for image resize. Real impl: PIL thumbnail/resample."""
-    if not fake:
-        raise NotImplementedError(
-            "image codecs not available in this environment; pass fake=True"
-        )
+    """Image resize: Pillow resample when importable, else pure-numpy
+    nearest-neighbour over BMP; stand-in only when ``fake=True``."""
+    from ftm_columnstore_spark.operators import codecs
+
+    try:
+        return codecs.resize_image(payload, width, height)
+    except Exception as exc:  # struct errors on arbitrary bytes
+        if not fake:
+            raise NotImplementedError(
+                f"payload not decodable in this environment ({exc}); "
+                "pass fake=True for the deterministic stand-in"
+            ) from exc
     # deterministic stand-in scaled to the target pixel count
     seed = hashlib.sha1(payload + f"{width}x{height}".encode()).digest()
     out_len = max(1, min(width * height, 4096))

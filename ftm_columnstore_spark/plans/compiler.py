@@ -139,37 +139,83 @@ def _order_key(statements: DataFrame, q: Query) -> DataFrame:
     )
 
 
-def compile_entity_ids(statements: DataFrame, q: Query) -> DataFrame:
-    """Ordered, sliced canonical_id frontier for ``q``."""
+def _ordered_ids(statements: DataFrame, q: Query) -> DataFrame:
+    """Ordered, sliced (canonical_id, __knum, __kstr) frontier for ``q``
+    (keys retained so callers can re-apply the ordering downstream)."""
     matched = compile_statements(statements, q)
     ids = matched.select("canonical_id").distinct()
     if q.order_by_prop is not None:
         keys = _order_key(matched, q)
         ids = ids.join(keys, on="canonical_id", how="left")
-        direction = (
-            [F.col("__knum").asc_nulls_last(), F.col("__kstr").asc_nulls_last()]
-            if q.ascending
-            else [F.col("__knum").desc_nulls_last(), F.col("__kstr").desc_nulls_last()]
-        )
-        ids = ids.orderBy(*direction, F.col("canonical_id"))
     else:
-        ids = ids.orderBy("canonical_id")
+        ids = ids.withColumn("__knum", F.lit(None).cast("double")).withColumn(
+            "__kstr", F.lit(None).cast("string")
+        )
+    ids = ids.orderBy(*_order_direction(q))
     if q.offset:
         ids = ids.offset(q.offset)
     if q.limit is not None:
         ids = ids.limit(q.limit)
-    return ids.select("canonical_id")
+    return ids
+
+
+def _order_direction(q: Query) -> list[F.Column]:
+    if q.ascending:
+        return [
+            F.col("__knum").asc_nulls_last(),
+            F.col("__kstr").asc_nulls_last(),
+            F.col("canonical_id"),
+        ]
+    return [
+        F.col("__knum").desc_nulls_last(),
+        F.col("__kstr").desc_nulls_last(),
+        F.col("canonical_id"),
+    ]
+
+
+def compile_entity_ids(statements: DataFrame, q: Query) -> DataFrame:
+    """Ordered, sliced canonical_id frontier for ``q``."""
+    return _ordered_ids(statements, q).select("canonical_id")
 
 
 def compile_entities(statements: DataFrame, q: Query) -> DataFrame:
-    """Full pipeline: filter → order → slice → re-expand → assemble."""
-    ids = compile_entity_ids(statements, q)
+    """Full pipeline: filter → order → slice → re-expand → assemble.
+
+    The final result is re-sorted by the order key (reference
+    ``tests/test_store.py:144-166``: entities stream back in query
+    order): assembly's hash aggregation would otherwise scramble the
+    sliced frontier. Spark sorts distributed (range partitioning), so
+    this holds at cluster scale, matching ClickHouse ORDER BY semantics."""
+    ids = _ordered_ids(statements, q)
     # Re-expand: whole entities, not just matching statements (F10).
     # no broadcast hint: ids is bounded for selective queries (AQE
     # broadcasts those at runtime) but can approach the full id space for
     # match-all queries, where this must stay a shuffle join
-    full = statements.join(ids, on="canonical_id", how="left_semi")
-    return assemble_entities(full)
+    frontier = ids.select("canonical_id")
+    full = statements.join(frontier, on="canonical_id", how="left_semi")
+    assembled = assemble_entities(full)
+    if q.order_by_prop is None and q.limit is None and not q.offset:
+        return assembled
+    keyed = assembled.join(
+        ids.withColumnRenamed("canonical_id", "id"), on="id", how="left"
+    )
+    return keyed.orderBy(*_order_direction_for_entities(q)).drop(
+        "__knum", "__kstr"
+    )
+
+
+def _order_direction_for_entities(q: Query) -> list[F.Column]:
+    if q.ascending:
+        return [
+            F.col("__knum").asc_nulls_last(),
+            F.col("__kstr").asc_nulls_last(),
+            F.col("id"),
+        ]
+    return [
+        F.col("__knum").desc_nulls_last(),
+        F.col("__kstr").desc_nulls_last(),
+        F.col("id"),
+    ]
 
 
 # --- aggregations (§2.4) -----------------------------------------------------
@@ -238,6 +284,8 @@ def compile_aggregations(statements: DataFrame, q: Query) -> dict:
     """All of ``q``'s aggregations as the reference's nested dict shape:
     ``{func: {prop: value}, "groups": {group_prop: {func: {prop: {g: v}}}}}``
     (golden: ``tests/test_store.py:169-237``)."""
+    from dataclasses import replace
+
     out: dict[str, Any] = {}
     for agg in q.aggregations:
         df = compile_aggregation_df(statements, q, agg)
@@ -251,4 +299,11 @@ def compile_aggregations(statements: DataFrame, q: Query) -> dict:
                 .setdefault(agg.groups, {})
                 .setdefault(agg.func, {})
             )[agg.prop] = {r["group"]: r["value"] for r in rows}
+            # a grouped aggregation also reports the ungrouped total
+            # (reference tests/test_store.py:174-237: the sum/count key
+            # appears alongside "groups" in the same response)
+            total = compile_aggregation_df(
+                statements, q, replace(agg, groups=None)
+            ).collect()[0]["value"]
+            out.setdefault(agg.func, {})[agg.prop] = total
     return out

@@ -6,11 +6,12 @@ The reference's writer explodes each FtM entity into one row per
 distributed expression here: explode the properties map, then posexplode the
 value arrays — all JVM-side, no UDF.
 
-Statement ``id`` is a sha1 content hash over
-``dataset|entity_id|prop|value`` (the reference stores a nomenklatura
-content hash in ``FixedString(40)``, engine.py:132; our recipe keeps the
-load-bearing property — identical assertions collapse to one id — without
-depending on nomenklatura's exact salt).
+Statement ``id`` follows the nomenklatura ``Statement.make_key`` recipe
+(the reference stores that content hash in ``FixedString(40)``,
+engine.py:132; the recipe is public in the nomenklatura repo):
+``sha1("{dataset}.{entity_id}.{prop}.{value}")``, with ``.ext`` appended
+for external statements — so ids are byte-equal to nomenklatura's and
+data round-trips between the two systems with stable identity.
 """
 
 from __future__ import annotations
@@ -33,6 +34,25 @@ def _prop_type_expr(prop_col: str) -> F.Column:
         pairs.append(F.lit(ptype))
     mapping = F.create_map(*pairs)
     return F.coalesce(mapping[F.col(prop_col)], F.lit("string"))
+
+
+def statement_key(
+    dataset: str,
+    entity_id: str,
+    prop: str,
+    value: str,
+    external: F.Column | bool = False,
+) -> F.Column:
+    """X11: the nomenklatura ``Statement.make_key`` content hash —
+    ``sha1("{dataset}.{entity_id}.{prop}.{value}"[+".ext"])`` (the id the
+    reference persists, engine.py:132). Column-native (codegen'd sha1)."""
+    key = F.concat_ws(".", F.col(dataset), F.col(entity_id), F.col(prop), F.col(value))
+    if isinstance(external, bool):
+        ext = F.lit(external)
+    else:
+        ext = external
+    key = F.when(ext, F.concat(key, F.lit(".ext"))).otherwise(key)
+    return F.sha1(key)
 
 
 def entities_to_statements(
@@ -85,9 +105,7 @@ def entities_to_statements(
     all_rows = prop_rows.unionByName(id_rows)
 
     return all_rows.select(
-        F.sha1(
-            F.concat_ws("|", "dataset", "entity_id", "prop", "value")
-        ).alias("id"),
+        statement_key("dataset", "entity_id", "prop", "value").alias("id"),
         "entity_id",
         F.col("entity_id").alias("canonical_id"),
         "prop",

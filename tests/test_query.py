@@ -56,8 +56,11 @@ def test_reverse_filter(statements):
 
 
 def test_search(statements):
+    # ftmq-parity: search matches name-typed values only (reference golden
+    # tests/test_store.py:260-263) — reg-3's description mentions "agency"
+    # but only reg-1 carries it in a name.
     got = ids(statements, Q().where(dataset="registry").search("agency"))
-    assert got == ["reg-1", "reg-3"]
+    assert got == ["reg-1"]
 
 
 def test_order_by_numeric_asc(statements):

@@ -43,3 +43,31 @@ def test_dataset_scoping(statements):
     assert statements.filter(F.col("dataset") == "registry").select(
         "entity_id"
     ).distinct().count() == 3
+
+
+def test_statement_key_nomenklatura_recipe(spark):
+    """Ids are byte-equal to nomenklatura's ``Statement.make_key``:
+    sha1("{dataset}.{entity_id}.{prop}.{value}"), ".ext" appended for
+    external statements (the hash the reference persists, engine.py:132)."""
+    import hashlib
+
+    from ftm_columnstore_spark.sources.statements import statement_key
+
+    rows = [
+        ("donations", "e1", "name", "Tchibo Holding AG", False),
+        ("donations", "e1", "name", "Tchibo Holding AG", True),
+        ("eu", "eu-authorities-chafea", "jurisdiction", "eu", False),
+    ]
+    df = spark.createDataFrame(
+        rows, "dataset string, entity_id string, prop string, value string, external boolean"
+    )
+    got = df.select(
+        statement_key(
+            "dataset", "entity_id", "prop", "value", F.col("external")
+        ).alias("id")
+    ).collect()
+    for (ds, eid, prop, val, ext), r in zip(rows, got):
+        key = f"{ds}.{eid}.{prop}.{val}"
+        if ext:
+            key += ".ext"
+        assert r["id"] == hashlib.sha1(key.encode("utf-8")).hexdigest()
