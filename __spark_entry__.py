@@ -962,12 +962,16 @@ def w2_rank_spenders(spark: SparkSession, sf_dir: str) -> DataFrame:
     spend = o.groupBy("o_custkey").agg(
         F.round(_dsum(F.col("o_totalprice")), 2).cast("double").alias("spend")
     )
+    # scale posture: cut to the top 15 FIRST (TakeOrderedAndProject —
+    # per-partition top-N, no global sort), then rank inside the bounded
+    # set. The window's order includes the unique o_custkey, so ranks are
+    # identical to ranking the full per-customer aggregate
+    # (docs/PLANS.md "global windows").
+    top = spend.orderBy(F.col("spend").desc(), F.col("o_custkey")).limit(15)
     w = Window.orderBy(F.col("spend").desc(), F.col("o_custkey"))
-    return (
-        spend.withColumn("rnk", F.dense_rank().over(w).cast("long"))
-        .filter(F.col("rnk") <= 15)
-        .select("o_custkey", "spend", "rnk")
-    )
+    return top.withColumn(
+        "rnk", F.dense_rank().over(w).cast("long")
+    ).select("o_custkey", "spend", "rnk")
 
 
 def a10_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -7,6 +7,14 @@ cover the two patterns AQE can't fix:
   (mega-entities in the statement table, boilerplate shingles). Two-phase:
   partial agg on (key, salt) → final agg on key. Correct for any
   algebraic aggregate expressed as (partial, merge) pair.
+
+  NOTE (measured, NOTES.md "Skew"): plain algebraic aggregates
+  (count/sum/min/max) already collapse hot keys map-side via Spark's
+  partial aggregation — salting those is pure overhead. Reach for this
+  only when the aggregate is NOT map-side combinable (percentiles over
+  raw rows, large collect_list states); for count-distinct, prefer
+  restructuring to ``select(k, v).distinct().groupBy(k).count()`` —
+  the distinct shuffles on (k, v), which is spread.
 - **salted_join**: a shuffle join where the LEFT side has hot keys —
   replicate the RIGHT side per salt, spray the left. Use only when the
   right side is too big to broadcast but small enough to replicate

@@ -193,7 +193,7 @@ def minhash_lsh_pairs(
     banded = (
         signatures.select("id", "signature", F.explode(band_structs).alias("bb"))
         .select("id", "signature", "bb.band", "bb.bucket")
-        .persist()
+        .localCheckpoint(eager=True)
     )
 
     left = banded.alias("l")
@@ -348,6 +348,23 @@ def simhash_docs(
     return narrow.mapInPandas(gen, schema=out_schema)
 
 
+def _check_simhash_params(bands: int, max_hamming: int | None = None) -> None:
+    """Guard the pigeonhole contract: the 64 bits must split evenly into
+    ``bands`` chunks (otherwise high bits silently drop out of the
+    Hamming distance), and ``max_hamming`` must stay below ``bands``
+    (otherwise a pair can differ in every chunk and the banding recall
+    guarantee is void)."""
+    if bands <= 0 or 64 % bands != 0:
+        raise ValueError(
+            f"bands must evenly divide 64, got {bands}"
+        )
+    if max_hamming is not None and max_hamming >= bands:
+        raise ValueError(
+            f"max_hamming ({max_hamming}) must be < bands ({bands}) for "
+            "the pigeonhole guarantee to hold"
+        )
+
+
 def simhash_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -368,6 +385,7 @@ def simhash_pairs(
     bucket of m docs emits m² pairs, so an uncapped 10⁶-doc bucket would
     be quadratic; capped buckets are dropped whole (no partial sample),
     keeping the output deterministic."""
+    _check_simhash_params(bands, max_hamming)
     hashed = simhash_docs(df, text_col, id_col)
     width = 64 // bands
     banded = hashed.select(
@@ -442,6 +460,7 @@ def simhash_chunks(
     per-occurrence form; both shuffles are keyed by the doc id."""
     from ftm_columnstore_spark.functions.text import word_tokens_col
 
+    _check_simhash_params(bands)
     width = 64 // bands
     tok = (
         df.filter(F.col(text_col).isNotNull())
@@ -497,7 +516,11 @@ def simhash_pairs_portable(
     buckets dropped whole, deterministically), but every value is
     reproducible outside Spark — this is the oracle-checked variant; the
     numpy/siphash one stays as the single-engine throughput path."""
-    chunks = simhash_chunks(df, text_col, id_col, bands).persist()
+    _check_simhash_params(bands, max_hamming)
+    # localCheckpoint, not persist: repeated calls in a long session
+    # would strand cache entries (expand/db7d0e1 lesson); checkpoint
+    # blocks are released by the ContextCleaner once unreferenced
+    chunks = simhash_chunks(df, text_col, id_col, bands).localCheckpoint(eager=True)
     banded = chunks.select(
         "*",
         F.explode(
@@ -634,7 +657,7 @@ def ngram_jaccard_pairs(
                 ).cast("int"),
             ).alias("pref"),
         )
-        .persist()
+        .localCheckpoint(eager=True)
     )
     prefix = sets.select(
         "id",
@@ -748,7 +771,9 @@ def embedding_dup_pairs_portable(
     # persist: the self-join references feats twice — without it the
     # whole quantize+signature lineage is inlined into BOTH sides
     # (same lesson as the banded MinHash relation)
-    feats = quantized_features(df, vec_col, id_col, num_planes, scale).persist()
+    feats = quantized_features(df, vec_col, id_col, num_planes, scale).localCheckpoint(
+        eager=True
+    )
     l, r = feats.alias("l"), feats.alias("r")
     dotq = F.aggregate(
         F.zip_with("l.q", "r.q", lambda a, b: a * b),

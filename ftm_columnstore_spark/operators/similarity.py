@@ -268,7 +268,18 @@ def ivf_topk_portable(
 
     from pyspark.sql import Window
 
+    from pyspark.sql.types import (
+        DoubleType,
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
     spark = df.sparkSession
+    # id values keep their native dtype end-to-end (string ids work the
+    # same as numeric ones; the empty-result schema mirrors the input)
+    id_type = df.schema[id_col].dataType
     q = df.select(
         F.col(id_col).alias("id"), _quantize_col(vec_col, scale).alias("q")
     )
@@ -276,21 +287,35 @@ def ivf_topk_portable(
     # zero-norm centroids dropped (cosine-to-centroid undefined there);
     # selection-then-filter order is mirrored by the oracle
     cents = [
-        (int(r["id"]), [int(v) for v in r["q"]])
+        (r["id"], [int(v) for v in r["q"]])
         for r in cent_rows
         if any(v != 0 for v in r["q"])
     ]
     if not cents:
-        return df.sparkSession.createDataFrame(
-            [], f"{id_col} long, cosine double"
+        return spark.createDataFrame(
+            [],
+            StructType(
+                [
+                    StructField(id_col, id_type),
+                    StructField("cosine", DoubleType()),
+                ]
+            ),
         )
     cent_comp = spark.createDataFrame(
         [(cid, p, v) for cid, vec in cents for p, v in enumerate(vec)],
-        "cid long, pos int, cv long",
+        StructType(
+            [
+                StructField("cid", id_type),
+                StructField("pos", IntegerType()),
+                StructField("cv", LongType()),
+            ]
+        ),
     )
     cent_norm = spark.createDataFrame(
         [(cid, sum(v * v for v in vec)) for cid, vec in cents],
-        "cid long, nqc long",
+        StructType(
+            [StructField("cid", id_type), StructField("nqc", LongType())]
+        ),
     )
     ex = q.select("id", F.posexplode("q").alias("pos", "qv"))
     scores = (

@@ -183,13 +183,14 @@ def bigram_lm_scores(
     )
     vocab_size = toks.select("w").distinct().count()
     w = Window.partitionBy("id").orderBy("pos")
-    # persisted: c2, c1 AND the scoring join all read `big`; without the
-    # persist the tokenize + window lineage would run three times
+    # localCheckpoint: c2, c1 AND the scoring join all read `big` (the
+    # tokenize + window lineage would otherwise run three times); unlike
+    # persist the blocks are ContextCleaner-released once unreferenced
     big = (
         toks.withColumn("w1", F.lag("w").over(w))
         .filter(F.col("w1").isNotNull())
         .select("id", "w1", F.col("w").alias("w2"))
-        .persist()
+        .localCheckpoint(eager=True)
     )
     c2 = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
     c1 = big.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
@@ -229,8 +230,13 @@ def tfidf_top_terms(
         F.col(id_col).alias("id"),
         F.explode(word_tokens_col(text_col)).alias("term"),
     )
-    # persisted: dfreq aggregates tf and the scoring join reads it again
-    tf = terms.groupBy("id", "term").agg(F.count(F.lit(1)).alias("tf")).persist()
+    # localCheckpoint: dfreq aggregates tf and the scoring join reads it
+    # again; blocks release once unreferenced (no stranded cache entries)
+    tf = (
+        terms.groupBy("id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint(eager=True)
+    )
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     idf = F.log(
         F.lit(float(n_docs + 1)) / (F.col("df").cast("double") + F.lit(1.0))

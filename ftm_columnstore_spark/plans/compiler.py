@@ -271,11 +271,14 @@ def compile_aggregation_df(
             _AGG_FUNCS[agg.func](F.col("value")).alias("value")
         )
 
-    w = Window.orderBy(F.col("__group"))
+    # group cap (A7): orderBy+limit, NOT a global row_number Window — the
+    # input here is post-aggregation (one row per group), but limit-based
+    # capping compiles to TakeOrderedAndProject (per-partition top-N, no
+    # single-partition sort) so the plan stays safe even for huge group
+    # cardinalities (docs/PLANS.md "group cap").
     return (
-        out.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") <= settings.MAX_AGG_GROUPS)
-        .drop("__rn")
+        out.orderBy(F.col("__group"))
+        .limit(settings.MAX_AGG_GROUPS)
         .withColumnRenamed("__group", "group")
     )
 

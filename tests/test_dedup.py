@@ -170,3 +170,23 @@ def test_jaccard_dedup(corpus):
         for r in jaccard_dedup(corpus, shingle_k=3, min_jaccard=0.5).collect()
     )
     assert kept == [1, 4, 5]
+
+
+def test_simhash_param_validation(spark, docs_df=None):
+    """bands must divide 64; max_hamming must stay below bands (the
+    pigeonhole recall guarantee)."""
+    import pytest
+
+    from ftm_columnstore_spark.operators.dedup import (
+        simhash_chunks,
+        simhash_pairs,
+        simhash_pairs_portable,
+    )
+
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="evenly divide 64"):
+        simhash_chunks(df, bands=5)
+    with pytest.raises(ValueError, match="evenly divide 64"):
+        simhash_pairs(df, bands=7)
+    with pytest.raises(ValueError, match="must be < bands"):
+        simhash_pairs_portable(df, bands=4, max_hamming=4)

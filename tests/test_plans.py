@@ -64,3 +64,29 @@ def test_point_lookup_pushes_filters(pstore):
     assert "PushedFilters" in plan
     pushed = plan.split("PushedFilters", 1)[1][:300]
     assert "canonical_id" in pushed
+
+
+def test_group_cap_is_take_ordered_not_window(pstore):
+    """A7: the MAX_AGG_GROUPS cap compiles to TakeOrderedAndProject
+    (per-partition top-N), never a single-partition row_number Window."""
+    from ftm_columnstore_spark.plans.compiler import compile_aggregation_df
+    from ftm_columnstore_spark.plans.query import Aggregation, Q
+
+    df = compile_aggregation_df(
+        pstore.statements(), Q(), Aggregation("sum", "amountEur", "year")
+    )
+    plan = _plan(df)
+    assert "TakeOrderedAndProject" in plan
+    assert "Window" not in plan
+
+
+def test_global_window_only_after_limit(spark):
+    """w2 shape: ranking happens after a TakeOrderedAndProject cut, so
+    the unpartitioned Window sees a bounded (≤15 row) input."""
+    import __spark_entry__ as entry_mod
+
+    df = entry_mod.w2_rank_spenders(spark, "/root/testdata/sf0.001")
+    plan = _plan(df)
+    assert "TakeOrderedAndProject" in plan
+    # the Window appears above the take-ordered cut in the plan tree
+    assert plan.index("Window") < plan.index("TakeOrderedAndProject")

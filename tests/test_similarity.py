@@ -194,3 +194,35 @@ def test_knn_join_np_empty_query_side(spark):
         [(1, [1.0, 0.0]), (2, [0.0, 1.0])], ["vec_id", "embedding"]
     )
     assert knn_join_np(df.filter("vec_id > 99"), df, k=2).count() == 0
+
+
+def test_ivf_portable_string_ids(spark):
+    """ivf_topk_portable preserves the input id dtype (string ids used to
+    raise ValueError via int() coercion)."""
+    import numpy as np
+
+    from ftm_columnstore_spark.operators.similarity import ivf_topk_portable
+
+    rows = [
+        (f"doc-{i}", [float((i * 7 + j * 3) % 10) / 10 for j in range(8)])
+        for i in range(20)
+    ]
+    df = spark.createDataFrame(rows, "vec_id string, embedding array<float>")
+    out = ivf_topk_portable(
+        df, rows[0][1], k=5, n_centroids=4, n_probe=2
+    )
+    got = out.collect()
+    assert out.schema["vec_id"].dataType.simpleString() == "string"
+    assert 0 < len(got) <= 5
+    assert all(r["vec_id"].startswith("doc-") for r in got)
+
+
+def test_ivf_portable_empty_schema_matches_input_dtype(spark):
+    from ftm_columnstore_spark.operators.similarity import ivf_topk_portable
+
+    df = spark.createDataFrame(
+        [("a", [0.0, 0.0])], "vec_id string, embedding array<float>"
+    )
+    out = ivf_topk_portable(df, [1.0, 0.0], k=3, n_centroids=2)
+    assert out.schema["vec_id"].dataType.simpleString() == "string"
+    assert out.count() == 0

@@ -55,3 +55,111 @@ def test_salted_join_matches_plain(spark):
     plain = left.join(right, on="k").groupBy("k", "label").count()
     salted = salted_join(left, right, on="k", salts=4).groupBy("k", "label").count()
     assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+
+
+def hot_statement_corpus(spark):
+    """One mega-entity with 1e5 statements next to 200 normal entities —
+    the skew shape AQE's join splitting can't fix for aggregations."""
+    hot = spark.range(100_000).select(
+        F.lit("mega").alias("canonical_id"),
+        F.lit("mega").alias("entity_id"),
+        F.lit("everyPage").alias("prop"),
+        F.lit("string").alias("prop_type"),
+        F.lit("Document").alias("schema"),
+        F.concat(F.lit("v"), F.col("id")).alias("value"),
+        F.lit("ds").alias("dataset"),
+    )
+    cold = spark.range(200).select(
+        F.concat(F.lit("e"), F.col("id")).alias("canonical_id"),
+        F.concat(F.lit("e"), F.col("id")).alias("entity_id"),
+        F.lit("name").alias("prop"),
+        F.lit("name").alias("prop_type"),
+        F.lit("Company").alias("schema"),
+        F.concat(F.lit("Name "), F.col("id")).alias("value"),
+        F.lit("ds").alias("dataset"),
+    )
+    return hot.unionByName(cold)
+
+
+def test_salted_aggregate_hot_entity(spark):
+    """10^5-statement mega-entity: salted per-entity counts must match
+    the plain aggregation exactly, and the salted plan must show the
+    two-phase shape (first exchange keyed on (entity, salt) so the hot
+    key spreads over `salts` reducers)."""
+    stmts = hot_statement_corpus(spark)
+    plain = {
+        r["canonical_id"]: r["n"]
+        for r in stmts.groupBy("canonical_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    salted_df = salted_aggregate(
+        stmts,
+        ["canonical_id"],
+        [F.count(F.lit(1)).alias("pc")],
+        [F.sum("pc").alias("n")],
+        salts=16,
+    )
+    salted = {r["canonical_id"]: r["n"] for r in salted_df.collect()}
+    assert salted == plain
+    assert salted["mega"] == 100_000
+    plan = salted_df._jdf.queryExecution().executedPlan().toString()
+    # phase 1 keys on (canonical_id, __salt): the hot key fans out
+    assert "__salt" in plan
+    # both phases partial-aggregate before their exchange
+    assert plan.count("partial_count") + plan.count("partial_sum") >= 2
+
+
+def test_salted_join_hot_entity(spark):
+    """Join of the hot statement table against a per-entity dimension:
+    salted result must match the plain join row-for-row."""
+    stmts = hot_statement_corpus(spark)
+    dim = spark.createDataFrame(
+        [("mega", "MEGA"), ("e1", "E1"), ("e7", "E7")],
+        ["canonical_id", "label"],
+    )
+    plain = (
+        stmts.join(dim, on="canonical_id")
+        .groupBy("canonical_id", "label")
+        .count()
+    )
+    salted = (
+        salted_join(stmts, dim, on="canonical_id", salts=8)
+        .groupBy("canonical_id", "label")
+        .count()
+    )
+    assert sorted(map(tuple, plain.collect())) == sorted(
+        map(tuple, salted.collect())
+    )
+
+
+def test_dedup_window_hot_entity(spark, tmp_path):
+    """Store dedup-on-read over the mega-entity corpus: the max-struct
+    hash aggregate collapses duplicates map-side (no Window, no
+    single-partition sort), and upserted duplicates still collapse to
+    one row per (entity, prop, value)."""
+    from ftm_columnstore_spark.store import dedup_statements
+    from ftm_columnstore_spark.sources.statements import statement_key
+
+    stmts = hot_statement_corpus(spark).select(
+        statement_key("dataset", "entity_id", "prop", "value").alias("id"),
+        "entity_id", "canonical_id", "prop", "prop_type", "schema", "value",
+        F.lit(None).cast("string").alias("original_value"),
+        "dataset",
+        F.lit(None).cast("string").alias("lang"),
+        F.lit(False).alias("target"),
+        F.lit(False).alias("external"),
+        F.to_timestamp(F.lit("2024-01-01")).alias("first_seen"),
+        F.to_timestamp(F.lit("2024-01-01")).alias("last_seen"),
+    )
+    doubled = stmts.unionByName(
+        stmts.withColumn("last_seen", F.to_timestamp(F.lit("2024-06-01")))
+    )
+    deduped = dedup_statements(doubled)
+    assert deduped.count() == 100_200
+    plan = deduped._jdf.queryExecution().executedPlan().toString()
+    assert "partial_max" in plan
+    assert "Window" not in plan
+    # newest version wins
+    got = deduped.filter("canonical_id = 'e1'").collect()[0]
+    assert str(got["last_seen"]).startswith("2024-06-01")
