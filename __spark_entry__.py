@@ -1657,6 +1657,39 @@ def t9_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def t13_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data PII scrub: detect + redact emails / IPv4s /
+    card-like digit runs (operators/text.py:pii_stats — map-only codegen
+    regex pass, RE2-compatible patterns). The synthetic corpus carries no
+    natural PII, so deterministic PII derived from doc_id is injected
+    identically here and in the oracle, making detection counts and the
+    redacted length exact cross-engine."""
+    from ftm_columnstore_spark.operators.text import pii_stats
+
+    d = _t(spark, sf_dir, "documents")
+    injected = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact u"),
+            F.col("doc_id").cast("string"),
+            F.lit("@mail.example.com node 10.1."),
+            (F.col("doc_id") % 200).cast("string"),
+            F.lit(".7"),
+            F.when(
+                F.col("doc_id") % 5 == 0, F.lit(" card 4111222233334444")
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return pii_stats(injected).select(
+        F.col("id").alias("doc_id"),
+        "n_emails",
+        "n_ipv4",
+        "n_cards",
+        F.length("redacted").cast("long").alias("redacted_len"),
+    )
+
+
 def m6_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal pipeline, REAL decode end-to-end — NON-SQL (binary
     codecs), rows-only check: synthesize a deterministic BMP per document
@@ -1749,6 +1782,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "v8_ivf_topk_portable": v8_ivf_topk_portable,
         "t11_bigram_lm": t11_bigram_lm,
         "t12_tfidf_terms": t12_tfidf_terms,
+        "t13_pii_scrub": t13_pii_scrub,
         "v6_ann_topk_numpy": v6_ann_topk_numpy,
         "v7_knn_join_numpy": v7_knn_join_numpy,
         "w3_asof_join": w3_asof_join,
@@ -2985,6 +3019,36 @@ def oracle_sql() -> dict[str, str]:
                                             ORDER BY tfidf DESC, term) AS rank
                   FROM scored)
             WHERE rank <= 3
+        """,
+        "t13_pii_scrub": """
+            WITH inj AS (
+                SELECT doc_id,
+                       text || ' contact u' || doc_id ||
+                       '@mail.example.com node 10.1.' || (doc_id % 200) ||
+                       '.7' ||
+                       (CASE WHEN doc_id % 5 = 0
+                             THEN ' card 4111222233334444' ELSE '' END) AS t
+                FROM documents
+            )
+            SELECT doc_id,
+                   len(regexp_extract_all(t,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))::BIGINT
+                       AS n_emails,
+                   len(regexp_extract_all(t,
+                       '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b'))::BIGINT
+                       AS n_ipv4,
+                   len(regexp_extract_all(t, '\\b\\d{16}\\b'))::BIGINT AS n_cards,
+                   length(
+                     regexp_replace(
+                       regexp_replace(
+                         regexp_replace(t,
+                           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                           '[EMAIL]', 'g'),
+                         '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b',
+                         '[IPV4]', 'g'),
+                       '\\b\\d{16}\\b', '[CARD]', 'g')
+                   )::BIGINT AS redacted_len
+            FROM inj
         """,
         "d8_decontamination": """
             WITH toks AS (

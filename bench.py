@@ -23,7 +23,9 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 
-#: headline set — the heavier representatives of each operator family.
+#: headline set — the heavier representatives of each operator family,
+#: widened in round 2 to cover every family's worst case so tail
+#: regressions stay visible (VERDICT r1 item 6).
 HEADLINE = [
     "j3_join_revenue_nation",
     "j6_top_customers",
@@ -33,19 +35,30 @@ HEADLINE = [
     "a5_pricing_summary",
     "a3_sum_filtered",
     "a8_count_distinct",
+    "a19_percentiles",
     "w1_window_latest",
+    "w3_asof_join",
+    "w4_band_join",
     "u2_upsert_dedup",
     "e1_entity_assembly",
     "t2_token_topk",
+    "t11_bigram_lm",
+    "t12_tfidf_terms",
     "d2_exact_dup_groups",
     "d3_minhash_lsh_pairs",
+    "d4_simhash_pairs",
     "d5_ngram_jaccard",
+    "d6_jaccard_dedup_kept",
+    "d9_repetition_filter",
     "v1_ann_topk",
     "v2_knn_join",
+    "v8_ivf_topk_portable",
     "st1_events_tumbling",
     "st3_session_windows",
     "t8_deterministic_shuffle",
     "d8_decontamination",
+    "m5_time_rollup",
+    "m6_multimodal_features",
 ]
 
 

@@ -87,6 +87,21 @@ def _perm_constants(num_hashes: int, seed: int = 0x5EED) -> list[tuple[int, int,
     ]
 
 
+def unpersist_intermediates(df, blocking: bool = False) -> None:
+    """Release the persisted intermediates an operator attached to its
+    result (``df._cached_intermediates``). The pair-generation operators
+    persist a mid-relation (banded signatures, prefix sets, quantized
+    features) because their self-join reads it twice — and persist(),
+    unlike localCheckpoint, lets repeat invocations in the same session
+    hit the plan cache (measured: d5 4.0s cold vs 1.5s warm; an eager
+    localCheckpoint was 2x cold cost since wide array columns
+    materialize as row blocks). The cost of persist() is that entries
+    outlive the query in a long-lived session: call this after the
+    consuming action, or ``spark.catalog.clearCache()`` wholesale."""
+    for cached in getattr(df, "_cached_intermediates", []):
+        cached.unpersist(blocking)
+
+
 def minhash_signature(
     df: DataFrame,
     text_col: str = "text",
@@ -193,7 +208,7 @@ def minhash_lsh_pairs(
     banded = (
         signatures.select("id", "signature", F.explode(band_structs).alias("bb"))
         .select("id", "signature", "bb.band", "bb.bucket")
-        .localCheckpoint(eager=True)
+        .persist()
     )
 
     left = banded.alias("l")
@@ -229,6 +244,7 @@ def minhash_lsh_pairs(
     )
     if min_jaccard_est > 0:
         out = out.filter(F.col("jaccard_est") >= min_jaccard_est)
+    out._cached_intermediates = [banded]
     return out
 
 
@@ -517,10 +533,8 @@ def simhash_pairs_portable(
     reproducible outside Spark — this is the oracle-checked variant; the
     numpy/siphash one stays as the single-engine throughput path."""
     _check_simhash_params(bands, max_hamming)
-    # localCheckpoint, not persist: repeated calls in a long session
-    # would strand cache entries (expand/db7d0e1 lesson); checkpoint
-    # blocks are released by the ContextCleaner once unreferenced
-    chunks = simhash_chunks(df, text_col, id_col, bands).localCheckpoint(eager=True)
+    # persist (caching contract: see unpersist_intermediates)
+    chunks = simhash_chunks(df, text_col, id_col, bands).persist()
     banded = chunks.select(
         "*",
         F.explode(
@@ -551,7 +565,7 @@ def simhash_pairs_portable(
         ),
         F.lit(0),
     )
-    return (
+    out = (
         l.join(
             r,
             on=[
@@ -568,6 +582,8 @@ def simhash_pairs_portable(
         .filter(F.col("hamming") <= max_hamming)
         .dropDuplicates(["left_id", "right_id"])
     )
+    out._cached_intermediates = [chunks]
+    return out
 
 
 # --- n-gram Jaccard ------------------------------------------------------------
@@ -657,7 +673,7 @@ def ngram_jaccard_pairs(
                 ).cast("int"),
             ).alias("pref"),
         )
-        .localCheckpoint(eager=True)
+        .persist()
     )
     prefix = sets.select(
         "id",
@@ -707,9 +723,11 @@ def ngram_jaccard_pairs(
         .withColumn("inter", F.size(F.array_intersect("lsh", "rsh")))
     )
     jac = F.col("inter") / (F.col("ls") + F.col("rs") - F.col("inter"))
-    return verified.select(
+    out = verified.select(
         "left_id", "right_id", F.round(jac, 6).alias("jaccard")
     ).filter(F.col("jaccard") >= min_jaccard)
+    out._cached_intermediates = [sets]
+    return out
 
 
 def jaccard_dedup(
@@ -771,9 +789,7 @@ def embedding_dup_pairs_portable(
     # persist: the self-join references feats twice — without it the
     # whole quantize+signature lineage is inlined into BOTH sides
     # (same lesson as the banded MinHash relation)
-    feats = quantized_features(df, vec_col, id_col, num_planes, scale).localCheckpoint(
-        eager=True
-    )
+    feats = quantized_features(df, vec_col, id_col, num_planes, scale).persist()
     l, r = feats.alias("l"), feats.alias("r")
     dotq = F.aggregate(
         F.zip_with("l.q", "r.q", lambda a, b: a * b),
@@ -783,7 +799,7 @@ def embedding_dup_pairs_portable(
     cos = dotq.cast("double") / F.sqrt(
         F.col("l.nq").cast("double") * F.col("r.nq").cast("double")
     )
-    return (
+    out = (
         l.join(
             r,
             on=[F.col("l.sig") == F.col("r.sig"), F.col("l.id") < F.col("r.id")],
@@ -798,6 +814,9 @@ def embedding_dup_pairs_portable(
             "left_id", "right_id", F.round("__cos", 6).alias("cosine")
         )
     )
+    out._cached_intermediates = [feats]
+    return out
+
 
 def embedding_dup_pairs(
     df: DataFrame,

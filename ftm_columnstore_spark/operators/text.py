@@ -255,3 +255,40 @@ def tfidf_top_terms(
             F.col("rank").cast("long").alias("rank"),
         )
     )
+
+
+#: PII patterns — deliberately RE2-compatible (no lookarounds/backrefs)
+#: so the same patterns run verbatim in Spark (Java regex) and any
+#: RE2-based engine (DuckDB/Go) for cross-engine audits.
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+    "card": r"\b\d{16}\b",
+}
+
+
+def pii_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document PII detection counts + redacted text — the standard
+    training-data scrub pass (emails / IPv4s / 16-digit card-like runs).
+
+    Pure codegen: ``regexp_extract_all`` for counts, chained
+    ``regexp_replace`` for redaction — no UDF, no shuffle (embarrassingly
+    parallel over input partitions; at 100 TB this is a map-only stage
+    whose cost is the scan itself)."""
+    c = F.col(text_col)
+    counts = {
+        name: F.size(F.regexp_extract_all(c, F.lit(pat), F.lit(0)))
+        for name, pat in PII_PATTERNS.items()
+    }
+    redacted = c
+    for name, pat in PII_PATTERNS.items():
+        redacted = F.regexp_replace(redacted, pat, f"[{name.upper()}]")
+    return df.select(
+        F.col(id_col).alias("id"),
+        counts["email"].cast("long").alias("n_emails"),
+        counts["ipv4"].cast("long").alias("n_ipv4"),
+        counts["card"].cast("long").alias("n_cards"),
+        redacted.alias("redacted"),
+    )

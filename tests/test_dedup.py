@@ -190,3 +190,23 @@ def test_simhash_param_validation(spark, docs_df=None):
         simhash_pairs(df, bands=7)
     with pytest.raises(ValueError, match="must be < bands"):
         simhash_pairs_portable(df, bands=4, max_hamming=4)
+
+
+def test_unpersist_intermediates_releases_cache(spark):
+    """Pair operators persist a mid-relation for their self-join; the
+    documented release path must actually clear it."""
+    from ftm_columnstore_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+        unpersist_intermediates,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "one two three four five six"), (2, "one two three four five seven")],
+        "doc_id long, text string",
+    )
+    out = ngram_jaccard_pairs(df, shingle_k=2, min_jaccard=0.2)
+    out.count()
+    cached = out._cached_intermediates
+    assert cached and any(c.storageLevel.useMemory for c in cached)
+    unpersist_intermediates(out)
+    assert all(not c.storageLevel.useMemory for c in cached)

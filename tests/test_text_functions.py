@@ -121,3 +121,25 @@ def test_tfidf_top_terms(spark):
     assert sorted(by_doc[1])[0][1] == "spark"
     assert sorted(by_doc[2])[0][1] == "duck"
     assert all(len(v) == 2 for v in by_doc.values())
+
+
+def test_pii_stats(spark):
+    from ftm_columnstore_spark.operators.text import pii_stats
+
+    df = spark.createDataFrame(
+        [
+            (1, "reach me at jane.doe+x@corp.example.org or 192.168.0.1"),
+            (2, "card 4111111111111111 twice 4111111111111111"),
+            (3, "nothing sensitive here"),
+            (4, None),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["id"]: r for r in pii_stats(df).collect()}
+    assert out[1]["n_emails"] == 1 and out[1]["n_ipv4"] == 1
+    assert "[EMAIL]" in out[1]["redacted"] and "[IPV4]" in out[1]["redacted"]
+    assert "jane.doe" not in out[1]["redacted"]
+    assert out[2]["n_cards"] == 2
+    assert out[2]["redacted"].count("[CARD]") == 2
+    assert out[3]["n_emails"] == out[3]["n_ipv4"] == out[3]["n_cards"] == 0
+    assert out[4]["redacted"] is None
