@@ -1107,7 +1107,9 @@ def v6_ann_topk_numpy(spark: SparkSession, sf_dir: str) -> DataFrame:
 def x5_phonetic_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ftm_columnstore_spark.functions.phonetics import phonetics_col
 
-    c = _t(spark, sf_dir, "customer").limit(200)
+    # deterministic subset (filter, not LIMIT: unordered LIMIT may pick
+    # different rows across runs)
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_custkey") <= 200)
     return c.select(
         "c_custkey",
         phonetics_col("c_name", "soundex").alias("soundex"),
@@ -1657,6 +1659,28 @@ def t9_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def a20_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (priority, status): all four grouping-set combinations
+    in ONE pass (Expand + single hash aggregation — the multi-granularity
+    report shape; partial aggs stay map-side combinable)."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderpriority", "o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(_dsum(F.col("o_totalprice")), 2)
+            .cast("double")
+            .alias("total_price"),
+        )
+        .select(
+            F.coalesce("o_orderpriority", F.lit("(all)")).alias("priority"),
+            F.coalesce("o_orderstatus", F.lit("(all)")).alias("status"),
+            "n_orders",
+            "total_price",
+        )
+    )
+
+
 def t13_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training-data PII scrub: detect + redact emails / IPv4s /
     card-like digit runs (operators/text.py:pii_stats — map-only codegen
@@ -1789,6 +1813,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w4_band_join": w4_band_join,
         "d9_repetition_filter": d9_repetition_filter,
         "a19_percentiles": a19_percentiles,
+        "a20_cube": a20_cube,
         "m5_time_rollup": m5_time_rollup,
         # NON-SQL — rows-only (v5: iterative k-means training; x5:
         # metaphone; t9: per-partition bin packing; m6: binary codecs):
@@ -2617,6 +2642,14 @@ def oracle_sql() -> dict[str, str]:
             JOIN nation   ON c_nationkey = n_nationkey
             JOIN region   ON n_regionkey = r_regionkey
             GROUP BY ROLLUP (r_name, n_name)
+        """,
+        "a20_cube": """
+            SELECT coalesce(o_orderpriority, '(all)') AS priority,
+                   coalesce(o_orderstatus, '(all)') AS status,
+                   count(*) AS n_orders,
+                   CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS total_price
+            FROM orders
+            GROUP BY CUBE (o_orderpriority, o_orderstatus)
         """,
         "o4_deterministic_scan": """
             SELECT id, name FROM (

@@ -164,7 +164,11 @@ def phonetics_col(col: Column | str, algorithm: str) -> Column:
     """X5 dispatcher (reference ``get_phonetics``, phonetic.py:55-70):
     fingerprint first, then tokenize ({full fingerprint} ∪ {tokens with
     len > 5}), then encode every token — so the multi-word fingerprint
-    itself is one encoded key, exactly as the reference emits it."""
+    itself is one encoded key, exactly as the reference emits it.
+
+    ``soundex`` uses Spark's builtin (Latin scripts); ``soundex_indic``
+    routes through the Indic-aware variant (cross-script equivalence,
+    see ``indic_soundex.py`` — the libindic analogue)."""
     tokens = tokenize_col(col)
     if algorithm == "fingerprint":
         return tokens
@@ -174,4 +178,24 @@ def phonetics_col(col: Column | str, algorithm: str) -> Column:
         return _dm_array(tokens, 1)
     if algorithm == "soundex":
         return F.transform(tokens, lambda t: F.soundex(t))
+    if algorithm == "soundex_indic":
+        from ftm_columnstore_spark.functions.indic_soundex import (
+            indic_soundex_udf,
+        )
+
+        # script-preserving tokenization: the ascii fingerprint
+        # normalizer would strip Indic codepoints entirely
+        return indic_soundex_udf()(_unicode_tokens(col))
     raise ValueError(f"unknown phonetic algorithm: {algorithm}")
+
+
+def _unicode_tokens(col: Column | str) -> Column:
+    """Whitespace/punctuation tokenization that keeps every letter of
+    every script (``\\p{L}``), plus the sorted-distinct joined form —
+    the unicode analogue of ``tokenize_col`` for Indic-aware keys."""
+    toks = F.filter(
+        F.split(F.lower(_c(col)), r"[^\p{L}\p{Nd}]+"),
+        lambda x: x != F.lit(""),
+    )
+    fp = F.array_join(F.array_sort(F.array_distinct(toks)), " ")
+    return F.array_distinct(F.concat(F.array(fp), toks))

@@ -94,10 +94,13 @@ def test_simhash_pairs_match_duckdb(spark, texts):
     df = spark.createDataFrame(
         list(enumerate(texts)), ["doc_id", "text"]
     )
-    got = simhash_pairs_portable(df, max_hamming=20, bands=4).toPandas()
+    # max_hamming must respect the pigeonhole contract (< bands); 7/8
+    # keeps the filter nearly accept-all so value parity is exercised on
+    # every candidate pair the banding emits
+    got = simhash_pairs_portable(df, max_hamming=7, bands=8).toPandas()
     want = _oracle(
         pd.DataFrame({"doc_id": range(len(texts)), "text": texts}),
-        entry._d4_oracle(bands=4, max_hamming=20),
+        entry._d4_oracle(bands=8, max_hamming=7),
     )
     _assert_same(got, want)
 

@@ -342,3 +342,33 @@ def test_id_lookups(view):
         )
         == 151
     )
+
+
+# --- CLI roundtrip (reference test_cli.py:20-45) -------------------------
+
+
+def test_cli_iterate_counts(spark, parity_store, capsys):
+    """ftmq-roundtrip golden: iterating the whole store yields 625 JSON
+    lines, dataset-filtered iteration 474/151 (test_cli.py:40-45)."""
+    from ftm_columnstore_spark.cli import main
+
+    rc = main(["--store", parity_store.uri, "iterate"])
+    assert rc == 0
+    lines = [l for l in capsys.readouterr().out.strip().split("\n") if l.strip()]
+    assert len(lines) == 625
+    import json as _json
+
+    parsed = _json.loads(lines[0])
+    assert {"id", "schema", "properties"} <= set(parsed)
+
+    rc = main(["--store", parity_store.uri, "iterate", "--dataset", "donations"])
+    assert rc == 0
+    lines = [l for l in capsys.readouterr().out.strip().split("\n") if l.strip()]
+    assert len(lines) == 474
+
+    rc = main(
+        ["--store", parity_store.uri, "iterate", "--dataset", "eu_authorities"]
+    )
+    assert rc == 0
+    lines = [l for l in capsys.readouterr().out.strip().split("\n") if l.strip()]
+    assert len(lines) == 151
