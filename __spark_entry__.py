@@ -244,7 +244,13 @@ def a7_group_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def a8_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A8: per-group distinct-entity counts (the _stats MV shape)."""
+    """A8: per-group distinct-entity counts (the _stats MV shape).
+
+    Single-exchange on purpose: the countDistinct Expand looks alarming
+    but Spark's distinct-agg rewrite partial-aggregates on
+    (segment, custkey) map-side, so the one exchange carries ~|custkeys|
+    rows. A j13-style pre-aggregation to customer grain was measured
+    SLOWER here (two exchanges for the same shuffled volume)."""
     o = _t(spark, sf_dir, "orders")
     c = _t(spark, sf_dir, "customer")
     return (
