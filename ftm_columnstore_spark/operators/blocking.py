@@ -20,7 +20,6 @@ from pyspark.sql import functions as F
 
 from ftm_columnstore_spark.functions.phonetics import (
     dm_array_col,
-    fingerprint_col,
     soundex_col,
     tokenize_col,
 )

@@ -106,3 +106,27 @@ def test_secondary_blank_iff_equal():
 
 def test_case_and_whitespace_insensitive():
     assert double_metaphone("  smith ") == double_metaphone("SMITH")
+
+
+# --- robustness fuzz ------------------------------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.text(max_size=40))
+def test_never_raises_and_code_alphabet(s):
+    pri, sec = double_metaphone(s)
+    # codes draw from the double-metaphone output alphabet only
+    alphabet = set("AFHJKLMNPRSTX0")
+    assert set(pri) <= alphabet
+    assert set(sec) <= alphabet
+    # contract: secondary is "" when it would equal primary
+    assert sec != pri or pri == ""
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.text(alphabet=st.characters(min_codepoint=32, max_codepoint=0x2FF), max_size=30))
+def test_deterministic(s):
+    assert double_metaphone(s) == double_metaphone(s)

@@ -43,3 +43,17 @@ def test_spark_dispatcher(spark):
     flat = {k for keys in out for k in keys}
     assert any(k.startswith("I") for k in flat)
     assert "R163" in flat
+
+
+# --- robustness fuzz ------------------------------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.text(max_size=40))
+def test_fuzz_never_raises(s):
+    out = indic_soundex(s)
+    assert isinstance(out, str)
+    assert indic_soundex(s) == out
