@@ -1720,6 +1720,34 @@ def t13_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def t14_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MOSS winnowing fingerprints (operators/text.py:winnow_fingerprints
+    — Schleimer et al. SIGMOD'03): per-document selected k-gram hash set
+    via rolling window-min; guarantees detection of any shared token run
+    >= window + k - 1. Engine-portable md5-60bit gram hash, all codegen,
+    one shuffle on doc id."""
+    from ftm_columnstore_spark.operators.text import winnow_fingerprints
+
+    d = _t(spark, sf_dir, "documents")
+    return winnow_fingerprints(d, k=4, window=4).select(
+        F.col("id").alias("doc_id"), "fp"
+    )
+
+
+def d10_winnow_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local-overlap pairs via shared winnowing fingerprints
+    (operators/text.py:winnow_overlap_pairs) — the MOSS match step that
+    catches partial/quoted overlap whole-document MinHash misses. Hot
+    fingerprints capped at max_df=50 before the self-join (inverted-index
+    stopword cap; bounds pair fan-out at corpus scale)."""
+    from ftm_columnstore_spark.operators.text import winnow_overlap_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    return winnow_overlap_pairs(
+        d, k=4, window=4, min_shared=2, max_df=50
+    ).select("left_id", "right_id", "n_shared")
+
+
 def m6_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal pipeline, REAL decode end-to-end — NON-SQL (binary
     codecs), rows-only check: synthesize a deterministic BMP per document
@@ -1821,6 +1849,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a19_percentiles": a19_percentiles,
         "a20_cube": a20_cube,
         "m5_time_rollup": m5_time_rollup,
+        "t14_winnow_fingerprints": t14_winnow_fingerprints,
+        "d10_winnow_overlap": d10_winnow_overlap,
         # NON-SQL — rows-only (v5: iterative k-means training; x5:
         # metaphone; t9: per-partition bin packing; m6: binary codecs):
         "v5_ivf_topk": v5_ivf_topk,
@@ -3088,6 +3118,57 @@ def oracle_sql() -> dict[str, str]:
                        '\\b\\d{16}\\b', '[CARD]', 'g')
                    )::BIGINT AS redacted_len
             FROM inj
+        """,
+        "t14_winnow_fingerprints": """
+            WITH toks AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                                   x -> x <> '') AS tk
+                FROM documents WHERE text IS NOT NULL
+            ), h AS (
+                SELECT doc_id,
+                       list_transform(
+                           list_transform(range(1, len(tk) - 2),
+                               i -> array_to_string(tk[i:i+3], ' ')),
+                           g -> ('0x' || substr(md5(g), 1, 15))::BIGINT) AS hs
+                FROM toks WHERE len(tk) >= 4
+            )
+            SELECT DISTINCT doc_id, fp FROM (
+                SELECT doc_id,
+                       unnest(CASE WHEN len(hs) < 4 THEN [list_min(hs)]
+                              ELSE list_transform(range(1, len(hs) - 2),
+                                   j -> list_min(hs[j:j+3])) END) AS fp
+                FROM h)
+        """,
+        "d10_winnow_overlap": """
+            WITH toks AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                                   x -> x <> '') AS tk
+                FROM documents WHERE text IS NOT NULL
+            ), h AS (
+                SELECT doc_id,
+                       list_transform(
+                           list_transform(range(1, len(tk) - 2),
+                               i -> array_to_string(tk[i:i+3], ' ')),
+                           g -> ('0x' || substr(md5(g), 1, 15))::BIGINT) AS hs
+                FROM toks WHERE len(tk) >= 4
+            ), fps AS (
+                SELECT DISTINCT doc_id, fp FROM (
+                    SELECT doc_id,
+                           unnest(CASE WHEN len(hs) < 4 THEN [list_min(hs)]
+                                  ELSE list_transform(range(1, len(hs) - 2),
+                                       j -> list_min(hs[j:j+3])) END) AS fp
+                    FROM h)
+            ), kept AS (
+                SELECT doc_id, fp FROM fps
+                WHERE fp IN (SELECT fp FROM fps
+                             GROUP BY fp HAVING count(*) <= 50)
+            )
+            SELECT l.doc_id AS left_id, r.doc_id AS right_id,
+                   count(*)::BIGINT AS n_shared
+            FROM kept l JOIN kept r ON l.fp = r.fp AND l.doc_id < r.doc_id
+            GROUP BY 1, 2 HAVING count(*) >= 2
         """,
         "d8_decontamination": """
             WITH toks AS (

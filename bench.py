@@ -59,6 +59,7 @@ HEADLINE = [
     "d8_decontamination",
     "m5_time_rollup",
     "m6_multimodal_features",
+    "d10_winnow_overlap",
 ]
 
 

@@ -257,6 +257,118 @@ def tfidf_top_terms(
     )
 
 
+def winnow_fingerprints(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 4,
+    window: int = 4,
+) -> DataFrame:
+    """MOSS winnowing fingerprints (Schleimer, Wilkerson & Aiken,
+    SIGMOD 2003): hash every k-token gram, slide a ``window``-wide window
+    over the per-document hash sequence, and keep each window's minimum —
+    guaranteeing any shared token run of length >= window + k - 1 between
+    two documents produces at least one shared fingerprint. The standard
+    local document-fingerprinting scheme for partial-overlap / plagiarism
+    detection, complementing MinHash (whole-document similarity).
+
+    Scale shape: tokenize is narrow; gram construction and the rolling
+    min are TWO window passes over the SAME (id, pos) sort — Spark reuses
+    one shuffle + sort for both. Everything is codegen (md5/conv/concat),
+    no Python. Output ``(id, fp)`` distinct; at 100 TB this is one
+    shuffle on doc id plus the final distinct.
+
+    Portability: the gram hash is the engine-portable 60-bit md5 prefix
+    (Spark ``conv(substr(md5(g),1,15),16,10)`` == DuckDB
+    ``('0x'||substr(md5(g),1,15))::BIGINT``) so any SQL engine can
+    reproduce fingerprints bit-for-bit for audits.
+
+    Documents with fewer than ``k`` tokens yield no row; documents with
+    1..window-1 grams yield their single minimum hash (so every hashable
+    document keeps at least one fingerprint)."""
+    from pyspark.sql import Window
+
+    if k < 1 or window < 1:
+        raise ValueError("k and window must be >= 1")
+    toks = df.where(F.col(text_col).isNotNull()).select(
+        F.col(id_col).alias("id"),
+        F.posexplode(word_tokens_col(text_col)).alias("pos", "tok"),
+    )
+    w = Window.partitionBy("id").orderBy("pos")
+    parts = [F.col("tok")] + [F.lead("tok", i).over(w) for i in range(1, k)]
+    # positions are dense per doc, so lead(k-1) NULL <=> incomplete gram;
+    # the when() gate matters because concat_ws silently skips NULLs
+    gram = F.when(
+        F.lead("tok", k - 1).over(w).isNotNull() | F.lit(k == 1),
+        F.concat_ws(" ", *parts),
+    )
+    grams = toks.select("id", "pos", gram.alias("gram")).where(
+        F.col("gram").isNotNull()
+    )
+    h = F.conv(F.substring(F.md5("gram"), 1, 15), 16, 10).cast("long")
+    hg = grams.select("id", "pos", h.alias("h"))
+    roll = F.min("h").over(w.rowsBetween(0, window - 1))
+    full = F.lead("h", window - 1).over(w)
+    return (
+        hg.select(
+            "id",
+            "pos",
+            roll.alias("fp"),
+            (full.isNotNull() | (F.col("pos") == 0)).alias("__keep"),
+        )
+        .where(F.col("__keep"))
+        .select("id", "fp")
+        .distinct()
+    )
+
+
+def winnow_overlap_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 4,
+    window: int = 4,
+    min_shared: int = 2,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Document pairs sharing >= ``min_shared`` winnowing fingerprints —
+    the MOSS match step (local-overlap detection: quotes, boilerplate,
+    partial plagiarism) that whole-document MinHash misses.
+
+    ``max_df`` drops fingerprints occurring in more than that many
+    documents before the self-join — the inverted-index stopword cap that
+    keeps hot boilerplate fingerprints (page headers, licence blocks)
+    from exploding the pair count at corpus scale. The join shuffles on
+    the fingerprint value only; per-fingerprint fan-out is bounded by
+    max_df, so worst-case pair expansion is max_df² per fingerprint, not
+    corpus².
+
+    Output: (left_id, right_id, n_shared), left_id < right_id."""
+    fps = winnow_fingerprints(
+        df, text_col=text_col, id_col=id_col, k=k, window=window
+    )
+    # both join sides (and the optional frequency filter) read fps;
+    # localCheckpoint so the tokenize + double-window lineage runs once
+    fps = fps.localCheckpoint(eager=True)
+    if max_df is not None:
+        hot = (
+            fps.groupBy("fp")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .where(F.col("__df") > max_df)
+            .select("fp")
+        )
+        fps = fps.join(F.broadcast(hot), on="fp", how="left_anti")
+    left = fps.select(F.col("id").alias("left_id"), "fp")
+    right = fps.select(F.col("id").alias("right_id"), "fp")
+    return (
+        left.join(right, on="fp")
+        .where(F.col("left_id") < F.col("right_id"))
+        .groupBy("left_id", "right_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .where(F.col("n_shared") >= min_shared)
+    )
+
+
 #: PII patterns — deliberately RE2-compatible (no lookarounds/backrefs)
 #: so the same patterns run verbatim in Spark (Java regex) and any
 #: RE2-based engine (DuckDB/Go) for cross-engine audits.

@@ -143,3 +143,95 @@ def test_pii_stats(spark):
     assert out[2]["redacted"].count("[CARD]") == 2
     assert out[3]["n_emails"] == out[3]["n_ipv4"] == out[3]["n_cards"] == 0
     assert out[4]["redacted"] is None
+
+
+def _md5_60bit(gram: str) -> int:
+    import hashlib
+
+    return int(hashlib.md5(gram.encode()).hexdigest()[:15], 16)
+
+
+def test_winnow_fingerprints_guarantee_and_portability(spark):
+    """MOSS guarantee: a shared token run >= window + k - 1 (here 7)
+    produces >= 1 shared fingerprint; fps are the portable md5-60bit
+    gram hashes."""
+    from ftm_columnstore_spark.operators.text import winnow_fingerprints
+
+    shared = "alpha beta gamma delta epsilon zeta eta"  # 7 tokens
+    df = spark.createDataFrame(
+        [
+            (1, f"intro words here {shared} tail one"),
+            (2, f"{shared} completely different continuation text now"),
+        ],
+        "doc_id long, text string",
+    )
+    out = winnow_fingerprints(df, k=4, window=4).collect()
+    fps = {}
+    for r in out:
+        fps.setdefault(r.id, set()).add(r.fp)
+    assert fps[1] & fps[2], "overlapping run must share a fingerprint"
+    # every fp is the md5-60bit hash of SOME 4-gram of that document
+    toks1 = "intro words here alpha beta gamma delta epsilon zeta eta tail one".split()
+    grams1 = {
+        _md5_60bit(" ".join(toks1[i : i + 4])) for i in range(len(toks1) - 3)
+    }
+    assert fps[1] <= grams1
+
+
+def test_winnow_fingerprints_short_docs(spark):
+    from ftm_columnstore_spark.operators.text import winnow_fingerprints
+
+    df = spark.createDataFrame(
+        [
+            (1, "just three tokens"),  # < k → no grams → no rows
+            (2, "exactly four tokens here"),  # 1 gram < window → its min
+            (3, "five tokens are right here"),  # 2 grams < window → 1 fp
+        ],
+        "doc_id long, text string",
+    )
+    out = winnow_fingerprints(df, k=4, window=4).collect()
+    by_id = {}
+    for r in out:
+        by_id.setdefault(r.id, set()).add(r.fp)
+    assert 1 not in by_id
+    assert by_id[2] == {_md5_60bit("exactly four tokens here")}
+    g1 = _md5_60bit("five tokens are right")
+    g2 = _md5_60bit("tokens are right here")
+    assert by_id[3] == {min(g1, g2)}
+
+
+def test_winnow_overlap_pairs_and_max_df(spark):
+    from ftm_columnstore_spark.operators.text import winnow_overlap_pairs
+
+    boiler = "this boilerplate header repeats on every single page always"
+    unique = {
+        1: "alpha beta gamma delta epsilon zeta eta theta iota kappa",
+        2: "alpha beta gamma delta epsilon zeta eta theta lambda mu",
+        3: "totally unrelated words describing some other topic entirely now",
+    }
+    rows = [(i, f"{boiler} {t}") for i, t in unique.items()]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = {
+        (r.left_id, r.right_id): r.n_shared
+        for r in winnow_overlap_pairs(df, min_shared=2).collect()
+    }
+    assert (1, 2) in pairs and pairs[(1, 2)] >= 2
+    # drop fingerprints shared by >2 docs → boilerplate-only pairs vanish
+    capped = {
+        (r.left_id, r.right_id)
+        for r in winnow_overlap_pairs(df, min_shared=2, max_df=2).collect()
+    }
+    assert (1, 3) not in capped and (2, 3) not in capped
+    assert (1, 2) in capped
+
+
+def test_winnow_validates_params(spark):
+    import pytest as _pytest
+
+    from ftm_columnstore_spark.operators.text import winnow_fingerprints
+
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with _pytest.raises(ValueError):
+        winnow_fingerprints(df, k=0)
+    with _pytest.raises(ValueError):
+        winnow_fingerprints(df, window=0)
