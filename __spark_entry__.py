@@ -1748,6 +1748,41 @@ def d10_winnow_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("left_id", "right_id", "n_shared")
 
 
+def d11_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4/CCNet line-level corpus dedup (operators/dedup.py:line_dedup):
+    drop every occurrence of a line except the globally-first one, then
+    reassemble documents. The synthetic corpus has no newlines, so lines
+    are synthesized identically here and in the oracle by chunking the
+    token stream into 2-token lines — the small vocabulary makes
+    cross-document duplicate lines abundant, exercising the dedup path
+    hard. Output keeps the cleaned text as an md5 so compare payloads
+    stay small."""
+    from ftm_columnstore_spark.functions.text import word_tokens_col
+    from ftm_columnstore_spark.operators.dedup import line_dedup
+
+    d = _t(spark, sf_dir, "documents")
+    toks = word_tokens_col("text")
+    n = F.size(toks)
+    starts = F.sequence(
+        F.lit(0), F.greatest(F.ceil(n / F.lit(2.0)).cast("int") - 1, F.lit(0))
+    )
+    lined = d.select(
+        "doc_id",
+        F.array_join(
+            F.transform(
+                starts, lambda i: F.array_join(F.slice(toks, i * 2 + 1, 2), " ")
+            ),
+            "\n",
+        ).alias("text"),
+    )
+    return line_dedup(lined).select(
+        F.col("id").alias("doc_id"),
+        "n_lines",
+        "n_kept",
+        F.md5("text").alias("clean_md5"),
+    )
+
+
 def m6_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal pipeline, REAL decode end-to-end — NON-SQL (binary
     codecs), rows-only check: synthesize a deterministic BMP per document
@@ -1851,6 +1886,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "m5_time_rollup": m5_time_rollup,
         "t14_winnow_fingerprints": t14_winnow_fingerprints,
         "d10_winnow_overlap": d10_winnow_overlap,
+        "d11_line_dedup": d11_line_dedup,
         # NON-SQL — rows-only (v5: iterative k-means training; x5:
         # metaphone; t9: per-partition bin packing; m6: binary codecs):
         "v5_ivf_topk": v5_ivf_topk,
@@ -3169,6 +3205,45 @@ def oracle_sql() -> dict[str, str]:
                    count(*)::BIGINT AS n_shared
             FROM kept l JOIN kept r ON l.fp = r.fp AND l.doc_id < r.doc_id
             GROUP BY 1, 2 HAVING count(*) >= 2
+        """,
+        "d11_line_dedup": """
+            WITH toks AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                                   x -> x <> '') AS tk
+                FROM documents
+            ), lined AS (
+                SELECT doc_id,
+                       list_transform(
+                           range(1, greatest(ceil(len(tk)/2.0)::INT, 1) + 1),
+                           i -> array_to_string(tk[(i-1)*2+1:(i-1)*2+2], ' ')
+                       ) AS ls
+                FROM toks
+            ), lines AS (
+                SELECT doc_id, pos, line FROM (
+                    SELECT doc_id,
+                           generate_subscripts(ls, 1) - 1 AS pos,
+                           unnest(ls) AS line
+                    FROM lined)
+                WHERE trim(line) <> ''
+            ), ranked AS (
+                SELECT doc_id, pos, line,
+                       row_number() OVER (PARTITION BY md5(line)
+                                          ORDER BY doc_id, pos) AS rn
+                FROM lines
+            ), kept AS (
+                SELECT doc_id, pos, line FROM ranked WHERE rn = 1
+            ), counts AS (
+                SELECT doc_id, count(*) AS n_lines FROM lines GROUP BY doc_id
+            ), agg AS (
+                SELECT doc_id, count(*) AS n_kept,
+                       md5(string_agg(line, chr(10) ORDER BY pos)) AS clean_md5
+                FROM kept GROUP BY doc_id
+            )
+            SELECT c.doc_id, c.n_lines,
+                   coalesce(a.n_kept, 0) AS n_kept,
+                   coalesce(a.clean_md5, md5('')) AS clean_md5
+            FROM counts c LEFT JOIN agg a USING (doc_id)
         """,
         "d8_decontamination": """
             WITH toks AS (

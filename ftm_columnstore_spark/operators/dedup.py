@@ -847,3 +847,75 @@ def embedding_dup_pairs(
         )
         .filter(F.col("cosine") >= min_cosine)
     )
+
+
+def line_dedup(
+    df,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep: str = "\n",
+    keep_order_col: str | None = None,
+):
+    """Corpus-wide line/paragraph-level exact dedup — the C4 / CCNet
+    cleanup pass (Raffel et al. 2020 §2.2 dedup lines across documents;
+    CCNet paragraph-hash dedup): every occurrence of a line except the
+    globally-first one is removed, and each document's surviving lines
+    are reassembled in their original order.
+
+    "Globally first" = the occurrence with the smallest
+    ``(order_key, id, position)`` where ``order_key`` is
+    ``keep_order_col`` (default: the id column) — deterministic under
+    any partitioning, even when the order column has duplicate values.
+
+    Scale shape: one explode (narrow) → one map-side-combinable
+    ``groupBy(line_hash).agg(min(struct(order,pos)))`` — hot lines
+    (empty strings, boilerplate headers: exactly what this pass exists
+    to remove) collapse map-side, so the hash agg sees no reducer skew —
+    → one join back on the hash (AQE skew-join handles hot probe keys)
+    → one per-document reassembly agg. Whitespace-only lines are always
+    dropped. No Python anywhere.
+
+    Output: (id, n_lines, n_kept, text) with ``text`` the cleaned
+    document (empty string when nothing survives).
+    """
+    order = F.col(keep_order_col if keep_order_col else id_col)
+    lines = df.select(
+        F.col(id_col).alias("id"),
+        order.alias("__ord"),
+        F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "line"),
+    ).where(F.trim("line") != "")
+    keyed = lines.withColumn("h", F.md5(F.col("line")))
+    # id is the struct's tie-break so a non-unique order column still
+    # keeps exactly ONE occurrence per line
+    firsts = keyed.groupBy("h").agg(
+        F.min(F.struct("__ord", "id", "pos")).alias("__first")
+    )
+    kept = (
+        keyed.join(firsts, on="h")
+        .where(
+            (F.col("__ord") == F.col("__first.__ord"))
+            & (F.col("id") == F.col("__first.id"))
+            & (F.col("pos") == F.col("__first.pos"))
+        )
+        .select("id", "pos", "line")
+    )
+    counts = lines.groupBy("id").agg(F.count(F.lit(1)).alias("n_lines"))
+    rebuilt = kept.groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda s: s["line"],
+            ),
+            sep,
+        ).alias("text"),
+    )
+    return (
+        counts.join(rebuilt, on="id", how="left")
+        .select(
+            "id",
+            "n_lines",
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+            F.coalesce("text", F.lit("")).alias("text"),
+        )
+    )

@@ -210,3 +210,56 @@ def test_unpersist_intermediates_releases_cache(spark):
     assert cached and any(c.storageLevel.useMemory for c in cached)
     unpersist_intermediates(out)
     assert all(not c.storageLevel.useMemory for c in cached)
+
+
+def test_line_dedup(spark):
+    from ftm_columnstore_spark.operators.dedup import line_dedup
+
+    df = spark.createDataFrame(
+        [
+            (1, "alpha one\nshared line\nbeta two"),
+            (2, "shared line\ngamma three\nshared line"),
+            (3, "   \n\n"),  # whitespace-only → absent from output
+            (4, "delta four"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.id: r for r in line_dedup(df).collect()}
+    # doc 1 holds the globally-first "shared line" and keeps everything
+    assert out[1].n_lines == 3 and out[1].n_kept == 3
+    assert out[1].text == "alpha one\nshared line\nbeta two"
+    # doc 2 loses BOTH of its "shared line" occurrences
+    assert out[2].n_lines == 3 and out[2].n_kept == 1
+    assert out[2].text == "gamma three"
+    assert 3 not in out
+    assert out[4].text == "delta four"
+
+
+def test_line_dedup_keep_order_col(spark):
+    from pyspark.sql import functions as F
+
+    from ftm_columnstore_spark.operators.dedup import line_dedup
+
+    # priority flips which doc is "globally first" for the shared line
+    df = spark.createDataFrame(
+        [
+            (1, 9, "shared line\nonly in one"),
+            (2, 1, "shared line\nonly in two"),
+        ],
+        "doc_id long, prio long, text string",
+    )
+    out = {r.id: r for r in line_dedup(df, keep_order_col="prio").collect()}
+    assert out[2].n_kept == 2 and "shared line" in out[2].text
+    assert out[1].n_kept == 1 and out[1].text == "only in one"
+
+
+def test_line_dedup_order_ties_keep_exactly_one(spark):
+    from ftm_columnstore_spark.operators.dedup import line_dedup
+
+    df = spark.createDataFrame(
+        [(1, 5, "shared line"), (2, 5, "shared line")],
+        "doc_id long, prio long, text string",
+    )
+    out = {r.id: r for r in line_dedup(df, keep_order_col="prio").collect()}
+    assert out[1].n_kept + out[2].n_kept == 1
+    assert out[1].n_kept == 1  # id breaks the tie deterministically
