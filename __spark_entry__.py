@@ -1783,6 +1783,18 @@ def d11_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def v9_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (operators/dedup.py:semantic_dedup_portable): fixed-
+    centroid clustering + within-cluster cosine pruning. The synthetic
+    embeddings carry no planted semantic dups (max pairwise cosine
+    ≈ 0.5), so the demo threshold sits below that to keep the oracle
+    check non-vacuous — same convention as v4."""
+    from ftm_columnstore_spark.operators.dedup import semantic_dedup_portable
+
+    e = _t(spark, sf_dir, "embeddings")
+    return semantic_dedup_portable(e, n_centroids=16, threshold=0.3)
+
+
 def m6_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal pipeline, REAL decode end-to-end — NON-SQL (binary
     codecs), rows-only check: synthesize a deterministic BMP per document
@@ -1887,6 +1899,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t14_winnow_fingerprints": t14_winnow_fingerprints,
         "d10_winnow_overlap": d10_winnow_overlap,
         "d11_line_dedup": d11_line_dedup,
+        "v9_semantic_dedup": v9_semantic_dedup,
         # NON-SQL — rows-only (v5: iterative k-means training; x5:
         # metaphone; t9: per-partition bin packing; m6: binary codecs):
         "v5_ivf_topk": v5_ivf_topk,
@@ -2248,6 +2261,59 @@ def _v8_oracle(
         )
         SELECT id AS vec_id, round(cos, 6) AS cosine
         FROM scored ORDER BY cos DESC, id LIMIT {k}
+    """
+
+
+def _v9_oracle(
+    n_centroids: int = 16,
+    threshold: float = 0.3,
+    dim: int = 64,
+    scale: int = 1_000_000,
+) -> str:
+    """DuckDB oracle for SemDeDup (mirrors operators/dedup.py
+    semantic_dedup_portable: fixed lowest-id centroids, integer-dot
+    assignment with (score DESC, cid) tiebreak, cluster-local pair scan,
+    drop iff round(cos,6) >= threshold against a lower id)."""
+    return f"""
+        WITH q AS (
+            SELECT vec_id AS id,
+                   list_transform(embedding,
+                       x -> CAST(floor(x::DOUBLE * {scale} + 0.5) AS BIGINT)) AS q
+            FROM embeddings
+        ), nn AS (
+            SELECT id, q, list_sum(list_transform(q, x -> x * x)) AS nq FROM q
+        ), cents AS (
+            SELECT * FROM (
+                SELECT id AS cid, q AS cq FROM q ORDER BY id LIMIT {n_centroids}
+            ) WHERE list_sum(list_transform(cq, x -> x * x)) > 0
+        ), cnorm AS (
+            SELECT cid, list_sum(list_transform(cq, x -> x * x)) AS nqc
+            FROM cents
+        ), scores AS (
+            SELECT n.id, ct.cid,
+                   CAST(list_sum(list_transform(range(1, {dim + 1}),
+                                 i -> n.q[i] * ct.cq[i])) AS DOUBLE)
+                   / sqrt(cn.nqc::DOUBLE) AS score
+            FROM nn n, cents ct JOIN cnorm cn USING (cid)
+        ), assign AS (
+            SELECT id, cid FROM (
+                SELECT id, cid,
+                       row_number() OVER (PARTITION BY id
+                                          ORDER BY score DESC, cid) AS rn
+                FROM scores) WHERE rn = 1
+        ), qa AS (
+            SELECT a.id, a.cid, n.q, n.nq
+            FROM assign a JOIN nn n USING (id) WHERE n.nq > 0
+        ), dups AS (
+            SELECT DISTINCT r.id
+            FROM qa l JOIN qa r ON l.cid = r.cid AND l.id < r.id
+            WHERE round(CAST(list_sum(list_transform(range(1, {dim + 1}),
+                             i -> l.q[i] * r.q[i])) AS DOUBLE)
+                        / sqrt(l.nq::DOUBLE * r.nq::DOUBLE), 6)
+                  >= {threshold}
+        )
+        SELECT a.id AS vec_id, a.cid, (d.id IS NOT NULL) AS is_dup
+        FROM assign a LEFT JOIN dups d ON d.id = a.id
     """
 
 
@@ -3073,6 +3139,7 @@ def oracle_sql() -> dict[str, str]:
         "v4_embedding_dups": _v4_oracle(min_cosine=0.40, num_planes=4),
         "v3_lsh_topk": _v3_oracle(),
         "v8_ivf_topk_portable": _v8_oracle(),
+        "v9_semantic_dedup": _v9_oracle(),
         "t11_bigram_lm": """
             WITH toks AS (
                 SELECT doc_id AS id,

@@ -60,6 +60,7 @@ HEADLINE = [
     "m5_time_rollup",
     "m6_multimodal_features",
     "d10_winnow_overlap",
+    "d11_line_dedup",
 ]
 
 

@@ -919,3 +919,106 @@ def line_dedup(
             F.coalesce("text", F.lit("")).alias("text"),
         )
     )
+
+
+def semantic_dedup_portable(
+    df,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_centroids: int = 16,
+    threshold: float = 0.8,
+    scale: int = 1_000_000,
+):
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): cluster the corpus
+    embeddings, then inside each cluster drop every item whose embedding
+    is cosine-similar (``round(cos,6) >= threshold``) to a LOWER-ID item
+    of the same cluster. This is the one-pass "similar to any earlier
+    item" variant of the paper's greedy exemplar scan — the sequential
+    greedy keep-set needs iteration; the relational form can only
+    over-drop in chains (A~B, B~C, A!~C drops both B and C where greedy
+    would keep C), which is the conservative direction for dedup.
+
+    Portability/scale: clustering uses FIXED lowest-id centroids and the
+    exact integer-arithmetic assignment shared with
+    :func:`~ftm_columnstore_spark.operators.similarity.ivf_topk_portable`
+    (trained path: ``kmeans_centroids``/``build_ivf_index``). The
+    pairwise stage self-joins ON THE CLUSTER ID, so cost is
+    sum(|cluster|²) — tuned by ``n_centroids`` — never corpus²; pair
+    cosines are quantized-int dots (IEEE-exact cross-engine). Zero-norm
+    vectors have undefined cosine: they join no pairs and are kept.
+
+    Returns (id, cid, is_dup) for every input row."""
+    from pyspark.sql.types import BooleanType, StructField, StructType
+
+    from ftm_columnstore_spark.operators.similarity import (
+        _quantize_col,
+        assign_fixed_centroids,
+    )
+
+    spark = df.sparkSession
+    id_type = df.schema[id_col].dataType
+    nq = F.aggregate(
+        F.transform("q", lambda x: x * x),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    q = df.select(
+        F.col(id_col).alias("id"), _quantize_col(vec_col, scale).alias("q")
+    ).withColumn("nq", nq)
+    cent_rows = q.orderBy("id").limit(n_centroids).collect()
+    cents = [
+        (r["id"], [int(v) for v in r["q"]])
+        for r in cent_rows
+        if any(v != 0 for v in r["q"])
+    ]
+    if not cents:
+        return spark.createDataFrame(
+            [],
+            StructType(
+                [
+                    StructField(id_col, id_type),
+                    StructField("cid", id_type),
+                    StructField("is_dup", BooleanType(), False),
+                ]
+            ),
+        )
+    # assignment and the pair join both read q; run the scan once
+    q = q.localCheckpoint(eager=True)
+    assign = assign_fixed_centroids(q, cents, id_type)
+    qa = q.join(assign, on="id").where(F.col("nq") > 0)
+    left = qa.select(
+        "cid",
+        F.col("id").alias("__lid"),
+        F.col("q").alias("__lq"),
+        F.col("nq").alias("__ln"),
+    )
+    right = qa.select(
+        "cid",
+        F.col("id").alias("__rid"),
+        F.col("q").alias("__rq"),
+        F.col("nq").alias("__rn"),
+    )
+    dot = F.aggregate(
+        F.zip_with("__lq", "__rq", lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    cos = dot.cast("double") / F.sqrt(
+        F.col("__ln").cast("double") * F.col("__rn").cast("double")
+    )
+    dups = (
+        left.join(right, on="cid")
+        .where(F.col("__lid") < F.col("__rid"))
+        .where(F.round(cos, 6) >= threshold)
+        .select(F.col("__rid").alias("id"))
+        .distinct()
+        .withColumn("__dup", F.lit(True))
+    )
+    return (
+        assign.join(dups, on="id", how="left")
+        .select(
+            F.col("id").alias(id_col),
+            "cid",
+            F.coalesce("__dup", F.lit(False)).alias("is_dup"),
+        )
+    )

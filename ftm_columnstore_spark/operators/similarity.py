@@ -241,66 +241,21 @@ def lsh_topk_portable(
     return _rerank_topk(cand, qq, qnorm, id_col, k)
 
 
-def ivf_topk_portable(
-    df: DataFrame,
-    query_vec: list[float],
-    k: int = 10,
-    vec_col: str = "embedding",
-    id_col: str = "vec_id",
-    n_centroids: int = 16,
-    n_probe: int = 4,
-    scale: int = 1_000_000,
-) -> DataFrame:
-    """IVF probe path on the engine-portable quantized ints, with FIXED
-    centroids (the ``n_centroids`` lowest-id corpus vectors) instead of
-    trained ones — index *training* is an offline job in any real ANN
-    system, and pinning the centroids makes the entire serve path
-    (assignment → probe selection → re-rank) exact integer/IEEE
-    arithmetic, hence oracle-checkable. For trained centroids use
-    :func:`ivf_topk`/:func:`build_ivf_index`; the plan shape is
-    identical.
+def assign_fixed_centroids(q: DataFrame, cents, id_type) -> DataFrame:
+    """Relational nearest-centroid assignment over quantized-int vectors:
+    argmax of ``dot(q, c)/sqrt(|c|²)`` with (score DESC, cid) tiebreak —
+    the exact-arithmetic assignment contract shared by
+    :func:`ivf_topk_portable` and ``operators.dedup.semantic_dedup_portable``
+    (and mirrored by their DuckDB oracles; change in lockstep).
 
-    Assignment is relational (explode + broadcast centroid components +
-    groupBy) — the correctness-first O(N·D·C) form; at scale use
-    :func:`build_ivf_index`'s partition-pruned layout with the numpy
-    assignment pass."""
-    import math
-
+    ``q`` is (id, q array<long>); ``cents`` is a driver-side list of
+    (cid, [int components]) — bounded by the centroid count, broadcast.
+    O(N·D·C) correctness-first form; trained/partition-pruned scale path
+    is :func:`build_ivf_index`."""
     from pyspark.sql import Window
+    from pyspark.sql.types import IntegerType, LongType, StructField, StructType
 
-    from pyspark.sql.types import (
-        DoubleType,
-        IntegerType,
-        LongType,
-        StructField,
-        StructType,
-    )
-
-    spark = df.sparkSession
-    # id values keep their native dtype end-to-end (string ids work the
-    # same as numeric ones; the empty-result schema mirrors the input)
-    id_type = df.schema[id_col].dataType
-    q = df.select(
-        F.col(id_col).alias("id"), _quantize_col(vec_col, scale).alias("q")
-    )
-    cent_rows = q.orderBy("id").limit(n_centroids).collect()
-    # zero-norm centroids dropped (cosine-to-centroid undefined there);
-    # selection-then-filter order is mirrored by the oracle
-    cents = [
-        (r["id"], [int(v) for v in r["q"]])
-        for r in cent_rows
-        if any(v != 0 for v in r["q"])
-    ]
-    if not cents:
-        return spark.createDataFrame(
-            [],
-            StructType(
-                [
-                    StructField(id_col, id_type),
-                    StructField("cosine", DoubleType()),
-                ]
-            ),
-        )
+    spark = q.sparkSession
     cent_comp = spark.createDataFrame(
         [(cid, p, v) for cid, vec in cents for p, v in enumerate(vec)],
         StructType(
@@ -329,11 +284,66 @@ def ivf_topk_portable(
         )
     )
     w = Window.partitionBy("id").orderBy(F.col("score").desc(), F.col("cid"))
-    assign = (
+    return (
         scores.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
         .select("id", "cid")
     )
+
+
+def ivf_topk_portable(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """IVF probe path on the engine-portable quantized ints, with FIXED
+    centroids (the ``n_centroids`` lowest-id corpus vectors) instead of
+    trained ones — index *training* is an offline job in any real ANN
+    system, and pinning the centroids makes the entire serve path
+    (assignment → probe selection → re-rank) exact integer/IEEE
+    arithmetic, hence oracle-checkable. For trained centroids use
+    :func:`ivf_topk`/:func:`build_ivf_index`; the plan shape is
+    identical.
+
+    Assignment is relational (explode + broadcast centroid components +
+    groupBy) — the correctness-first O(N·D·C) form; at scale use
+    :func:`build_ivf_index`'s partition-pruned layout with the numpy
+    assignment pass."""
+    import math
+
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    spark = df.sparkSession
+    # id values keep their native dtype end-to-end (string ids work the
+    # same as numeric ones; the empty-result schema mirrors the input)
+    id_type = df.schema[id_col].dataType
+    q = df.select(
+        F.col(id_col).alias("id"), _quantize_col(vec_col, scale).alias("q")
+    )
+    cent_rows = q.orderBy("id").limit(n_centroids).collect()
+    # zero-norm centroids dropped (cosine-to-centroid undefined there);
+    # selection-then-filter order is mirrored by the oracle
+    cents = [
+        (r["id"], [int(v) for v in r["q"]])
+        for r in cent_rows
+        if any(v != 0 for v in r["q"])
+    ]
+    if not cents:
+        return spark.createDataFrame(
+            [],
+            StructType(
+                [
+                    StructField(id_col, id_type),
+                    StructField("cosine", DoubleType()),
+                ]
+            ),
+        )
+    assign = assign_fixed_centroids(q, cents, id_type)
 
     qq, qnorm = _quantize_query(query_vec, scale)
     probe_scores = sorted(

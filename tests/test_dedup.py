@@ -263,3 +263,35 @@ def test_line_dedup_order_ties_keep_exactly_one(spark):
     out = {r.id: r for r in line_dedup(df, keep_order_col="prio").collect()}
     assert out[1].n_kept + out[2].n_kept == 1
     assert out[1].n_kept == 1  # id breaks the tie deterministically
+
+
+def test_semantic_dedup_portable(spark):
+    from ftm_columnstore_spark.operators.dedup import semantic_dedup_portable
+
+    # ids 0/1 are the fixed centroids (axis anchors); near-dups follow
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.0, 1.0, 0.0, 0.0]),
+        (2, [0.99, 0.01, 0.0, 0.0]),   # ~dup of 0
+        (3, [0.0, 0.98, 0.02, 0.0]),   # ~dup of 1
+        (4, [0.0, 0.0, 0.0, 0.0]),     # zero norm: kept, joins no pairs
+        (5, [0.5, 0.5, 0.5, 0.5]),     # not >=0.95-similar to anything
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {r.vec_id: r for r in
+           semantic_dedup_portable(df, n_centroids=2, threshold=0.95).collect()}
+    assert len(out) == 6
+    assert not out[0].is_dup and out[2].is_dup
+    assert not out[1].is_dup and out[3].is_dup
+    assert not out[4].is_dup and not out[5].is_dup
+    # dups landed in the same cluster as their original
+    assert out[2].cid == out[0].cid and out[3].cid == out[1].cid
+
+
+def test_semantic_dedup_empty_centroids(spark):
+    from ftm_columnstore_spark.operators.dedup import semantic_dedup_portable
+
+    df = spark.createDataFrame(
+        [(0, [0.0, 0.0])], "vec_id long, embedding array<float>"
+    )
+    assert semantic_dedup_portable(df).count() == 0
