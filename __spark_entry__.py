@@ -1783,6 +1783,23 @@ def d11_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def d12_cross_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup of a 'new batch' (source src0) against the rest
+    of the corpus (operators/dedup.py:minhash_lsh_pairs_cross): banded
+    MinHash join between two distinct sets — no within-set pairs."""
+    from ftm_columnstore_spark.operators.dedup import (
+        minhash_lsh_pairs_cross,
+        minhash_signature,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    new = d.where(F.col("source") == "src0")
+    corpus = d.where(F.col("source") != "src0")
+    new_sigs = minhash_signature(new, num_hashes=32, shingle_k=3)
+    corpus_sigs = minhash_signature(corpus, num_hashes=32, shingle_k=3)
+    return minhash_lsh_pairs_cross(new_sigs, corpus_sigs, num_bands=8)
+
+
 def v9_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup (operators/dedup.py:semantic_dedup_portable): fixed-
     centroid clustering + within-cluster cosine pruning. The synthetic
@@ -1900,6 +1917,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d10_winnow_overlap": d10_winnow_overlap,
         "d11_line_dedup": d11_line_dedup,
         "v9_semantic_dedup": v9_semantic_dedup,
+        "d12_cross_dedup": d12_cross_dedup,
         # NON-SQL — rows-only (m6: binary codecs; x5: metaphone; v5:
         # iterative k-means training; t9: per-partition bin packing).
         # m6/x5 first: if the driver's correctness window caps out, the
@@ -2016,6 +2034,68 @@ def _d3_oracle(nh: int = 32, k: int = 3, nb: int = 8) -> str:
                          AND l.id < r.id
         )
         SELECT left_id, right_id,
+               round(len(list_filter(range(1, {nh + 1}), i -> ls[i] = rs[i]))
+                     / {nh}.0, 6) AS jaccard_est
+        FROM pairs
+    """
+
+
+def _d12_oracle(nh: int = 32, k: int = 3, nb: int = 8) -> str:
+    """DuckDB oracle for cross-corpus MinHash-LSH (mirrors
+    operators/dedup.py minhash_lsh_pairs_cross over the src0-vs-rest
+    split; signature derivation identical to _d3_oracle — per-doc
+    signatures are independent of the split, so one derivation over the
+    full table then filtering sides is exact)."""
+    from ftm_columnstore_spark.operators.dedup import (
+        _MERSENNE31,
+        _SPLIT,
+        _perm_constants,
+    )
+
+    r = nh // nb
+    mins = ",\n                   ".join(
+        f"min(({a}*hi + {b}*lo + {c}) % {_MERSENNE31}) AS m{i}"
+        for i, (a, b, c) in enumerate(_perm_constants(nh))
+    )
+    sig = "[" + ", ".join(f"m{i}" for i in range(nh)) + "]"
+    return f"""
+        WITH toks AS (
+            SELECT doc_id AS id, source,
+                   list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                               x -> x <> '') AS tk
+            FROM documents WHERE text IS NOT NULL
+        ), sh AS (
+            SELECT id, source,
+                   unnest(CASE WHEN len(tk) <= {k}
+                          THEN [array_to_string(tk, ' ')]
+                          ELSE list_transform(
+                               range(1, len(tk) - {k} + 2),
+                               i -> array_to_string(tk[i:i+{k - 1}], ' ')) END
+                   ) AS shingle
+            FROM toks WHERE len(tk) > 0
+        ), h AS (
+            SELECT id, source,
+                   ('0x' || substr(md5(shingle), 1, 15))::BIGINT // {_SPLIT} AS hi,
+                   ('0x' || substr(md5(shingle), 1, 15))::BIGINT % {_SPLIT} AS lo
+            FROM sh
+        ), sigs AS (
+            SELECT id, source, {sig} AS sig
+            FROM (SELECT id, source,
+                   {mins}
+                  FROM h GROUP BY id, source)
+        ), banded AS (
+            SELECT id, source, sig, band,
+                   array_to_string(list_slice(sig, band*{r}+1, band*{r}+{r})::VARCHAR[],
+                                   ',') AS bucket
+            FROM sigs, range(0, {nb}) t(band)
+        ), pairs AS (
+            SELECT DISTINCT l.id AS new_id, r.id AS corpus_id,
+                            l.sig AS ls, r.sig AS rs
+            FROM banded l
+            JOIN banded r ON l.band = r.band AND l.bucket = r.bucket
+            WHERE l.source = 'src0' AND r.source <> 'src0'
+        )
+        SELECT new_id, corpus_id,
                round(len(list_filter(range(1, {nh + 1}), i -> ls[i] = rs[i]))
                      / {nh}.0, 6) AS jaccard_est
         FROM pairs
@@ -3142,6 +3222,7 @@ def oracle_sql() -> dict[str, str]:
         "v3_lsh_topk": _v3_oracle(),
         "v8_ivf_topk_portable": _v8_oracle(),
         "v9_semantic_dedup": _v9_oracle(),
+        "d12_cross_dedup": _d12_oracle(),
         "t11_bigram_lm": """
             WITH toks AS (
                 SELECT doc_id AS id,

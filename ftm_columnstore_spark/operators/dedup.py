@@ -164,31 +164,19 @@ def minhash_signature(
     )
 
 
-def minhash_lsh_pairs(
-    signatures: DataFrame,
-    num_bands: int = 16,
-    min_jaccard_est: float = 0.0,
-) -> DataFrame:
-    """Candidate near-dup pairs from banded LSH: docs sharing ≥1 band bucket.
-    Output: (left_id, right_id, jaccard_est) with left < right.
+def _band_relation(signatures: DataFrame, num_bands: int) -> DataFrame:
+    """(id, signature, band, bucket) — LSH banding of minhash signatures.
 
-    jaccard_est = fraction of agreeing signature positions (unbiased MinHash
-    estimator). The band join shuffles on (band, band-hash); bucket skew
-    (boilerplate shingles) is handled by AQE skew-join splitting.
-    """
-    # Band structs via a Python loop over the (small, fixed) band count,
-    # NOT transform()-over-sequence(): lambda HOFs run on Spark's
-    # interpreted expression path, while this unrolled form is plain
-    # slice/cast/hash — whole-stage codegen. Persist the *banded*
-    # relation: the self-join references it twice, and projection
-    # collapse would otherwise inline (and re-evaluate) the entire
-    # signature+banding computation into both sides.
+    Band structs via a Python loop over the (small, fixed) band count,
+    NOT transform()-over-sequence(): lambda HOFs run on Spark's
+    interpreted expression path, while this unrolled form is plain
+    slice/cast/hash — whole-stage codegen. Bucket key = the band's
+    values spelled out (not a hash of them): same shuffle-key cost
+    class, but bucket equality is then EXACTLY set equality — no
+    cross-band hash collisions, and the candidate set is reproducible
+    in any engine (oracle parity)."""
     n = F.size("signature")
     rows_per_band = (n / num_bands).cast("int")
-    # bucket key = the band's values spelled out (not a hash of them):
-    # same shuffle-key cost class, but bucket equality is then EXACTLY
-    # set equality — no cross-band hash collisions, and the candidate
-    # set is reproducible in any engine (oracle parity)
     band_structs = F.array(
         *[
             F.struct(
@@ -205,11 +193,28 @@ def minhash_lsh_pairs(
             for b in range(num_bands)
         ]
     )
-    banded = (
-        signatures.select("id", "signature", F.explode(band_structs).alias("bb"))
-        .select("id", "signature", "bb.band", "bb.bucket")
-        .persist()
-    )
+    return signatures.select(
+        "id", "signature", F.explode(band_structs).alias("bb")
+    ).select("id", "signature", "bb.band", "bb.bucket")
+
+
+def minhash_lsh_pairs(
+    signatures: DataFrame,
+    num_bands: int = 16,
+    min_jaccard_est: float = 0.0,
+) -> DataFrame:
+    """Candidate near-dup pairs from banded LSH: docs sharing ≥1 band bucket.
+    Output: (left_id, right_id, jaccard_est) with left < right.
+
+    jaccard_est = fraction of agreeing signature positions (unbiased MinHash
+    estimator). The band join shuffles on (band, band-hash); bucket skew
+    (boilerplate shingles) is handled by AQE skew-join splitting.
+    """
+    # persist: the self-join reads the banded relation twice; projection
+    # collapse would otherwise inline (and re-evaluate) the entire
+    # signature+banding computation into both sides (caching contract:
+    # see unpersist_intermediates)
+    banded = _band_relation(signatures, num_bands).persist()
 
     left = banded.alias("l")
     right = banded.alias("r")
@@ -245,6 +250,59 @@ def minhash_lsh_pairs(
     if min_jaccard_est > 0:
         out = out.filter(F.col("jaccard_est") >= min_jaccard_est)
     out._cached_intermediates = [banded]
+    return out
+
+
+def minhash_lsh_pairs_cross(
+    new_signatures: DataFrame,
+    corpus_signatures: DataFrame,
+    num_bands: int = 16,
+    min_jaccard_est: float = 0.0,
+) -> DataFrame:
+    """Incremental / cross-corpus near-dedup: candidate pairs between a
+    NEW batch and an EXISTING corpus (docs sharing ≥1 LSH band bucket) —
+    the "dedup today's crawl against the training set" pass. Produces NO
+    new-vs-new or corpus-vs-corpus pairs (use :func:`minhash_lsh_pairs`
+    for within-set dedup). Output: (new_id, corpus_id, jaccard_est).
+
+    Scale shape: each side bands once; the join shuffles on
+    (band, bucket) only. The corpus side's banded relation is exactly
+    what a persisted dedup index stores — feed previously-computed
+    signatures to skip recomputing the corpus at every batch."""
+    nb = _band_relation(new_signatures, num_bands).persist()
+    cb = _band_relation(corpus_signatures, num_bands).persist()
+    pairs = (
+        nb.alias("l")
+        .join(
+            cb.alias("r"),
+            on=[
+                F.col("l.band") == F.col("r.band"),
+                F.col("l.bucket") == F.col("r.bucket"),
+            ],
+        )
+        .select(
+            F.col("l.id").alias("new_id"),
+            F.col("r.id").alias("corpus_id"),
+            F.col("l.signature").alias("ls"),
+            F.col("r.signature").alias("rs"),
+        )
+        .dropDuplicates(["new_id", "corpus_id"])
+    )
+    est = (
+        F.size(
+            F.filter(
+                F.zip_with("ls", "rs", lambda a, b: a == b),
+                lambda x: x,
+            )
+        )
+        / F.size("ls")
+    )
+    out = pairs.select(
+        "new_id", "corpus_id", F.round(est, 6).alias("jaccard_est")
+    )
+    if min_jaccard_est > 0:
+        out = out.filter(F.col("jaccard_est") >= min_jaccard_est)
+    out._cached_intermediates = [nb, cb]
     return out
 
 

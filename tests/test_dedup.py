@@ -295,3 +295,32 @@ def test_semantic_dedup_empty_centroids(spark):
         [(0, [0.0, 0.0])], "vec_id long, embedding array<float>"
     )
     assert semantic_dedup_portable(df).count() == 0
+
+
+def test_minhash_lsh_pairs_cross(spark):
+    from ftm_columnstore_spark.operators.dedup import (
+        minhash_lsh_pairs_cross,
+        minhash_signature,
+        unpersist_intermediates,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    new = spark.createDataFrame(
+        [(100, base), (101, "completely different text about sailing boats")],
+        "doc_id long, text string",
+    )
+    corpus = spark.createDataFrame(
+        [(1, base), (2, base + " tomorrow"), (3, "unrelated corpus entry")],
+        "doc_id long, text string",
+    )
+    pairs = minhash_lsh_pairs_cross(
+        minhash_signature(new, num_hashes=32, shingle_k=3),
+        minhash_signature(corpus, num_hashes=32, shingle_k=3),
+        num_bands=8,
+    )
+    rows = pairs.collect()
+    got = {(r.new_id, r.corpus_id): r.jaccard_est for r in rows}
+    assert (100, 1) in got and got[(100, 1)] == 1.0
+    # direction is strictly new → corpus; no within-set pairs possible
+    assert all(nid >= 100 and cid < 100 for nid, cid in got)
+    unpersist_intermediates(pairs)
