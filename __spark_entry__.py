@@ -1783,6 +1783,27 @@ def d11_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def t15_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-rule quality gate (operators/text.py:quality_gate):
+    token-count / word-length / alnum-ratio / stopword / repetition
+    rules composed into one keep verdict per document; thresholds tuned
+    so the synthetic corpus yields a genuine keep/drop mix."""
+    from ftm_columnstore_spark.operators.text import quality_gate
+
+    d = _t(spark, sf_dir, "documents")
+    return quality_gate(
+        d, min_tokens=32, min_stopwords=1, max_dup_ngram_frac=0.05
+    ).select(
+        F.col("id").alias("doc_id"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        "mean_word_len",
+        "alnum_ratio",
+        F.col("n_stopwords").cast("long").alias("n_stopwords"),
+        "dup_frac",
+        "keep",
+    )
+
+
 def d12_cross_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental dedup of a 'new batch' (source src0) against the rest
     of the corpus (operators/dedup.py:minhash_lsh_pairs_cross): banded
@@ -1918,6 +1939,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d11_line_dedup": d11_line_dedup,
         "v9_semantic_dedup": v9_semantic_dedup,
         "d12_cross_dedup": d12_cross_dedup,
+        "t15_quality_gate": t15_quality_gate,
         # NON-SQL — rows-only (m6: binary codecs; x5: metaphone; v5:
         # iterative k-means training; t9: per-partition bin packing).
         # m6/x5 first: if the driver's correctness window caps out, the
@@ -3223,6 +3245,47 @@ def oracle_sql() -> dict[str, str]:
         "v8_ivf_topk_portable": _v8_oracle(),
         "v9_semantic_dedup": _v9_oracle(),
         "d12_cross_dedup": _d12_oracle(),
+        "t15_quality_gate": """
+            WITH toks AS (
+                SELECT doc_id, text,
+                       list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                                   x -> x <> '') AS t
+                FROM documents WHERE text IS NOT NULL
+            ), m AS (
+                SELECT doc_id, t, len(t) AS n_tokens,
+                       length(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'))
+                           AS alnum,
+                       length(text) AS n_chars,
+                       len(list_filter(list_distinct(t),
+                           x -> list_contains(['the','and','of','to','in',
+                                               'is','that','with','for','was'],
+                                              x))) AS n_stop
+                FROM toks
+            ), grams AS (
+                SELECT doc_id,
+                       unnest(list_transform(range(1, len(t) - 1),
+                              i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS g
+                FROM toks WHERE len(t) >= 3
+            ), counts AS (
+                SELECT doc_id, g, count(*) AS c FROM grams GROUP BY 1, 2
+            ), rep AS (
+                SELECT doc_id,
+                       1 - count(*) / CAST(sum(c) AS DOUBLE) AS dup_frac
+                FROM counts GROUP BY doc_id
+            )
+            SELECT m.doc_id, m.n_tokens,
+                   round(m.alnum / greatest(m.n_tokens, 1), 6) AS mean_word_len,
+                   round(m.alnum / greatest(m.n_chars, 1), 6) AS alnum_ratio,
+                   m.n_stop AS n_stopwords,
+                   round(coalesce(r.dup_frac, 0), 6) AS dup_frac,
+                   (m.n_tokens >= 32 AND m.n_tokens <= 100000
+                    AND m.alnum / greatest(m.n_tokens, 1) >= 3.0
+                    AND m.alnum / greatest(m.n_tokens, 1) <= 10.0
+                    AND m.alnum / greatest(m.n_chars, 1) >= 0.6
+                    AND m.n_stop >= 1
+                    AND coalesce(r.dup_frac, 0) <= 0.05) AS keep
+            FROM m LEFT JOIN rep r USING (doc_id)
+        """,
         "t11_bigram_lm": """
             WITH toks AS (
                 SELECT doc_id AS id,

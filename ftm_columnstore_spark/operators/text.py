@@ -404,3 +404,90 @@ def pii_stats(
         counts["card"].cast("long").alias("n_cards"),
         redacted.alias("redacted"),
     )
+
+
+def quality_gate(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_tokens: int = 5,
+    max_tokens: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    min_alnum_ratio: float = 0.6,
+    min_stopwords: int = 2,
+    stopwords: tuple[str, ...] = _LANG_MARKERS["en"],
+    max_dup_ngram_frac: float | None = None,
+    ngram_n: int = 3,
+) -> DataFrame:
+    """Gopher-style document quality gate (Rae et al. 2021 §A1.1,
+    adapted): token-count bounds, mean-word-length band, alphanumeric
+    character ratio, minimum distinct-stopword presence, and (optional)
+    the duplicate-n-gram repetition cap. Returns every non-null-text row
+    with its metrics and a ``keep`` verdict — filtering is the caller's
+    ``where(keep)``, so rejected rows stay inspectable (the audit
+    pattern every real pipeline wants).
+
+    Scale shape: the columnar rules are ONE codegen scan, zero shuffles.
+    The repetition rule (when enabled) joins the zero-shuffle Arrow pass
+    :func:`repetition_stats` on the doc id — one shuffle, and only when
+    asked for. Documents with fewer than ``ngram_n`` tokens have no
+    n-grams; their dup fraction is 0 (can't repeat what doesn't exist).
+    """
+    t = F.col(text_col)
+    tokens = word_tokens_col(t)
+    n_tokens = F.size(tokens)
+    alnum_chars = F.length(F.regexp_replace(F.lower(t), "[^a-z0-9]", ""))
+    mean_len = alnum_chars / F.greatest(n_tokens, F.lit(1))
+    alnum_ratio = alnum_chars / F.greatest(F.length(t), F.lit(1))
+    n_stop = F.size(
+        F.array_intersect(
+            F.array_distinct(tokens), F.array(*[F.lit(s) for s in stopwords])
+        )
+    )
+    base = df.where(t.isNotNull()).select(
+        F.col(id_col).alias("id"),
+        n_tokens.alias("n_tokens"),
+        mean_len.alias("__mean_len"),
+        alnum_ratio.alias("__alnum_ratio"),
+        n_stop.alias("n_stopwords"),
+    )
+    keep = (
+        (F.col("n_tokens") >= min_tokens)
+        & (F.col("n_tokens") <= max_tokens)
+        & (F.col("__mean_len") >= min_mean_word_len)
+        & (F.col("__mean_len") <= max_mean_word_len)
+        & (F.col("__alnum_ratio") >= min_alnum_ratio)
+        & (F.col("n_stopwords") >= min_stopwords)
+    )
+    if max_dup_ngram_frac is not None:
+        rep = repetition_stats(
+            df.where(t.isNotNull()), text_col, id_col, ngram_n
+        ).select(
+            "id",
+            (
+                F.lit(1.0)
+                - F.col("n_distinct") / F.col("n_grams").cast("double")
+            ).alias("__dup_frac"),
+        )
+        base = base.join(rep, on="id", how="left").withColumn(
+            "__dup_frac", F.coalesce("__dup_frac", F.lit(0.0))
+        )
+        keep = keep & (F.col("__dup_frac") <= max_dup_ngram_frac)
+        return base.select(
+            "id",
+            "n_tokens",
+            F.round("__mean_len", 6).alias("mean_word_len"),
+            F.round("__alnum_ratio", 6).alias("alnum_ratio"),
+            "n_stopwords",
+            F.round("__dup_frac", 6).alias("dup_frac"),
+            keep.alias("keep"),
+        )
+    return base.select(
+        "id",
+        "n_tokens",
+        F.round("__mean_len", 6).alias("mean_word_len"),
+        F.round("__alnum_ratio", 6).alias("alnum_ratio"),
+        "n_stopwords",
+        keep.alias("keep"),
+    )

@@ -235,3 +235,47 @@ def test_winnow_validates_params(spark):
         winnow_fingerprints(df, k=0)
     with _pytest.raises(ValueError):
         winnow_fingerprints(df, window=0)
+
+
+def test_quality_gate_rules(spark):
+    from ftm_columnstore_spark.operators.text import quality_gate
+
+    good = "the quick brown fox jumps over the lazy dog and keeps running for a while longer today"
+    df = spark.createDataFrame(
+        [
+            (1, good),
+            (2, "the and of"),                      # too few tokens
+            (3, "zz qq " * 10),                     # no stopwords, short words
+            (4, "!!! ??? ### $$$ %%% the and is"),  # low alnum ratio
+            (5, None),                              # null text → no row
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.id: r for r in
+           quality_gate(df, min_tokens=10, min_stopwords=2,
+                        min_mean_word_len=3.0, min_alnum_ratio=0.6).collect()}
+    assert out[1].keep
+    assert not out[2].keep and not out[3].keep and not out[4].keep
+    assert 5 not in out
+    assert out[1].n_stopwords >= 2 and out[2].n_tokens == 3
+
+
+def test_quality_gate_repetition_rule(spark):
+    from ftm_columnstore_spark.operators.text import quality_gate
+
+    loopy = "spam ham eggs " * 20 + "the and is that with for was"
+    clean = ("the quick brown fox jumps over the lazy dog and then walks "
+             "slowly back home while evening falls quietly around town")
+    df = spark.createDataFrame(
+        [(1, clean), (2, loopy)], "doc_id long, text string"
+    )
+    out = {r.id: r for r in
+           quality_gate(df, min_tokens=10, min_stopwords=2,
+                        max_dup_ngram_frac=0.3).collect()}
+    assert out[1].keep and out[1].dup_frac < 0.3
+    assert not out[2].keep and out[2].dup_frac > 0.3
+    # a 2-token doc has no 3-grams: dup_frac coalesces to 0
+    short = spark.createDataFrame([(9, "the and")], "doc_id long, text string")
+    row = quality_gate(short, min_tokens=1, min_stopwords=1,
+                       max_dup_ngram_frac=0.3).collect()[0]
+    assert row.dup_frac == 0.0 and row.keep
