@@ -271,10 +271,24 @@ def minhash_lsh_pairs_cross(
     signatures to skip recomputing the corpus at every batch."""
     nb = _band_relation(new_signatures, num_bands).persist()
     cb = _band_relation(corpus_signatures, num_bands).persist()
+    out = cross_pairs_from_banded(nb, cb, min_jaccard_est)
+    out._cached_intermediates = [nb, cb]
+    return out
+
+
+def cross_pairs_from_banded(
+    new_banded: DataFrame,
+    corpus_banded: DataFrame,
+    min_jaccard_est: float = 0.0,
+) -> DataFrame:
+    """Pair stage of :func:`minhash_lsh_pairs_cross` over PRE-BANDED
+    relations (from :func:`_band_relation`) — the entry point for callers
+    that band the corpus once and reuse it (persisted dedup index,
+    per-micro-batch streaming dedup)."""
     pairs = (
-        nb.alias("l")
+        new_banded.alias("l")
         .join(
-            cb.alias("r"),
+            corpus_banded.alias("r"),
             on=[
                 F.col("l.band") == F.col("r.band"),
                 F.col("l.bucket") == F.col("r.bucket"),
@@ -302,7 +316,6 @@ def minhash_lsh_pairs_cross(
     )
     if min_jaccard_est > 0:
         out = out.filter(F.col("jaccard_est") >= min_jaccard_est)
-    out._cached_intermediates = [nb, cb]
     return out
 
 

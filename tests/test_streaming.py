@@ -327,3 +327,52 @@ def test_stream_stream_interval_join(spark, tmp_path):
     # click 1 pairs only with error 2 (same user, 4 min apart);
     # error 3 is out of band, error 4 is another user
     assert [(r["l_event_id"], r["r_event_id"]) for r in got] == [(1, 2)]
+
+
+def test_stream_dedup_against_corpus(spark, tmp_path):
+    """Micro-batches are near-dedup'd against a static corpus index:
+    near-dups of corpus docs are dropped, novel docs survive."""
+    import json
+
+    from pyspark.sql import types as T
+
+    from ftm_columnstore_spark.streaming.dedup import (
+        stream_dedup_against_corpus,
+    )
+
+    base = ("the quick brown fox jumps over the lazy dog and keeps on "
+            "running through the quiet field until the evening comes")
+    corpus = spark.createDataFrame(
+        [(1, base), (2, "some established corpus document about benchmarks")],
+        "doc_id long, text string",
+    )
+    src = tmp_path / "docs_in"
+    src.mkdir()
+    incoming = [
+        {"doc_id": 100, "text": base},                        # exact dup → drop
+        {"doc_id": 101, "text": base.replace("quiet", "loud")},  # near dup → drop
+        {"doc_id": 102, "text": "a completely novel report on sailing and tides"},
+    ]
+    (src / "batch0.json").write_text(
+        "\n".join(json.dumps(d) for d in incoming)
+    )
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    out = tmp_path / "deduped"
+    q = stream_dedup_against_corpus(
+        spark,
+        str(src),
+        corpus,
+        str(out),
+        str(tmp_path / "ckpt_dedup"),
+        schema,
+        min_jaccard_est=0.5,
+        available_now=True,
+    )
+    q.awaitTermination(120)
+    kept = [r.doc_id for r in spark.read.parquet(str(out)).collect()]
+    assert kept == [102]
