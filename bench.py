@@ -61,6 +61,10 @@ HEADLINE = [
     "m6_multimodal_features",
     "d10_winnow_overlap",
     "d11_line_dedup",
+    "d12_cross_dedup",
+    "v9_semantic_dedup",
+    "t15_quality_gate",
+    "t14_winnow_fingerprints",
 ]
 
 

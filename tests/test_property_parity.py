@@ -211,3 +211,112 @@ def test_embedding_dups_match_duckdb(spark, vecs):
         entry._v4_oracle(min_cosine=0.1, num_planes=4, dim=8)
     ).df()
     _assert_same(got, want)
+
+
+@SETTINGS
+@given(texts=corpus)
+def test_winnow_fingerprints_match_duckdb(spark, texts):
+    from ftm_columnstore_spark.operators.text import winnow_fingerprints
+
+    df = spark.createDataFrame(list(enumerate(texts)), ["doc_id", "text"])
+    got = (
+        winnow_fingerprints(df, k=4, window=4)
+        .withColumnRenamed("id", "doc_id")
+        .toPandas()
+    )
+    want = _oracle(
+        pd.DataFrame({"doc_id": range(len(texts)), "text": texts}),
+        entry.oracle_sql()["t14_winnow_fingerprints"],
+    )
+    _assert_same(got, want)
+
+
+# multi-line docs for line dedup: several lines per doc drawn from a
+# SMALL line pool so cross-document duplicate lines are common
+_line = st.sampled_from(
+    ["alpha beta", "gamma delta", "epsilon zeta", "  ", "shared line"]
+)
+_mldoc = st.one_of(
+    st.none(),
+    st.lists(_line, min_size=1, max_size=5).map("\n".join),
+)
+
+_LINE_DEDUP_ORACLE = """
+    WITH lines AS (
+        SELECT doc_id, pos, line FROM (
+            SELECT doc_id,
+                   generate_subscripts(ls, 1) - 1 AS pos,
+                   unnest(ls) AS line
+            FROM (SELECT doc_id, string_split(text, chr(10)) AS ls
+                  FROM documents WHERE text IS NOT NULL))
+        WHERE trim(line) <> ''
+    ), ranked AS (
+        SELECT doc_id, pos, line,
+               row_number() OVER (PARTITION BY md5(line)
+                                  ORDER BY doc_id, pos) AS rn
+        FROM lines
+    ), kept AS (SELECT doc_id, pos, line FROM ranked WHERE rn = 1),
+    counts AS (SELECT doc_id, count(*) AS n_lines FROM lines GROUP BY doc_id),
+    agg AS (
+        SELECT doc_id, count(*) AS n_kept,
+               string_agg(line, chr(10) ORDER BY pos) AS text
+        FROM kept GROUP BY doc_id
+    )
+    SELECT c.doc_id, c.n_lines,
+           coalesce(a.n_kept, 0) AS n_kept,
+           coalesce(a.text, '') AS text
+    FROM counts c LEFT JOIN agg a USING (doc_id)
+"""
+
+
+@SETTINGS
+@given(texts=st.lists(_mldoc, min_size=2, max_size=8))
+def test_line_dedup_match_duckdb(spark, texts):
+    from ftm_columnstore_spark.operators.dedup import line_dedup
+
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    got = line_dedup(df).withColumnRenamed("id", "doc_id").toPandas()
+    want = _oracle(
+        pd.DataFrame(
+            {"doc_id": range(len(texts)), "text": pd.array(texts, dtype="string")}
+        ),
+        _LINE_DEDUP_ORACLE,
+    )
+    _assert_same(got, want)
+
+
+@SETTINGS
+@given(
+    vecs=st.lists(
+        st.lists(
+            st.floats(min_value=-1.0, max_value=1.0, allow_nan=False, width=32),
+            min_size=4,
+            max_size=4,
+        ),
+        min_size=2,
+        max_size=8,
+    )
+)
+def test_semantic_dedup_match_duckdb(spark, vecs):
+    from ftm_columnstore_spark.operators.dedup import semantic_dedup_portable
+
+    df = spark.createDataFrame(
+        list(enumerate(vecs)), "vec_id long, embedding array<float>"
+    )
+    got = semantic_dedup_portable(df, n_centroids=2, threshold=0.5).toPandas()
+    con = duckdb.connect()
+    con.register(
+        "embeddings",
+        pd.DataFrame(
+            {
+                "vec_id": range(len(vecs)),
+                "embedding": [np.asarray(v, dtype=np.float32) for v in vecs],
+            }
+        ),
+    )
+    want = con.execute(
+        entry._v9_oracle(n_centroids=2, threshold=0.5, dim=4)
+    ).df()
+    _assert_same(got, want)
