@@ -1783,6 +1783,34 @@ def d11_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def j16_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-iteration PageRank (operators/graph.py:pagerank) over the
+    undirected customer↔supplier trade graph (orders⋈lineitem edges) —
+    network centrality, 3 unrolled iterations so the DuckDB oracle can
+    replay the identical arithmetic without recursion."""
+    from ftm_columnstore_spark.operators.graph import pagerank
+
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    e = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(
+            F.concat(F.lit("c-"), F.col("o_custkey").cast("string")).alias(
+                "src"
+            ),
+            F.concat(F.lit("s-"), F.col("l_suppkey").cast("string")).alias(
+                "dst"
+            ),
+        )
+        .distinct()
+    )
+    und = e.union(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    pr = pagerank(und, iterations=3, damping=0.85)
+    return pr.select("id", F.round("rank", 6).alias("rank"))
+
+
 def t15_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-rule quality gate (operators/text.py:quality_gate):
     token-count / word-length / alnum-ratio / stopword / repetition
@@ -1940,6 +1968,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "v9_semantic_dedup": v9_semantic_dedup,
         "d12_cross_dedup": d12_cross_dedup,
         "t15_quality_gate": t15_quality_gate,
+        "j16_pagerank": j16_pagerank,
         # NON-SQL — rows-only (m6: binary codecs; x5: metaphone; v5:
         # iterative k-means training; t9: per-partition bin packing).
         # m6/x5 first: if the driver's correctness window caps out, the
@@ -2365,6 +2394,43 @@ def _v8_oracle(
         )
         SELECT id AS vec_id, round(cos, 6) AS cosine
         FROM scored ORDER BY cos DESC, id LIMIT {k}
+    """
+
+
+def _j16_oracle(iterations: int = 3, damping: float = 0.85) -> str:
+    """DuckDB oracle for fixed-iteration PageRank (mirrors
+    operators/graph.py:pagerank over the undirected customer↔supplier
+    edges): iterations unrolled as chained CTEs — identical arithmetic,
+    no recursion."""
+    base = 1.0 - damping
+    its = []
+    prev = "r0"
+    for i in range(1, iterations + 1):
+        its.append(f"""r{i} AS (
+            SELECT n.id, {base} + {damping} * coalesce(s.inflow, 0) AS rank
+            FROM nodes n LEFT JOIN (
+                SELECT eu.dst AS id, sum(r.rank / d.outdeg) AS inflow
+                FROM eu JOIN {prev} r ON eu.src = r.id
+                        JOIN outdeg d ON eu.src = d.src
+                GROUP BY eu.dst) s USING (id)
+        )""")
+        prev = f"r{i}"
+    chain = ",\n        ".join(its)
+    return f"""
+        WITH e AS (
+            SELECT DISTINCT 'c-' || o_custkey AS src, 's-' || l_suppkey AS dst
+            FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+        ), eu AS (
+            SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e
+        ), nodes AS (
+            SELECT DISTINCT src AS id FROM eu
+        ), outdeg AS (
+            SELECT src, count(*) AS outdeg FROM eu GROUP BY src
+        ), r0 AS (
+            SELECT id, 1.0 AS rank FROM nodes
+        ),
+        {chain}
+        SELECT id, round(rank, 6) AS rank FROM {prev}
     """
 
 
@@ -3245,6 +3311,7 @@ def oracle_sql() -> dict[str, str]:
         "v8_ivf_topk_portable": _v8_oracle(),
         "v9_semantic_dedup": _v9_oracle(),
         "d12_cross_dedup": _d12_oracle(),
+        "j16_pagerank": _j16_oracle(),
         "t15_quality_gate": """
             WITH toks AS (
                 SELECT doc_id, text,

@@ -45,3 +45,31 @@ def test_expand_early_exit(statements):
     assert set(a).issubset(set(b))
     for k, v in a.items():
         assert b[k] == v
+
+
+def test_pagerank_matches_reference_arithmetic(spark):
+    """Spark pagerank equals a driver-side reimplementation of the same
+    simplified formulation on a small directed graph (with a dangling
+    node holding the base rank)."""
+    from collections import Counter, defaultdict
+
+    from ftm_columnstore_spark.operators.graph import pagerank
+
+    edges = [("a", "b"), ("a", "c"), ("b", "c"), ("c", "a"), ("a", "d")]
+    # d is dangling (no out-edges)
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {r.id: r.rank for r in pagerank(df, iterations=4).collect()}
+
+    nodes = {n for e in edges for n in e}
+    out = Counter(s for s, _ in edges)
+    r = {n: 1.0 for n in nodes}
+    for _ in range(4):
+        inflow = defaultdict(float)
+        for s, t in edges:
+            inflow[t] += r[s] / out[s]
+        r = {n: 0.15 + 0.85 * inflow.get(n, 0.0) for n in nodes}
+    assert set(got) == nodes
+    for n in nodes:
+        assert abs(got[n] - r[n]) < 1e-12, n
+    # the hub feeding everything outranks the pure sink
+    assert got["c"] > got["d"]
