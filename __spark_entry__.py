@@ -1783,6 +1783,21 @@ def d11_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def t16_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-proportional deterministic sampling
+    (operators/sampling.py:weighted_sample): keep probability scales
+    with document length (n_chars/500 clamped to [0,1]), decided by the
+    engine-portable md5 uniform — zero shuffles, retry-stable."""
+    from ftm_columnstore_spark.operators.sampling import weighted_sample
+
+    d = _t(spark, sf_dir, "documents").withColumn(
+        "w", F.col("n_chars") / F.lit(500.0)
+    )
+    return weighted_sample(d, "w", rate=1.0, seed="t16").select(
+        "doc_id", F.round("w", 6).alias("w")
+    )
+
+
 def j16_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-iteration PageRank (operators/graph.py:pagerank) over the
     undirected customer↔supplier trade graph (orders⋈lineitem edges) —
@@ -1969,6 +1984,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d12_cross_dedup": d12_cross_dedup,
         "t15_quality_gate": t15_quality_gate,
         "j16_pagerank": j16_pagerank,
+        "t16_weighted_sample": t16_weighted_sample,
         # NON-SQL — rows-only (m6: binary codecs; x5: metaphone; v5:
         # iterative k-means training; t9: per-partition bin packing).
         # m6/x5 first: if the driver's correctness window caps out, the
@@ -3312,6 +3328,12 @@ def oracle_sql() -> dict[str, str]:
         "v9_semantic_dedup": _v9_oracle(),
         "d12_cross_dedup": _d12_oracle(),
         "j16_pagerank": _j16_oracle(),
+        "t16_weighted_sample": """
+            SELECT doc_id, round(n_chars / 500.0, 6) AS w
+            FROM documents
+            WHERE ('0x' || substr(md5('t16' || doc_id), 1, 8))::BIGINT
+                  < least(greatest(n_chars / 500.0, 0), 1) * 4294967296.0
+        """,
         "t15_quality_gate": """
             WITH toks AS (
                 SELECT doc_id, text,

@@ -253,3 +253,30 @@ def ngram_overlap(
         .agg(F.count(F.lit(1)).alias("n_shared_ngrams"))
         .filter(F.col("n_shared_ngrams") >= min_hits)
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    weight_col: str,
+    rate: float = 1.0,
+    id_col: str = "doc_id",
+    seed: str = "",
+) -> DataFrame:
+    """Deterministic weighted Bernoulli sampling: keep each row with
+    probability ``clamp(weight · rate, 0, 1)``, decided by the md5
+    uniform of the id alone — the quality-proportional downsampling pass
+    (keep high-quality documents with higher probability) used when a
+    corpus must shrink without uniform thinning.
+
+    Same md5-threshold contract as :func:`split_by_hash`: no RNG state,
+    reproducible in any engine, and stable under task retries (a Spark
+    ``rand()`` sample is NOT — retried tasks redraw). The uniform is the
+    8-hex md5 prefix as an integer in [0, 2³²); keep iff
+    ``u < p · 2³²`` — both sides exact IEEE doubles, so the decision is
+    bit-identical everywhere. One narrow filter, zero shuffles."""
+    u = F.conv(hash_key_col(id_col, seed), 16, 10).cast("double")
+    p = F.least(
+        F.greatest(F.col(weight_col) * F.lit(float(rate)), F.lit(0.0)),
+        F.lit(1.0),
+    )
+    return df.where(u < p * F.lit(float(2**32)))

@@ -201,3 +201,29 @@ def test_hex_thresholds_partition_keyspace():
         assert _hex_threshold(1.0) == "ffffffff"  # top of keyspace
 
     check()
+
+
+def test_weighted_sample_deterministic_and_clamped(spark):
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from ftm_columnstore_spark.operators.sampling import weighted_sample
+
+    df = spark.createDataFrame(
+        [(i, i / 50.0) for i in range(100)], "doc_id long, w double"
+    )
+    kept1 = sorted(r.doc_id for r in weighted_sample(df, "w", seed="s").collect())
+    kept2 = sorted(r.doc_id for r in weighted_sample(df, "w", seed="s").collect())
+    assert kept1 == kept2  # reproducible
+    # weight >= 1 → always kept; weight <= 0 → never
+    assert all(i in kept1 for i in range(50, 100))
+    assert 0 not in kept1
+    # the decision matches the documented md5 contract exactly
+    def expect(i, w):
+        u = int(hashlib.md5(f"s{i}".encode()).hexdigest()[:8], 16)
+        return u < min(max(w, 0.0), 1.0) * 2**32
+    assert kept1 == [i for i in range(100) if expect(i, i / 50.0)]
+    # a different seed flips some marginal decisions
+    kept3 = sorted(r.doc_id for r in weighted_sample(df, "w", seed="t").collect())
+    assert kept3 != kept1
