@@ -1783,6 +1783,43 @@ def d11_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def d13_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-then-keep-best pipeline (operators/dedup.py:
+    dedup_keep_best): d7's chain components + per-doc quality
+    (n_chars) → the richest member of each duplicate cluster wins
+    (ties → min id). Oracle: recursive-CTE reachability + two grouped
+    argmax passes."""
+    from ftm_columnstore_spark.operators.blocking import connected_components
+    from ftm_columnstore_spark.operators.dedup import dedup_keep_best
+
+    d = _t(spark, sf_dir, "documents")
+    a, b = d.alias("a"), d.alias("b")
+    edges = a.join(
+        b,
+        on=[
+            F.col("b.doc_id") == F.col("a.doc_id") + 1,
+            F.col("a.lang") == F.col("b.lang"),
+        ],
+    ).select(
+        F.col("a.doc_id").alias("left_id"), F.col("b.doc_id").alias("right_id")
+    )
+    cmap = connected_components(edges).select(
+        F.col("entity_id").cast("long").alias("doc_id"),
+        F.col("canonical_id").cast("long").alias("canonical"),
+    )
+    scores = d.select(
+        "doc_id", F.col("n_chars").cast("double").alias("score")
+    )
+    return dedup_keep_best(
+        cmap, scores, id_col="doc_id", canonical_col="canonical"
+    ).select(
+        F.col("canonical").alias("canonical_doc"),
+        "keep_id",
+        "n_members",
+        "best_score",
+    )
+
+
 def t16_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-proportional deterministic sampling
     (operators/sampling.py:weighted_sample): keep probability scales
@@ -1985,6 +2022,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t15_quality_gate": t15_quality_gate,
         "j16_pagerank": j16_pagerank,
         "t16_weighted_sample": t16_weighted_sample,
+        "d13_dedup_keep_best": d13_dedup_keep_best,
         # NON-SQL — rows-only (m6: binary codecs; x5: metaphone; v5:
         # iterative k-means training; t9: per-partition bin packing).
         # m6/x5 first: if the driver's correctness window caps out, the
@@ -3333,6 +3371,40 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
             WHERE ('0x' || substr(md5('t16' || doc_id), 1, 8))::BIGINT
                   < least(greatest(n_chars / 500.0, 0), 1) * 4294967296.0
+        """,
+        "d13_dedup_keep_best": """
+            WITH RECURSIVE edges AS (
+              SELECT a.doc_id AS src, b.doc_id AS dst
+              FROM documents a JOIN documents b
+                ON b.doc_id = a.doc_id + 1 AND a.lang = b.lang
+            ),
+            sym AS (
+              SELECT src, dst FROM edges UNION SELECT dst, src FROM edges
+            ),
+            reach AS (
+              SELECT src, dst FROM sym
+              UNION
+              SELECT r.src, e.dst FROM reach r JOIN sym e ON r.dst = e.src
+            ),
+            comp AS (
+              SELECT CAST(src AS BIGINT) AS doc_id,
+                     CAST(least(src, min(dst)) AS BIGINT) AS canonical
+              FROM reach GROUP BY src
+            ),
+            j AS (
+              SELECT c.doc_id, c.canonical, d.n_chars::DOUBLE AS score
+              FROM comp c JOIN documents d USING (doc_id)
+            ),
+            best AS (
+              SELECT canonical, max(score) AS best_score,
+                     count(*) AS n_members
+              FROM j GROUP BY canonical
+            )
+            SELECT b.canonical AS canonical_doc, min(j.doc_id) AS keep_id,
+                   b.n_members, b.best_score
+            FROM j JOIN best b
+              ON j.canonical = b.canonical AND j.score = b.best_score
+            GROUP BY 1, 3, 4
         """,
         "t15_quality_gate": """
             WITH toks AS (

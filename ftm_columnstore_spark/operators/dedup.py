@@ -1093,3 +1093,47 @@ def semantic_dedup_portable(
             F.coalesce("__dup", F.lit(False)).alias("is_dup"),
         )
     )
+
+
+def dedup_keep_best(
+    components: DataFrame,
+    scores: DataFrame,
+    id_col: str = "entity_id",
+    canonical_col: str = "canonical_id",
+    score_col: str = "score",
+) -> DataFrame:
+    """Exemplar selection with a QUALITY criterion: given duplicate-
+    cluster assignments (e.g. :func:`~ftm_columnstore_spark.operators.
+    blocking.connected_components` over accepted near-dup edges) and a
+    per-item score, keep the best-scoring member of each cluster (ties →
+    smallest id) — the C4/SemDeDup "keep one per duplicate cluster" step
+    upgraded from keep-min-id to keep-best (drop the short/boilerplate
+    copy, keep the richest one).
+
+    Skew-proof shape: TWO map-side-combinable aggregations (per-cluster
+    max score; then min id among the max-scorers) plus one join back —
+    no window, so a pathological all-duplicates cluster (the case this
+    op exists for) costs partial aggregation, never a single-reducer
+    sort. Items absent from ``components`` are untouched (inner join);
+    feed singletons explicitly if they should appear.
+
+    Output: (canonical, keep_id, n_members, best_score)."""
+    j = components.select(
+        F.col(id_col).alias("__id"), F.col(canonical_col).alias("canonical")
+    ).join(
+        scores.select(
+            F.col(id_col).alias("__id"), F.col(score_col).alias("__score")
+        ),
+        on="__id",
+    )
+    best = j.groupBy("canonical").agg(
+        F.max("__score").alias("best_score"),
+        F.count(F.lit(1)).alias("n_members"),
+    )
+    return (
+        j.join(best, on="canonical")
+        .where(F.col("__score") == F.col("best_score"))
+        .groupBy("canonical", "n_members", "best_score")
+        .agg(F.min("__id").alias("keep_id"))
+        .select("canonical", "keep_id", "n_members", "best_score")
+    )

@@ -324,3 +324,21 @@ def test_minhash_lsh_pairs_cross(spark):
     # direction is strictly new → corpus; no within-set pairs possible
     assert all(nid >= 100 and cid < 100 for nid, cid in got)
     unpersist_intermediates(pairs)
+
+
+def test_dedup_keep_best(spark):
+    from ftm_columnstore_spark.operators.dedup import dedup_keep_best
+
+    comp = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (7, 7), (8, 7)],
+        "entity_id long, canonical_id long",
+    )
+    scores = spark.createDataFrame(
+        # cluster 1: 2 and 3 tie on the max score → min id (2) wins
+        [(1, 10.0), (2, 50.0), (3, 50.0), (7, 5.0), (8, 9.0)],
+        "entity_id long, score double",
+    )
+    out = {r.canonical: r for r in dedup_keep_best(comp, scores).collect()}
+    assert out[1].keep_id == 2 and out[1].n_members == 3
+    assert out[1].best_score == 50.0
+    assert out[7].keep_id == 8 and out[7].n_members == 2
