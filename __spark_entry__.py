@@ -2463,7 +2463,9 @@ def _j16_oracle(iterations: int = 3, damping: float = 0.85) -> str:
         its.append(f"""r{i} AS (
             SELECT n.id, {base} + {damping} * coalesce(s.inflow, 0) AS rank
             FROM nodes n LEFT JOIN (
-                SELECT eu.dst AS id, sum(r.rank / d.outdeg) AS inflow
+                SELECT eu.dst AS id,
+                       sum((r.rank / d.outdeg)::DECIMAL(28,12))::DOUBLE
+                           AS inflow
                 FROM eu JOIN {prev} r ON eu.src = r.id
                         JOIN outdeg d ON eu.src = d.src
                 GROUP BY eu.dst) s USING (id)
@@ -2503,7 +2505,7 @@ def _v9_oracle(
             SELECT vec_id AS id,
                    list_transform(embedding,
                        x -> CAST(floor(x::DOUBLE * {scale} + 0.5) AS BIGINT)) AS q
-            FROM embeddings
+            FROM embeddings WHERE embedding IS NOT NULL
         ), nn AS (
             SELECT id, q, list_sum(list_transform(q, x -> x * x)) AS nq FROM q
         ), cents AS (

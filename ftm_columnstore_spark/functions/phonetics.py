@@ -198,4 +198,7 @@ def _unicode_tokens(col: Column | str) -> Column:
         lambda x: x != F.lit(""),
     )
     fp = F.array_join(F.array_sort(F.array_distinct(toks)), " ")
-    return F.array_distinct(F.concat(F.array(fp), toks))
+    # same len > 5 token filter as tokenize_col: short tokens would
+    # become hot blocking keys and diverge from the reference key set
+    long_toks = F.filter(toks, lambda x: F.length(x) > 5)
+    return F.array_distinct(F.concat(F.array(fp), long_toks))

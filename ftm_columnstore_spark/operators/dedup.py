@@ -97,7 +97,14 @@ def unpersist_intermediates(df, blocking: bool = False) -> None:
     localCheckpoint was 2x cold cost since wide array columns
     materialize as row blocks). The cost of persist() is that entries
     outlive the query in a long-lived session: call this after the
-    consuming action, or ``spark.catalog.clearCache()`` wholesale."""
+    consuming action, or ``spark.catalog.clearCache()`` wholesale.
+
+    CAVEAT: the attribute lives on the returned DataFrame OBJECT, not
+    the plan — any further transformation (``.filter``, ``.select``)
+    returns a new DataFrame without it, and this call silently no-ops.
+    Keep a reference to the operator's direct result for the release
+    (``pairs = minhash_lsh_pairs(...); out = pairs.filter(...);
+    ...; unpersist_intermediates(pairs)``)."""
     for cached in getattr(df, "_cached_intermediates", []):
         cached.unpersist(blocking)
 
@@ -950,10 +957,15 @@ def line_dedup(
     document (empty string when nothing survives).
     """
     order = F.col(keep_order_col if keep_order_col else id_col)
+    # \Q…\E so sep is a LITERAL for the split, matching its literal use
+    # in the reassembly join below (sep='.' would otherwise split on
+    # every character and silently empty all documents)
     lines = df.select(
         F.col(id_col).alias("id"),
         order.alias("__ord"),
-        F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "line"),
+        F.posexplode(F.split(F.col(text_col), "\\Q" + sep + "\\E")).alias(
+            "pos", "line"
+        ),
     ).where(F.trim("line") != "")
     keyed = lines.withColumn("h", F.md5(F.col("line")))
     # id is the struct's tie-break so a non-unique order column still
@@ -1018,7 +1030,10 @@ def semantic_dedup_portable(
     cosines are quantized-int dots (IEEE-exact cross-engine). Zero-norm
     vectors have undefined cosine: they join no pairs and are kept.
 
-    Returns (id, cid, is_dup) for every input row."""
+    Returns (id, cid, is_dup) for every input row with a non-null
+    embedding; NULL-embedding rows are excluded up front (no vector →
+    no cluster, mirrored by the oracle's ``WHERE embedding IS NOT
+    NULL``)."""
     from pyspark.sql.types import BooleanType, StructField, StructType
 
     from ftm_columnstore_spark.operators.similarity import (
@@ -1033,9 +1048,18 @@ def semantic_dedup_portable(
         F.lit(0).cast("long"),
         lambda acc, x: acc + x,
     )
-    q = df.select(
-        F.col(id_col).alias("id"), _quantize_col(vec_col, scale).alias("q")
-    ).withColumn("nq", nq)
+    # checkpoint BEFORE the centroid collect: the collect, the
+    # assignment, and the pair join would otherwise each re-run the
+    # quantization scan
+    q = (
+        df.where(F.col(vec_col).isNotNull())
+        .select(
+            F.col(id_col).alias("id"),
+            _quantize_col(vec_col, scale).alias("q"),
+        )
+        .withColumn("nq", nq)
+        .localCheckpoint(eager=True)
+    )
     cent_rows = q.orderBy("id").limit(n_centroids).collect()
     cents = [
         (r["id"], [int(v) for v in r["q"]])
@@ -1053,8 +1077,6 @@ def semantic_dedup_portable(
                 ]
             ),
         )
-    # assignment and the pair join both read q; run the scan once
-    q = q.localCheckpoint(eager=True)
     assign = assign_fixed_centroids(q, cents, id_type)
     qa = q.join(assign, on="id").where(F.col("nq") > 0)
     left = qa.select(

@@ -150,6 +150,14 @@ def pagerank(
     strands cache. Convergence-based stopping would need a driver-side
     delta per round; fixed iterations keep rounds deterministic.
 
+    Inflow is accumulated in decimal(28,12), not double: decimal
+    addition is associative, so Spark's partial-aggregation order (which
+    varies with partitioning) cannot wobble ranks in the last ulps —
+    ranks are bit-identical run-to-run and engine-to-engine (the share
+    is quantized to 12 dp at the cast; a SQL oracle replays it with the
+    same ``::DECIMAL(28,12)`` cast). Costs ~2× the plain double sum —
+    the price of auditability, same trade the TPC-H money sums make.
+
     Returns (id, rank) for every node appearing as src or dst."""
     src, dst = F.col(src_col), F.col(dst_col)
     e = edges.select(src.alias("src"), dst.alias("dst"))
@@ -170,10 +178,12 @@ def pagerank(
             contrib_edges.join(ranks, contrib_edges.src == ranks.id)
             .select(
                 F.col("dst").alias("id"),
-                (F.col("rank") / F.col("outdeg")).alias("share"),
+                (F.col("rank") / F.col("outdeg"))
+                .cast("decimal(28,12)")
+                .alias("share"),
             )
             .groupBy("id")
-            .agg(F.sum("share").alias("inflow"))
+            .agg(F.sum("share").cast("double").alias("inflow"))
         )
         ranks = (
             nodes.join(inflow, on="id", how="left")

@@ -159,17 +159,21 @@ def _ordered_ids(statements: DataFrame, q: Query) -> DataFrame:
     return ids
 
 
-def _order_direction(q: Query) -> list[F.Column]:
+def _order_direction(q: Query, id_col: str = "canonical_id") -> list[F.Column]:
+    """Sort spec shared by the id-level and entity-level paths (one
+    definition so null ordering / tie-breaking can never drift apart);
+    ``id_col`` is the tiebreak column ('canonical_id' pre-assembly,
+    'id' post-assembly)."""
     if q.ascending:
         return [
             F.col("__knum").asc_nulls_last(),
             F.col("__kstr").asc_nulls_last(),
-            F.col("canonical_id"),
+            F.col(id_col),
         ]
     return [
         F.col("__knum").desc_nulls_last(),
         F.col("__kstr").desc_nulls_last(),
-        F.col("canonical_id"),
+        F.col(id_col),
     ]
 
 
@@ -199,23 +203,9 @@ def compile_entities(statements: DataFrame, q: Query) -> DataFrame:
     keyed = assembled.join(
         ids.withColumnRenamed("canonical_id", "id"), on="id", how="left"
     )
-    return keyed.orderBy(*_order_direction_for_entities(q)).drop(
+    return keyed.orderBy(*_order_direction(q, id_col="id")).drop(
         "__knum", "__kstr"
     )
-
-
-def _order_direction_for_entities(q: Query) -> list[F.Column]:
-    if q.ascending:
-        return [
-            F.col("__knum").asc_nulls_last(),
-            F.col("__kstr").asc_nulls_last(),
-            F.col("id"),
-        ]
-    return [
-        F.col("__knum").desc_nulls_last(),
-        F.col("__kstr").desc_nulls_last(),
-        F.col("id"),
-    ]
 
 
 # --- aggregations (§2.4) -----------------------------------------------------

@@ -91,4 +91,9 @@ def stream_dedup_against_corpus(
     )
     if available_now:
         writer = writer.trigger(availableNow=True)
-    return writer.start()
+    query = writer.start()
+    # release path for the persisted index after the stream stops:
+    # unpersist_intermediates(query) — same caching contract as the
+    # batch pair operators
+    query._cached_intermediates = [corpus_banded]
+    return query

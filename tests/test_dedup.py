@@ -342,3 +342,37 @@ def test_dedup_keep_best(spark):
     assert out[1].keep_id == 2 and out[1].n_members == 3
     assert out[1].best_score == 50.0
     assert out[7].keep_id == 8 and out[7].n_members == 2
+
+
+def test_semantic_dedup_null_embeddings(spark):
+    """NULL embeddings — even among the lowest-id (centroid-candidate)
+    rows — are excluded, not a crash."""
+    from ftm_columnstore_spark.operators.dedup import semantic_dedup_portable
+
+    rows = [
+        (0, None),                     # would be a centroid candidate
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [0.0, 1.0, 0.0, 0.0]),
+        (3, [0.99, 0.01, 0.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {r.vec_id: r for r in
+           semantic_dedup_portable(df, n_centroids=2, threshold=0.95).collect()}
+    assert set(out) == {1, 2, 3}
+    assert out[3].is_dup and not out[1].is_dup
+
+
+def test_line_dedup_literal_separator(spark):
+    """sep is literal, not regex: '.' splits on periods only and
+    round-trips through reassembly."""
+    from ftm_columnstore_spark.operators.dedup import line_dedup
+
+    df = spark.createDataFrame(
+        [(1, "first sentence.shared one.last bit"),
+         (2, "shared one.other text")],
+        "doc_id long, text string",
+    )
+    out = {r.id: r for r in line_dedup(df, sep=".").collect()}
+    assert out[1].n_lines == 3 and out[1].n_kept == 3
+    assert out[1].text == "first sentence.shared one.last bit"
+    assert out[2].n_kept == 1 and out[2].text == "other text"

@@ -60,14 +60,21 @@ def test_pagerank_matches_reference_arithmetic(spark):
     df = spark.createDataFrame(edges, "src string, dst string")
     got = {r.id: r.rank for r in pagerank(df, iterations=4).collect()}
 
+    from decimal import ROUND_HALF_UP, Decimal
+
+    q12 = Decimal("1e-12")
     nodes = {n for e in edges for n in e}
     out = Counter(s for s, _ in edges)
     r = {n: 1.0 for n in nodes}
     for _ in range(4):
-        inflow = defaultdict(float)
+        # mirror the operator: shares quantized to decimal(28,12) and
+        # summed exactly, so the replica is bit-identical, not just close
+        inflow = defaultdict(lambda: Decimal(0))
         for s, t in edges:
-            inflow[t] += r[s] / out[s]
-        r = {n: 0.15 + 0.85 * inflow.get(n, 0.0) for n in nodes}
+            inflow[t] += Decimal(r[s] / out[s]).quantize(
+                q12, rounding=ROUND_HALF_UP
+            )
+        r = {n: 0.15 + 0.85 * float(inflow[n]) for n in nodes}
     assert set(got) == nodes
     for n in nodes:
         assert abs(got[n] - r[n]) < 1e-12, n
