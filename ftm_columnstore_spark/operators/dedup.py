@@ -342,7 +342,11 @@ def minhash_dedup(
     # star-contract: every right_id maps to min(left_id) over its pairs
     mapping = pairs.groupBy("right_id").agg(F.min("left_id").alias("root"))
     drop = mapping.select(F.col("right_id").alias(id_col))
-    return df.join(drop, on=id_col, how="left_anti")
+    out = df.join(drop, on=id_col, how="left_anti")
+    # propagate the pair stage's persisted intermediates so callers can
+    # release them (caching contract: unpersist_intermediates)
+    out._cached_intermediates = getattr(pairs, "_cached_intermediates", [])
+    return out
 
 
 # --- SimHash ------------------------------------------------------------------

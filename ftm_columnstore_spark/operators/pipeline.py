@@ -1,0 +1,88 @@
+"""One-call training-data preparation pipeline — the composition every
+stage of this package exists for, packaged so a user can run the whole
+cleanup with defaults and override per-stage knobs:
+
+    quality gate (Gopher rules) → line-level dedup (C4) → exact dedup →
+    MinHash near-dedup → deterministic train/val/test split
+
+Every stage is one of the individually oracle-checked operators; the
+pipeline adds NO new semantics, only order. Order rationale (measured in
+NOTES.md): cheap map-only filters first (gate), then the passes whose
+cost grows with duplicate density (exact before near — collapsing exact
+copies first removed the adversarial-corpus blow-up in both the SimHash
+and Jaccard benchmarks).
+
+Everything stays lazy; the MinHash stage persists its banded relation
+for the self-join — the handle is propagated on the returned DataFrame
+(``_cached_intermediates``), so call
+:func:`~ftm_columnstore_spark.operators.dedup.unpersist_intermediates`
+on the pipeline result after your consuming action to release it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def prepare_training_data(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    quality: dict | None = None,
+    line_dedup_sep: str | None = "\n",
+    near_dedup: dict | None = None,
+    splits: dict[str, float] | None = None,
+    seed: str = "",
+) -> DataFrame:
+    """Run the standard cleanup pipeline; returns the surviving rows of
+    ``df`` (original columns) plus a ``split`` column when ``splits`` is
+    given.
+
+    ``quality``: kwargs for :func:`~ftm_columnstore_spark.operators.text.
+    quality_gate` (None → skip the stage). ``line_dedup_sep``: separator
+    for :func:`~ftm_columnstore_spark.operators.dedup.line_dedup`
+    (None → skip; note this stage REWRITES ``text_col`` to the cleaned
+    text). ``near_dedup``: kwargs for :func:`~ftm_columnstore_spark.
+    operators.dedup.minhash_dedup` (None → skip). ``splits``: weights
+    for :func:`~ftm_columnstore_spark.operators.sampling.split_by_hash`.
+    """
+    from ftm_columnstore_spark.operators.dedup import (
+        dedup_exact,
+        line_dedup,
+        minhash_dedup,
+    )
+    from ftm_columnstore_spark.operators.sampling import split_by_hash
+    from ftm_columnstore_spark.operators.text import quality_gate
+
+    out = df
+    if quality is not None:
+        gate = quality_gate(out, text_col=text_col, id_col=id_col, **quality)
+        keep_ids = gate.where(F.col("keep")).select(
+            F.col("id").alias(id_col)
+        )
+        out = out.join(keep_ids, on=id_col, how="left_semi")
+    if line_dedup_sep is not None:
+        cleaned = line_dedup(
+            out, text_col=text_col, id_col=id_col, sep=line_dedup_sep
+        ).where(F.col("n_kept") > 0)
+        out = (
+            out.drop(text_col)
+            .join(
+                cleaned.select(
+                    F.col("id").alias(id_col), F.col("text").alias(text_col)
+                ),
+                on=id_col,
+            )
+        )
+    out = dedup_exact(out, text_col=text_col, id_col=id_col)
+    cached: list = []
+    if near_dedup is not None:
+        out = minhash_dedup(
+            out, text_col=text_col, id_col=id_col, **near_dedup
+        )
+        cached = getattr(out, "_cached_intermediates", [])
+    if splits is not None:
+        out = split_by_hash(out, splits, id_col=id_col, seed=seed)
+    out._cached_intermediates = cached
+    return out

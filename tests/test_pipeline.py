@@ -45,3 +45,34 @@ def test_pipeline_composition(spark):
     out = result.collect()
     assert [r["doc_id"] for r in out] == [1, 6]
     assert all(r["n_tokens"] > 20 for r in out)
+
+
+def test_prepare_training_data(spark):
+    """Packaged pipeline: gate → line dedup → exact dedup → near dedup →
+    split, with each stage's effect visible in the survivors."""
+    from ftm_columnstore_spark.operators.dedup import unpersist_intermediates
+    from ftm_columnstore_spark.operators.pipeline import prepare_training_data
+
+    boiler = "standard footer line with the usual and boring legal words"
+    rows = [
+        (1, f"{GOOD}\n{boiler}"),
+        (2, f"{GOOD}\n{boiler}"),          # exact dup after line dedup → dropped
+        (3, f"{NEAR}\n{boiler}"),          # near dup → dropped
+        (4, "tiny\ntext"),                 # fails the quality gate
+        (5, "completely different english text about the spark engine and "
+            "the way it runs queries over the very large datasets it reads"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = prepare_training_data(
+        docs,
+        quality={"min_tokens": 10, "min_stopwords": 2},
+        near_dedup={"num_hashes": 16, "num_bands": 8, "threshold": 0.5},
+        splits={"train": 0.5, "test": 0.5},
+        seed="p",
+    )
+    got = {r.doc_id: r for r in out.collect()}
+    assert set(got) == {1, 5}
+    # line dedup kept the boilerplate only in the globally-first doc
+    assert boiler in got[1].text and GOOD in got[1].text
+    assert got[1].split in ("train", "test")
+    unpersist_intermediates(out)
