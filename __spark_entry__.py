@@ -1820,6 +1820,25 @@ def d13_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def d14_exact_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr span-level dedup (operators/dedup.py:
+    exact_substring_dedup — Lee et al. 2022): every duplicated run of
+    >= 8 tokens is cut from all occurrences except the globally-first
+    one, documents reassembled from the surviving tokens. Oracle:
+    identical k-gram windows + gaps-and-islands span merge in SQL.
+    Output keeps the cleaned text as an md5 so compare payloads stay
+    small."""
+    from ftm_columnstore_spark.operators.dedup import exact_substring_dedup
+
+    d = _t(spark, sf_dir, "documents")
+    return exact_substring_dedup(d, k=8).select(
+        F.col("id").alias("doc_id"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("n_removed").cast("long").alias("n_removed"),
+        F.md5("text").alias("clean_md5"),
+    )
+
+
 def t16_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-proportional deterministic sampling
     (operators/sampling.py:weighted_sample): keep probability scales
@@ -2023,6 +2042,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "j16_pagerank": j16_pagerank,
         "t16_weighted_sample": t16_weighted_sample,
         "d13_dedup_keep_best": d13_dedup_keep_best,
+        "d14_exact_substring_dedup": d14_exact_substring_dedup,
         # NON-SQL — rows-only (m6: binary codecs; x5: metaphone; v5:
         # iterative k-means training; t9: per-partition bin packing).
         # m6/x5 first: if the driver's correctness window caps out, the
@@ -3368,6 +3388,72 @@ def oracle_sql() -> dict[str, str]:
         "v9_semantic_dedup": _v9_oracle(),
         "d12_cross_dedup": _d12_oracle(),
         "j16_pagerank": _j16_oracle(),
+        "d14_exact_substring_dedup": """
+            WITH toks AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(lower(coalesce(text, '')),
+                                                      '[^a-z0-9]+'),
+                                   x -> x <> '') AS tk
+                FROM documents
+            ), grams_l AS (
+                SELECT doc_id,
+                       list_transform(
+                           range(1, len(tk) - 6),
+                           i -> md5(array_to_string(tk[i:i+7], ' '))
+                       ) AS gs
+                FROM toks WHERE len(tk) >= 8
+            ), grams AS (
+                SELECT doc_id,
+                       generate_subscripts(gs, 1) - 1 AS pos,
+                       unnest(gs) AS h
+                FROM grams_l
+            ), occ AS (
+                SELECT doc_id, pos, pos + 7 AS e FROM (
+                    SELECT doc_id, pos,
+                           count(*) OVER (PARTITION BY h) AS cnt,
+                           row_number() OVER (PARTITION BY h
+                                              ORDER BY doc_id, pos) AS rn
+                    FROM grams)
+                WHERE cnt >= 2 AND rn >= 2
+            ), isl AS (
+                SELECT doc_id, pos, e,
+                       max(e) OVER (PARTITION BY doc_id ORDER BY pos
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND 1 PRECEDING) AS prev_e
+                FROM occ
+            ), isl2 AS (
+                SELECT doc_id, pos, e,
+                       sum(CASE WHEN prev_e IS NULL OR pos > prev_e
+                                THEN 1 ELSE 0 END)
+                           OVER (PARTITION BY doc_id ORDER BY pos) AS island
+                FROM isl
+            ), spans AS (
+                SELECT doc_id, min(pos) AS s, max(e) AS e
+                FROM isl2 GROUP BY doc_id, island
+            ), positions AS (
+                SELECT doc_id, generate_subscripts(tk, 1) - 1 AS pos,
+                       unnest(tk) AS tok
+                FROM toks
+            ), covered AS (
+                SELECT DISTINCT p.doc_id, p.pos
+                FROM positions p JOIN spans sp
+                  ON p.doc_id = sp.doc_id AND p.pos BETWEEN sp.s AND sp.e
+            ), kept AS (
+                SELECT p.doc_id, p.pos, p.tok
+                FROM positions p ANTI JOIN covered c
+                  ON p.doc_id = c.doc_id AND p.pos = c.pos
+            ), agg AS (
+                SELECT doc_id, count(*) AS nk,
+                       string_agg(tok, ' ' ORDER BY pos) AS txt
+                FROM kept GROUP BY doc_id
+            ), base AS (
+                SELECT doc_id, len(tk)::BIGINT AS n_tokens FROM toks
+            )
+            SELECT b.doc_id, b.n_tokens,
+                   b.n_tokens - coalesce(a.nk, 0) AS n_removed,
+                   md5(coalesce(a.txt, '')) AS clean_md5
+            FROM base b LEFT JOIN agg a USING (doc_id)
+        """,
         "t16_weighted_sample": """
             SELECT doc_id, round(n_chars / 500.0, 6) AS w
             FROM documents

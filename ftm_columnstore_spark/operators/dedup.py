@@ -1163,3 +1163,130 @@ def dedup_keep_best(
         .agg(F.min("__id").alias("keep_id"))
         .select("canonical", "keep_id", "n_members", "best_score")
     )
+
+
+# --- exact substring (span-level) dedup --------------------------------------
+
+def exact_substring_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    keep_first: bool = True,
+    keep_order_col: str | None = None,
+) -> DataFrame:
+    """Exact duplicated-SUBSTRING removal — the ExactSubstr pass of Lee
+    et al. 2022 ("Deduplicating Training Data Makes Language Models
+    Better"), at token k-gram granularity. Where doc-level dedup
+    (:func:`dedup_exact`/:func:`minhash_dedup`) drops whole documents
+    and :func:`line_dedup` needs line boundaries, this removes the
+    duplicated SPANS themselves: any run of >= ``k`` tokens that occurs
+    more than once anywhere in the corpus is cut out of every occurrence
+    except (with ``keep_first=True``) the globally-first one, and each
+    document's surviving tokens are reassembled in order.
+
+    Equivalence to the suffix-array formulation: a duplicated substring
+    of length >= k contains a duplicated k-gram starting at every offset,
+    so the union of duplicated k-gram windows [pos, pos+k-1] reconstructs
+    exactly the maximal duplicated spans (the paper's suffix array finds
+    the same spans; k-grams trade its global sort for one hash shuffle).
+
+    "Globally first" = smallest ``(order_key, id, pos)`` per gram, where
+    ``order_key`` defaults to the id column — deterministic under any
+    partitioning (same convention as :func:`line_dedup`). A second
+    occurrence INSIDE the first document is still removed.
+
+    Scale shape (the suffix array itself does not distribute; this
+    does): narrow gram derive (array HOF over the token array, no
+    explode of text) -> posexplode of gram hashes -> ONE map-side-
+    combinable ``groupBy(gram).agg(count, min(struct))`` — boilerplate
+    grams (the dedup targets) collapse map-side, so the reducer sees no
+    skew -> join back on the gram hash (AQE skew-join covers hot probe
+    keys) -> per-document island merge (window partitioned BY DOCUMENT,
+    never global) -> span cut via array HOFs. No Python anywhere. The
+    gram relation is |tokens| rows — the same working set the
+    suffix-array build scans, but shuffled once on a uniform md5 key.
+    Run :func:`dedup_exact` first at scale: whole-doc copies otherwise
+    pay the span machinery for spans covering the entire document.
+
+    Output: (id, n_tokens, n_removed, text) with ``text`` the cleaned
+    document ('' when everything was duplicated elsewhere).
+    """
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    order = F.col(keep_order_col if keep_order_col else id_col)
+    toks = F.coalesce(
+        word_tokens_col(text_col), F.array().cast("array<string>")
+    )
+    docs = df.select(
+        F.col(id_col).alias("id"), order.alias("__ord"), toks.alias("toks")
+    )
+    n = F.size(F.col("toks"))
+    # gram hash at each start offset: md5 of the space-joined k tokens —
+    # portable (any engine reproduces it), uniform (no hot shuffle keys)
+    grams = docs.where(n >= k).select(
+        "id",
+        "__ord",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), n - k),
+                lambda i: F.md5(
+                    F.array_join(F.slice(F.col("toks"), i + 1, k), " ")
+                ),
+            )
+        ).alias("pos", "h"),
+    )
+    firsts = grams.groupBy("h").agg(
+        F.count(F.lit(1)).alias("__cnt"),
+        F.min(F.struct("__ord", "id", "pos")).alias("__first"),
+    )
+    dup = grams.join(firsts, on="h").where(F.col("__cnt") >= 2)
+    if keep_first:
+        dup = dup.where(
+            ~(
+                (F.col("__ord") == F.col("__first.__ord"))
+                & (F.col("id") == F.col("__first.id"))
+                & (F.col("pos") == F.col("__first.pos"))
+            )
+        )
+    occ = dup.select("id", "pos", (F.col("pos") + (k - 1)).alias("end"))
+    # gaps-and-islands per document: merge overlapping [pos, end] windows
+    w = Window.partitionBy("id").orderBy("pos")
+    occ = occ.withColumn(
+        "__prev_end",
+        F.max("end").over(w.rowsBetween(Window.unboundedPreceding, -1)),
+    )
+    occ = occ.withColumn(
+        "__new",
+        F.when(
+            F.col("__prev_end").isNull()
+            | (F.col("pos") > F.col("__prev_end")),
+            1,
+        ).otherwise(0),
+    )
+    occ = occ.withColumn("__island", F.sum("__new").over(w))
+    spans = occ.groupBy("id", "__island").agg(
+        F.min("pos").alias("start"), F.max("end").alias("end")
+    )
+    doc_spans = spans.groupBy("id").agg(
+        F.collect_list(F.struct("start", "end")).alias("spans")
+    )
+    joined = docs.join(doc_spans, on="id", how="left").withColumn(
+        "spans",
+        F.coalesce(
+            "spans", F.array().cast("array<struct<start:int,end:int>>")
+        ),
+    )
+    kept = F.filter(
+        F.col("toks"),
+        lambda t, i: ~F.exists(
+            F.col("spans"),
+            lambda s: (i >= s["start"]) & (i <= s["end"]),
+        ),
+    )
+    return joined.select(
+        "id",
+        F.size("toks").alias("n_tokens"),
+        (F.size("toks") - F.size(kept)).alias("n_removed"),
+        F.array_join(kept, " ").alias("text"),
+    )

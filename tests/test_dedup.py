@@ -376,3 +376,52 @@ def test_line_dedup_literal_separator(spark):
     assert out[1].n_lines == 3 and out[1].n_kept == 3
     assert out[1].text == "first sentence.shared one.last bit"
     assert out[2].n_kept == 1 and out[2].text == "other text"
+
+
+def test_exact_substring_dedup(spark):
+    from ftm_columnstore_spark.operators.dedup import exact_substring_dedup
+
+    shared = "one two three four five six seven eight nine ten"  # 10 tokens
+    rows = [
+        (1, f"{shared} tail1 unique1"),           # first occurrence: kept whole
+        (2, f"head2 {shared} tail2"),             # later copy: span cut
+        (3, "totally different words with no overlap at all here ok"),
+        (4, ""),                                   # empty doc
+        (5, "short doc"),                          # < k tokens
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        r["id"]: r
+        for r in exact_substring_dedup(df, k=8).collect()
+    }
+    # doc 1 is the globally-first occurrence → untouched
+    assert out[1]["n_removed"] == 0
+    assert out[1]["text"] == f"{shared} tail1 unique1"
+    # doc 2 loses exactly the 10 shared tokens, keeps head/tail in order
+    assert out[2]["n_removed"] == 10
+    assert out[2]["text"] == "head2 tail2"
+    # untouched docs
+    assert out[3]["n_removed"] == 0
+    assert out[4]["n_tokens"] == 0 and out[4]["text"] == ""
+    assert out[5]["n_removed"] == 0 and out[5]["text"] == "short doc"
+
+
+def test_exact_substring_dedup_within_doc_and_no_keep(spark):
+    from ftm_columnstore_spark.operators.dedup import exact_substring_dedup
+
+    span = "a1 a2 a3 a4 a5 a6 a7 a8"  # exactly k tokens
+    df = spark.createDataFrame(
+        [(1, f"{span} mid {span}")], ["doc_id", "text"]
+    )
+    out = exact_substring_dedup(df, k=8).collect()[0]
+    # second within-doc occurrence removed, first kept
+    assert out["text"] == f"{span} mid"
+    assert out["n_removed"] == 8
+
+    out2 = exact_substring_dedup(df, k=8, keep_first=False).collect()[0]
+    # keep_first=False removes every occurrence
+    assert out2["text"] == "mid"
+    assert out2["n_removed"] == 16
+
+    with pytest.raises(ValueError):
+        exact_substring_dedup(df, k=1)
