@@ -1882,6 +1882,39 @@ def j16_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pr.select("id", F.round("rank", 6).alias("rank"))
 
 
+def j17_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree-ordered triangle counting (operators/graph.py:
+    triangle_count — Suri & Vassilvitskii WWW'11) over the part
+    co-purchase graph of one order month: parts are linked when they
+    appear in the same order; per-part triangle count + local
+    clustering coefficient. The oracle replays the naive a<b<c
+    three-way join — orientation changes the plan, never the
+    triangles."""
+    from ftm_columnstore_spark.operators.graph import triangle_count
+
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    items = (
+        o.where(
+            (F.col("o_orderdate") >= "1995-03-01")
+            & (F.col("o_orderdate") <= "1995-03-31")
+        )
+        .join(li, o.o_orderkey == li.l_orderkey)
+        .select(
+            F.col("o_orderkey").alias("ok"), F.col("l_partkey").alias("p")
+        )
+        .distinct()
+    )
+    a = items.select("ok", F.col("p").alias("pa"))
+    b = items.select("ok", F.col("p").alias("pb"))
+    e = (
+        a.join(b, on="ok")
+        .where(F.col("pa") < F.col("pb"))
+        .select(F.col("pa").alias("src"), F.col("pb").alias("dst"))
+    )
+    return triangle_count(e)
+
+
 def t15_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-rule quality gate (operators/text.py:quality_gate):
     token-count / word-length / alnum-ratio / stopword / repetition
@@ -2043,6 +2076,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t16_weighted_sample": t16_weighted_sample,
         "d13_dedup_keep_best": d13_dedup_keep_best,
         "d14_exact_substring_dedup": d14_exact_substring_dedup,
+        "j17_triangle_count": j17_triangle_count,
         # NON-SQL — rows-only (m6: binary codecs; x5: metaphone; v5:
         # iterative k-means training; t9: per-partition bin packing).
         # m6/x5 first: if the driver's correctness window caps out, the
@@ -3388,6 +3422,35 @@ def oracle_sql() -> dict[str, str]:
         "v9_semantic_dedup": _v9_oracle(),
         "d12_cross_dedup": _d12_oracle(),
         "j16_pagerank": _j16_oracle(),
+        "j17_triangle_count": """
+            WITH items AS (
+                SELECT DISTINCT o.o_orderkey AS ok, l.l_partkey AS p
+                FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+                WHERE o.o_orderdate BETWEEN DATE '1995-03-01'
+                                        AND DATE '1995-03-31'
+            ), e AS (
+                SELECT DISTINCT a.p AS u, b.p AS v
+                FROM items a JOIN items b ON a.ok = b.ok AND a.p < b.p
+            ), tri AS (
+                SELECT e1.u AS a, e1.v AS b, e2.v AS c
+                FROM e e1
+                JOIN e e2 ON e1.v = e2.u
+                JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+            ), pn AS (
+                SELECT id, count(*) AS triangles FROM (
+                    SELECT unnest([a, b, c]) AS id FROM tri) GROUP BY id
+            ), deg AS (
+                SELECT id, count(*) AS degree FROM (
+                    SELECT u AS id FROM e
+                    UNION ALL SELECT v FROM e) GROUP BY id
+            )
+            SELECT d.id, d.degree, coalesce(p.triangles, 0) AS triangles,
+                   CASE WHEN d.degree >= 2
+                        THEN round(2.0 * coalesce(p.triangles, 0)
+                                   / (d.degree * (d.degree - 1.0)), 6)
+                        ELSE 0.0 END AS clustering
+            FROM deg d LEFT JOIN pn p USING (id)
+        """,
         "d14_exact_substring_dedup": """
             WITH toks AS (
                 SELECT doc_id,

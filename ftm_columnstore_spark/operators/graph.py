@@ -196,3 +196,103 @@ def pagerank(
             .localCheckpoint(eager=True)
         )
     return ranks
+
+
+def triangle_count(
+    edges: DataFrame, src_col: str = "src", dst_col: str = "dst"
+) -> DataFrame:
+    """Per-node triangle counts + local clustering coefficient over an
+    undirected edge list — the "how clique-ish is this entity's
+    neighbourhood" signal (ring detection in payment graphs, community
+    density in xref clusters).
+
+    Algorithm: degree-ordered edge orientation (Suri & Vassilvitskii,
+    WWW'11 / Cohen '09). Every edge is oriented from its lower-
+    ``(degree, id)`` endpoint to the higher one; wedges are enumerated
+    only at each triangle's LOWEST-ordered vertex, then closed with one
+    join back to the oriented edge list. Each triangle is found exactly
+    once, and the wedge relation is bounded by O(m^{3/2}) TOTAL —
+    independent of skew — because no node fans out wedges to higher-
+    degree neighbours (a star's hub generates zero wedges). The naive
+    adjacency self-join explodes quadratically on exactly the hub nodes
+    a 100 TB graph is full of; this one cannot.
+
+    Shuffles: one degree agg, two orientation joins, one wedge
+    self-join (keyed on the low vertex), one closing join, one explode
+    + count. All hash joins on uniform keys; AQE may broadcast the
+    oriented edge list when small.
+
+    Input may list each undirected edge once in either direction (or
+    both); duplicates and self-loops are dropped. Returns
+    (id, degree, triangles, clustering) for every node with >= 1 edge,
+    ``clustering = 2T / (deg * (deg - 1))`` (0 when degree < 2).
+    """
+    src, dst = F.col(src_col), F.col(dst_col)
+    # canonical undirected edge set: u < v, no self-loops, no dups
+    e = (
+        edges.select(
+            F.least(src, dst).alias("u"), F.greatest(src, dst).alias("v")
+        )
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("u").alias("id"))
+        .unionAll(e.select(F.col("v").alias("id")))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    # orient each edge from lower (degree, id) endpoint to higher
+    du = deg.select(F.col("id").alias("u"), F.col("degree").alias("du"))
+    dv = deg.select(F.col("id").alias("v"), F.col("degree").alias("dv"))
+    ranked = e.join(du, on="u").join(dv, on="v")
+    lo_first = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    oriented = ranked.select(
+        F.when(lo_first, F.col("u")).otherwise(F.col("v")).alias("lo"),
+        F.when(lo_first, F.col("v")).otherwise(F.col("u")).alias("hi"),
+        F.when(lo_first, F.struct("dv", "v")).otherwise(
+            F.struct(F.col("du").alias("dv"), F.col("u").alias("v"))
+        ).alias("hi_key"),
+    )
+    # wedges at the lowest-ordered vertex: (b, c) with order(b) < order(c)
+    w1 = oriented.select(
+        F.col("lo").alias("a"), F.col("hi").alias("b"),
+        F.col("hi_key").alias("bk"),
+    )
+    w2 = oriented.select(
+        F.col("lo").alias("a"), F.col("hi").alias("c"),
+        F.col("hi_key").alias("ck"),
+    )
+    wedges = w1.join(w2, on="a").where(
+        (F.col("bk.dv") < F.col("ck.dv"))
+        | ((F.col("bk.dv") == F.col("ck.dv")) & (F.col("b") < F.col("c")))
+    )
+    closing = oriented.select(
+        F.col("lo").alias("b"), F.col("hi").alias("c")
+    )
+    tri = wedges.join(closing, on=["b", "c"]).select("a", "b", "c")
+    per_node = (
+        tri.select(
+            F.explode(F.array(F.col("a"), F.col("b"), F.col("c"))).alias("id")
+        )
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("triangles"))
+    )
+    return deg.join(per_node, on="id", how="left").select(
+        "id",
+        "degree",
+        F.coalesce("triangles", F.lit(0)).alias("triangles"),
+        F.when(
+            F.col("degree") >= 2,
+            F.round(
+                2.0
+                * F.coalesce("triangles", F.lit(0))
+                / (F.col("degree") * (F.col("degree") - F.lit(1.0))),
+                6,
+            ),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("clustering"),
+    )

@@ -1,5 +1,7 @@
 """Graph operators (SURVEY §2.3 J1/J2; reference tests/test_store.py:31-41)."""
 
+import pytest
+
 from ftm_columnstore_spark.operators.graph import adjacent, inverted
 
 
@@ -80,3 +82,40 @@ def test_pagerank_matches_reference_arithmetic(spark):
         assert abs(got[n] - r[n]) < 1e-12, n
     # the hub feeding everything outranks the pure sink
     assert got["c"] > got["d"]
+
+
+def test_triangle_count(spark):
+    from ftm_columnstore_spark.operators.graph import triangle_count
+
+    # square 1-2-3-4 plus diagonal 1-3: triangles (1,2,3) and (1,3,4);
+    # edges arrive messy: mixed direction, duplicate, self-loop
+    edges = spark.createDataFrame(
+        [
+            ("1", "2"), ("2", "3"), ("3", "4"), ("4", "1"),
+            ("3", "1"), ("1", "3"),   # diagonal, both directions
+            ("2", "1"),               # duplicate of 1-2, reversed
+            ("4", "4"),               # self-loop: dropped
+        ],
+        ["src", "dst"],
+    )
+    out = {r["id"]: r for r in triangle_count(edges).collect()}
+    assert {k: v["triangles"] for k, v in out.items()} == {
+        "1": 2, "2": 1, "3": 2, "4": 1
+    }
+    assert {k: v["degree"] for k, v in out.items()} == {
+        "1": 3, "2": 2, "3": 3, "4": 2
+    }
+    assert out["1"]["clustering"] == pytest.approx(2 * 2 / (3 * 2), abs=1e-6)
+    assert out["2"]["clustering"] == pytest.approx(1.0)
+
+
+def test_triangle_count_no_triangles(spark):
+    from ftm_columnstore_spark.operators.graph import triangle_count
+
+    star = spark.createDataFrame(
+        [("hub", f"leaf{i}") for i in range(5)], ["src", "dst"]
+    )
+    out = {r["id"]: r for r in triangle_count(star).collect()}
+    assert all(r["triangles"] == 0 for r in out.values())
+    assert out["hub"]["degree"] == 5 and out["hub"]["clustering"] == 0.0
+    assert out["leaf0"]["clustering"] == 0.0  # degree 1 -> defined as 0
