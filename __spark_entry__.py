@@ -1839,6 +1839,29 @@ def d14_exact_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def d15_cross_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ExactSubstr (operators/dedup.py:
+    exact_substring_dedup_cross): documents >= 250 arrive as a new
+    batch and lose every >= 8-token run already present in the indexed
+    corpus (doc_id < 250) or duplicated within the batch — the
+    ingest-time span cut probing a reusable corpus gram index."""
+    from ftm_columnstore_spark.operators.dedup import (
+        exact_substring_dedup_cross,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    return exact_substring_dedup_cross(
+        d.where(F.col("doc_id") >= 250),
+        corpus=d.where(F.col("doc_id") < 250),
+        k=8,
+    ).select(
+        F.col("id").alias("doc_id"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("n_removed").cast("long").alias("n_removed"),
+        F.md5("text").alias("clean_md5"),
+    )
+
+
 def t16_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-proportional deterministic sampling
     (operators/sampling.py:weighted_sample): keep probability scales
@@ -2077,6 +2100,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d13_dedup_keep_best": d13_dedup_keep_best,
         "d14_exact_substring_dedup": d14_exact_substring_dedup,
         "j17_triangle_count": j17_triangle_count,
+        "d15_cross_substring_dedup": d15_cross_substring_dedup,
         # NON-SQL — rows-only (m6: binary codecs; x5: metaphone; v5:
         # iterative k-means training; t9: per-partition bin packing).
         # m6/x5 first: if the driver's correctness window caps out, the
@@ -3511,6 +3535,78 @@ def oracle_sql() -> dict[str, str]:
                 FROM kept GROUP BY doc_id
             ), base AS (
                 SELECT doc_id, len(tk)::BIGINT AS n_tokens FROM toks
+            )
+            SELECT b.doc_id, b.n_tokens,
+                   b.n_tokens - coalesce(a.nk, 0) AS n_removed,
+                   md5(coalesce(a.txt, '')) AS clean_md5
+            FROM base b LEFT JOIN agg a USING (doc_id)
+        """,
+        "d15_cross_substring_dedup": """
+            WITH toks AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(lower(coalesce(text, '')),
+                                                      '[^a-z0-9]+'),
+                                   x -> x <> '') AS tk
+                FROM documents
+            ), grams_l AS (
+                SELECT doc_id,
+                       list_transform(
+                           range(1, len(tk) - 6),
+                           i -> md5(array_to_string(tk[i:i+7], ' '))
+                       ) AS gs
+                FROM toks WHERE len(tk) >= 8
+            ), grams AS (
+                SELECT doc_id,
+                       generate_subscripts(gs, 1) - 1 AS pos,
+                       unnest(gs) AS h
+                FROM grams_l
+            ), corpus_h AS (
+                SELECT DISTINCT h FROM grams WHERE doc_id < 250
+            ), bgrams AS (
+                SELECT doc_id, pos, h,
+                       count(*) OVER (PARTITION BY h) AS cnt,
+                       row_number() OVER (PARTITION BY h
+                                          ORDER BY doc_id, pos) AS rn
+                FROM grams WHERE doc_id >= 250
+            ), occ AS (
+                SELECT DISTINCT doc_id, pos, pos + 7 AS e
+                FROM bgrams b
+                WHERE b.h IN (SELECT h FROM corpus_h)
+                   OR (b.cnt >= 2 AND b.rn >= 2)
+            ), isl AS (
+                SELECT doc_id, pos, e,
+                       max(e) OVER (PARTITION BY doc_id ORDER BY pos
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND 1 PRECEDING) AS prev_e
+                FROM occ
+            ), isl2 AS (
+                SELECT doc_id, pos, e,
+                       sum(CASE WHEN prev_e IS NULL OR pos > prev_e
+                                THEN 1 ELSE 0 END)
+                           OVER (PARTITION BY doc_id ORDER BY pos) AS island
+                FROM isl
+            ), spans AS (
+                SELECT doc_id, min(pos) AS s, max(e) AS e
+                FROM isl2 GROUP BY doc_id, island
+            ), positions AS (
+                SELECT doc_id, generate_subscripts(tk, 1) - 1 AS pos,
+                       unnest(tk) AS tok
+                FROM toks WHERE doc_id >= 250
+            ), covered AS (
+                SELECT DISTINCT p.doc_id, p.pos
+                FROM positions p JOIN spans sp
+                  ON p.doc_id = sp.doc_id AND p.pos BETWEEN sp.s AND sp.e
+            ), kept AS (
+                SELECT p.doc_id, p.pos, p.tok
+                FROM positions p ANTI JOIN covered c
+                  ON p.doc_id = c.doc_id AND p.pos = c.pos
+            ), agg AS (
+                SELECT doc_id, count(*) AS nk,
+                       string_agg(tok, ' ' ORDER BY pos) AS txt
+                FROM kept GROUP BY doc_id
+            ), base AS (
+                SELECT doc_id, len(tk)::BIGINT AS n_tokens
+                FROM toks WHERE doc_id >= 250
             )
             SELECT b.doc_id, b.n_tokens,
                    b.n_tokens - coalesce(a.nk, 0) AS n_removed,

@@ -65,6 +65,8 @@ HEADLINE = [
     "v9_semantic_dedup",
     "t15_quality_gate",
     "t14_winnow_fingerprints",
+    "d14_exact_substring_dedup",
+    "j17_triangle_count",
 ]
 
 

@@ -1167,6 +1167,83 @@ def dedup_keep_best(
 
 # --- exact substring (span-level) dedup --------------------------------------
 
+def _tokenized_docs(df, text_col: str, id_col: str, order_col: str | None):
+    """(id, __ord, toks) with the shared tokenizer; null text -> []."""
+    order = F.col(order_col if order_col else id_col)
+    toks = F.coalesce(
+        word_tokens_col(text_col), F.array().cast("array<string>")
+    )
+    return df.select(
+        F.col(id_col).alias("id"), order.alias("__ord"), toks.alias("toks")
+    )
+
+
+def _doc_grams(docs: DataFrame, k: int) -> DataFrame:
+    """(id, __ord, pos, h): md5 k-gram hash at every token offset — a
+    narrow array-HOF derive + posexplode, no text explode. md5 of the
+    space-joined tokens is engine-portable and shuffle-uniform."""
+    n = F.size(F.col("toks"))
+    return docs.where(n >= k).select(
+        "id",
+        "__ord",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), n - k),
+                lambda i: F.md5(
+                    F.array_join(F.slice(F.col("toks"), i + 1, k), " ")
+                ),
+            )
+        ).alias("pos", "h"),
+    )
+
+
+def _cut_dup_spans(docs: DataFrame, occ: DataFrame, k: int) -> DataFrame:
+    """Merge redundant gram occurrences (id, pos) into maximal spans
+    per document (gaps-and-islands; window partitioned BY DOCUMENT) and
+    cut them out of the token arrays. Output (id, n_tokens, n_removed,
+    text)."""
+    occ = occ.select("id", "pos", (F.col("pos") + (k - 1)).alias("end"))
+    w = Window.partitionBy("id").orderBy("pos")
+    occ = occ.withColumn(
+        "__prev_end",
+        F.max("end").over(w.rowsBetween(Window.unboundedPreceding, -1)),
+    )
+    occ = occ.withColumn(
+        "__new",
+        F.when(
+            F.col("__prev_end").isNull()
+            | (F.col("pos") > F.col("__prev_end")),
+            1,
+        ).otherwise(0),
+    )
+    occ = occ.withColumn("__island", F.sum("__new").over(w))
+    spans = occ.groupBy("id", "__island").agg(
+        F.min("pos").alias("start"), F.max("end").alias("end")
+    )
+    doc_spans = spans.groupBy("id").agg(
+        F.collect_list(F.struct("start", "end")).alias("spans")
+    )
+    joined = docs.join(doc_spans, on="id", how="left").withColumn(
+        "spans",
+        F.coalesce(
+            "spans", F.array().cast("array<struct<start:int,end:int>>")
+        ),
+    )
+    kept = F.filter(
+        F.col("toks"),
+        lambda t, i: ~F.exists(
+            F.col("spans"),
+            lambda s: (i >= s["start"]) & (i <= s["end"]),
+        ),
+    )
+    return joined.select(
+        "id",
+        F.size("toks").alias("n_tokens"),
+        (F.size("toks") - F.size(kept)).alias("n_removed"),
+        F.array_join(kept, " ").alias("text"),
+    )
+
+
 def exact_substring_dedup(
     df: DataFrame,
     text_col: str = "text",
@@ -1214,28 +1291,8 @@ def exact_substring_dedup(
     """
     if k < 2:
         raise ValueError(f"k must be >= 2, got {k}")
-    order = F.col(keep_order_col if keep_order_col else id_col)
-    toks = F.coalesce(
-        word_tokens_col(text_col), F.array().cast("array<string>")
-    )
-    docs = df.select(
-        F.col(id_col).alias("id"), order.alias("__ord"), toks.alias("toks")
-    )
-    n = F.size(F.col("toks"))
-    # gram hash at each start offset: md5 of the space-joined k tokens —
-    # portable (any engine reproduces it), uniform (no hot shuffle keys)
-    grams = docs.where(n >= k).select(
-        "id",
-        "__ord",
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), n - k),
-                lambda i: F.md5(
-                    F.array_join(F.slice(F.col("toks"), i + 1, k), " ")
-                ),
-            )
-        ).alias("pos", "h"),
-    )
+    docs = _tokenized_docs(df, text_col, id_col, keep_order_col)
+    grams = _doc_grams(docs, k)
     firsts = grams.groupBy("h").agg(
         F.count(F.lit(1)).alias("__cnt"),
         F.min(F.struct("__ord", "id", "pos")).alias("__first"),
@@ -1249,44 +1306,80 @@ def exact_substring_dedup(
                 & (F.col("pos") == F.col("__first.pos"))
             )
         )
-    occ = dup.select("id", "pos", (F.col("pos") + (k - 1)).alias("end"))
-    # gaps-and-islands per document: merge overlapping [pos, end] windows
-    w = Window.partitionBy("id").orderBy("pos")
-    occ = occ.withColumn(
-        "__prev_end",
-        F.max("end").over(w.rowsBetween(Window.unboundedPreceding, -1)),
+    return _cut_dup_spans(docs, dup.select("id", "pos"), k)
+
+
+def corpus_gram_index(
+    corpus: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+) -> DataFrame:
+    """Distinct k-gram hashes of an existing corpus — the reusable
+    index side of :func:`exact_substring_dedup_cross`. Build once,
+    ``persist()``, and probe every incremental batch (or micro-batch)
+    against the SAME relation — the d12/minhash pattern applied to
+    span-level dedup."""
+    docs = _tokenized_docs(corpus, text_col, id_col, None)
+    return _doc_grams(docs, k).select("h").distinct()
+
+
+def exact_substring_dedup_cross(
+    batch: DataFrame,
+    corpus: DataFrame | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    corpus_grams: DataFrame | None = None,
+    within_batch: bool = True,
+    keep_order_col: str | None = None,
+) -> DataFrame:
+    """Incremental ExactSubstr: cut from BATCH documents every run of
+    >= ``k`` tokens that already exists in an indexed CORPUS — plus,
+    with ``within_batch=True``, runs duplicated inside the batch itself
+    (keep-first, same convention as :func:`exact_substring_dedup`).
+    The ingest-time counterpart of the batch op: corpus text is never
+    rewritten, so the index side reduces to a distinct hash set.
+
+    Pass either ``corpus`` (index built here) or a prebuilt
+    ``corpus_grams`` from :func:`corpus_gram_index` — persist the
+    latter to amortize the index across incremental batches; a
+    foreachBatch loop reuses the SAME persisted relation every
+    micro-batch (only the small batch side is new work).
+
+    Scale shape: batch grams LEFT SEMI-ish join the corpus hash set
+    (broadcast when the index is small, hash join otherwise; probe side
+    is only the batch) + the within-batch groupBy — the corpus is never
+    rescanned per batch when the index is persisted. Output (id,
+    n_tokens, n_removed, text) for batch documents only.
+    """
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    if (corpus is None) == (corpus_grams is None):
+        raise ValueError("pass exactly one of corpus / corpus_grams")
+    if corpus_grams is None:
+        corpus_grams = corpus_gram_index(corpus, text_col, id_col, k)
+    docs = _tokenized_docs(batch, text_col, id_col, keep_order_col)
+    grams = _doc_grams(docs, k)
+    in_corpus = grams.join(
+        corpus_grams.select("h").distinct(), on="h", how="leftsemi"
+    ).select("id", "pos")
+    if not within_batch:
+        return _cut_dup_spans(docs, in_corpus, k)
+    firsts = grams.groupBy("h").agg(
+        F.count(F.lit(1)).alias("__cnt"),
+        F.min(F.struct("__ord", "id", "pos")).alias("__first"),
     )
-    occ = occ.withColumn(
-        "__new",
-        F.when(
-            F.col("__prev_end").isNull()
-            | (F.col("pos") > F.col("__prev_end")),
-            1,
-        ).otherwise(0),
+    batch_dup = (
+        grams.join(firsts, on="h")
+        .where(
+            (F.col("__cnt") >= 2)
+            & ~(
+                (F.col("__ord") == F.col("__first.__ord"))
+                & (F.col("id") == F.col("__first.id"))
+                & (F.col("pos") == F.col("__first.pos"))
+            )
+        )
+        .select("id", "pos")
     )
-    occ = occ.withColumn("__island", F.sum("__new").over(w))
-    spans = occ.groupBy("id", "__island").agg(
-        F.min("pos").alias("start"), F.max("end").alias("end")
-    )
-    doc_spans = spans.groupBy("id").agg(
-        F.collect_list(F.struct("start", "end")).alias("spans")
-    )
-    joined = docs.join(doc_spans, on="id", how="left").withColumn(
-        "spans",
-        F.coalesce(
-            "spans", F.array().cast("array<struct<start:int,end:int>>")
-        ),
-    )
-    kept = F.filter(
-        F.col("toks"),
-        lambda t, i: ~F.exists(
-            F.col("spans"),
-            lambda s: (i >= s["start"]) & (i <= s["end"]),
-        ),
-    )
-    return joined.select(
-        "id",
-        F.size("toks").alias("n_tokens"),
-        (F.size("toks") - F.size(kept)).alias("n_removed"),
-        F.array_join(kept, " ").alias("text"),
-    )
+    return _cut_dup_spans(docs, in_corpus.unionAll(batch_dup).distinct(), k)

@@ -425,3 +425,50 @@ def test_exact_substring_dedup_within_doc_and_no_keep(spark):
 
     with pytest.raises(ValueError):
         exact_substring_dedup(df, k=1)
+
+
+def test_exact_substring_dedup_cross(spark):
+    from ftm_columnstore_spark.operators.dedup import (
+        corpus_gram_index,
+        exact_substring_dedup_cross,
+    )
+
+    span = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"  # 10 tokens, lives in corpus
+    corpus = spark.createDataFrame(
+        [(1, f"{span} corpus tail")], ["doc_id", "text"]
+    )
+    bspan = "b1 b2 b3 b4 b5 b6 b7 b8"  # batch-internal duplicate
+    batch = spark.createDataFrame(
+        [
+            (10, f"pre {span} post"),          # corpus span cut
+            (11, f"{bspan} fresh new stuff"),  # first batch occurrence kept
+            (12, f"also {bspan}"),             # second one cut
+            (13, "nothing shared here with anybody at all really"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["id"]: r
+        for r in exact_substring_dedup_cross(batch, corpus=corpus, k=8).collect()
+    }
+    assert out[10]["text"] == "pre post" and out[10]["n_removed"] == 10
+    assert out[11]["n_removed"] == 0
+    assert out[12]["text"] == "also" and out[12]["n_removed"] == 8
+    assert out[13]["n_removed"] == 0
+
+    # prebuilt persisted index path + within_batch off
+    idx = corpus_gram_index(corpus, k=8).persist()
+    out2 = {
+        r["id"]: r
+        for r in exact_substring_dedup_cross(
+            batch, corpus_grams=idx, k=8, within_batch=False
+        ).collect()
+    }
+    idx.unpersist()
+    assert out2[10]["n_removed"] == 10
+    assert out2[12]["n_removed"] == 0  # batch-internal dup kept now
+
+    with pytest.raises(ValueError):
+        exact_substring_dedup_cross(batch, corpus=corpus, corpus_grams=idx)
+    with pytest.raises(ValueError):
+        exact_substring_dedup_cross(batch)
