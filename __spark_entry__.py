@@ -1040,6 +1040,16 @@ def t11_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bigram_lm_scores(d).withColumnRenamed("id", "doc_id")
 
 
+def t17_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet head/middle/tail partition (operators/text.py:
+    perplexity_buckets): fixed bits-per-bigram cutoffs over the t11
+    corpus LM — reproducible quality grading with no quantile pass."""
+    from ftm_columnstore_spark.operators.text import perplexity_buckets
+
+    d = _t(spark, sf_dir, "documents")
+    return perplexity_buckets(d).withColumnRenamed("id", "doc_id")
+
+
 def t12_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 characteristic terms per doc by smoothed TF-IDF."""
     from ftm_columnstore_spark.operators.text import tfidf_top_terms
@@ -2101,6 +2111,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d14_exact_substring_dedup": d14_exact_substring_dedup,
         "j17_triangle_count": j17_triangle_count,
         "d15_cross_substring_dedup": d15_cross_substring_dedup,
+        "t17_perplexity_buckets": t17_perplexity_buckets,
         # NON-SQL — rows-only (m6: binary codecs; x5: metaphone; v5:
         # iterative k-means training; t9: per-partition bin packing).
         # m6/x5 first: if the driver's correctness window caps out, the
@@ -3719,6 +3730,38 @@ def oracle_sql() -> dict[str, str]:
                              / ln(2)), 6) AS bits_per_bigram
             FROM big JOIN c2 USING (w1, w2) JOIN c1 USING (w1), v
             GROUP BY id
+        """,
+        "t17_perplexity_buckets": """
+            WITH toks AS (
+                SELECT doc_id AS id,
+                       list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                                   x -> x <> '') AS tk
+                FROM documents WHERE text IS NOT NULL
+            ), v AS (
+                SELECT count(DISTINCT w) AS vs
+                FROM (SELECT unnest(tk) AS w FROM toks)
+            ), big AS (
+                SELECT id, bg.w1 AS w1, bg.w2 AS w2
+                FROM (SELECT id,
+                             unnest(list_transform(range(1, len(tk)),
+                                    i -> {'w1': tk[i], 'w2': tk[i+1]})) AS bg
+                      FROM toks WHERE len(tk) >= 2)
+            ), c2 AS (
+                SELECT w1, w2, count(*) AS c2 FROM big GROUP BY w1, w2
+            ), c1 AS (
+                SELECT w1, count(*) AS c1 FROM big GROUP BY w1
+            ), scored AS (
+                SELECT id AS doc_id, count(*) AS n_bigrams,
+                       round(avg((ln(c1.c1 + 0.5 * v.vs) - ln(c2.c2 + 0.5))
+                                 / ln(2)), 6) AS bits_per_bigram
+                FROM big JOIN c2 USING (w1, w2) JOIN c1 USING (w1), v
+                GROUP BY id
+            )
+            SELECT doc_id, n_bigrams, bits_per_bigram,
+                   CASE WHEN bits_per_bigram < 4.871234 THEN 'head'
+                        WHEN bits_per_bigram < 4.912345 THEN 'middle'
+                        ELSE 'tail' END AS bucket
+            FROM scored
         """,
         "t12_tfidf_terms": """
             WITH toks AS (

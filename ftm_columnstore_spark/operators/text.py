@@ -491,3 +491,40 @@ def quality_gate(
         "n_stopwords",
         keep.alias("keep"),
     )
+
+
+def perplexity_buckets(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    cutoffs: tuple[float, float] = (4.871234, 4.912345),
+    k: float = 0.5,
+) -> DataFrame:
+    """CCNet-style head/middle/tail quality partition (Wenzek et al.
+    2020 §4.3): documents bucketed by their LM cross-entropy —
+    ``head`` (most fluent) below ``cutoffs[0]`` bits/bigram, ``middle``
+    below ``cutoffs[1]``, ``tail`` above. Downstream pipelines keep
+    head+middle or re-weight by bucket.
+
+    Cutoffs are FIXED constants, exactly as CCNet uses thresholds from
+    a reference distribution: bucketing by per-batch quantiles would
+    need a global sort (or an approximate-quantile pass whose result
+    differs engine-to-engine) and would silently re-grade documents as
+    the batch mix shifts — fixed cutoffs are reproducible, incremental
+    (a new batch buckets without seeing the corpus), and auditable.
+    Calibrate them once per corpus/LM with ``percentile_approx`` over
+    :func:`bigram_lm_scores` output and pin the values.
+
+    Adds zero shuffles on top of :func:`bigram_lm_scores` (one codegen
+    CASE over its aggregate). Output: (id, n_bigrams, bits_per_bigram,
+    bucket)."""
+    lo, hi = float(cutoffs[0]), float(cutoffs[1])
+    if not lo < hi:
+        raise ValueError(f"cutoffs must be increasing, got {cutoffs}")
+    scored = bigram_lm_scores(df, text_col, id_col, k)
+    return scored.withColumn(
+        "bucket",
+        F.when(F.col("bits_per_bigram") < lo, F.lit("head"))
+        .when(F.col("bits_per_bigram") < hi, F.lit("middle"))
+        .otherwise(F.lit("tail")),
+    )

@@ -1,5 +1,6 @@
 """Text primitives + document analysis (SURVEY §2.9; north-star text ops)."""
 
+import pytest
 from pyspark.sql import functions as F
 
 from ftm_columnstore_spark.functions.text import (
@@ -279,3 +280,38 @@ def test_quality_gate_repetition_rule(spark):
     row = quality_gate(short, min_tokens=1, min_stopwords=1,
                        max_dup_ngram_frac=0.3).collect()[0]
     assert row.dup_frac == 0.0 and row.keep
+
+
+def test_perplexity_buckets(spark):
+    from ftm_columnstore_spark.operators.text import (
+        bigram_lm_scores,
+        perplexity_buckets,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat the cat sat again"),
+            (2, "the cat sat on the mat"),
+            (3, "zebra quark flux nebula prism vortex"),  # all-rare bigrams
+        ],
+        ["doc_id", "text"],
+    )
+    scores = {
+        r["id"]: r["bits_per_bigram"]
+        for r in bigram_lm_scores(df).collect()
+    }
+    # cutoffs straddling the observed scores -> all three buckets occur
+    vals = sorted(scores.values())
+    lo = (vals[0] + vals[1]) / 2
+    hi = (vals[1] + vals[2]) / 2
+    out = {
+        r["id"]: r for r in perplexity_buckets(df, cutoffs=(lo, hi)).collect()
+    }
+    by_bucket = {r["bucket"]: r["id"] for r in out.values()}
+    assert set(by_bucket) == {"head", "middle", "tail"}
+    # the all-rare-bigram doc is the least fluent -> tail
+    assert by_bucket["tail"] == 3
+    assert out[1]["bits_per_bigram"] == scores[1]  # scores pass through
+
+    with pytest.raises(ValueError):
+        perplexity_buckets(df, cutoffs=(2.0, 1.0))
