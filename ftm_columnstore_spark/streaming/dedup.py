@@ -97,3 +97,63 @@ def stream_dedup_against_corpus(
     # batch pair operators
     query._cached_intermediates = [corpus_banded]
     return query
+
+
+def stream_substring_cut_against_corpus(
+    spark: SparkSession,
+    source_path: str,
+    corpus: DataFrame,
+    out_path: str,
+    checkpoint_path: str,
+    schema,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    within_batch: bool = True,
+    available_now: bool = False,
+) -> StreamingQuery:
+    """Streaming ExactSubstr: every micro-batch loses the >= ``k``-token
+    runs already present in the static corpus (and, per micro-batch,
+    its own internal duplicates) before the CLEANED text appends to
+    ``out_path`` — span-level cutting at ingest, where
+    :func:`stream_dedup_against_corpus` drops whole documents.
+
+    The corpus gram index (:func:`~ftm_columnstore_spark.operators.
+    dedup.corpus_gram_index`) is built and persisted ONCE at stream
+    start; each batch pays only its own gram derive plus the probe join
+    — identical semantics and operators as the batch path
+    (:func:`~ftm_columnstore_spark.operators.dedup.
+    exact_substring_dedup_cross`), so batch backfill and streaming
+    ingest produce byte-identical cleaned text. Same index-refresh
+    contract as the minhash stream: survivors append to the OUTPUT;
+    folding them into the index is a periodic batch re-index."""
+    from ftm_columnstore_spark.operators.dedup import (
+        corpus_gram_index,
+        exact_substring_dedup_cross,
+    )
+
+    grams = corpus_gram_index(corpus, text_col, id_col, k).persist()
+
+    def process(batch_df: DataFrame, _batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        cleaned = exact_substring_dedup_cross(
+            batch_df,
+            corpus_grams=grams,
+            text_col=text_col,
+            id_col=id_col,
+            k=k,
+            within_batch=within_batch,
+        )
+        cleaned.write.mode("append").parquet(out_path)
+
+    docs = spark.readStream.schema(schema).json(source_path)
+    writer = (
+        docs.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_path)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    query = writer.start()
+    query._cached_intermediates = [grams]
+    return query

@@ -376,3 +376,51 @@ def test_stream_dedup_against_corpus(spark, tmp_path):
     q.awaitTermination(120)
     kept = [r.doc_id for r in spark.read.parquet(str(out)).collect()]
     assert kept == [102]
+
+
+def test_stream_substring_cut_against_corpus(spark, tmp_path):
+    """Micro-batch documents lose the spans already present in the
+    static corpus; novel text is untouched."""
+    import json
+
+    from pyspark.sql import types as T
+
+    from ftm_columnstore_spark.streaming.dedup import (
+        stream_substring_cut_against_corpus,
+    )
+
+    span = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    corpus = spark.createDataFrame(
+        [(1, f"{span} corpus remainder")], "doc_id long, text string"
+    )
+    src = tmp_path / "docs_in_ss"
+    src.mkdir()
+    incoming = [
+        {"doc_id": 100, "text": f"intro {span} outro"},   # span cut
+        {"doc_id": 101, "text": "novel words entirely free of corpus overlap"},
+    ]
+    (src / "batch0.json").write_text(
+        "\n".join(json.dumps(d) for d in incoming)
+    )
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    out = tmp_path / "cleaned"
+    q = stream_substring_cut_against_corpus(
+        spark,
+        str(src),
+        corpus,
+        str(out),
+        str(tmp_path / "ckpt_ss"),
+        schema,
+        k=8,
+        available_now=True,
+    )
+    q.awaitTermination(120)
+    rows = {r["id"]: r for r in spark.read.parquet(str(out)).collect()}
+    assert rows[100]["text"] == "intro outro"
+    assert rows[100]["n_removed"] == 10
+    assert rows[101]["n_removed"] == 0
