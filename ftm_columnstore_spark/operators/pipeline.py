@@ -2,7 +2,8 @@
 stage of this package exists for, packaged so a user can run the whole
 cleanup with defaults and override per-stage knobs:
 
-    quality gate (Gopher rules) → line-level dedup (C4) → exact dedup →
+    quality gate (Gopher rules) → perplexity bucket filter (CCNet) →
+    line-level dedup (C4) → exact dedup → ExactSubstr span cut →
     MinHash near-dedup → deterministic train/val/test split
 
 Every stage is one of the individually oracle-checked operators; the
@@ -30,7 +31,9 @@ def prepare_training_data(
     text_col: str = "text",
     id_col: str = "doc_id",
     quality: dict | None = None,
+    perplexity: dict | None = None,
     line_dedup_sep: str | None = "\n",
+    substring_dedup: dict | None = None,
     near_dedup: dict | None = None,
     splits: dict[str, float] | None = None,
     seed: str = "",
@@ -40,20 +43,32 @@ def prepare_training_data(
     given.
 
     ``quality``: kwargs for :func:`~ftm_columnstore_spark.operators.text.
-    quality_gate` (None → skip the stage). ``line_dedup_sep``: separator
-    for :func:`~ftm_columnstore_spark.operators.dedup.line_dedup`
-    (None → skip; note this stage REWRITES ``text_col`` to the cleaned
-    text). ``near_dedup``: kwargs for :func:`~ftm_columnstore_spark.
+    quality_gate` (None → skip the stage). ``perplexity``: kwargs for
+    :func:`~ftm_columnstore_spark.operators.text.perplexity_buckets`
+    plus an optional ``keep`` tuple of bucket names (default
+    ``("head", "middle")`` — drop the tail, the CCNet recipe).
+    ``line_dedup_sep``: separator for :func:`~ftm_columnstore_spark.
+    operators.dedup.line_dedup` (None → skip; note this stage REWRITES
+    ``text_col`` to the cleaned text). ``substring_dedup``: kwargs for
+    :func:`~ftm_columnstore_spark.operators.dedup.
+    exact_substring_dedup` (None → skip; also rewrites ``text_col`` and
+    runs AFTER exact dedup — whole-document copies are collapsed
+    cheaply first, then only partial overlap pays the span machinery).
+    ``near_dedup``: kwargs for :func:`~ftm_columnstore_spark.
     operators.dedup.minhash_dedup` (None → skip). ``splits``: weights
     for :func:`~ftm_columnstore_spark.operators.sampling.split_by_hash`.
     """
     from ftm_columnstore_spark.operators.dedup import (
         dedup_exact,
+        exact_substring_dedup,
         line_dedup,
         minhash_dedup,
     )
     from ftm_columnstore_spark.operators.sampling import split_by_hash
-    from ftm_columnstore_spark.operators.text import quality_gate
+    from ftm_columnstore_spark.operators.text import (
+        perplexity_buckets,
+        quality_gate,
+    )
 
     out = df
     if quality is not None:
@@ -61,6 +76,16 @@ def prepare_training_data(
         keep_ids = gate.where(F.col("keep")).select(
             F.col("id").alias(id_col)
         )
+        out = out.join(keep_ids, on=id_col, how="left_semi")
+    if perplexity is not None:
+        kwargs = dict(perplexity)
+        keep_buckets = tuple(kwargs.pop("keep", ("head", "middle")))
+        graded = perplexity_buckets(
+            out, text_col=text_col, id_col=id_col, **kwargs
+        )
+        keep_ids = graded.where(
+            F.col("bucket").isin(*keep_buckets)
+        ).select(F.col("id").alias(id_col))
         out = out.join(keep_ids, on=id_col, how="left_semi")
     if line_dedup_sep is not None:
         cleaned = line_dedup(
@@ -76,6 +101,16 @@ def prepare_training_data(
             )
         )
     out = dedup_exact(out, text_col=text_col, id_col=id_col)
+    if substring_dedup is not None:
+        cut = exact_substring_dedup(
+            out, text_col=text_col, id_col=id_col, **substring_dedup
+        ).where(F.col("n_tokens") > F.col("n_removed"))
+        out = out.drop(text_col).join(
+            cut.select(
+                F.col("id").alias(id_col), F.col("text").alias(text_col)
+            ),
+            on=id_col,
+        )
     cached: list = []
     if near_dedup is not None:
         out = minhash_dedup(

@@ -76,3 +76,42 @@ def test_prepare_training_data(spark):
     assert boiler in got[1].text and GOOD in got[1].text
     assert got[1].split in ("train", "test")
     unpersist_intermediates(out)
+
+
+def test_prepare_training_data_substring_and_perplexity(spark):
+    """The optional CCNet-perplexity and ExactSubstr stages: the tail
+    bucket is dropped, and a duplicated span is cut from the later doc."""
+    from ftm_columnstore_spark.operators.pipeline import prepare_training_data
+
+    span = "p1 p2 p3 p4 p5 p6 p7 p8 p9 p10"
+    fluent = ("the engine reads the data and the engine writes the data "
+              "while the tests check the results of the engine runs")
+    rows = [
+        (1, f"{fluent} {span}"),
+        (2, f"{span} other trailing words follow here nicely today"),
+        (3, fluent),  # exact content appears inside doc 1? no — standalone
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = prepare_training_data(
+        docs,
+        line_dedup_sep=None,
+        substring_dedup={"k": 8},
+    )
+    got = {r.doc_id: r.text for r in out.collect()}
+    # doc 2's copy of the span is cut; doc 1 (globally first) keeps it
+    assert span in got[1]
+    assert span not in got[2] and "other trailing words" in got[2]
+
+    # perplexity filter: cutoffs chosen so some docs fall in the tail
+    out2 = prepare_training_data(
+        docs,
+        line_dedup_sep=None,
+        perplexity={"cutoffs": (0.5, 1.0), "keep": ("head",)},
+    )
+    assert out2.count() == 0  # nothing scores below 0.5 bits/bigram
+    out3 = prepare_training_data(
+        docs,
+        line_dedup_sep=None,
+        perplexity={"cutoffs": (0.5, 99.0)},  # keep head+middle → all pass
+    )
+    assert out3.count() == 3
