@@ -2040,9 +2040,9 @@ def m6_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     feats = extract_features(media, dim=16, fake=False)
     return feats.select(
         "media_id",
-        F.round(F.element_at("features", 1), 6).alias("mean_r"),
-        F.round(F.element_at("features", 2), 6).alias("mean_g"),
-        F.round(F.element_at("features", 3), 6).alias("mean_b"),
+        F.round(F.element_at("features", 1).cast("double"), 6).alias("mean_r"),
+        F.round(F.element_at("features", 2).cast("double"), 6).alias("mean_g"),
+        F.round(F.element_at("features", 3).cast("double"), 6).alias("mean_b"),
     )
 
 
@@ -3433,6 +3433,32 @@ def oracle_sql() -> dict[str, str]:
                    round(quantile_cont(o_totalprice, 0.9), 2) AS p90_price,
                    count(*) AS n_orders
             FROM orders GROUP BY o_orderpriority
+        """,
+        "m6_multimodal_features": """
+            -- replays the deterministic pixel arithmetic of m6's
+            -- synthetic BMPs: the Spark side round-trips real BMP
+            -- bytes (encode_bmp -> decode_image -> image_features), so
+            -- a value match here checks the whole binary codec path
+            WITH ids AS (
+                SELECT doc_id FROM documents WHERE doc_id < 64
+            ), grid AS (
+                SELECT t1.range AS x, t2.range AS y
+                FROM range(8) t1, range(8) t2
+            ), px AS (
+                SELECT i.doc_id,
+                       ((x * (i.doc_id % 17 + 1) + 3) % 256) AS r,
+                       ((y * 7 + i.doc_id) % 256) AS g,
+                       ((x + y + i.doc_id * 5) % 256) AS b
+                FROM ids i, grid
+            )
+            -- ::REAL replays the float32 quantization of the feature
+            -- vector (ArrayType(FloatType)) so rounding ties break
+            -- identically in both engines
+            SELECT doc_id AS media_id,
+                   round((avg(r / 255.0)::REAL)::DOUBLE, 6) AS mean_r,
+                   round((avg(g / 255.0)::REAL)::DOUBLE, 6) AS mean_g,
+                   round((avg(b / 255.0)::REAL)::DOUBLE, 6) AS mean_b
+            FROM px GROUP BY doc_id
         """,
         "m5_time_rollup": """
             WITH e AS (
