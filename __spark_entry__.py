@@ -1050,6 +1050,22 @@ def t17_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return perplexity_buckets(d).withColumnRenamed("id", "doc_id")
 
 
+def t18_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG-style overlapping token-window chunking (operators/text.py:
+    chunk_documents): 48-token chunks every 36 tokens, last chunk
+    anchored to the document end. Zero-shuffle narrow op; text kept as
+    md5 to keep compare payloads small."""
+    from ftm_columnstore_spark.operators.text import chunk_documents
+
+    d = _t(spark, sf_dir, "documents")
+    return chunk_documents(d, size=48, overlap=12).select(
+        F.col("id").alias("doc_id"),
+        F.col("chunk_no").cast("long").alias("chunk_no"),
+        F.col("n_chunk_tokens").cast("long").alias("n_chunk_tokens"),
+        F.md5("text").alias("chunk_md5"),
+    )
+
+
 def t12_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 characteristic terms per doc by smoothed TF-IDF."""
     from ftm_columnstore_spark.operators.text import tfidf_top_terms
@@ -2112,6 +2128,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "j17_triangle_count": j17_triangle_count,
         "d15_cross_substring_dedup": d15_cross_substring_dedup,
         "t17_perplexity_buckets": t17_perplexity_buckets,
+        "t18_chunk_documents": t18_chunk_documents,
         # NON-SQL — rows-only (m6: binary codecs; x5: metaphone; v5:
         # iterative k-means training; t9: per-partition bin packing).
         # m6/x5 first: if the driver's correctness window caps out, the
@@ -3788,6 +3805,30 @@ def oracle_sql() -> dict[str, str]:
                         WHEN bits_per_bigram < 4.912345 THEN 'middle'
                         ELSE 'tail' END AS bucket
             FROM scored
+        """,
+        "t18_chunk_documents": """
+            WITH toks AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(lower(coalesce(text, '')),
+                                                      '[^a-z0-9]+'),
+                                   x -> x <> '') AS tk
+                FROM documents
+            ), nums AS (
+                SELECT doc_id, tk,
+                       ceil(greatest(len(tk) - 48, 0) / 36.0)::INT AS last
+                FROM toks WHERE len(tk) > 0
+            ), chunks AS (
+                SELECT doc_id, tk,
+                       unnest(range(0, last + 1)) AS chunk_no
+                FROM nums
+            )
+            SELECT doc_id,
+                   chunk_no::BIGINT AS chunk_no,
+                   len(tk[chunk_no*36+1 : chunk_no*36+48])::BIGINT
+                       AS n_chunk_tokens,
+                   md5(array_to_string(tk[chunk_no*36+1 : chunk_no*36+48],
+                                       ' ')) AS chunk_md5
+            FROM chunks
         """,
         "t12_tfidf_terms": """
             WITH toks AS (

@@ -528,3 +528,60 @@ def perplexity_buckets(
         .when(F.col("bits_per_bigram") < hi, F.lit("middle"))
         .otherwise(F.lit("tail")),
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    size: int = 64,
+    overlap: int = 16,
+) -> DataFrame:
+    """Fixed-size token-window chunking with overlap — the RAG /
+    context-window prep step: each document becomes ceil-strided chunks
+    of ``size`` tokens starting every ``size - overlap`` tokens, the
+    last chunk ending at the document end (short documents yield one
+    whole-document chunk; empty documents yield none).
+
+    Chunk starts are ``i * stride`` for ``i = 0 .. ceil(max(n - size,
+    0) / stride)`` — deterministic, positionally stable (editing a
+    document's tail never renumbers earlier chunks), and reproducible
+    in any engine for audits.
+
+    Scale shape: tokenize + per-row sequence explode — completely
+    narrow, ZERO shuffles at any corpus size; chunk rows inherit the
+    input partitioning. Pair with :func:`~ftm_columnstore_spark.
+    operators.sampling.pack_sequences` to re-pack chunks to a training
+    context budget.
+
+    Output: (id, chunk_no, n_chunk_tokens, text).
+    """
+    if size < 1:
+        raise ValueError(f"size must be >= 1, got {size}")
+    if not 0 <= overlap < size:
+        raise ValueError(
+            f"overlap must be in [0, size), got {overlap} for size {size}"
+        )
+    stride = size - overlap
+    toks = F.coalesce(
+        word_tokens_col(text_col), F.array().cast("array<string>")
+    )
+    base = df.select(F.col(id_col).alias("id"), toks.alias("toks"))
+    n = F.size(F.col("toks"))
+    last = F.ceil(
+        F.greatest(n - size, F.lit(0)) / F.lit(float(stride))
+    ).cast("int")
+    chunked = base.where(n > 0).select(
+        "id",
+        "toks",
+        F.explode(F.sequence(F.lit(0), last)).alias("chunk_no"),
+    )
+    piece = F.slice(
+        F.col("toks"), F.col("chunk_no") * stride + 1, size
+    )
+    return chunked.select(
+        "id",
+        "chunk_no",
+        F.size(piece).alias("n_chunk_tokens"),
+        F.array_join(piece, " ").alias("text"),
+    )

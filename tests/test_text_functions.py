@@ -315,3 +315,33 @@ def test_perplexity_buckets(spark):
 
     with pytest.raises(ValueError):
         perplexity_buckets(df, cutoffs=(2.0, 1.0))
+
+
+def test_chunk_documents(spark):
+    from ftm_columnstore_spark.operators.text import chunk_documents
+
+    words = " ".join(f"w{i}" for i in range(10))  # 10 tokens
+    df = spark.createDataFrame(
+        [(1, words), (2, "a b c"), (3, "")], ["doc_id", "text"]
+    )
+    out = chunk_documents(df, size=4, overlap=1).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["id"], []).append(r)
+    # doc 1: stride 3, last start = ceil((10-4)/3)=2 -> starts 0,3,6
+    c1 = sorted(by_doc[1], key=lambda r: r["chunk_no"])
+    assert [r["chunk_no"] for r in c1] == [0, 1, 2]
+    assert c1[0]["text"] == "w0 w1 w2 w3"
+    assert c1[1]["text"] == "w3 w4 w5 w6"
+    assert c1[2]["text"] == "w6 w7 w8 w9"
+    assert all(r["n_chunk_tokens"] == 4 for r in c1)
+    # short doc -> one whole-document chunk
+    assert len(by_doc[2]) == 1 and by_doc[2][0]["text"] == "a b c"
+    assert by_doc[2][0]["n_chunk_tokens"] == 3
+    # empty doc -> no chunks
+    assert 3 not in by_doc
+
+    with pytest.raises(ValueError):
+        chunk_documents(df, size=4, overlap=4)
+    with pytest.raises(ValueError):
+        chunk_documents(df, size=0)
