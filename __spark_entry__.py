@@ -1182,6 +1182,24 @@ def v8_ivf_topk_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def v10_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality evaluation: recall@20 of the portable IVF probe path
+    (v8) against exact brute-force cosine top-20 (v1) — the measurement
+    every approximate index needs before it replaces the exact path.
+    Both sides are deterministic, so the recall itself is
+    oracle-checkable."""
+    exact = v1_ann_topk(spark, sf_dir).select("vec_id")
+    approx = v8_ivf_topk_portable(spark, sf_dir).select("vec_id")
+    hits = exact.join(approx, on="vec_id").agg(
+        F.count(F.lit(1)).alias("n_hits")
+    )
+    return hits.select(
+        F.lit(20).cast("long").alias("k"),
+        "n_hits",
+        F.round(F.col("n_hits") / 20.0, 6).alias("recall"),
+    )
+
+
 def v3_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ftm_columnstore_spark.operators.similarity import lsh_topk_portable
 
@@ -2129,6 +2147,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d15_cross_substring_dedup": d15_cross_substring_dedup,
         "t17_perplexity_buckets": t17_perplexity_buckets,
         "t18_chunk_documents": t18_chunk_documents,
+        "v10_ann_recall": v10_ann_recall,
         # NON-SQL — rows-only (m6: binary codecs; x5: metaphone; v5:
         # iterative k-means training; t9: per-partition bin packing).
         # m6/x5 first: if the driver's correctness window caps out, the
@@ -2554,6 +2573,27 @@ def _v8_oracle(
         )
         SELECT id AS vec_id, round(cos, 6) AS cosine
         FROM scored ORDER BY cos DESC, id LIMIT {k}
+    """
+
+
+def _v10_oracle(k: int = 20) -> str:
+    """Recall@k of the portable IVF probe path vs exact brute force —
+    both sides are the already-oracled v1/v8 computations, composed."""
+    v1_sql = """
+        SELECT e.vec_id,
+               round(list_cosine_similarity(
+                   CAST(e.embedding AS DOUBLE[]),
+                   CAST(q.embedding AS DOUBLE[])), 6) AS cosine
+        FROM embeddings e,
+             (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+        WHERE e.vec_id != 0
+        ORDER BY cosine DESC, e.vec_id LIMIT 20
+    """
+    return f"""
+        WITH exact AS ({v1_sql}), approx AS ({_v8_oracle()})
+        SELECT {k}::BIGINT AS k, count(*) AS n_hits,
+               round(count(*) / {k}.0, 6) AS recall
+        FROM exact JOIN approx USING (vec_id)
     """
 
 
@@ -3497,6 +3537,7 @@ def oracle_sql() -> dict[str, str]:
         "v4_embedding_dups": _v4_oracle(min_cosine=0.40, num_planes=4),
         "v3_lsh_topk": _v3_oracle(),
         "v8_ivf_topk_portable": _v8_oracle(),
+        "v10_ann_recall": _v10_oracle(),
         "v9_semantic_dedup": _v9_oracle(),
         "d12_cross_dedup": _d12_oracle(),
         "j16_pagerank": _j16_oracle(),
