@@ -280,3 +280,64 @@ def weighted_sample(
         F.lit(1.0),
     )
     return df.where(u < p * F.lit(float(2**32)))
+
+
+def shard_assignment_col(
+    id_col: Column | str, n_shards: int, seed: str = ""
+) -> Column:
+    """Deterministic shard id in [0, n_shards): the md5-uniform key
+    (same family as :func:`hash_key_col`) mod the shard count — any
+    engine reproduces the assignment from the id alone."""
+    key = F.conv(hash_key_col(id_col, seed), 16, 10).cast("long")
+    return (key % n_shards).cast("int").alias("shard")
+
+
+def write_training_shards(
+    df: DataFrame,
+    path: str,
+    n_shards: int,
+    id_col: str = "doc_id",
+    text_col: str | None = "text",
+    seed: str = "",
+) -> DataFrame:
+    """Export a prepared corpus as ``n_shards`` deterministic,
+    size-balanced training shards — the sink at the end of
+    :func:`~ftm_columnstore_spark.operators.pipeline.
+    prepare_training_data`: ``{path}/shard=N/*.parquet`` with rows
+    hash-assigned by id (engine-reproducible, append/retry-stable) and
+    sorted by the same hash WITHIN each shard, so readers streaming a
+    shard see a deterministic, well-shuffled order (the
+    :func:`deterministic_shuffle` contract applied per shard).
+
+    One shuffle total: repartition on the shard id, write with
+    ``partitionBy`` so each shard is a self-contained directory an
+    independent trainer/data-loader can claim. At 100 TB pick
+    ``n_shards`` >= cluster cores for write parallelism; hash balance
+    keeps shard sizes within sampling noise of equal.
+
+    Returns the manifest (shard, n_rows[, n_tokens]) — computed from
+    the WRITTEN files, so it doubles as a readback audit.
+    """
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    shard = shard_assignment_col(id_col, n_shards, seed)
+    out = df.withColumn("shard", shard).withColumn(
+        "__ord", hash_key_col(id_col, seed)
+    )
+    (
+        out.repartition(n_shards, F.col("shard"))
+        .sortWithinPartitions("shard", "__ord", id_col)
+        .drop("__ord")
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(path)
+    )
+    written = df.sparkSession.read.parquet(path)
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    if text_col is not None and text_col in written.columns:
+        from ftm_columnstore_spark.functions.text import word_tokens_col
+
+        aggs.append(
+            F.sum(F.size(word_tokens_col(text_col))).alias("n_tokens")
+        )
+    return written.groupBy("shard").agg(*aggs).orderBy("shard")

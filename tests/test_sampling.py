@@ -227,3 +227,37 @@ def test_weighted_sample_deterministic_and_clamped(spark):
     # a different seed flips some marginal decisions
     kept3 = sorted(r.doc_id for r in weighted_sample(df, "w", seed="t").collect())
     assert kept3 != kept1
+
+
+def test_write_training_shards(spark, tmp_path):
+    import hashlib
+
+    from ftm_columnstore_spark.operators.sampling import (
+        write_training_shards,
+    )
+
+    df = spark.createDataFrame(
+        [(i, f"doc number {i} words here") for i in range(200)],
+        ["doc_id", "text"],
+    )
+    path = str(tmp_path / "shards")
+    manifest = write_training_shards(df, path, n_shards=4, seed="s").collect()
+    assert [r["shard"] for r in manifest] == [0, 1, 2, 3]
+    assert sum(r["n_rows"] for r in manifest) == 200
+    assert all(r["n_tokens"] == r["n_rows"] * 5 for r in manifest)
+    # hash balance: no shard wildly off 50
+    assert all(25 <= r["n_rows"] <= 75 for r in manifest)
+
+    # shard membership follows the public md5 contract, row-for-row
+    back = spark.read.parquet(path).select("doc_id", "shard").collect()
+    for r in back:
+        key = int(hashlib.md5(f"s{r['doc_id']}".encode()).hexdigest()[:8], 16)
+        assert r["shard"] == key % 4
+
+    # every doc lands in exactly one shard
+    assert len({r["doc_id"] for r in back}) == 200 and len(back) == 200
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        write_training_shards(df, path, n_shards=0)
