@@ -1613,6 +1613,25 @@ def w3_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def w5_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Earliest-completion event funnel (operators/temporal.py:funnel —
+    the ClickHouse windowFunnel staple): view → click → purchase per
+    user, each step strictly after the previous and within 24h of the
+    first view; depth = steps completed."""
+    from ftm_columnstore_spark.operators.temporal import funnel
+
+    ev = _t(spark, sf_dir, "events")
+    out = funnel(ev, ["view", "click", "purchase"], window_seconds=86400)
+    # epoch micros: timestamp dtypes differ across engines (ns vs us)
+    return out.select(
+        F.col("user").alias("user_id"),
+        F.unix_micros(F.col("t1").cast("timestamp")).alias("t1_us"),
+        F.unix_micros(F.col("t2").cast("timestamp")).alias("t2_us"),
+        F.unix_micros(F.col("t3").cast("timestamp")).alias("t3_us"),
+        "depth",
+    )
+
+
 def w4_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Band/interval join: clicks within the 10 minutes before each error
     by the same user, reduced to a (prior_clicks → n_errors) histogram.
@@ -2148,6 +2167,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t17_perplexity_buckets": t17_perplexity_buckets,
         "t18_chunk_documents": t18_chunk_documents,
         "v10_ann_recall": v10_ann_recall,
+        "w5_funnel": w5_funnel,
         # NON-SQL — rows-only (m6: binary codecs; x5: metaphone; v5:
         # iterative k-means training; t9: per-partition bin packing).
         # m6/x5 first: if the driver's correctness window caps out, the
@@ -3538,6 +3558,33 @@ def oracle_sql() -> dict[str, str]:
         "v3_lsh_topk": _v3_oracle(),
         "v8_ivf_topk_portable": _v8_oracle(),
         "v10_ann_recall": _v10_oracle(),
+        "w5_funnel": """
+            WITH e AS (
+                SELECT user_id, ts, event_type FROM events
+            ), s1 AS (
+                SELECT user_id, min(ts) AS t1 FROM e
+                WHERE event_type = 'view' GROUP BY user_id
+            ), s2 AS (
+                SELECT e.user_id, min(ts) AS t2
+                FROM e JOIN s1 USING (user_id)
+                WHERE event_type = 'click' AND ts > t1
+                  AND ts <= t1 + INTERVAL 1 DAY
+                GROUP BY e.user_id
+            ), s3 AS (
+                SELECT e.user_id, min(ts) AS t3
+                FROM e JOIN s1 USING (user_id) JOIN s2 USING (user_id)
+                WHERE event_type = 'purchase' AND ts > t2
+                  AND ts <= t1 + INTERVAL 1 DAY
+                GROUP BY e.user_id
+            )
+            SELECT s1.user_id,
+                   epoch_us(t1)::BIGINT AS t1_us,
+                   epoch_us(t2)::BIGINT AS t2_us,
+                   epoch_us(t3)::BIGINT AS t3_us,
+                   (1 + (t2 IS NOT NULL)::INT + (t3 IS NOT NULL)::INT)::BIGINT
+                       AS depth
+            FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
+        """,
         "v9_semantic_dedup": _v9_oracle(),
         "d12_cross_dedup": _d12_oracle(),
         "j16_pagerank": _j16_oracle(),

@@ -128,3 +128,73 @@ def band_join(
     for c in rcols:
         out = out.withColumn(c + suffix, F.col(f"__r.{c}"))
     return out.drop("__lt", "__rt", "__b", "__r")
+
+
+def funnel(
+    events: DataFrame,
+    steps: list[str],
+    window_seconds: float | None = None,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Earliest-completion event funnel — the ClickHouse
+    ``windowFunnel`` analytics staple (the reference's backend), as a
+    chain of keyed aggregations: per user, ``t1`` is the first
+    ``steps[0]`` event, ``t_k`` the first ``steps[k-1]`` event STRICTLY
+    after ``t_{k-1}`` and (when ``window_seconds`` is set) within the
+    window of ``t1``. ``depth`` is the number of steps completed.
+
+    First-touch anchoring makes the result deterministic and
+    order-independent (pure mins — no scan-order state), which is what
+    lets any SQL engine replay it for audits; it is the common product-
+    analytics definition ("conversion from first view").
+
+    Scale shape: one aggregation + one join PER STEP, all keyed on the
+    user column — the first shuffle establishes the partitioning and
+    every later stage reuses it (co-partitioned joins; AQE broadcasts
+    the shrinking step frontiers when small). Per-user event counts
+    bound the work; no windows, no explode.
+
+    Output: (user, t1..tN nullable, depth).
+    """
+    if len(steps) < 1:
+        raise ValueError("steps must name at least one event type")
+    e = events.select(
+        F.col(user_col).alias("user"),
+        F.col(ts_col).alias("__ts"),
+        F.col(type_col).alias("__type"),
+    )
+    cur = (
+        e.where(F.col("__type") == steps[0])
+        .groupBy("user")
+        .agg(F.min("__ts").alias("t1"))
+    )
+    deadline = (
+        F.col("t1") + F.expr(f"INTERVAL {float(window_seconds)} SECONDS")
+        if window_seconds is not None
+        else None
+    )
+    for i, step in enumerate(steps[1:], start=2):
+        prev_t = f"t{i - 1}"
+        nxt = e.where(F.col("__type") == step).join(cur, on="user")
+        cond = F.col("__ts") > F.col(prev_t)
+        if deadline is not None:
+            cond = cond & (F.col("__ts") <= deadline)
+        keys = ["user"] + [f"t{j}" for j in range(1, i)]
+        stepped = (
+            nxt.where(cond)
+            .groupBy(*keys)
+            .agg(F.min("__ts").alias(f"t{i}"))
+        )
+        cur = cur.join(
+            stepped.select("user", f"t{i}"), on="user", how="left"
+        )
+    depth = F.lit(1)
+    for i in range(2, len(steps) + 1):
+        depth = depth + F.col(f"t{i}").isNotNull().cast("int")
+    return cur.select(
+        "user",
+        *[f"t{i}" for i in range(1, len(steps) + 1)],
+        depth.cast("long").alias("depth"),
+    )

@@ -90,3 +90,46 @@ def test_global_window_only_after_limit(spark):
     assert "TakeOrderedAndProject" in plan
     # the Window appears above the take-ordered cut in the plan tree
     assert plan.index("Window") < plan.index("TakeOrderedAndProject")
+
+
+def test_funnel(spark):
+    """Earliest-completion funnel: strict ordering, window from first
+    touch, depth counting."""
+    import datetime as dt
+
+    from ftm_columnstore_spark.operators.temporal import funnel
+
+    T = lambda m: dt.datetime(2024, 1, 1, 0, m)
+    rows = [
+        # u1 completes all three in order
+        (1, T(0), "view"), (1, T(5), "click"), (1, T(9), "purchase"),
+        # u2: click BEFORE the first view -> depth 1
+        (2, T(3), "click"), (2, T(4), "view"),
+        # u3: click inside window, purchase outside the 10-min window
+        (3, T(0), "view"), (3, T(2), "click"), (3, T(30), "purchase"),
+        # u4: never viewed -> not in the funnel at all
+        (4, T(1), "purchase"),
+    ]
+    ev = spark.createDataFrame(rows, ["user_id", "ts", "event_type"])
+    out = {
+        r["user"]: r
+        for r in funnel(
+            ev, ["view", "click", "purchase"], window_seconds=600
+        ).collect()
+    }
+    assert set(out) == {1, 2, 3}
+    assert out[1]["depth"] == 3 and out[1]["t3"] == T(9)
+    assert out[2]["depth"] == 1 and out[2]["t2"] is None
+    assert out[3]["depth"] == 2 and out[3]["t3"] is None
+
+    # no window: u3 completes
+    out2 = {
+        r["user"]: r["depth"]
+        for r in funnel(ev, ["view", "click", "purchase"]).collect()
+    }
+    assert out2[3] == 3
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        funnel(ev, [])
