@@ -1632,6 +1632,22 @@ def w5_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def w6_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention (operators/temporal.py:retention): users
+    cohorted by first active day; members active again exactly 1 and 7
+    days later, per cohort. Conditional sums over distinct (user, day)
+    rows — no multi-countDistinct Expand."""
+    from ftm_columnstore_spark.operators.temporal import retention
+
+    ev = _t(spark, sf_dir, "events")
+    return retention(ev, offsets=[1, 7]).select(
+        "cohort",
+        "n_users",
+        F.col("d1").cast("long").alias("d1"),
+        F.col("d7").cast("long").alias("d7"),
+    )
+
+
 def w4_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Band/interval join: clicks within the 10 minutes before each error
     by the same user, reduced to a (prior_clicks → n_errors) histogram.
@@ -2168,6 +2184,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t18_chunk_documents": t18_chunk_documents,
         "v10_ann_recall": v10_ann_recall,
         "w5_funnel": w5_funnel,
+        "w6_retention": w6_retention,
         # NON-SQL — rows-only (m6: binary codecs; x5: metaphone; v5:
         # iterative k-means training; t9: per-partition bin packing).
         # m6/x5 first: if the driver's correctness window caps out, the
@@ -3584,6 +3601,29 @@ def oracle_sql() -> dict[str, str]:
                    (1 + (t2 IS NOT NULL)::INT + (t3 IS NOT NULL)::INT)::BIGINT
                        AS depth
             FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
+        """,
+        "w6_retention": """
+            WITH firsts AS (
+                SELECT user_id, min(ts::DATE) AS cohort
+                FROM events GROUP BY user_id
+            ), days AS (
+                SELECT DISTINCT user_id, ts::DATE AS day FROM events
+            ), joined AS (
+                SELECT d.user_id, f.cohort,
+                       (d.day - f.cohort) AS off
+                FROM days d JOIN firsts f USING (user_id)
+            ), sizes AS (
+                SELECT cohort, count(*) AS n_users FROM firsts GROUP BY cohort
+            ), rets AS (
+                SELECT cohort,
+                       sum((off = 1)::INT) AS d1,
+                       sum((off = 7)::INT) AS d7
+                FROM joined GROUP BY cohort
+            )
+            SELECT strftime(s.cohort, '%Y-%m-%d') AS cohort, s.n_users,
+                   coalesce(r.d1, 0)::BIGINT AS d1,
+                   coalesce(r.d7, 0)::BIGINT AS d7
+            FROM sizes s LEFT JOIN rets r USING (cohort)
         """,
         "v9_semantic_dedup": _v9_oracle(),
         "d12_cross_dedup": _d12_oracle(),

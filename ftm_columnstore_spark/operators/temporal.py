@@ -198,3 +198,51 @@ def funnel(
         *[f"t{i}" for i in range(1, len(steps) + 1)],
         depth.cast("long").alias("depth"),
     )
+
+
+def retention(
+    events: DataFrame,
+    offsets: list[int] = [1, 7],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Cohort retention table — the other ClickHouse event-analytics
+    staple (``retention``): users are cohorted by their first active
+    day; for each cohort day and each offset ``d``, count the cohort
+    members active again exactly ``d`` days later.
+
+    Scale shape: one per-user min aggregation (cohort assignment), one
+    (user, day) distinct — both map-side-combinable on uniform keys —
+    then a co-partitioned join on the user column and ONE conditional
+    aggregation per cohort. Because (user, day) rows are distinct and a
+    user has one cohort, the per-offset counts are plain conditional
+    ``sum`` — no multi-countDistinct Expand (the j13 lesson).
+
+    Output: (cohort, n_users, d<offset>... ) with ``cohort`` as an ISO
+    date string (engine-portable dtype).
+    """
+    if not offsets or any(d < 1 for d in offsets):
+        raise ValueError(f"offsets must be positive, got {offsets}")
+    day = F.to_date(F.col("__ts"))
+    e = events.select(
+        F.col(user_col).alias("user"), F.col(ts_col).alias("__ts")
+    )
+    firsts = e.groupBy("user").agg(F.min(day).alias("cohort"))
+    days = e.select("user", day.alias("day")).distinct()
+    joined = days.join(firsts, on="user").select(
+        "user", "cohort", F.datediff("day", "cohort").alias("off")
+    )
+    sizes = firsts.groupBy("cohort").agg(
+        F.count(F.lit(1)).alias("n_users")
+    )
+    rets = joined.groupBy("cohort").agg(
+        *[
+            F.sum((F.col("off") == d).cast("int")).alias(f"d{d}")
+            for d in offsets
+        ]
+    )
+    return sizes.join(rets, on="cohort", how="left").select(
+        F.date_format("cohort", "yyyy-MM-dd").alias("cohort"),
+        "n_users",
+        *[F.coalesce(f"d{d}", F.lit(0)).alias(f"d{d}") for d in offsets],
+    )

@@ -133,3 +133,31 @@ def test_funnel(spark):
 
     with _pytest.raises(ValueError):
         funnel(ev, [])
+
+
+def test_retention(spark):
+    import datetime as dt
+
+    from ftm_columnstore_spark.operators.temporal import retention
+
+    D = lambda d, h=0: dt.datetime(2024, 1, d, h)
+    rows = [
+        # cohort Jan-1: users 1,2.  u1 back on day 1 and 7; u2 never back
+        (1, D(1)), (1, D(2)), (1, D(8)),
+        (2, D(1)), (2, D(1, 5)),          # same-day activity only
+        # cohort Jan-2: user 3, back on day 7
+        (3, D(2)), (3, D(9)),
+    ]
+    ev = spark.createDataFrame(rows, ["user_id", "ts"])
+    out = {r["cohort"]: r for r in retention(ev, offsets=[1, 7]).collect()}
+    assert out["2024-01-01"]["n_users"] == 2
+    assert out["2024-01-01"]["d1"] == 1 and out["2024-01-01"]["d7"] == 1
+    assert out["2024-01-02"]["n_users"] == 1
+    assert out["2024-01-02"]["d1"] == 0 and out["2024-01-02"]["d7"] == 1
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        retention(ev, offsets=[])
+    with _pytest.raises(ValueError):
+        retention(ev, offsets=[0])
