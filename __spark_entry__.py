@@ -1648,6 +1648,25 @@ def w6_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def w7_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch gap-timeout sessionization (operators/temporal.py:
+    sessionize) — the backfill analogue of st3's streaming
+    session_window: one per-user window pass + one grouped agg, 30-min
+    gap. Timestamps exported as epoch micros (portable dtype)."""
+    from ftm_columnstore_spark.operators.temporal import sessionize
+
+    ev = _t(spark, sf_dir, "events")
+    s = sessionize(ev, gap_seconds=1800)
+    return s.select(
+        F.col("user").alias("user_id"),
+        F.col("session_no").cast("long").alias("session_no"),
+        F.unix_micros(F.col("t_start").cast("timestamp")).alias("start_us"),
+        F.unix_micros(F.col("t_end").cast("timestamp")).alias("end_us"),
+        F.col("n_events").cast("long").alias("n_events"),
+        F.round("duration_s", 6).alias("duration_s"),
+    )
+
+
 def w4_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Band/interval join: clicks within the 10 minutes before each error
     by the same user, reduced to a (prior_clicks → n_errors) histogram.
@@ -2185,6 +2204,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "v10_ann_recall": v10_ann_recall,
         "w5_funnel": w5_funnel,
         "w6_retention": w6_retention,
+        "w7_sessionize": w7_sessionize,
         # NON-SQL — rows-only (m6: binary codecs; x5: metaphone; v5:
         # iterative k-means training; t9: per-partition bin packing).
         # m6/x5 first: if the driver's correctness window caps out, the
@@ -3624,6 +3644,27 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(r.d1, 0)::BIGINT AS d1,
                    coalesce(r.d7, 0)::BIGINT AS d7
             FROM sizes s LEFT JOIN rets r USING (cohort)
+        """,
+        "w7_sessionize": """
+            WITH e AS (
+                SELECT user_id, ts, epoch_us(ts)::BIGINT AS us FROM events
+            ), flagged AS (
+                SELECT user_id, ts, us,
+                       CASE WHEN lag(us) OVER w IS NULL
+                              OR us - lag(us) OVER w > 1800000000
+                            THEN 1 ELSE 0 END AS new_s
+                FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us)
+            ), numbered AS (
+                SELECT user_id, ts, us,
+                       sum(new_s) OVER (PARTITION BY user_id
+                                        ORDER BY us) - 1 AS session_no
+                FROM flagged
+            )
+            SELECT user_id, session_no::BIGINT AS session_no,
+                   min(us) AS start_us, max(us) AS end_us,
+                   count(*) AS n_events,
+                   round((max(us) - min(us)) / 1000000.0, 6) AS duration_s
+            FROM numbered GROUP BY user_id, session_no
         """,
         "v9_semantic_dedup": _v9_oracle(),
         "d12_cross_dedup": _d12_oracle(),

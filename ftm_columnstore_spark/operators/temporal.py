@@ -246,3 +246,53 @@ def retention(
         "n_users",
         *[F.coalesce(f"d{d}", F.lit(0)).alias(f"d{d}") for d in offsets],
     )
+
+
+def sessionize(
+    events: DataFrame,
+    gap_seconds: float = 1800.0,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Batch sessionization: consecutive events of a user belong to one
+    session while the gap between them stays under ``gap_seconds`` —
+    the batch analogue of the streaming ``session_window`` aggregation
+    (streaming/windows.py), for backfills and replays; both produce the
+    same session boundaries for the same data.
+
+    Scale shape: ONE window pass partitioned BY USER ordered by time
+    (lag → new-session flag → running sum), then one grouped
+    aggregation on (user, session) — two shuffles on the user key, no
+    global sort. A user's history must sort in one task; per-user event
+    counts bound that (salt a pathological robot user upstream).
+
+    Output: (user, session_no, t_start, t_end, n_events,
+    duration_s) with sessions numbered per user in time order from 0.
+    """
+    if gap_seconds <= 0:
+        raise ValueError(f"gap_seconds must be > 0, got {gap_seconds}")
+    e = events.select(
+        F.col(user_col).alias("user"),
+        F.col(ts_col).alias("__ts"),
+        # epoch micros for gap arithmetic (ANSI forbids ts→numeric cast)
+        F.unix_micros(F.col(ts_col).cast("timestamp")).alias("__us"),
+    )
+    w = Window.partitionBy("user").orderBy("__us")
+    gap_us = int(gap_seconds * 1_000_000)
+    flagged = e.withColumn("__prev", F.lag("__us").over(w)).withColumn(
+        "__new",
+        F.when(
+            F.col("__prev").isNull()
+            | (F.col("__us") - F.col("__prev") > gap_us),
+            1,
+        ).otherwise(0),
+    )
+    sessions = flagged.withColumn(
+        "session_no", F.sum("__new").over(w) - 1
+    )
+    return sessions.groupBy("user", "session_no").agg(
+        F.min("__ts").alias("t_start"),
+        F.max("__ts").alias("t_end"),
+        F.count(F.lit(1)).alias("n_events"),
+        ((F.max("__us") - F.min("__us")) / F.lit(1e6)).alias("duration_s"),
+    )

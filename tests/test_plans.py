@@ -161,3 +161,51 @@ def test_retention(spark):
         retention(ev, offsets=[])
     with _pytest.raises(ValueError):
         retention(ev, offsets=[0])
+
+
+def test_sessionize(spark):
+    import datetime as dt
+
+    from ftm_columnstore_spark.operators.temporal import sessionize
+
+    T = lambda m, s=0: dt.datetime(2024, 1, 1, 0, m, s)
+    rows = [
+        (1, T(0)), (1, T(10)),            # session 0
+        (1, T(50)),                       # 40-min gap -> session 1
+        (2, T(5)),                        # single event
+    ]
+    ev = spark.createDataFrame(rows, ["user_id", "ts"])
+    out = {
+        (r["user"], r["session_no"]): r
+        for r in sessionize(ev, gap_seconds=1800).collect()
+    }
+    assert set(out) == {(1, 0), (1, 1), (2, 0)}
+    assert out[(1, 0)]["n_events"] == 2
+    assert out[(1, 0)]["duration_s"] == 600.0
+    assert out[(1, 1)]["n_events"] == 1 and out[(1, 1)]["duration_s"] == 0.0
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        sessionize(ev, gap_seconds=0)
+
+
+def test_sessionize_matches_builtin_session_window(spark):
+    """Batch sessionize and Spark's own session_window agree on real
+    data: same session count and start times per user."""
+    from pyspark.sql import functions as F
+
+    from ftm_columnstore_spark.operators.temporal import sessionize
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    ours = sessionize(ev, gap_seconds=1800).select(
+        F.col("user").alias("user_id"), "t_start", "n_events"
+    )
+    builtin = ev.groupBy(
+        "user_id", F.session_window(F.col("ts"), "30 minutes").alias("w")
+    ).agg(
+        F.min("ts").alias("t_start"), F.count(F.lit(1)).alias("n_events")
+    ).select("user_id", "t_start", "n_events")
+    a = {tuple(r) for r in ours.collect()}
+    b = {tuple(r) for r in builtin.collect()}
+    assert a == b and len(a) > 0
