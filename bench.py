@@ -88,8 +88,18 @@ def main() -> None:
     qs = entry_mod.queries()
 
     def run(name: str) -> float:
+        # Materialize EVERY row's full contents via a row-digest
+        # aggregate: a bare .count() lets Catalyst eliminate
+        # row-preserving joins (d14's span machinery, d11's reassembly
+        # branch collapse to a scan count — measured 10x+ too fast).
+        # One summed hash forces the whole plan and returns one row.
+        from pyspark.sql import functions as F
+
         t0 = time.perf_counter()
-        qs[name](spark, SF_DIR).count()
+        df = qs[name](spark, SF_DIR)
+        df.select(
+            F.xxhash64(F.struct(*df.columns)).alias("h")
+        ).groupBy().agg(F.count("h"), F.try_sum("h")).collect()
         return time.perf_counter() - t0
 
     # sequential steady-state latencies, best of 3 (GC pauses land
@@ -122,7 +132,8 @@ def main() -> None:
             {
                 "metric": (
                     f"wall-clock to run all {len(HEADLINE)} headline ops "
-                    "(8-way concurrent, steady state)"
+                    "(8-way concurrent, steady state, full row-digest "
+                    "materialization)"
                 ),
                 "value": wall,
                 "unit": "sec",

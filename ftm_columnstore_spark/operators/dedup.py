@@ -973,18 +973,21 @@ def line_dedup(
     ).where(F.trim("line") != "")
     keyed = lines.withColumn("h", F.md5(F.col("line")))
     # id is the struct's tie-break so a non-unique order column still
-    # keeps exactly ONE occurrence per line
-    firsts = keyed.groupBy("h").agg(
-        F.min(F.struct("__ord", "id", "pos")).alias("__first")
-    )
+    # keeps exactly ONE occurrence per line. The agg carries the line
+    # text itself (any_value: all lines under one md5 are equal), so no
+    # join back to the exploded relation is needed — one shuffle fewer
+    # (measured 6.5s -> 2.9s at sf0.1 with full row materialization).
     kept = (
-        keyed.join(firsts, on="h")
-        .where(
-            (F.col("__ord") == F.col("__first.__ord"))
-            & (F.col("id") == F.col("__first.id"))
-            & (F.col("pos") == F.col("__first.pos"))
+        keyed.groupBy("h")
+        .agg(
+            F.min(F.struct("__ord", "id", "pos")).alias("__first"),
+            F.any_value("line").alias("line"),
         )
-        .select("id", "pos", "line")
+        .select(
+            F.col("__first.id").alias("id"),
+            F.col("__first.pos").alias("pos"),
+            "line",
+        )
     )
     counts = lines.groupBy("id").agg(F.count(F.lit(1)).alias("n_lines"))
     rebuilt = kept.groupBy("id").agg(
