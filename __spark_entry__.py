@@ -2139,7 +2139,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ~50 entries.  Round 1 verified the trailing block (see
     # CORRECTNESS_r01.json, all pass); round 2 rotates the 45 entries that
     # had no r01 row to the front so every declared query accumulates an
-    # oracle verdict across rounds.
+    # oracle verdict across rounds. Queries added during round 2 (d14/d15,
+    # j17, t17/t18, v10, w5/w6/w7, m6-upgrade) sit after that block — they
+    # are locally verified by tools/check_oracle.py at sf0.01 AND sf0.1
+    # (116/116) and rotate into the driver window next round.
     return {
         # --- unchecked in r01: oracle-SQL-backed entries first ---
         "a4_avg_via_dsl": a4_avg_via_dsl,
