@@ -1667,6 +1667,16 @@ def w7_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def w8_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order event-transition matrix (operators/temporal.py:
+    transitions): per-user consecutive event pairs counted corpus-wide
+    with the empirical Markov probability per from-state."""
+    from ftm_columnstore_spark.operators.temporal import transitions
+
+    ev = _t(spark, sf_dir, "events")
+    return transitions(ev)
+
+
 def w4_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Band/interval join: clicks within the 10 minutes before each error
     by the same user, reduced to a (prior_clicks → n_errors) histogram.
@@ -2208,6 +2218,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w5_funnel": w5_funnel,
         "w6_retention": w6_retention,
         "w7_sessionize": w7_sessionize,
+        "w8_transitions": w8_transitions,
         # NON-SQL — rows-only (m6: binary codecs; x5: metaphone; v5:
         # iterative k-means training; t9: per-partition bin packing).
         # m6/x5 first: if the driver's correctness window caps out, the
@@ -3668,6 +3679,25 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_events,
                    round((max(us) - min(us)) / 1000000.0, 6) AS duration_s
             FROM numbered GROUP BY user_id, session_no
+        """,
+        "w8_transitions": """
+            WITH pairs AS (
+                SELECT lag(event_type) OVER w AS from_type,
+                       event_type AS to_type
+                FROM events
+                WINDOW w AS (PARTITION BY user_id
+                             ORDER BY ts, event_type)
+            ), counts AS (
+                SELECT from_type, to_type, count(*) AS n
+                FROM pairs WHERE from_type IS NOT NULL
+                GROUP BY from_type, to_type
+            ), totals AS (
+                SELECT from_type, sum(n) AS total FROM counts
+                GROUP BY from_type
+            )
+            SELECT c.from_type, c.to_type, c.n,
+                   round(c.n / t.total, 6) AS p
+            FROM counts c JOIN totals t USING (from_type)
         """,
         "v9_semantic_dedup": _v9_oracle(),
         "d12_cross_dedup": _d12_oracle(),

@@ -296,3 +296,48 @@ def sessionize(
         F.count(F.lit(1)).alias("n_events"),
         ((F.max("__us") - F.min("__us")) / F.lit(1e6)).alias("duration_s"),
     )
+
+
+def transitions(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """First-order event-transition matrix — "what do users do next":
+    per consecutive event pair of each user (time order, event ties
+    broken deterministically by the event payload's own columns being
+    equal — ordering uses (ts, type)), count (from_type, to_type) pairs
+    corpus-wide and attach each row's share of its from-state (the
+    empirical Markov transition probability).
+
+    Scale shape: ONE per-user window pass (lag over (ts, type)) — the
+    same single exchange+sort sessionize uses — then one grouped count
+    and a from-state total derived by a second SMALL aggregation over
+    the |types|² matrix (never the event stream) joined back. No
+    global sort, no self-join of the stream.
+
+    Output: (from_type, to_type, n, p) with ``p`` rounded to 6dp.
+    """
+    e = events.select(
+        F.col(user_col).alias("user"),
+        F.col(ts_col).alias("__ts"),
+        F.col(type_col).alias("__type"),
+    )
+    w = Window.partitionBy("user").orderBy("__ts", "__type")
+    pairs = (
+        e.withColumn("__prev", F.lag("__type").over(w))
+        .where(F.col("__prev").isNotNull())
+        .groupBy(
+            F.col("__prev").alias("from_type"),
+            F.col("__type").alias("to_type"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    totals = pairs.groupBy("from_type").agg(F.sum("n").alias("__total"))
+    return pairs.join(totals, on="from_type").select(
+        "from_type",
+        "to_type",
+        "n",
+        F.round(F.col("n") / F.col("__total"), 6).alias("p"),
+    )

@@ -209,3 +209,23 @@ def test_sessionize_matches_builtin_session_window(spark):
     a = {tuple(r) for r in ours.collect()}
     b = {tuple(r) for r in builtin.collect()}
     assert a == b and len(a) > 0
+
+
+def test_transitions(spark):
+    import datetime as dt
+
+    from ftm_columnstore_spark.operators.temporal import transitions
+
+    T = lambda m: dt.datetime(2024, 1, 1, 0, m)
+    rows = [
+        (1, T(0), "a"), (1, T(1), "b"), (1, T(2), "a"),
+        (2, T(0), "a"), (2, T(1), "b"),
+        # cross-user boundary must NOT create a transition
+        (3, T(9), "c"),
+    ]
+    ev = spark.createDataFrame(rows, ["user_id", "ts", "event_type"])
+    out = {(r["from_type"], r["to_type"]): r for r in transitions(ev).collect()}
+    assert set(out) == {("a", "b"), ("b", "a")}
+    assert out[("a", "b")]["n"] == 2 and out[("a", "b")]["p"] == 1.0
+    # from-state b has exactly one outgoing pair -> probability 1
+    assert out[("b", "a")]["n"] == 1 and out[("b", "a")]["p"] == 1.0
