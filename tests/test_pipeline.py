@@ -115,3 +115,58 @@ def test_prepare_training_data_substring_and_perplexity(spark):
         perplexity={"cutoffs": (0.5, 99.0)},  # keep head+middle → all pass
     )
     assert out3.count() == 3
+
+
+def test_investigative_workflow_composition(spark, tmp_path):
+    """Reference-side showcase: write entities → resolve duplicates →
+    canonicalized statements → relationship graph → centrality +
+    clustering metrics, as one flow over the store."""
+    from ftm_columnstore_spark.operators.graph import pagerank, triangle_count
+    from ftm_columnstore_spark.operators.xref import resolve
+    from ftm_columnstore_spark.sources.statements import statements_from_rows
+    from ftm_columnstore_spark.store import Store
+
+    def stmt(eid, prop, value, ds="d1", prop_type="string", schema="Company"):
+        return dict(
+            id=f"s-{eid}-{prop}-{value}", entity_id=eid, prop=prop,
+            prop_type=prop_type, schema=schema, value=value, dataset=ds,
+            last_seen=None,
+        )
+
+    rows = [
+        stmt("a", "name", "Alpha Holding AG", prop_type="name"),
+        stmt("a2", "name", "ALPHA HOLDING AG", ds="d2", prop_type="name"),
+        stmt("b", "name", "Beta GmbH", prop_type="name"),
+        stmt("c", "name", "Gamma LLC", prop_type="name"),
+        # ownership triangle a-b-c (via entity-valued props)
+        stmt("a", "ownerOf", "b", prop_type="entity"),
+        stmt("b", "ownerOf", "c", prop_type="entity"),
+        stmt("c", "ownerOf", "a", prop_type="entity"),
+        # duplicate a2 also points at b: must collapse onto canonical a
+        stmt("a2", "ownerOf", "b", ds="d2", prop_type="entity"),
+    ]
+    store = Store(spark, str(tmp_path / "inv"))
+    store.ensure()
+    store.write_statements(statements_from_rows(spark, rows))
+    store.set_resolver(resolve(store.statements(), min_score=0.9))
+
+    st = store.statements()
+    edges = st.where(F.col("prop_type") == "entity").select(
+        F.col("canonical_id").alias("src"), F.col("value").alias("dst")
+    )
+    # a2 resolved to a: graph has exactly the 3 canonical nodes
+    tri = {r["id"]: r for r in triangle_count(edges).collect()}
+    assert set(tri) == {"a", "b", "c"}
+    assert all(r["triangles"] == 1 and r["clustering"] == 1.0
+               for r in tri.values())
+
+    # distinct BEFORE ranking: the collapsed duplicate statement (a2→b
+    # became a→b) is a multi-edge that would otherwise weight the walk
+    e1 = edges.distinct()
+    und = e1.union(
+        e1.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    pr = {r["id"]: r["rank"] for r in pagerank(und, iterations=2).collect()}
+    assert set(pr) == {"a", "b", "c"}
+    # symmetric triangle -> equal centrality
+    assert max(pr.values()) - min(pr.values()) < 1e-9
