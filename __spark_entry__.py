@@ -2144,6 +2144,68 @@ def m6_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def m7_audio_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio path, REAL decode end-to-end: synthesize a deterministic
+    int16-PCM WAV per document (samples = (i*k) % 2048 - 1024 with
+    k = doc_id % 13 + 1, N = 64 + doc_id % 5 * 16 samples), run the
+    mapInPandas frame sampler (operators/multimodal.py:sample_frames,
+    fake=False → stdlib wave decode + re-encode per chunk), then decode
+    each frame back and report its sample count and PCM sum. The oracle
+    replays the linspace split bounds (exact: i*N/4 divides a power of
+    two) and the PCM arithmetic in SQL — a value match checks the whole
+    WAV encode→split→re-encode→decode chain."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from ftm_columnstore_spark.operators import codecs
+    from ftm_columnstore_spark.operators.multimodal import sample_frames
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id")
+        .filter(F.col("doc_id") < 48)
+    )
+
+    def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = []
+            for did in pdf["doc_id"]:
+                s = int(did)
+                k = s % 13 + 1
+                n = 64 + (s % 5) * 16
+                pcm = (np.arange(n) * k) % 2048 - 1024
+                payloads.append(codecs.encode_wav(pcm, 8000))
+            yield pd.DataFrame(
+                {"media_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    media = docs.mapInPandas(gen, "media_id long, payload binary")
+    frames = sample_frames(media, n_frames=4, fake=False)
+
+    def stats(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ns, sums = [], []
+            for fr in pdf["frame"]:
+                arr, _rate = codecs.decode_wav(bytes(fr))
+                ns.append(len(arr))
+                sums.append(int(arr.astype(np.int64).sum()))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "frame_no": pdf["frame_no"],
+                    "n_samples": pd.Series(ns, dtype="int64"),
+                    "pcm_sum": pd.Series(sums, dtype="int64"),
+                }
+            )
+
+    return frames.mapInPandas(
+        stats,
+        "media_id long, frame_no int, n_samples long, pcm_sum long",
+    ).withColumn("frame_no", F.col("frame_no").cast("long"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order matters: the driver's CORRECTNESS run covers the first
     # ~50 entries.  Round 1 verified the trailing block (see
@@ -2219,6 +2281,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w6_retention": w6_retention,
         "w7_sessionize": w7_sessionize,
         "w8_transitions": w8_transitions,
+        "m7_audio_frames": m7_audio_frames,
         # NON-SQL — rows-only (m6: binary codecs; x5: metaphone; v5:
         # iterative k-means training; t9: per-partition bin packing).
         # m6/x5 first: if the driver's correctness window caps out, the
@@ -3587,6 +3650,29 @@ def oracle_sql() -> dict[str, str]:
                    round((avg(g / 255.0)::REAL)::DOUBLE, 6) AS mean_g,
                    round((avg(b / 255.0)::REAL)::DOUBLE, 6) AS mean_b
             FROM px GROUP BY doc_id
+        """,
+        "m7_audio_frames": """
+            -- replays m7's deterministic PCM synthesis and the exact
+            -- linspace frame bounds (i*N/4: power-of-two division, so
+            -- float64 linspace == integer floor); the Spark side
+            -- round-trips real WAV bytes, so a value match checks the
+            -- whole encode -> split -> re-encode -> decode chain
+            WITH ids AS (
+                SELECT doc_id,
+                       doc_id % 13 + 1 AS k,
+                       64 + (doc_id % 5) * 16 AS n
+                FROM documents WHERE doc_id < 48
+            ), frames AS (
+                SELECT doc_id, k, n, f.range AS frame_no,
+                       (f.range * n) // 4 AS a,
+                       ((f.range + 1) * n) // 4 AS b
+                FROM ids, range(4) f
+            )
+            SELECT doc_id AS media_id, frame_no::BIGINT AS frame_no,
+                   (b - a)::BIGINT AS n_samples,
+                   list_sum(list_transform(range(a, b),
+                            i -> (i * k) % 2048 - 1024))::BIGINT AS pcm_sum
+            FROM frames
         """,
         "m5_time_rollup": """
             WITH e AS (
