@@ -2206,6 +2206,63 @@ def m7_audio_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn("frame_no", F.col("frame_no").cast("long"))
 
 
+def m8_resize_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image RESIZE path, real decode end-to-end: m6's deterministic
+    8×8 BMPs run resize_images (mapInPandas, nearest-neighbour numpy
+    over real BMP bytes) down to 4×4, then the feature extractor
+    decodes the RESIZED payload. Nearest-neighbour at 8→4 picks pixels
+    (2y, 2x), so the oracle replays the channel means over that exact
+    subgrid — a value match checks decode → resize → re-encode →
+    decode."""
+    import numpy as np
+    import pandas as pd
+
+    from ftm_columnstore_spark.operators.codecs import encode_bmp
+    from ftm_columnstore_spark.operators.multimodal import (
+        attach_meta,
+        extract_features,
+        resize_images,
+    )
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id")
+        .filter(F.col("doc_id") < 48)
+    )
+
+    def gen(it):
+        for pdf in it:
+            payloads = []
+            for did in pdf["doc_id"]:
+                s = int(did)
+                y, x = np.mgrid[0:8, 0:8]
+                img = np.stack(
+                    [
+                        (x * (s % 17 + 1) + 3) % 256,
+                        (y * 7 + s) % 256,
+                        (x + y + s * 5) % 256,
+                    ],
+                    axis=-1,
+                ).astype(np.uint8)
+                payloads.append(encode_bmp(img))
+            yield pd.DataFrame(
+                {"media_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    media = attach_meta(
+        docs.mapInPandas(gen, "media_id long, payload binary"),
+        mime="image/bmp",
+    )
+    resized = resize_images(media, width=4, height=4, fake=False)
+    feats = extract_features(resized, dim=16, fake=False)
+    return feats.select(
+        "media_id",
+        F.round(F.element_at("features", 1).cast("double"), 6).alias("mean_r"),
+        F.round(F.element_at("features", 2).cast("double"), 6).alias("mean_g"),
+        F.round(F.element_at("features", 3).cast("double"), 6).alias("mean_b"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order matters: the driver's CORRECTNESS run covers the first
     # ~50 entries.  Round 1 verified the trailing block (see
@@ -2282,6 +2339,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w7_sessionize": w7_sessionize,
         "w8_transitions": w8_transitions,
         "m7_audio_frames": m7_audio_frames,
+        "m8_resize_features": m8_resize_features,
         # NON-SQL — rows-only (m6: binary codecs; x5: metaphone; v5:
         # iterative k-means training; t9: per-partition bin packing).
         # m6/x5 first: if the driver's correctness window caps out, the
@@ -3673,6 +3731,28 @@ def oracle_sql() -> dict[str, str]:
                    list_sum(list_transform(range(a, b),
                             i -> (i * k) % 2048 - 1024))::BIGINT AS pcm_sum
             FROM frames
+        """,
+        "m8_resize_features": """
+            -- nearest-neighbour 8->4 picks source pixels (2y, 2x);
+            -- replay the channel means over that subgrid (+ float32
+            -- feature quantization, as in m6)
+            WITH ids AS (
+                SELECT doc_id FROM documents WHERE doc_id < 48
+            ), grid AS (
+                SELECT t1.range * 2 AS x, t2.range * 2 AS y
+                FROM range(4) t1, range(4) t2
+            ), px AS (
+                SELECT i.doc_id,
+                       ((x * (i.doc_id % 17 + 1) + 3) % 256) AS r,
+                       ((y * 7 + i.doc_id) % 256) AS g,
+                       ((x + y + i.doc_id * 5) % 256) AS b
+                FROM ids i, grid
+            )
+            SELECT doc_id AS media_id,
+                   round((avg(r / 255.0)::REAL)::DOUBLE, 6) AS mean_r,
+                   round((avg(g / 255.0)::REAL)::DOUBLE, 6) AS mean_g,
+                   round((avg(b / 255.0)::REAL)::DOUBLE, 6) AS mean_b
+            FROM px GROUP BY doc_id
         """,
         "m5_time_rollup": """
             WITH e AS (
