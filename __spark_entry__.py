@@ -2263,6 +2263,31 @@ def m8_resize_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def m9_moving_average(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 7-day moving average over the daily per-type event
+    value — the classic time-series smoothing window, as a RANGE frame
+    over the PRE-AGGREGATED daily relation (|types| × |days| rows, so
+    the window input is tiny by construction at any event volume; the
+    heavy lifting is the map-side-combinable daily rollup)."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.round(F.sum("value"), 6).alias("total"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy(F.col("day").cast("timestamp").cast("long"))
+        .rangeBetween(-6 * 86400, 0)
+    )
+    return daily.select(
+        "event_type",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "total",
+        F.round(F.avg("total").over(w), 6).alias("ma7"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order matters: the driver's CORRECTNESS run covers the first
     # ~50 entries.  Round 1 verified the trailing block (see
@@ -2340,6 +2365,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w8_transitions": w8_transitions,
         "m7_audio_frames": m7_audio_frames,
         "m8_resize_features": m8_resize_features,
+        "m9_moving_average": m9_moving_average,
         # NON-SQL — rows-only (m6: binary codecs; x5: metaphone; v5:
         # iterative k-means training; t9: per-partition bin packing).
         # m6/x5 first: if the driver's correctness window caps out, the
@@ -3731,6 +3757,19 @@ def oracle_sql() -> dict[str, str]:
                    list_sum(list_transform(range(a, b),
                             i -> (i * k) % 2048 - 1024))::BIGINT AS pcm_sum
             FROM frames
+        """,
+        "m9_moving_average": """
+            WITH daily AS (
+                SELECT event_type, ts::DATE AS day,
+                       round(sum(value), 6) AS total
+                FROM events GROUP BY event_type, ts::DATE
+            )
+            SELECT event_type, strftime(day, '%Y-%m-%d') AS day, total,
+                   round(avg(total) OVER (
+                       PARTITION BY event_type ORDER BY day
+                       RANGE BETWEEN INTERVAL 6 DAY PRECEDING
+                                 AND CURRENT ROW), 6) AS ma7
+            FROM daily
         """,
         "m8_resize_features": """
             -- nearest-neighbour 8->4 picks source pixels (2y, 2x);
