@@ -114,10 +114,11 @@ def main() -> None:
         spark.catalog.clearCache()
         spark._jvm.System.gc()
 
-    # pass 3+4: throughput — whole suite, 8 concurrent submitters,
-    # best of 2 (AQE/persist warm-up variance dominates a single run)
+    # pass 3+: throughput — whole suite, 8 concurrent submitters,
+    # best of 3 (AQE/persist warm-up + GC variance dominate a single
+    # run; observed 2x swings between identical passes)
     wall = float("inf")
-    for _ in range(2):
+    for _ in range(3):
         spark.catalog.clearCache()
         spark._jvm.System.gc()
         t0 = time.perf_counter()
