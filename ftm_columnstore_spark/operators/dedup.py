@@ -1289,6 +1289,14 @@ def exact_substring_dedup(
     Run :func:`dedup_exact` first at scale: whole-doc copies otherwise
     pay the span machinery for spans covering the entire document.
 
+    Why agg+join and not one window over the gram partition (which
+    would be a single shuffle): a corpus-scale hot gram — one sentence
+    shared by millions of documents, exactly the thing this pass
+    removes — lands every occurrence on one reducer under a window,
+    with no remedy; the aggregation collapses it map-side and AQE
+    skew-join splits the probe. One extra shuffle buys unbounded-skew
+    safety.
+
     Output: (id, n_tokens, n_removed, text) with ``text`` the cleaned
     document ('' when everything was duplicated elsewhere).
     """
