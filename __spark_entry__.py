@@ -2288,6 +2288,26 @@ def m9_moving_average(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def a21_data_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deequ-style data-quality gate (operators/validation.py:
+    check_report): declarative constraints over the documents table
+    compiled into one aggregation pass + a distinct-count for
+    uniqueness; output is the audit report relation."""
+    from ftm_columnstore_spark.operators.validation import check_report
+
+    d = _t(spark, sf_dir, "documents")
+    return check_report(
+        d,
+        not_null=["text", "lang"],
+        unique=["doc_id"],
+        # zh deliberately excluded: the report must SHOW a failing
+        # check (observed violation rate, passed=false), not hide it
+        accepted_values={"lang": ["en", "de", "fr", "es"]},
+        ranges={"n_chars": (0, 100_000)},
+        min_rows=10,
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order matters: the driver's CORRECTNESS run covers the first
     # ~50 entries.  Round 1 verified the trailing block (see
@@ -2366,6 +2386,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "m7_audio_frames": m7_audio_frames,
         "m8_resize_features": m8_resize_features,
         "m9_moving_average": m9_moving_average,
+        "a21_data_checks": a21_data_checks,
         # NON-SQL — rows-only (m6: binary codecs; x5: metaphone; v5:
         # iterative k-means training; t9: per-partition bin packing).
         # m6/x5 first: if the driver's correctness window caps out, the
@@ -3757,6 +3778,38 @@ def oracle_sql() -> dict[str, str]:
                    list_sum(list_transform(range(a, b),
                             i -> (i * k) % 2048 - 1024))::BIGINT AS pcm_sum
             FROM frames
+        """,
+        "a21_data_checks": """
+            WITH base AS (
+                SELECT count(*) AS n,
+                       sum((text IS NULL)::INT) AS null_text,
+                       sum((lang IS NULL)::INT) AS null_lang,
+                       sum((lang IS NOT NULL AND lang NOT IN
+                            ('en','de','fr','es'))::INT) AS bad_lang,
+                       sum((n_chars IS NOT NULL AND
+                            (n_chars < 0 OR n_chars > 100000))::INT) AS oob
+                FROM documents
+            ), uniq AS (
+                SELECT count(DISTINCT doc_id) AS dist, count(*) AS total
+                FROM documents
+            )
+            SELECT 'min_rows' AS check, n::DOUBLE AS observed,
+                   10.0 AS threshold, n >= 10 AS passed FROM base
+            UNION ALL
+            SELECT 'not_null:text', round(null_text / greatest(n, 1)::DOUBLE, 6),
+                   0.0, null_text = 0 FROM base
+            UNION ALL
+            SELECT 'not_null:lang', round(null_lang / greatest(n, 1)::DOUBLE, 6),
+                   0.0, null_lang = 0 FROM base
+            UNION ALL
+            SELECT 'accepted:lang', round(bad_lang / greatest(n, 1)::DOUBLE, 6),
+                   0.0, bad_lang = 0 FROM base
+            UNION ALL
+            SELECT 'range:n_chars', round(oob / greatest(n, 1)::DOUBLE, 6),
+                   0.0, oob = 0 FROM base
+            UNION ALL
+            SELECT 'unique:doc_id', dist::DOUBLE, total::DOUBLE,
+                   dist = total FROM uniq
         """,
         "m9_moving_average": """
             WITH daily AS (
