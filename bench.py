@@ -67,6 +67,18 @@ HEADLINE = [
     "t14_winnow_fingerprints",
     "d14_exact_substring_dedup",
     "j17_triangle_count",
+    "d15_cross_substring_dedup",
+    "t17_perplexity_buckets",
+    "t18_chunk_documents",
+    "v10_ann_recall",
+    "w5_funnel",
+    "w6_retention",
+    "w7_sessionize",
+    "w8_transitions",
+    "m7_audio_frames",
+    "m8_resize_features",
+    "m9_moving_average",
+    "a21_data_checks",
 ]
 
 
