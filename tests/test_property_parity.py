@@ -411,3 +411,78 @@ def test_funnel_match_duckdb(spark, rows):
     )
     want = con.execute(entry.oracle_sql()["w5_funnel"]).df()
     _assert_same(got, want)
+
+
+@SETTINGS
+@given(rows=event_stream)
+def test_sessionize_match_duckdb(spark, rows):
+    """Sessionize (w7): random streams (incl. duplicate timestamps —
+    session membership is tie-order-invariant) match the oracle."""
+    import datetime as dt
+
+    import duckdb as _duckdb
+
+    from pyspark.sql import functions as F
+
+    from ftm_columnstore_spark.operators.temporal import sessionize
+
+    base = dt.datetime(2024, 1, 1)
+    data = [(u, base + dt.timedelta(seconds=s)) for u, s, _t in rows]
+    ev = spark.createDataFrame(data, ["user_id", "ts"])
+    got = (
+        sessionize(ev, gap_seconds=1800)
+        .select(
+            F.col("user").alias("user_id"),
+            F.col("session_no").cast("long").alias("session_no"),
+            F.unix_micros(F.col("t_start").cast("timestamp")).alias("start_us"),
+            F.unix_micros(F.col("t_end").cast("timestamp")).alias("end_us"),
+            F.col("n_events").cast("long").alias("n_events"),
+            F.round("duration_s", 6).alias("duration_s"),
+        )
+        .toPandas()
+    )
+    con = _duckdb.connect()
+    con.register(
+        "events",
+        pd.DataFrame(
+            {"user_id": [r[0] for r in data], "ts": [r[1] for r in data]}
+        ),
+    )
+    want = con.execute(entry.oracle_sql()["w7_sessionize"]).df()
+    _assert_same(got, want)
+
+
+@SETTINGS
+@given(rows=event_stream)
+def test_retention_match_duckdb(spark, rows):
+    """Retention (w6): random multi-day streams match the oracle."""
+    import datetime as dt
+
+    import duckdb as _duckdb
+
+    from pyspark.sql import functions as F
+
+    from ftm_columnstore_spark.operators.temporal import retention
+
+    base = dt.datetime(2024, 1, 1)
+    data = [(u, base + dt.timedelta(seconds=s)) for u, s, _t in rows]
+    ev = spark.createDataFrame(data, ["user_id", "ts"])
+    got = (
+        retention(ev, offsets=[1, 7])
+        .select(
+            "cohort",
+            "n_users",
+            F.col("d1").cast("long").alias("d1"),
+            F.col("d7").cast("long").alias("d7"),
+        )
+        .toPandas()
+    )
+    con = _duckdb.connect()
+    con.register(
+        "events",
+        pd.DataFrame(
+            {"user_id": [r[0] for r in data], "ts": [r[1] for r in data]}
+        ),
+    )
+    want = con.execute(entry.oracle_sql()["w6_retention"]).df()
+    _assert_same(got, want)
