@@ -8,6 +8,13 @@ tests/test_cli.py:25-44). One spark-submit-able driver with the same verbs:
     python -m ftm_columnstore_spark.cli optimize --store /path
     python -m ftm_columnstore_spark.cli stats  --store /path
     python -m ftm_columnstore_spark.cli sql    --store /path "select ..."
+
+Extension verb for the training-data side (documents parquet in,
+cleaned parquet or hash shards out):
+
+    python -m ftm_columnstore_spark.cli clean docs.parquet -o out/ \
+        [--min-tokens N] [--substring-k K] [--near-dedup] \
+        [--splits train=0.9,val=0.1] [--shards N]
 """
 
 from __future__ import annotations
@@ -22,7 +29,8 @@ from ftm_columnstore_spark.store import Store
 
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="ftmcs-spark")
-    p.add_argument("--store", required=True, help="store directory (parquet)")
+    p.add_argument("--store", default=None,
+                   help="store directory (parquet); required for store verbs")
     sub = p.add_subparsers(dest="cmd", required=True)
 
     sub.add_parser("init")
@@ -40,9 +48,27 @@ def main(argv: list[str] | None = None) -> int:
     sq = sub.add_parser("sql")
     sq.add_argument("query", help="SQL over the `statements` view")
 
+    cl = sub.add_parser("clean")
+    cl.add_argument("input", help="documents parquet (id + text columns)")
+    cl.add_argument("-o", "--output", required=True)
+    cl.add_argument("--id-col", default="doc_id")
+    cl.add_argument("--text-col", default="text")
+    cl.add_argument("--min-tokens", type=int, default=None,
+                    help="enable the quality gate at this token floor")
+    cl.add_argument("--substring-k", type=int, default=None,
+                    help="enable ExactSubstr span cutting at this k")
+    cl.add_argument("--near-dedup", action="store_true",
+                    help="enable MinHash near-dedup (defaults)")
+    cl.add_argument("--splits", default=None,
+                    help="comma list name=weight (adds a split column)")
+    cl.add_argument("--shards", type=int, default=None,
+                    help="write N hash shards instead of plain parquet")
+
     args = p.parse_args(argv)
+    if args.cmd != "clean" and not args.store:
+        p.error(f"--store is required for the {args.cmd} verb")
     spark = get_spark("ftmcs-cli")
-    store = Store(spark, args.store)
+    store = Store(spark, args.store) if args.store else None
 
     if args.cmd == "init":
         store.ensure()
@@ -79,6 +105,56 @@ def main(argv: list[str] | None = None) -> int:
     elif args.cmd == "sql":
         store.statements().createOrReplaceTempView("statements")
         spark.sql(args.query).show(100, truncate=False)
+    elif args.cmd == "clean":
+        from ftm_columnstore_spark.operators.pipeline import (
+            prepare_training_data,
+        )
+
+        docs = spark.read.parquet(args.input)
+        splits = None
+        if args.splits:
+            splits = {
+                k: float(v)
+                for k, v in (p.split("=") for p in args.splits.split(","))
+            }
+        cleaned = prepare_training_data(
+            docs,
+            text_col=args.text_col,
+            id_col=args.id_col,
+            quality=(
+                {"min_tokens": args.min_tokens, "min_stopwords": 0,
+                 "min_mean_word_len": 0.0}
+                if args.min_tokens is not None
+                else None
+            ),
+            line_dedup_sep=None,
+            substring_dedup=(
+                {"k": args.substring_k}
+                if args.substring_k is not None
+                else None
+            ),
+            near_dedup={} if args.near_dedup else None,
+            splits=splits,
+        )
+        if args.shards:
+            from ftm_columnstore_spark.operators.sampling import (
+                write_training_shards,
+            )
+
+            manifest = write_training_shards(
+                cleaned, args.output, args.shards,
+                id_col=args.id_col, text_col=args.text_col,
+            )
+            for row in manifest.collect():
+                print(json.dumps(row.asDict()))
+        else:
+            cleaned.write.mode("overwrite").parquet(args.output)
+            print(
+                json.dumps(
+                    {"in": docs.count(), "kept": cleaned.count(),
+                     "out": args.output}
+                )
+            )
     return 0
 
 

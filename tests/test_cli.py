@@ -30,3 +30,34 @@ def test_cli_write_iterate_roundtrip(spark, tmp_path, capsys):
     capsys.readouterr()
     assert main(["--store", store, "iterate"]) == 0
     assert len(capsys.readouterr().out.strip().splitlines()) == 4
+
+
+def test_cli_clean_and_shard(spark, tmp_path, capsys):
+    import json as _json
+
+    from ftm_columnstore_spark.cli import main
+
+    docs = spark.createDataFrame(
+        [(i, f"document number {i} with some words repeated words {i % 3}")
+         for i in range(40)] + [(100, "document number 0 with some words "
+                                      "repeated words 0")],  # near-exact noise
+        ["doc_id", "text"],
+    )
+    src = str(tmp_path / "docs_in")
+    docs.write.parquet(src)
+
+    out = str(tmp_path / "cleaned")
+    assert main(["clean", src, "-o", out, "--min-tokens", "3",
+                 "--substring-k", "8", "--splits", "train=0.9,val=0.1"]) == 0
+    got = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert got["in"] == 41 and 0 < got["kept"] <= 41
+    back = spark.read.parquet(out)
+    assert set(back.columns) >= {"doc_id", "text", "split"}
+
+    shards = str(tmp_path / "shards")
+    assert main(["clean", src, "-o", shards, "--shards", "4"]) == 0
+    lines = [_json.loads(l) for l in
+             capsys.readouterr().out.strip().splitlines() if l.startswith("{")]
+    # doc 100 is an exact text duplicate of doc 0 -> always-on exact
+    # dedup keeps 40 of the 41 inputs
+    assert sum(r["n_rows"] for r in lines) == 40
