@@ -2288,6 +2288,23 @@ def m9_moving_average(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def j18_edit1_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deletion-neighborhood fuzzy join (operators/blocking.py:
+    edit1_pairs — FastSS/SymSpell): customer-name pairs within edit
+    distance 1, candidates from an equi-join on {self} ∪ {one-char
+    deletions}, never all-pairs; exact levenshtein verify JVM-side."""
+    from ftm_columnstore_spark.operators.blocking import edit1_pairs
+
+    c = _t(spark, sf_dir, "customer")
+    return edit1_pairs(c, col="c_name", id_col="c_custkey").select(
+        "left_id",
+        "right_id",
+        "left_val",
+        "right_val",
+        F.col("dist").cast("long").alias("dist"),
+    )
+
+
 def a21_data_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deequ-style data-quality gate (operators/validation.py:
     check_report): declarative constraints over the documents table
@@ -2387,6 +2404,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "m8_resize_features": m8_resize_features,
         "m9_moving_average": m9_moving_average,
         "a21_data_checks": a21_data_checks,
+        "j18_edit1_name_pairs": j18_edit1_name_pairs,
         # NON-SQL — rows-only (m6: binary codecs; x5: metaphone; v5:
         # iterative k-means training; t9: per-partition bin packing).
         # m6/x5 first: if the driver's correctness window caps out, the
@@ -3778,6 +3796,26 @@ def oracle_sql() -> dict[str, str]:
                    list_sum(list_transform(range(a, b),
                             i -> (i * k) % 2048 - 1024))::BIGINT AS pcm_sum
             FROM frames
+        """,
+        "j18_edit1_name_pairs": """
+            WITH s AS (
+                SELECT DISTINCT c_custkey AS id, c_name AS s
+                FROM customer
+                WHERE c_name IS NOT NULL AND len(c_name) <= 64
+            ), v AS (
+                SELECT id, s,
+                       unnest(list_distinct(list_append(
+                           list_transform(range(1, len(s) + 1),
+                               i -> substr(s, 1, i - 1) || substr(s, i + 1)),
+                           s))) AS v
+                FROM s
+            )
+            SELECT DISTINCT a.id AS left_id, b.id AS right_id,
+                   a.s AS left_val, b.s AS right_val,
+                   levenshtein(a.s, b.s)::BIGINT AS dist
+            FROM v a JOIN v b USING (v)
+            WHERE a.id < b.id AND a.s <> b.s
+              AND levenshtein(a.s, b.s) <= 1
         """,
         "a21_data_checks": """
             WITH base AS (

@@ -284,3 +284,79 @@ def _cc_star(edges: DataFrame, max_iterations: int) -> DataFrame:
         .withColumn("canonical_id", F.col("entity_id"))
     )
     return members.union(roots)
+
+
+def edit1_pairs(
+    df: DataFrame,
+    col: str = "name",
+    id_col: str = "entity_id",
+    max_len: int = 64,
+) -> DataFrame:
+    """Fuzzy-string self-join at edit distance <= 1 via DELETION
+    neighborhoods (FastSS, Bocek et al. '07 / SymSpell): two strings
+    within one substitution, insertion, or deletion of each other share
+    at least one member of their {self} ∪ {one-char deletions} set, so
+    the candidate join is an equi-join on those variants — never an
+    all-pairs comparison — and the exact ``levenshtein`` check runs
+    only on candidates. The distance-1 complement to the phonetic
+    blocking keys: catches typos that change the SOUND (Zebra/Zebla)
+    which metaphone-style keys miss.
+
+    Scale shape: variant generation is a narrow array derive bounded by
+    ``max_len`` (strings longer than this are skipped — deletion
+    blocking degrades on very long strings anyway); one shuffle on the
+    variant key; hot variants (shared prefixes of sequential ids) pair
+    bucket-locally, and the exact filter + distinct run on candidate
+    volume, not corpus². Verification stays JVM-side (builtin
+    ``levenshtein``). Identical strings are excluded (exact-dup ground
+    is :func:`~ftm_columnstore_spark.operators.dedup.exact_duplicates`).
+
+    Output: (left_id, right_id, left_val, right_val, dist) distinct,
+    ``left_id < right_id``.
+    """
+    s = df.select(
+        F.col(id_col).alias("id"), F.col(col).alias("s")
+    ).where(
+        F.col(col).isNotNull() & (F.length(col) <= max_len)
+    ).distinct()
+    n = F.length("s")
+    variants = s.select(
+        "id",
+        "s",
+        F.explode(
+            F.array_union(
+                F.transform(
+                    F.sequence(F.lit(1), n),
+                    lambda i: F.concat(
+                        F.substring(F.col("s"), F.lit(1), i - 1),
+                        F.col("s").substr(i + 1, n),
+                    ),
+                ),
+                F.array(F.col("s")),
+            )
+        ).alias("v"),
+    )
+    a = variants.select(
+        F.col("id").alias("left_id"),
+        F.col("s").alias("left_val"),
+        "v",
+    )
+    b = variants.select(
+        F.col("id").alias("right_id"),
+        F.col("s").alias("right_val"),
+        "v",
+    )
+    return (
+        a.join(b, on="v")
+        .where(F.col("left_id") < F.col("right_id"))
+        .where(F.col("left_val") != F.col("right_val"))
+        .select(
+            "left_id",
+            "right_id",
+            "left_val",
+            "right_val",
+            F.levenshtein("left_val", "right_val").alias("dist"),
+        )
+        .where(F.col("dist") <= 1)
+        .distinct()
+    )

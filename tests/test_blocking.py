@@ -191,3 +191,28 @@ def test_connected_components_property(spark, edges_py):
         for r in connected_components(edges, algorithm="star").collect()
     }
     assert cmap == expected
+
+
+def test_edit1_pairs(spark):
+    from ftm_columnstore_spark.operators.blocking import edit1_pairs
+
+    df = spark.createDataFrame(
+        [
+            (1, "zebra"),
+            (2, "zebla"),    # substitution
+            (3, "zebras"),   # insertion
+            (4, "ebra"),     # deletion
+            (5, "zerba"),    # transposition = distance 2 -> excluded
+            (6, "totally"),  # unrelated
+            (7, "zebra"),    # identical string -> excluded (exact dup ground)
+        ],
+        ["entity_id", "name"],
+    )
+    pairs = {
+        (r["left_id"], r["right_id"]): r["dist"]
+        for r in edit1_pairs(df).collect()
+    }
+    assert (1, 2) in pairs and pairs[(1, 2)] == 1
+    assert (1, 3) in pairs and (1, 4) in pairs
+    assert (1, 5) not in pairs and (1, 7) not in pairs
+    assert all(l != 6 and r != 6 for l, r in pairs)
