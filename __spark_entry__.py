@@ -1182,6 +1182,32 @@ def v8_ivf_topk_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def v11_ivf_trained_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRAINED portable IVF (operators/similarity.py:
+    kmeans_centroids_portable + ivf_topk_portable(centroids=...)):
+    2 integer-Lloyd iterations distributed over the corpus, then the
+    exact-arithmetic serve path — the previously rows-only trained-IVF
+    family member, now fully value-checked (the oracle unrolls the
+    iterations as chained CTEs)."""
+    from ftm_columnstore_spark.operators.similarity import (
+        ivf_topk_portable,
+        kmeans_centroids_portable,
+    )
+
+    e = _t(spark, sf_dir, "embeddings")
+    corpus = e.filter(F.col("vec_id") != 0)
+    qvec = [
+        float(x)
+        for x in e.filter(F.col("vec_id") == 0).collect()[0]["embedding"]
+    ]
+    cents = kmeans_centroids_portable(
+        corpus, n_centroids=16, iterations=2
+    )
+    return ivf_topk_portable(
+        corpus, qvec, k=20, n_probe=6, centroids=cents
+    )
+
+
 def v10_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN quality evaluation: recall@20 of the portable IVF probe path
     (v8) against exact brute-force cosine top-20 (v1) — the measurement
@@ -2405,6 +2431,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "m9_moving_average": m9_moving_average,
         "a21_data_checks": a21_data_checks,
         "j18_edit1_name_pairs": j18_edit1_name_pairs,
+        "v11_ivf_trained_portable": v11_ivf_trained_portable,
         # NON-SQL — rows-only (m6: binary codecs; x5: metaphone; v5:
         # iterative k-means training; t9: per-partition bin packing).
         # m6/x5 first: if the driver's correctness window caps out, the
@@ -2851,6 +2878,119 @@ def _v10_oracle(k: int = 20) -> str:
         SELECT {k}::BIGINT AS k, count(*) AS n_hits,
                round(count(*) / {k}.0, 6) AS recall
         FROM exact JOIN approx USING (vec_id)
+    """
+
+
+def _v11_oracle(
+    k: int = 20,
+    n_centroids: int = 16,
+    n_probe: int = 6,
+    iterations: int = 2,
+    dim: int = 64,
+    scale: int = 1_000_000,
+) -> str:
+    """DuckDB oracle for the TRAINED portable IVF (mirrors
+    operators/similarity.py kmeans_centroids_portable +
+    ivf_topk_portable(centroids=...)): Lloyd iterations unrolled as
+    chained CTEs — integer-dot assignment with (score DESC, cid)
+    tiebreak, floor(sum/count) integer-mean update, empty/zero
+    clusters keep the previous centroid — then the v8 serve tail
+    against the final centroids."""
+    dot = (
+        "CAST(list_sum(list_transform(range(1, {d} + 1), "
+        "j -> {a}.q[j] * {b}.cq[j])) AS DOUBLE)"
+    )
+    its = []
+    prev = "c0"
+    for i in range(1, iterations + 1):
+        its.append(f"""n{i} AS (
+            SELECT cid, list_sum(list_transform(cq, x -> x * x)) AS nqc
+            FROM {prev}
+        ), s{i} AS (
+            SELECT c.id, ct.cid,
+                   {dot.format(d=dim, a='c', b='ct')}
+                   / sqrt(cn.nqc::DOUBLE) AS score
+            FROM corpus c, {prev} ct JOIN n{i} cn USING (cid)
+        ), a{i} AS (
+            SELECT id, cid FROM (
+                SELECT id, cid,
+                       row_number() OVER (PARTITION BY id
+                                          ORDER BY score DESC, cid) AS rn
+                FROM s{i}) WHERE rn = 1
+        ), u{i} AS (
+            SELECT a.cid, e.pos,
+                   CAST(floor(sum(e.qv)::DOUBLE / count(*)::DOUBLE)
+                        AS BIGINT) AS cv
+            FROM (SELECT id, generate_subscripts(q, 1) AS pos,
+                         unnest(q) AS qv FROM corpus) e
+            JOIN a{i} a USING (id)
+            GROUP BY a.cid, e.pos
+        ), ul{i} AS (
+            SELECT cid, list(cv ORDER BY pos) AS vec FROM u{i} GROUP BY cid
+        ), c{i} AS (
+            SELECT p.cid,
+                   CASE WHEN u.vec IS NOT NULL
+                         AND list_sum(list_transform(u.vec, x -> x * x)) > 0
+                        THEN u.vec ELSE p.cq END AS cq
+            FROM {prev} p LEFT JOIN ul{i} u USING (cid)
+        )""")
+        prev = f"c{i}"
+    chain = ",\n        ".join(its)
+    return f"""
+        WITH allq AS (
+            SELECT vec_id AS id,
+                   list_transform(embedding,
+                       x -> CAST(floor(x::DOUBLE * {scale} + 0.5) AS BIGINT)) AS q
+            FROM embeddings
+        ), corpus AS (
+            SELECT * FROM allq WHERE id <> 0
+        ), qv AS (
+            SELECT q FROM allq WHERE id = 0
+        ), c0 AS (
+            SELECT * FROM (
+                SELECT id AS cid, q AS cq FROM corpus
+                ORDER BY id LIMIT {n_centroids}
+            ) WHERE list_sum(list_transform(cq, x -> x * x)) > 0
+        ),
+        {chain},
+        fnorm AS (
+            SELECT cid, list_sum(list_transform(cq, x -> x * x)) AS nqc
+            FROM {prev}
+        ), fscores AS (
+            SELECT c.id, ct.cid,
+                   {dot.format(d=dim, a='c', b='ct')}
+                   / sqrt(cn.nqc::DOUBLE) AS score
+            FROM corpus c, {prev} ct JOIN fnorm cn USING (cid)
+        ), fassign AS (
+            SELECT id, cid FROM (
+                SELECT id, cid,
+                       row_number() OVER (PARTITION BY id
+                                          ORDER BY score DESC, cid) AS rn
+                FROM fscores) WHERE rn = 1
+        ), qscore AS (
+            SELECT ct.cid,
+                   CAST(list_sum(list_transform(range(1, {dim} + 1),
+                                 j -> qv.q[j] * ct.cq[j])) AS DOUBLE)
+                   / sqrt(cn.nqc::DOUBLE) AS score
+            FROM qv, {prev} ct JOIN fnorm cn USING (cid)
+        ), probes AS (
+            SELECT cid FROM qscore ORDER BY score DESC, cid LIMIT {n_probe}
+        ), cand AS (
+            SELECT c.id, c.q FROM corpus c
+            JOIN fassign a ON a.id = c.id
+            JOIN probes p ON p.cid = a.cid
+            WHERE list_sum(list_transform(c.q, x -> x * x)) > 0
+        ), scored AS (
+            SELECT c.id,
+                   CAST(list_sum(list_transform(range(1, {dim} + 1),
+                                 j -> c.q[j] * qv.q[j])) AS DOUBLE)
+                   / sqrt(list_sum(list_transform(c.q, x -> x * x))::DOUBLE
+                          * list_sum(list_transform(qv.q, x -> x * x))::DOUBLE)
+                   AS cos
+            FROM cand c, qv
+        )
+        SELECT id AS vec_id, round(cos, 6) AS cosine
+        FROM scored ORDER BY cos DESC, id LIMIT {k}
     """
 
 
@@ -3905,6 +4045,7 @@ def oracle_sql() -> dict[str, str]:
         "v3_lsh_topk": _v3_oracle(),
         "v8_ivf_topk_portable": _v8_oracle(),
         "v10_ann_recall": _v10_oracle(),
+        "v11_ivf_trained_portable": _v11_oracle(),
         "w5_funnel": """
             WITH e AS (
                 SELECT user_id, ts, event_type FROM events

@@ -300,14 +300,18 @@ def ivf_topk_portable(
     n_centroids: int = 16,
     n_probe: int = 4,
     scale: int = 1_000_000,
+    centroids: list | None = None,
 ) -> DataFrame:
     """IVF probe path on the engine-portable quantized ints, with FIXED
     centroids (the ``n_centroids`` lowest-id corpus vectors) instead of
     trained ones — index *training* is an offline job in any real ANN
     system, and pinning the centroids makes the entire serve path
     (assignment → probe selection → re-rank) exact integer/IEEE
-    arithmetic, hence oracle-checkable. For trained centroids use
-    :func:`ivf_topk`/:func:`build_ivf_index`; the plan shape is
+    arithmetic, hence oracle-checkable. Pass ``centroids`` (a
+    ``[(cid, [int components]), ...]`` list, e.g. from
+    :func:`kmeans_centroids_portable`) to serve a TRAINED portable
+    index with the same exactness; for float/numpy training use
+    :func:`ivf_topk`/:func:`build_ivf_index` — the plan shape is
     identical.
 
     Assignment is relational (explode + broadcast centroid components +
@@ -325,14 +329,17 @@ def ivf_topk_portable(
     q = df.select(
         F.col(id_col).alias("id"), _quantize_col(vec_col, scale).alias("q")
     )
-    cent_rows = q.orderBy("id").limit(n_centroids).collect()
-    # zero-norm centroids dropped (cosine-to-centroid undefined there);
-    # selection-then-filter order is mirrored by the oracle
-    cents = [
-        (r["id"], [int(v) for v in r["q"]])
-        for r in cent_rows
-        if any(v != 0 for v in r["q"])
-    ]
+    if centroids is not None:
+        cents = list(centroids)
+    else:
+        cent_rows = q.orderBy("id").limit(n_centroids).collect()
+        # zero-norm centroids dropped (cosine-to-centroid undefined
+        # there); selection-then-filter order is mirrored by the oracle
+        cents = [
+            (r["id"], [int(v) for v in r["q"]])
+            for r in cent_rows
+            if any(v != 0 for v in r["q"])
+        ]
     if not cents:
         return spark.createDataFrame(
             [],
@@ -701,3 +708,75 @@ def ivf_topk_indexed(
         )
     )
     return scored.orderBy(F.col("cosine").desc(), F.col(id_col)).limit(k)
+
+
+def kmeans_centroids_portable(
+    df: DataFrame,
+    n_centroids: int = 16,
+    iterations: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    scale: int = 1_000_000,
+) -> list:
+    """ENGINE-PORTABLE k-means over the quantized-int vectors: Lloyd
+    iterations where assignment uses the shared exact-arithmetic
+    contract (:func:`assign_fixed_centroids` — integer dot / sqrt of
+    integer norm, (score DESC, cid) tiebreak) and the update is the
+    per-dimension ``floor(sum/count)`` INTEGER mean (the double
+    division is IEEE-identical in any engine, so the floor is too).
+    Seeds are the ``n_centroids`` lowest-id corpus vectors; a cluster
+    that empties (or averages to the zero vector) keeps its previous
+    centroid. Every step is deterministic and replayable in plain SQL —
+    the trained-index analogue of the fixed-centroid serve path.
+
+    Distributed train: each iteration is one assignment (O(N·D·C)
+    relational form) + one (cid, dim) aggregation; only the C×D
+    centroid matrix ever reaches the driver. float/numpy training
+    (:func:`kmeans_centroids`) remains the fast path where cross-engine
+    replay is not required.
+
+    Returns driver-side ``[(cid, [int components]), ...]`` for
+    :func:`ivf_topk_portable`'s ``centroids`` parameter.
+    """
+    id_type = df.schema[id_col].dataType
+    q = df.select(
+        F.col(id_col).alias("id"), _quantize_col(vec_col, scale).alias("q")
+    )
+    seed_rows = q.orderBy("id").limit(n_centroids).collect()
+    cents = [
+        (r["id"], [int(v) for v in r["q"]])
+        for r in seed_rows
+        if any(v != 0 for v in r["q"])
+    ]
+    if not cents:
+        return []
+    for _ in range(iterations):
+        assign = assign_fixed_centroids(q, cents, id_type)
+        upd_rows = (
+            q.join(assign, on="id")
+            .select("cid", F.posexplode("q").alias("pos", "qv"))
+            .groupBy("cid", "pos")
+            .agg(
+                F.floor(
+                    F.sum("qv").cast("double")
+                    / F.count(F.lit(1)).cast("double")
+                )
+                .cast("long")
+                .alias("cv")
+            )
+            .collect()
+        )
+        by_cid: dict = {}
+        for r in upd_rows:
+            by_cid.setdefault(r["cid"], {})[r["pos"]] = int(r["cv"])
+        new_cents = []
+        for cid, old in cents:
+            comp = by_cid.get(cid)
+            if comp:
+                vec = [comp.get(p, 0) for p in range(len(old))]
+                if any(v != 0 for v in vec):
+                    new_cents.append((cid, vec))
+                    continue
+            new_cents.append((cid, old))  # empty/zero cluster: keep
+        cents = new_cents
+    return cents

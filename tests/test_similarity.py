@@ -226,3 +226,35 @@ def test_ivf_portable_empty_schema_matches_input_dtype(spark):
     out = ivf_topk_portable(df, [1.0, 0.0], k=3, n_centroids=2)
     assert out.schema["vec_id"].dataType.simpleString() == "string"
     assert out.count() == 0
+
+
+def test_kmeans_centroids_portable(spark):
+    from ftm_columnstore_spark.operators.similarity import (
+        ivf_topk_portable,
+        kmeans_centroids_portable,
+    )
+
+    # two tight clusters around (1,0) and (0,1); seeds = lowest 2 ids
+    rows = [
+        (1, [1.0, 0.01]), (2, [0.0, 1.0]),          # seeds, one per cluster
+        (3, [0.9, 0.0]), (4, [1.0, 0.1]),
+        (5, [0.05, 0.9]), (6, [0.0, 1.1]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cents = kmeans_centroids_portable(df, n_centroids=2, iterations=2)
+    assert [cid for cid, _ in cents] == [1, 2]
+    (c1, v1), (c2, v2) = cents
+    # cluster means land near the cluster axes (quantized at 1e6)
+    assert v1[0] > 800_000 and abs(v1[1]) < 100_000
+    assert v2[1] > 800_000 and abs(v2[0]) < 100_000
+
+    # trained centroids serve through the same exact path
+    out = ivf_topk_portable(
+        df, [1.0, 0.0], k=3, n_probe=1, centroids=cents
+    ).collect()
+    assert [r["vec_id"] for r in out[:1]] == [3]  # exact [0.9, 0] match
+
+    # empty input -> empty centroid list
+    assert kmeans_centroids_portable(
+        df.where("vec_id > 99"), n_centroids=2
+    ) == []
