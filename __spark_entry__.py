@@ -2331,6 +2331,29 @@ def j18_edit1_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def t19_pack_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine-portable sequence packing (operators/sampling.py:
+    pack_sequences_portable): md5-bucketed next-fit-decreasing at a
+    256-token budget — the previously rows-only packing family member
+    in auditable form (the oracle replays the sequential fill with a
+    recursive CTE)."""
+    from ftm_columnstore_spark.functions.text import word_tokens_col
+    from ftm_columnstore_spark.operators.sampling import (
+        pack_sequences_portable,
+    )
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.size(word_tokens_col("text")).alias("n_tokens")
+    )
+    return pack_sequences_portable(d, budget=256, n_buckets=8).select(
+        F.col("id").alias("doc_id"),
+        F.col("size").alias("n_tokens"),
+        "bucket",
+        "bin_no",
+        "bin_fill",
+    )
+
+
 def a21_data_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deequ-style data-quality gate (operators/validation.py:
     check_report): declarative constraints over the documents table
@@ -2432,6 +2455,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a21_data_checks": a21_data_checks,
         "j18_edit1_name_pairs": j18_edit1_name_pairs,
         "v11_ivf_trained_portable": v11_ivf_trained_portable,
+        "t19_pack_portable": t19_pack_portable,
         # NON-SQL — rows-only (m6: binary codecs; x5: metaphone; v5:
         # iterative k-means training; t9: per-partition bin packing).
         # m6/x5 first: if the driver's correctness window caps out, the
@@ -3936,6 +3960,37 @@ def oracle_sql() -> dict[str, str]:
                    list_sum(list_transform(range(a, b),
                             i -> (i * k) % 2048 - 1024))::BIGINT AS pcm_sum
             FROM frames
+        """,
+        "t19_pack_portable": """
+            WITH RECURSIVE sized AS (
+                SELECT doc_id AS id,
+                       len(list_filter(
+                           string_split_regex(lower(coalesce(text, '')),
+                                              '[^a-z0-9]+'),
+                           x -> x <> ''))::BIGINT AS size,
+                       (('0x' || substr(md5('' || doc_id), 1, 8))::BIGINT
+                        % 8)::INT AS bucket
+                FROM documents
+            ), ordered AS (
+                SELECT id, size, bucket,
+                       row_number() OVER (PARTITION BY bucket
+                                          ORDER BY size DESC, id) AS rnk
+                FROM sized
+            ), r AS (
+                SELECT bucket, rnk, id, size,
+                       size AS bin_fill, 0::BIGINT AS bin_no
+                FROM ordered WHERE rnk = 1
+                UNION ALL
+                SELECT o.bucket, o.rnk, o.id, o.size,
+                       CASE WHEN r.bin_fill + o.size <= 256
+                            THEN r.bin_fill + o.size ELSE o.size END,
+                       CASE WHEN r.bin_fill + o.size <= 256
+                            THEN r.bin_no ELSE r.bin_no + 1 END
+                FROM ordered o
+                JOIN r ON o.bucket = r.bucket AND o.rnk = r.rnk + 1
+            )
+            SELECT id AS doc_id, size AS n_tokens, bucket, bin_no, bin_fill
+            FROM r
         """,
         "j18_edit1_name_pairs": """
             WITH s AS (

@@ -341,3 +341,73 @@ def write_training_shards(
             F.sum(F.size(word_tokens_col(text_col))).alias("n_tokens")
         )
     return written.groupBy("shard").agg(*aggs).orderBy("shard")
+
+
+def pack_sequences_portable(
+    df: DataFrame,
+    budget: int,
+    size_col: str = "n_tokens",
+    id_col: str = "doc_id",
+    n_buckets: int = 8,
+    seed: str = "",
+) -> DataFrame:
+    """ENGINE-PORTABLE sequence packing: documents hash into
+    ``n_buckets`` md5 buckets (the :func:`shard_assignment_col`
+    contract); each bucket packs independently by NEXT-fit-decreasing —
+    items in (size DESC, id) order, a new bin whenever the current one
+    cannot take the next item, oversized items alone in their bin.
+    Unlike :func:`pack_sequences`' best-fit (whose bisect state resists
+    SQL replay), the next-fit fill is a single sequential recurrence a
+    recursive CTE replays row-for-row — the price is the weaker 2·OPT
+    (vs 11/9·OPT) waste bound; use the best-fit path when cross-engine
+    audit of the assignment is not required.
+
+    Scale shape identical to :func:`pack_sequences`: one shuffle on the
+    bucket, one deterministic per-group pass (applyInPandas), no
+    coordination between buckets.
+
+    Output: (id, size, bucket, bin_no, bin_fill) — ``bin_fill`` the
+    running fill after placing the item (audit column).
+    """
+    import pandas as pd
+
+    if budget <= 0:
+        raise ValueError(f"budget must be > 0, got {budget}")
+    out_schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("size", T.LongType()),
+            T.StructField("bucket", T.IntegerType()),
+            T.StructField("bin_no", T.LongType()),
+            T.StructField("bin_fill", T.LongType()),
+        ]
+    )
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(
+            ["size", "id"], ascending=[False, True]
+        ).reset_index(drop=True)
+        bins, fills = [], []
+        bin_no, fill = 0, 0
+        first = True
+        for s in pdf["size"]:
+            s = int(s)
+            if first:
+                bin_no, fill, first = 0, s, False
+            elif fill + s <= budget:
+                fill += s
+            else:
+                bin_no += 1
+                fill = s
+            bins.append(bin_no)
+            fills.append(fill)
+        pdf["bin_no"] = pd.Series(bins, dtype="int64")
+        pdf["bin_fill"] = pd.Series(fills, dtype="int64")
+        return pdf[["id", "size", "bucket", "bin_no", "bin_fill"]]
+
+    base = df.select(
+        F.col(id_col).cast("long").alias("id"),
+        F.col(size_col).cast("long").alias("size"),
+        shard_assignment_col(id_col, n_buckets, seed).alias("bucket"),
+    )
+    return base.groupBy("bucket").applyInPandas(pack, out_schema)

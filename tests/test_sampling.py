@@ -261,3 +261,36 @@ def test_write_training_shards(spark, tmp_path):
 
     with _pytest.raises(ValueError):
         write_training_shards(df, path, n_shards=0)
+
+
+def test_pack_sequences_portable(spark):
+    import pytest as _pytest
+
+    from ftm_columnstore_spark.operators.sampling import (
+        pack_sequences_portable,
+    )
+
+    df = spark.createDataFrame(
+        [(i, s) for i, s in enumerate([90, 80, 50, 40, 30, 300])],
+        ["doc_id", "n_tokens"],
+    )
+    out = pack_sequences_portable(df, budget=100, n_buckets=1).collect()
+    rows = {r["id"]: r for r in out}
+    # next-fit-decreasing order: 300, 90, 80, 50, 40, 30
+    # 300 alone (oversized) -> bin 0; 90 -> bin 1; 80 -> bin 2;
+    # 50+40 -> bin 3 (90<=100); 30 doesn't fit (90+30>100)? fits: 90+30=120>100
+    assert rows[5]["bin_no"] == 0 and rows[5]["bin_fill"] == 300
+    assert rows[0]["bin_no"] == 1
+    assert rows[1]["bin_no"] == 2
+    assert rows[2]["bin_no"] == 3 and rows[3]["bin_no"] == 3
+    assert rows[3]["bin_fill"] == 90
+    assert rows[4]["bin_no"] == 4  # 30 opens a new bin
+    # every bin respects the budget unless it holds one oversized item
+    by_bin = {}
+    for r in out:
+        by_bin.setdefault(r["bin_no"], []).append(r["size"])
+    for sizes in by_bin.values():
+        assert sum(sizes) <= 100 or len(sizes) == 1
+
+    with _pytest.raises(ValueError):
+        pack_sequences_portable(df, budget=0)
