@@ -2279,7 +2279,10 @@ def m8_resize_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.mapInPandas(gen, "media_id long, payload binary"),
         mime="image/bmp",
     )
-    resized = resize_images(media, width=4, height=4, fake=False)
+    # nearest=True: pins the numpy resampler so the oracle's (2y, 2x)
+    # subgrid replay holds whether or not Pillow is installed
+    resized = resize_images(media, width=4, height=4, fake=False,
+                            nearest=True)
     feats = extract_features(resized, dim=16, fake=False)
     return feats.select(
         "media_id",
@@ -4023,7 +4026,10 @@ def oracle_sql() -> dict[str, str]:
                             (n_chars < 0 OR n_chars > 100000))::INT) AS oob
                 FROM documents
             ), uniq AS (
-                SELECT count(DISTINCT doc_id) AS dist, count(*) AS total
+                -- uniqueness among PRESENT values: both counts ignore
+                -- nulls, mirroring check_report's count_distinct/count
+                SELECT count(DISTINCT doc_id) AS dist,
+                       count(doc_id) AS total
                 FROM documents
             )
             SELECT 'min_rows' AS check, n::DOUBLE AS observed,

@@ -122,8 +122,12 @@ def main(argv: list[str] | None = None) -> int:
             text_col=args.text_col,
             id_col=args.id_col,
             quality=(
+                # neutralize every OTHER gate rule: the flag promises a
+                # token floor, not the full English-tuned Gopher config
+                # (alnum/word-length defaults would drop non-Latin docs)
                 {"min_tokens": args.min_tokens, "min_stopwords": 0,
-                 "min_mean_word_len": 0.0}
+                 "min_mean_word_len": 0.0, "max_mean_word_len": 1e9,
+                 "min_alnum_ratio": 0.0}
                 if args.min_tokens is not None
                 else None
             ),
@@ -149,10 +153,12 @@ def main(argv: list[str] | None = None) -> int:
                 print(json.dumps(row.asDict()))
         else:
             cleaned.write.mode("overwrite").parquet(args.output)
+            # count the WRITTEN files — recounting `cleaned` would
+            # re-execute the whole pipeline
+            kept = spark.read.parquet(args.output).count()
             print(
                 json.dumps(
-                    {"in": docs.count(), "kept": cleaned.count(),
-                     "out": args.output}
+                    {"in": docs.count(), "kept": kept, "out": args.output}
                 )
             )
     return 0

@@ -109,9 +109,22 @@ def resize_nearest(pixels: np.ndarray, width: int, height: int) -> np.ndarray:
     return pixels[ys][:, xs]
 
 
-def resize_image(payload: bytes, width: int, height: int) -> bytes:
-    """Decode → resize → re-encode. Pillow path keeps PIL's resampler;
-    the BMP path is nearest-neighbour numpy."""
+def resize_image(
+    payload: bytes, width: int, height: int, nearest: bool = False
+) -> bytes:
+    """Decode → resize → re-encode. Pillow path keeps PIL's default
+    resampler; the BMP path is nearest-neighbour numpy.
+    ``nearest=True`` forces the nearest-neighbour resampler regardless
+    of Pillow availability — the ENVIRONMENT-INDEPENDENT contract the
+    oracle-checked m8 query depends on (PIL's default is bicubic, which
+    would change the pixels wherever Pillow happens to be installed)."""
+    if nearest:
+        # decode_image (PIL or BMP) → OUR resampler: identical pixels
+        # in every environment (PIL's own NEAREST samples a different
+        # grid than the i*h//height contract the oracle replays)
+        return encode_bmp(
+            resize_nearest(decode_image(payload), width, height)
+        )
     if has_pil():
         import PIL.Image
 

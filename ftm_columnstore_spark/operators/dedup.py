@@ -1372,8 +1372,12 @@ def exact_substring_dedup_cross(
         corpus_grams = corpus_gram_index(corpus, text_col, id_col, k)
     docs = _tokenized_docs(batch, text_col, id_col, keep_order_col)
     grams = _doc_grams(docs, k)
+    # no .distinct() on the index side: corpus_gram_index is already
+    # distinct, and leftsemi is set-semantics anyway — a redundant
+    # distinct would re-shuffle the ENTIRE persisted index every
+    # micro-batch
     in_corpus = grams.join(
-        corpus_grams.select("h").distinct(), on="h", how="leftsemi"
+        corpus_grams.select("h"), on="h", how="leftsemi"
     ).select("id", "pos")
     if not within_batch:
         return _cut_dup_spans(docs, in_corpus, k)

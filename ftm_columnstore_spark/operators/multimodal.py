@@ -173,14 +173,17 @@ def sample_frames(
 
 
 def _resize_image(
-    payload: bytes, width: int, height: int, fake: bool
+    payload: bytes, width: int, height: int, fake: bool,
+    nearest: bool = False,
 ) -> bytes:
     """Image resize: Pillow resample when importable, else pure-numpy
-    nearest-neighbour over BMP; stand-in only when ``fake=True``."""
+    nearest-neighbour over BMP; stand-in only when ``fake=True``.
+    ``nearest=True`` forces the environment-independent numpy
+    resampler."""
     from ftm_columnstore_spark.operators import codecs
 
     try:
-        return codecs.resize_image(payload, width, height)
+        return codecs.resize_image(payload, width, height, nearest=nearest)
     except Exception as exc:  # struct errors on arbitrary bytes
         if not fake:
             raise NotImplementedError(
@@ -201,6 +204,7 @@ def resize_images(
     id_col: str = "media_id",
     payload_col: str = "payload",
     fake: bool = False,
+    nearest: bool = False,
 ) -> DataFrame:
     """binary → resized binary + updated meta dims, mapInPandas. The
     output keeps the (payload, meta) column pair so resized media flows
@@ -216,7 +220,7 @@ def resize_images(
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             resized = [
-                _resize_image(bytes(p), width, height, fake)
+                _resize_image(bytes(p), width, height, fake, nearest)
                 for p in pdf[payload_col]
             ]
             metas = [

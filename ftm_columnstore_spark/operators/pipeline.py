@@ -83,10 +83,13 @@ def prepare_training_data(
         graded = perplexity_buckets(
             out, text_col=text_col, id_col=id_col, **kwargs
         )
-        keep_ids = graded.where(
-            F.col("bucket").isin(*keep_buckets)
+        # docs with < 2 tokens have no bigrams and thus no grade — they
+        # are KEPT (ungradable != bad; dropping tiny docs is the quality
+        # gate's job), so keeping every bucket stays a no-op
+        drop_ids = graded.where(
+            ~F.col("bucket").isin(*keep_buckets)
         ).select(F.col("id").alias(id_col))
-        out = out.join(keep_ids, on=id_col, how="left_semi")
+        out = out.join(drop_ids, on=id_col, how="left_anti")
     if line_dedup_sep is not None:
         cleaned = line_dedup(
             out, text_col=text_col, id_col=id_col, sep=line_dedup_sep
@@ -102,9 +105,14 @@ def prepare_training_data(
         )
     out = dedup_exact(out, text_col=text_col, id_col=id_col)
     if substring_dedup is not None:
+        # drop a doc only when spans consumed ALL of a non-empty token
+        # stream; zero-token docs had nothing duplicated and stay
         cut = exact_substring_dedup(
             out, text_col=text_col, id_col=id_col, **substring_dedup
-        ).where(F.col("n_tokens") > F.col("n_removed"))
+        ).where(
+            (F.col("n_tokens") > F.col("n_removed"))
+            | (F.col("n_removed") == 0)
+        )
         out = out.drop(text_col).join(
             cut.select(
                 F.col("id").alias(id_col), F.col("text").alias(text_col)

@@ -373,9 +373,11 @@ def pack_sequences_portable(
 
     if budget <= 0:
         raise ValueError(f"budget must be > 0, got {budget}")
+    # ids keep their NATIVE dtype (string entity ids work like numeric
+    # doc ids; a long cast would null them out and break determinism)
     out_schema = T.StructType(
         [
-            T.StructField("id", T.LongType()),
+            T.StructField("id", df.schema[id_col].dataType),
             T.StructField("size", T.LongType()),
             T.StructField("bucket", T.IntegerType()),
             T.StructField("bin_no", T.LongType()),
@@ -406,7 +408,7 @@ def pack_sequences_portable(
         return pdf[["id", "size", "bucket", "bin_no", "bin_fill"]]
 
     base = df.select(
-        F.col(id_col).cast("long").alias("id"),
+        F.col(id_col).alias("id"),
         F.col(size_col).cast("long").alias("size"),
         shard_assignment_col(id_col, n_buckets, seed).alias("bucket"),
     )

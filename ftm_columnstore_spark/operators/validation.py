@@ -100,16 +100,17 @@ def check_report(
             )
         )
     for c in unique or []:
-        # two-stage distinct-then-count: the (value) shuffle spreads hot
-        # values, so no single reducer sees a mega-group
-        dist = df.select(c).distinct().count()
-        total = df.count()
+        # lazy, one aggregation per column: distinct vs non-null counts
+        # (count_distinct ignores nulls; so does the non-null total —
+        # uniqueness is judged among present values). Spark plans the
+        # distinct as a two-stage agg, so hot values spread.
+        u = df.agg(
+            F.count_distinct(F.col(c)).cast("double").alias("observed"),
+            F.count(F.col(c)).cast("double").alias("threshold"),
+        )
         reports.append(
-            df.sparkSession.createDataFrame(
-                [(f"unique:{c}", float(dist), float(total))],
-                ["check", "observed", "threshold"],
-            ).select(
-                "check",
+            u.select(
+                F.lit(f"unique:{c}").alias("check"),
                 "observed",
                 "threshold",
                 (F.col("observed") == F.col("threshold")).alias("passed"),

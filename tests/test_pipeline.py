@@ -170,3 +170,27 @@ def test_investigative_workflow_composition(spark, tmp_path):
     assert set(pr) == {"a", "b", "c"}
     # symmetric triangle -> equal centrality
     assert max(pr.values()) - min(pr.values()) < 1e-9
+
+
+def test_pipeline_keeps_ungradable_and_tokenless_docs(spark):
+    """Review regressions: (1) keeping every perplexity bucket is a
+    no-op even for one-token docs (no bigrams -> ungradable -> kept);
+    (2) the substring stage never drops zero-token docs."""
+    from ftm_columnstore_spark.operators.pipeline import prepare_training_data
+
+    docs = spark.createDataFrame(
+        [(1, "solo"), (2, "a b c d e f g longer doc here"), (3, "!!!")],
+        ["doc_id", "text"],
+    )
+    out = prepare_training_data(
+        docs,
+        line_dedup_sep=None,
+        perplexity={"cutoffs": (0.001, 99.0),
+                    "keep": ("head", "middle", "tail")},
+    )
+    assert {r.doc_id for r in out.collect()} == {1, 2, 3}
+
+    out2 = prepare_training_data(
+        docs, line_dedup_sep=None, substring_dedup={"k": 8}
+    )
+    assert {r.doc_id for r in out2.collect()} == {1, 2, 3}
