@@ -1066,6 +1066,24 @@ def t18_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def t20_cross_corpus_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference-corpus LM scoring (operators/text.py:train_bigram_lm +
+    score_with_bigram_lm — the real CCNet shape): the LM trains on
+    documents < 250 and scores documents >= 250; bigrams unseen in the
+    reference fall back to the k-smoothed floor, so out-of-domain text
+    scores high."""
+    from ftm_columnstore_spark.operators.text import (
+        score_with_bigram_lm,
+        train_bigram_lm,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    lm = train_bigram_lm(d.where(F.col("doc_id") < 250))
+    return score_with_bigram_lm(
+        d.where(F.col("doc_id") >= 250), lm
+    ).withColumnRenamed("id", "doc_id")
+
+
 def t12_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 characteristic terms per doc by smoothed TF-IDF."""
     from ftm_columnstore_spark.operators.text import tfidf_top_terms
@@ -2459,6 +2477,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "j18_edit1_name_pairs": j18_edit1_name_pairs,
         "v11_ivf_trained_portable": v11_ivf_trained_portable,
         "t19_pack_portable": t19_pack_portable,
+        "t20_cross_corpus_lm": t20_cross_corpus_lm,
         # NON-SQL — rows-only (m6: binary codecs; x5: metaphone; v5:
         # iterative k-means training; t9: per-partition bin packing).
         # m6/x5 first: if the driver's correctness window caps out, the
@@ -4472,6 +4491,42 @@ def oracle_sql() -> dict[str, str]:
                    round(avg((ln(c1.c1 + 0.5 * v.vs) - ln(c2.c2 + 0.5))
                              / ln(2)), 6) AS bits_per_bigram
             FROM big JOIN c2 USING (w1, w2) JOIN c1 USING (w1), v
+            GROUP BY id
+        """,
+        "t20_cross_corpus_lm": """
+            WITH toks AS (
+                SELECT doc_id AS id,
+                       list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                                   x -> x <> '') AS tk
+                FROM documents WHERE text IS NOT NULL
+            ), ref AS (
+                SELECT * FROM toks WHERE id < 250
+            ), v AS (
+                SELECT count(DISTINCT w) AS vs
+                FROM (SELECT unnest(tk) AS w FROM ref)
+            ), refbig AS (
+                SELECT bg.w1 AS w1, bg.w2 AS w2
+                FROM (SELECT unnest(list_transform(range(1, len(tk)),
+                             i -> {'w1': tk[i], 'w2': tk[i+1]})) AS bg
+                      FROM ref WHERE len(tk) >= 2)
+            ), c2 AS (
+                SELECT w1, w2, count(*) AS c2 FROM refbig GROUP BY w1, w2
+            ), c1 AS (
+                SELECT w1, count(*) AS c1 FROM refbig GROUP BY w1
+            ), big AS (
+                SELECT id, bg.w1 AS w1, bg.w2 AS w2
+                FROM (SELECT id,
+                             unnest(list_transform(range(1, len(tk)),
+                                    i -> {'w1': tk[i], 'w2': tk[i+1]})) AS bg
+                      FROM toks WHERE id >= 250 AND len(tk) >= 2)
+            )
+            SELECT id AS doc_id, count(*) AS n_bigrams,
+                   round(avg((ln(coalesce(c1.c1, 0) + 0.5 * v.vs)
+                              - ln(coalesce(c2.c2, 0) + 0.5)) / ln(2)),
+                         6) AS bits_per_bigram
+            FROM big
+            LEFT JOIN c2 USING (w1, w2)
+            LEFT JOIN c1 USING (w1), v
             GROUP BY id
         """,
         "t17_perplexity_buckets": """

@@ -585,3 +585,85 @@ def chunk_documents(
         F.size(piece).alias("n_chunk_tokens"),
         F.array_join(piece, " ").alias("text"),
     )
+
+
+def train_bigram_lm(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> tuple:
+    """Train the add-k bigram LM's sufficient statistics on a REFERENCE
+    corpus: returns ``(c2, c1, vocab_size)`` where ``c2`` is the
+    (w1, w2, c2) bigram-count relation, ``c1`` the (w1, c1) unigram-
+    context counts, and ``vocab_size`` the distinct-token count.
+    Persist the two relations to score many batches (or micro-batches)
+    against one fixed reference distribution — the actual CCNet shape,
+    where the LM is trained once on trusted text and applied to
+    everything ingested afterwards (:func:`bigram_lm_scores` trains and
+    scores on the SAME corpus; this split decouples them).
+
+    Both relations are map-side-combinable aggregations on token keys;
+    their size is vocabulary-bounded, independent of corpus size."""
+    from pyspark.sql import Window
+
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(word_tokens_col(text_col)).alias("pos", "w"),
+    )
+    vocab_size = toks.select("w").distinct().count()
+    w = Window.partitionBy("id").orderBy("pos")
+    big = (
+        toks.withColumn("w1", F.lag("w").over(w))
+        .filter(F.col("w1").isNotNull())
+        .select("w1", F.col("w").alias("w2"))
+    )
+    c2 = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    c1 = big.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    return c2, c1, vocab_size
+
+
+def score_with_bigram_lm(
+    df: DataFrame,
+    lm: tuple,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: float = 0.5,
+) -> DataFrame:
+    """Score documents against a PRE-TRAINED bigram LM (from
+    :func:`train_bigram_lm`): bits/bigram of ``-log2 P(w2|w1)`` with
+    ``P = (c2 + k) / (c1 + k·V)``; bigrams unseen in the reference
+    corpus fall back to c2=0 (and c1=0 for unseen contexts), so
+    out-of-domain text scores high — exactly the screening signal.
+
+    One per-doc window pass + one left join against the (vocabulary-
+    bounded, broadcastable) count relations. Output:
+    (id, n_bigrams, bits_per_bigram)."""
+    from pyspark.sql import Window
+
+    c2, c1, vocab_size = lm
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(word_tokens_col(text_col)).alias("pos", "w"),
+    )
+    w = Window.partitionBy("id").orderBy("pos")
+    big = (
+        toks.withColumn("w1", F.lag("w").over(w))
+        .filter(F.col("w1").isNotNull())
+        .select("id", "w1", F.col("w").alias("w2"))
+    )
+    joined = (
+        big.join(c2, on=["w1", "w2"], how="left")
+        .join(c1, on="w1", how="left")
+        .withColumn("__c2", F.coalesce("c2", F.lit(0)))
+        .withColumn("__c1", F.coalesce("c1", F.lit(0)))
+    )
+    bits = (
+        F.log(
+            F.col("__c1").cast("double") + F.lit(float(k) * vocab_size)
+        )
+        - F.log(F.col("__c2").cast("double") + F.lit(float(k)))
+    ) / F.log(F.lit(2.0))
+    return joined.groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.round(F.avg(bits), 6).alias("bits_per_bigram"),
+    )

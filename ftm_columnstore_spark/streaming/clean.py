@@ -1,0 +1,161 @@
+"""Streaming training-data cleanup: the whole ingest-time pipeline —
+Gopher quality gate → reference-corpus LM screen → MinHash near-dup
+drop against a corpus signature index → ExactSubstr span cut against a
+corpus gram index — as ONE foreachBatch stream whose reference artifacts
+(LM counts, gram index, banded signatures) are built from the static
+corpus once at stream start and persisted across micro-batches.
+
+Each stage reuses the exact batch operator, so streaming ingest and a
+batch backfill of the same files produce identical survivors and
+identical cleaned text — one cleanup semantics, not two (the same
+contract streaming/dedup.py establishes for its single-stage streams).
+
+Per micro-batch cost: columnar gate scan + batch-sized LM join (the
+count relations are vocabulary-bounded and broadcastable) + batch gram
+probe + batch signing/banding. The corpus is never rescanned.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+
+def stream_clean_against_corpus(
+    spark: SparkSession,
+    source_path: str,
+    corpus: DataFrame,
+    out_path: str,
+    checkpoint_path: str,
+    schema,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    quality: dict | None = None,
+    max_bits_per_bigram: float | None = None,
+    substring_k: int | None = 8,
+    near_dedup: dict | None = None,
+    available_now: bool = False,
+) -> StreamingQuery:
+    """Start the cleanup stream; returns the StreamingQuery handle.
+
+    Stage toggles mirror :func:`~ftm_columnstore_spark.operators.
+    pipeline.prepare_training_data`: ``quality`` = quality_gate kwargs
+    (None → skip); ``max_bits_per_bigram`` screens against the
+    corpus-trained LM (None → skip); ``substring_k`` cuts duplicated
+    spans (None → skip); ``near_dedup`` = minhash kwargs for the
+    corpus-index drop (None → skip)."""
+    from ftm_columnstore_spark.operators.dedup import (
+        _band_relation,
+        corpus_gram_index,
+        cross_pairs_from_banded,
+        minhash_signature,
+    )
+    from ftm_columnstore_spark.operators.text import (
+        quality_gate,
+        score_with_bigram_lm,
+        train_bigram_lm,
+    )
+
+    cached = []
+    lm = None
+    if max_bits_per_bigram is not None:
+        c2, c1, vocab = train_bigram_lm(corpus, text_col, id_col)
+        c2, c1 = c2.persist(), c1.persist()
+        cached += [c2, c1]
+        lm = (c2, c1, vocab)
+    grams = None
+    if substring_k is not None:
+        grams = corpus_gram_index(
+            corpus, text_col, id_col, substring_k
+        ).persist()
+        cached.append(grams)
+    banded = None
+    nd = dict(near_dedup or {})
+    min_jaccard_est = nd.pop("min_jaccard_est", 0.5)
+    if near_dedup is not None:
+        banded = _band_relation(
+            minhash_signature(
+                corpus,
+                text_col,
+                id_col,
+                nd.get("num_hashes", 32),
+                nd.get("shingle_k", 3),
+            ),
+            nd.get("num_bands", 8),
+        ).persist()
+        cached.append(banded)
+
+    def process(batch_df: DataFrame, _batch_id: int) -> None:
+        out = batch_df
+        if out.isEmpty():
+            return
+        if quality is not None:
+            gate = quality_gate(
+                out, text_col=text_col, id_col=id_col, **quality
+            )
+            keep = gate.where(F.col("keep")).select(
+                F.col("id").alias(id_col)
+            )
+            out = out.join(keep, on=id_col, how="left_semi")
+        if lm is not None:
+            scored = score_with_bigram_lm(out, lm, text_col, id_col)
+            bad = scored.where(
+                F.col("bits_per_bigram") > max_bits_per_bigram
+            ).select(F.col("id").alias(id_col))
+            out = out.join(bad, on=id_col, how="left_anti")
+        if banded is not None:
+            # near-dup drop BEFORE the span cut: a document fully
+            # contained in the corpus would otherwise be cut down to
+            # crumbs the signature can no longer recognise (the same
+            # dedup-before-span pipeline-order lesson as the batch path)
+            sigs = minhash_signature(
+                out,
+                text_col,
+                id_col,
+                nd.get("num_hashes", 32),
+                nd.get("shingle_k", 3),
+            )
+            dup_ids = (
+                cross_pairs_from_banded(
+                    _band_relation(sigs, nd.get("num_bands", 8)),
+                    banded,
+                    min_jaccard_est,
+                )
+                .select(F.col("new_id").alias(id_col))
+                .distinct()
+            )
+            out = out.join(dup_ids, on=id_col, how="left_anti")
+        if grams is not None:
+            from ftm_columnstore_spark.operators.dedup import (
+                exact_substring_dedup_cross,
+            )
+
+            cut = exact_substring_dedup_cross(
+                out,
+                corpus_grams=grams,
+                text_col=text_col,
+                id_col=id_col,
+                k=substring_k,
+            ).where(
+                (F.col("n_tokens") > F.col("n_removed"))
+                | (F.col("n_removed") == 0)
+            )
+            out = out.drop(text_col).join(
+                cut.select(
+                    F.col("id").alias(id_col),
+                    F.col("text").alias(text_col),
+                ),
+                on=id_col,
+            )
+        out.write.mode("append").parquet(out_path)
+
+    docs = spark.readStream.schema(schema).json(source_path)
+    writer = docs.writeStream.foreachBatch(process).option(
+        "checkpointLocation", checkpoint_path
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    query = writer.start()
+    query._cached_intermediates = cached
+    return query

@@ -424,3 +424,74 @@ def test_stream_substring_cut_against_corpus(spark, tmp_path):
     assert rows[100]["text"] == "intro outro"
     assert rows[100]["n_removed"] == 10
     assert rows[101]["n_removed"] == 0
+
+
+def test_stream_clean_against_corpus(spark, tmp_path):
+    """Full ingest-time cleanup stream: gate, reference-LM screen,
+    span cut, and near-dup drop compose over persisted corpus indices."""
+    import json
+
+    from pyspark.sql import types as T
+
+    from ftm_columnstore_spark.streaming.clean import (
+        stream_clean_against_corpus,
+    )
+
+    fluent = ("the quick brown fox jumps over the lazy dog and the dog "
+              "sleeps while the fox runs through the field again and again")
+    span = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    corpus = spark.createDataFrame(
+        [(1, f"{fluent} {span}")], "doc_id long, text string"
+    )
+    incoming = [
+        # near dup of the corpus doc -> dropped by the minhash stage
+        {"doc_id": 100, "text": f"{fluent} {span} extra"},
+        # copies the span only -> span cut, doc survives with it removed
+        # (wording reuses corpus vocabulary so the LM screen passes it)
+        {"doc_id": 101, "text": f"the fox runs and the dog sleeps then {span} "
+                                "the fox jumps again and again"},
+        # gibberish -> dropped by the LM screen
+        {"doc_id": 102, "text": "zz qq xx vv kk jj pp ww zz qq xx vv kk"},
+        # too short -> dropped by the gate
+        {"doc_id": 103, "text": "tiny"},
+        # clean novel text in-domain -> kept untouched
+        {"doc_id": 104, "text": "the fox and the dog meet again over the "
+                                "field and the quick fox jumps over the dog"},
+    ]
+    src = tmp_path / "clean_in"
+    src.mkdir()
+    (src / "b0.json").write_text(
+        "\n".join(json.dumps(d) for d in incoming)
+    )
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    out = tmp_path / "clean_out"
+    q = stream_clean_against_corpus(
+        spark,
+        str(src),
+        corpus,
+        str(out),
+        str(tmp_path / "ckpt_clean"),
+        schema,
+        quality={"min_tokens": 5, "min_stopwords": 0,
+                 "min_mean_word_len": 0.0, "min_alnum_ratio": 0.0},
+        # unseen-bigram floor is log2(V) ~ 4.6 on this toy corpus;
+        # in-vocabulary docs score <= 3.9, so 4.2 separates them
+        max_bits_per_bigram=4.2,
+        substring_k=8,
+        # 16 bands x 2 rows: band-collision prob ~0.999 at J~0.6
+        # (8x4 would miss the candidate ~1/3 of the time)
+        near_dedup={"num_hashes": 32, "num_bands": 16,
+                    "min_jaccard_est": 0.5},
+        available_now=True,
+    )
+    q.awaitTermination(180)
+    rows = {r["doc_id"]: r["text"] for r in
+            spark.read.parquet(str(out)).collect()}
+    assert set(rows) == {101, 104}
+    assert "alpha" not in rows[101] and "fox runs" in rows[101]
+    assert "fox" in rows[104]

@@ -345,3 +345,33 @@ def test_chunk_documents(spark):
         chunk_documents(df, size=4, overlap=4)
     with pytest.raises(ValueError):
         chunk_documents(df, size=0)
+
+
+def test_train_score_bigram_lm_split(spark):
+    """Train/score decoupling: scoring the training corpus reproduces
+    bigram_lm_scores exactly; unseen bigrams cost the smoothed floor."""
+    import math
+
+    from ftm_columnstore_spark.operators.text import (
+        bigram_lm_scores,
+        score_with_bigram_lm,
+        train_bigram_lm,
+    )
+
+    ref = spark.createDataFrame(
+        [(1, "a b a b"), (2, "b c")], ["doc_id", "text"]
+    )
+    lm = train_bigram_lm(ref)
+    joint = {r.id: r.bits_per_bigram for r in bigram_lm_scores(ref).collect()}
+    split = {
+        r.id: r.bits_per_bigram for r in score_with_bigram_lm(ref, lm).collect()
+    }
+    assert joint == split
+
+    # out-of-domain batch: unseen context 'z' -> P = k/(kV) = 1/V, V=3
+    batch = spark.createDataFrame([(9, "z q")], ["doc_id", "text"])
+    got = score_with_bigram_lm(batch, lm).collect()[0]
+    assert got["n_bigrams"] == 1
+    assert math.isclose(
+        got["bits_per_bigram"], math.log2(3), rel_tol=1e-6
+    )
