@@ -79,6 +79,7 @@ HEADLINE = [
     "m8_resize_features",
     "m9_moving_average",
     "a21_data_checks",
+    "t20_cross_corpus_lm",
 ]
 
 
