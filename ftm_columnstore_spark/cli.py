@@ -125,9 +125,9 @@ def main(argv: list[str] | None = None) -> int:
                 # neutralize every OTHER gate rule: the flag promises a
                 # token floor, not the full English-tuned Gopher config
                 # (alnum/word-length defaults would drop non-Latin docs)
-                {"min_tokens": args.min_tokens, "min_stopwords": 0,
-                 "min_mean_word_len": 0.0, "max_mean_word_len": 1e9,
-                 "min_alnum_ratio": 0.0}
+                {"min_tokens": args.min_tokens, "max_tokens": 10**12,
+                 "min_stopwords": 0, "min_mean_word_len": 0.0,
+                 "max_mean_word_len": 1e9, "min_alnum_ratio": 0.0}
                 if args.min_tokens is not None
                 else None
             ),

@@ -1398,3 +1398,27 @@ def exact_substring_dedup_cross(
         .select("id", "pos")
     )
     return _cut_dup_spans(docs, in_corpus.unionAll(batch_dup).distinct(), k)
+
+
+def rewrite_cut_text(
+    df: DataFrame,
+    cut: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Fold a span-cut result back into the source rows: keep a
+    document unless spans consumed ALL of a non-empty token stream
+    (zero-token docs had nothing duplicated and stay), and replace its
+    text with the cleaned version. The ONE keep/rebuild contract shared
+    by the batch pipeline and the streaming clean — change it here,
+    both paths follow."""
+    kept = cut.where(
+        (F.col("n_tokens") > F.col("n_removed"))
+        | (F.col("n_removed") == 0)
+    )
+    return df.drop(text_col).join(
+        kept.select(
+            F.col("id").alias(id_col), F.col("text").alias(text_col)
+        ),
+        on=id_col,
+    )

@@ -105,20 +105,12 @@ def prepare_training_data(
         )
     out = dedup_exact(out, text_col=text_col, id_col=id_col)
     if substring_dedup is not None:
-        # drop a doc only when spans consumed ALL of a non-empty token
-        # stream; zero-token docs had nothing duplicated and stay
+        from ftm_columnstore_spark.operators.dedup import rewrite_cut_text
+
         cut = exact_substring_dedup(
             out, text_col=text_col, id_col=id_col, **substring_dedup
-        ).where(
-            (F.col("n_tokens") > F.col("n_removed"))
-            | (F.col("n_removed") == 0)
         )
-        out = out.drop(text_col).join(
-            cut.select(
-                F.col("id").alias(id_col), F.col("text").alias(text_col)
-            ),
-            on=id_col,
-        )
+        out = rewrite_cut_text(out, cut, text_col, id_col)
     cached: list = []
     if near_dedup is not None:
         out = minhash_dedup(

@@ -617,8 +617,12 @@ def train_bigram_lm(
         .filter(F.col("w1").isNotNull())
         .select("w1", F.col("w").alias("w2"))
     )
+    # ONE corpus pass: c1 folds out of c2 (sum of bigram counts per
+    # context) — the vocabulary-sized c2 relation, never the corpus,
+    # is re-aggregated (bigram_lm_scores localCheckpoints the same
+    # lineage for the same reason)
     c2 = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
-    c1 = big.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    c1 = c2.groupBy("w1").agg(F.sum("c2").alias("c1"))
     return c2, c1, vocab_size
 
 

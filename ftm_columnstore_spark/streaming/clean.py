@@ -34,6 +34,7 @@ def stream_clean_against_corpus(
     quality: dict | None = None,
     max_bits_per_bigram: float | None = None,
     substring_k: int | None = 8,
+    within_batch: bool = False,
     near_dedup: dict | None = None,
     available_now: bool = False,
 ) -> StreamingQuery:
@@ -43,8 +44,13 @@ def stream_clean_against_corpus(
     pipeline.prepare_training_data`: ``quality`` = quality_gate kwargs
     (None → skip); ``max_bits_per_bigram`` screens against the
     corpus-trained LM (None → skip); ``substring_k`` cuts duplicated
-    spans (None → skip); ``near_dedup`` = minhash kwargs for the
-    corpus-index drop (None → skip)."""
+    spans (None → skip; ``within_batch=False`` by default so cleaned
+    text never depends on micro-batch boundaries — batch backfill and
+    any trigger config produce identical output; duplicates BETWEEN
+    stream documents are the periodic re-index's job, same contract as
+    the minhash stream); ``near_dedup`` = kwargs num_hashes /
+    num_bands / shingle_k / min_jaccard_est for the corpus-index drop
+    (None → skip; unknown keys raise)."""
     from ftm_columnstore_spark.operators.dedup import (
         _band_relation,
         corpus_gram_index,
@@ -72,6 +78,12 @@ def stream_clean_against_corpus(
         cached.append(grams)
     banded = None
     nd = dict(near_dedup or {})
+    allowed = {"num_hashes", "num_bands", "shingle_k", "min_jaccard_est"}
+    if set(nd) - allowed:
+        raise ValueError(
+            f"unknown near_dedup keys {sorted(set(nd) - allowed)}; "
+            f"allowed: {sorted(allowed)}"
+        )
     min_jaccard_est = nd.pop("min_jaccard_est", 0.5)
     if near_dedup is not None:
         banded = _band_relation(
@@ -129,6 +141,7 @@ def stream_clean_against_corpus(
         if grams is not None:
             from ftm_columnstore_spark.operators.dedup import (
                 exact_substring_dedup_cross,
+                rewrite_cut_text,
             )
 
             cut = exact_substring_dedup_cross(
@@ -137,17 +150,9 @@ def stream_clean_against_corpus(
                 text_col=text_col,
                 id_col=id_col,
                 k=substring_k,
-            ).where(
-                (F.col("n_tokens") > F.col("n_removed"))
-                | (F.col("n_removed") == 0)
+                within_batch=within_batch,
             )
-            out = out.drop(text_col).join(
-                cut.select(
-                    F.col("id").alias(id_col),
-                    F.col("text").alias(text_col),
-                ),
-                on=id_col,
-            )
+            out = rewrite_cut_text(out, cut, text_col, id_col)
         out.write.mode("append").parquet(out_path)
 
     docs = spark.readStream.schema(schema).json(source_path)
