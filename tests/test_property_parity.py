@@ -486,3 +486,80 @@ def test_retention_match_duckdb(spark, rows):
     )
     want = con.execute(entry.oracle_sql()["w6_retention"]).df()
     _assert_same(got, want)
+
+
+@SETTINGS
+@given(sizes=st.lists(st.integers(min_value=0, max_value=400),
+                      min_size=1, max_size=25))
+def test_pack_portable_match_duckdb(spark, sizes):
+    """Portable packing (t19): random size mixes (incl. oversized and
+    zero-size items) fill bins identically to the recursive-CTE oracle."""
+    from pyspark.sql import functions as F
+
+    from ftm_columnstore_spark.operators.sampling import (
+        pack_sequences_portable,
+    )
+
+    df = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(sizes)], ["doc_id", "n_tokens"]
+    )
+    got = (
+        pack_sequences_portable(df, budget=256, n_buckets=8)
+        .select(
+            F.col("id").alias("doc_id"),
+            F.col("size").alias("n_tokens"),
+            "bucket",
+            "bin_no",
+            "bin_fill",
+        )
+        .toPandas()
+    )
+    # re-derive the registry oracle for a sizes table instead of text
+    sql = entry.oracle_sql()["t19_pack_portable"].replace(
+        """len(list_filter(
+                           string_split_regex(lower(coalesce(text, '')),
+                                              '[^a-z0-9]+'),
+                           x -> x <> ''))::BIGINT AS size""",
+        "n_tokens::BIGINT AS size",
+    )
+    con = duckdb.connect()
+    con.register(
+        "documents",
+        pd.DataFrame({"doc_id": range(len(sizes)), "n_tokens": sizes}),
+    )
+    want = con.execute(sql).df()
+    _assert_same(got, want)
+
+
+@SETTINGS
+@given(texts=corpus)
+def test_cross_corpus_lm_match_duckdb(spark, texts):
+    """Cross-corpus LM (t20): the reference/batch split scores match,
+    including unseen-bigram fallbacks."""
+    from ftm_columnstore_spark.operators.text import (
+        score_with_bigram_lm,
+        train_bigram_lm,
+    )
+
+    # first half trains, second half scores (ids below/above 250 in the
+    # registry oracle; remap the fuzz ids accordingly)
+    mid = len(texts) // 2
+    rows = [
+        (i if i < mid else i - mid + 250, t) for i, t in enumerate(texts)
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    from pyspark.sql import functions as F
+
+    lm = train_bigram_lm(df.where(F.col("doc_id") < 250))
+    got = (
+        score_with_bigram_lm(df.where(F.col("doc_id") >= 250), lm)
+        .withColumnRenamed("id", "doc_id")
+        .toPandas()
+    )
+    want = _oracle(
+        pd.DataFrame(
+            {"doc_id": [r[0] for r in rows], "text": [r[1] for r in rows]}
+        ),
+        entry.oracle_sql()["t20_cross_corpus_lm"],
+    )
+    _assert_same(got, want)
