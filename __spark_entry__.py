@@ -2397,15 +2397,45 @@ def a21_data_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order matters: the driver's CORRECTNESS run covers the first
-    # ~50 entries.  Round 1 verified the trailing block (see
-    # CORRECTNESS_r01.json, all pass); round 2 rotates the 45 entries that
-    # had no r01 row to the front so every declared query accumulates an
-    # oracle verdict across rounds. Queries added during round 2 (d14/d15,
-    # j17, t17/t18, v10, w5/w6/w7, m6-upgrade) sit after that block — they
-    # are locally verified by tools/check_oracle.py at sf0.01 AND sf0.1
-    # (116/116) and rotate into the driver window next round.
+    # ~50 entries.  r01 verified the trailing block; r02 verified the 50
+    # entries that had no r01 row (CORRECTNESS_r02.json, all pass).  Round 3
+    # rotates the last 25 never-driver-checked entries (round-2 additions:
+    # j16-j18, d13-d15, t16-t20, v5/v10/v11, w5-w8, m6-m9, a21, x5, t9) to
+    # the front, followed by queries added in round 3, then the r02/r01
+    # blocks re-rotate through the remaining window slots.
     return {
-        # --- unchecked in r01: oracle-SQL-backed entries first ---
+        # --- never driver-checked (round-2 additions) ---
+        "j16_pagerank": j16_pagerank,
+        "t16_weighted_sample": t16_weighted_sample,
+        "d13_dedup_keep_best": d13_dedup_keep_best,
+        "d14_exact_substring_dedup": d14_exact_substring_dedup,
+        "j17_triangle_count": j17_triangle_count,
+        "d15_cross_substring_dedup": d15_cross_substring_dedup,
+        "t17_perplexity_buckets": t17_perplexity_buckets,
+        "t18_chunk_documents": t18_chunk_documents,
+        "v10_ann_recall": v10_ann_recall,
+        "w5_funnel": w5_funnel,
+        "w6_retention": w6_retention,
+        "w7_sessionize": w7_sessionize,
+        "w8_transitions": w8_transitions,
+        "m7_audio_frames": m7_audio_frames,
+        "m8_resize_features": m8_resize_features,
+        "m9_moving_average": m9_moving_average,
+        "a21_data_checks": a21_data_checks,
+        "j18_edit1_name_pairs": j18_edit1_name_pairs,
+        "v11_ivf_trained_portable": v11_ivf_trained_portable,
+        "t19_pack_portable": t19_pack_portable,
+        "t20_cross_corpus_lm": t20_cross_corpus_lm,
+        # NON-SQL — rows-only (m6: binary codecs; x5: metaphone; v5:
+        # iterative k-means training; t9: per-partition bin packing).
+        # m6/x5 first: if the driver's correctness window caps out, the
+        # sacrificed checks are the ones best covered by pytest already:
+        "m6_multimodal_features": m6_multimodal_features,
+        "x5_phonetic_keys": x5_phonetic_keys,
+        "v5_ivf_topk": v5_ivf_topk,
+        "t9_pack_sequences": t9_pack_sequences,
+        # --- round-3 additions land here (inside the driver window) ---
+        # --- verified green in CORRECTNESS_r02.json ---
         "a4_avg_via_dsl": a4_avg_via_dsl,
         "m2_fingerprint_freq": m2_fingerprint_freq,
         "u3_intersect": u3_intersect,
@@ -2457,35 +2487,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "v9_semantic_dedup": v9_semantic_dedup,
         "d12_cross_dedup": d12_cross_dedup,
         "t15_quality_gate": t15_quality_gate,
-        "j16_pagerank": j16_pagerank,
-        "t16_weighted_sample": t16_weighted_sample,
-        "d13_dedup_keep_best": d13_dedup_keep_best,
-        "d14_exact_substring_dedup": d14_exact_substring_dedup,
-        "j17_triangle_count": j17_triangle_count,
-        "d15_cross_substring_dedup": d15_cross_substring_dedup,
-        "t17_perplexity_buckets": t17_perplexity_buckets,
-        "t18_chunk_documents": t18_chunk_documents,
-        "v10_ann_recall": v10_ann_recall,
-        "w5_funnel": w5_funnel,
-        "w6_retention": w6_retention,
-        "w7_sessionize": w7_sessionize,
-        "w8_transitions": w8_transitions,
-        "m7_audio_frames": m7_audio_frames,
-        "m8_resize_features": m8_resize_features,
-        "m9_moving_average": m9_moving_average,
-        "a21_data_checks": a21_data_checks,
-        "j18_edit1_name_pairs": j18_edit1_name_pairs,
-        "v11_ivf_trained_portable": v11_ivf_trained_portable,
-        "t19_pack_portable": t19_pack_portable,
-        "t20_cross_corpus_lm": t20_cross_corpus_lm,
-        # NON-SQL — rows-only (m6: binary codecs; x5: metaphone; v5:
-        # iterative k-means training; t9: per-partition bin packing).
-        # m6/x5 first: if the driver's correctness window caps out, the
-        # sacrificed checks are the ones best covered by pytest already:
-        "m6_multimodal_features": m6_multimodal_features,
-        "x5_phonetic_keys": x5_phonetic_keys,
-        "v5_ivf_topk": v5_ivf_topk,
-        "t9_pack_sequences": t9_pack_sequences,
         # --- verified green in CORRECTNESS_r01.json ---
         "s1_scan_project": s1_scan_project,
         "f3_comparator_filters": f3_comparator_filters,
@@ -4502,7 +4503,9 @@ def oracle_sql() -> dict[str, str]:
             ), ref AS (
                 SELECT * FROM toks WHERE id < 250
             ), v AS (
-                SELECT count(DISTINCT w) AS vs
+                -- empty-LM contract (train_bigram_lm): vocab floored
+                -- at 1 so ln() never sees 0 on a token-less ref corpus
+                SELECT greatest(count(DISTINCT w), 1) AS vs
                 FROM (SELECT unnest(tk) AS w FROM ref)
             ), refbig AS (
                 SELECT bg.w1 AS w1, bg.w2 AS w2

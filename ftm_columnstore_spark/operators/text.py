@@ -603,14 +603,21 @@ def train_bigram_lm(
     scores on the SAME corpus; this split decouples them).
 
     Both relations are map-side-combinable aggregations on token keys;
-    their size is vocabulary-bounded, independent of corpus size."""
+    their size is vocabulary-bounded, independent of corpus size.
+
+    Empty-LM contract: a reference corpus with zero tokens yields the
+    degenerate-but-defined LM ``(empty c2, empty c1, vocab_size=1)`` —
+    the vocabulary is floored at 1 so the add-k smoother
+    ``(c2 + k) / (c1 + k·V)`` never divides by (or logs) zero; every
+    scored bigram then falls back to ``-log2(k / k) = 0`` bits. The
+    DuckDB oracle mirrors this with ``greatest(v.vs, 1)``."""
     from pyspark.sql import Window
 
     toks = df.select(
         F.col(id_col).alias("id"),
         F.posexplode(word_tokens_col(text_col)).alias("pos", "w"),
     )
-    vocab_size = toks.select("w").distinct().count()
+    vocab_size = max(toks.select("w").distinct().count(), 1)
     w = Window.partitionBy("id").orderBy("pos")
     big = (
         toks.withColumn("w1", F.lag("w").over(w))
