@@ -4250,12 +4250,18 @@ def oracle_sql() -> dict[str, str]:
             FROM deg d LEFT JOIN pn p USING (id)
         """,
         "d14_exact_substring_dedup": """
-            WITH toks AS (
+            WITH segs AS (
                 SELECT doc_id,
-                       list_filter(string_split_regex(lower(coalesce(text, '')),
-                                                      '[^a-z0-9]+'),
-                                   x -> x <> '') AS tk
+                       regexp_extract_all(coalesce(text, ''),
+                           '[A-Za-z0-9]+|[^A-Za-z0-9]+') AS sg
                 FROM documents
+            ), toks AS (
+                SELECT doc_id,
+                       list_transform(
+                           list_filter(sg,
+                               s -> regexp_matches(s, '^[A-Za-z0-9]')),
+                           s -> lower(s)) AS tk
+                FROM segs
             ), grams_l AS (
                 SELECT doc_id,
                        list_transform(
@@ -4291,37 +4297,58 @@ def oracle_sql() -> dict[str, str]:
             ), spans AS (
                 SELECT doc_id, min(pos) AS s, max(e) AS e
                 FROM isl2 GROUP BY doc_id, island
-            ), positions AS (
-                SELECT doc_id, generate_subscripts(tk, 1) - 1 AS pos,
-                       unnest(tk) AS tok
-                FROM toks
-            ), covered AS (
-                SELECT DISTINCT p.doc_id, p.pos
-                FROM positions p JOIN spans sp
-                  ON p.doc_id = sp.doc_id AND p.pos BETWEEN sp.s AND sp.e
-            ), kept AS (
-                SELECT p.doc_id, p.pos, p.tok
-                FROM positions p ANTI JOIN covered c
-                  ON p.doc_id = c.doc_id AND p.pos = c.pos
+            ), segrows AS (
+                SELECT doc_id, generate_subscripts(sg, 1) AS si,
+                       unnest(sg) AS seg
+                FROM segs
+            ), marked AS (
+                -- token runs carry their own 0-based index (ntok-1);
+                -- separator runs sit between token indices ntok-1 and
+                -- ntok — cut only when strictly INSIDE one span
+                SELECT doc_id, si, seg,
+                       regexp_matches(seg, '^[A-Za-z0-9]') AS is_tok,
+                       sum(CASE WHEN regexp_matches(seg, '^[A-Za-z0-9]')
+                                THEN 1 ELSE 0 END)
+                           OVER (PARTITION BY doc_id ORDER BY si) AS ntok
+                FROM segrows
+            ), cutflag AS (
+                SELECT m.doc_id, m.si, m.seg, m.is_tok,
+                       EXISTS (
+                           SELECT 1 FROM spans sp
+                           WHERE sp.doc_id = m.doc_id
+                             AND sp.s <= m.ntok - 1
+                             AND (CASE WHEN m.is_tok THEN m.ntok - 1
+                                       ELSE m.ntok END) <= sp.e
+                       ) AS cut
+                FROM marked m
             ), agg AS (
-                SELECT doc_id, count(*) AS nk,
-                       string_agg(tok, ' ' ORDER BY pos) AS txt
-                FROM kept GROUP BY doc_id
+                SELECT doc_id,
+                       sum(CASE WHEN is_tok AND cut THEN 1 ELSE 0 END)
+                           AS nrm,
+                       string_agg(CASE WHEN NOT cut THEN seg END, ''
+                                  ORDER BY si) AS txt
+                FROM cutflag GROUP BY doc_id
             ), base AS (
                 SELECT doc_id, len(tk)::BIGINT AS n_tokens FROM toks
             )
             SELECT b.doc_id, b.n_tokens,
-                   b.n_tokens - coalesce(a.nk, 0) AS n_removed,
+                   coalesce(a.nrm, 0)::BIGINT AS n_removed,
                    md5(coalesce(a.txt, '')) AS clean_md5
             FROM base b LEFT JOIN agg a USING (doc_id)
         """,
         "d15_cross_substring_dedup": """
-            WITH toks AS (
+            WITH segs AS (
                 SELECT doc_id,
-                       list_filter(string_split_regex(lower(coalesce(text, '')),
-                                                      '[^a-z0-9]+'),
-                                   x -> x <> '') AS tk
+                       regexp_extract_all(coalesce(text, ''),
+                           '[A-Za-z0-9]+|[^A-Za-z0-9]+') AS sg
                 FROM documents
+            ), toks AS (
+                SELECT doc_id,
+                       list_transform(
+                           list_filter(sg,
+                               s -> regexp_matches(s, '^[A-Za-z0-9]')),
+                           s -> lower(s)) AS tk
+                FROM segs
             ), grams_l AS (
                 SELECT doc_id,
                        list_transform(
@@ -4362,28 +4389,40 @@ def oracle_sql() -> dict[str, str]:
             ), spans AS (
                 SELECT doc_id, min(pos) AS s, max(e) AS e
                 FROM isl2 GROUP BY doc_id, island
-            ), positions AS (
-                SELECT doc_id, generate_subscripts(tk, 1) - 1 AS pos,
-                       unnest(tk) AS tok
-                FROM toks WHERE doc_id >= 250
-            ), covered AS (
-                SELECT DISTINCT p.doc_id, p.pos
-                FROM positions p JOIN spans sp
-                  ON p.doc_id = sp.doc_id AND p.pos BETWEEN sp.s AND sp.e
-            ), kept AS (
-                SELECT p.doc_id, p.pos, p.tok
-                FROM positions p ANTI JOIN covered c
-                  ON p.doc_id = c.doc_id AND p.pos = c.pos
+            ), segrows AS (
+                SELECT doc_id, generate_subscripts(sg, 1) AS si,
+                       unnest(sg) AS seg
+                FROM segs WHERE doc_id >= 250
+            ), marked AS (
+                SELECT doc_id, si, seg,
+                       regexp_matches(seg, '^[A-Za-z0-9]') AS is_tok,
+                       sum(CASE WHEN regexp_matches(seg, '^[A-Za-z0-9]')
+                                THEN 1 ELSE 0 END)
+                           OVER (PARTITION BY doc_id ORDER BY si) AS ntok
+                FROM segrows
+            ), cutflag AS (
+                SELECT m.doc_id, m.si, m.seg, m.is_tok,
+                       EXISTS (
+                           SELECT 1 FROM spans sp
+                           WHERE sp.doc_id = m.doc_id
+                             AND sp.s <= m.ntok - 1
+                             AND (CASE WHEN m.is_tok THEN m.ntok - 1
+                                       ELSE m.ntok END) <= sp.e
+                       ) AS cut
+                FROM marked m
             ), agg AS (
-                SELECT doc_id, count(*) AS nk,
-                       string_agg(tok, ' ' ORDER BY pos) AS txt
-                FROM kept GROUP BY doc_id
+                SELECT doc_id,
+                       sum(CASE WHEN is_tok AND cut THEN 1 ELSE 0 END)
+                           AS nrm,
+                       string_agg(CASE WHEN NOT cut THEN seg END, ''
+                                  ORDER BY si) AS txt
+                FROM cutflag GROUP BY doc_id
             ), base AS (
                 SELECT doc_id, len(tk)::BIGINT AS n_tokens
                 FROM toks WHERE doc_id >= 250
             )
             SELECT b.doc_id, b.n_tokens,
-                   b.n_tokens - coalesce(a.nk, 0) AS n_removed,
+                   coalesce(a.nrm, 0)::BIGINT AS n_removed,
                    md5(coalesce(a.txt, '')) AS clean_md5
             FROM base b LEFT JOIN agg a USING (doc_id)
         """,

@@ -56,7 +56,9 @@ def main(argv: list[str] | None = None) -> int:
     cl.add_argument("--min-tokens", type=int, default=None,
                     help="enable the quality gate at this token floor")
     cl.add_argument("--substring-k", type=int, default=None,
-                    help="enable ExactSubstr span cutting at this k")
+                    help="enable ExactSubstr span cutting at this k "
+                         "(cuts spans out of the original text; "
+                         "untouched documents are preserved verbatim)")
     cl.add_argument("--near-dedup", action="store_true",
                     help="enable MinHash near-dedup (defaults)")
     cl.add_argument("--splits", default=None,

@@ -1170,14 +1170,35 @@ def dedup_keep_best(
 
 # --- exact substring (span-level) dedup --------------------------------------
 
+# alternating run decomposition: every char lands in exactly one run, so
+# concat(segs) reconstructs the original text byte-for-byte
+_SEG_RE = "[A-Za-z0-9]+|[^A-Za-z0-9]+"
+_TOK_HEAD = "^[A-Za-z0-9]"
+
+
 def _tokenized_docs(df, text_col: str, id_col: str, order_col: str | None):
-    """(id, __ord, toks) with the shared tokenizer; null text -> []."""
+    """(id, __ord, segs, toks): ``segs`` is the alternating
+    token/separator RUN decomposition of the ORIGINAL text
+    (``concat(segs) == text`` byte-for-byte; null text -> []), ``toks``
+    the lowercased token runs. For ASCII text ``toks`` equals
+    ``word_tokens_col``; they diverge only on exotic code points whose
+    case-fold changes alphanumeric membership (e.g. KELVIN SIGN -> k),
+    because case-folding here applies per ASCII-alnum run and can never
+    create or destroy a token boundary — which is what lets
+    :func:`_cut_dup_spans` cut spans out of the original text instead
+    of a lossily re-normalized one."""
     order = F.col(order_col if order_col else id_col)
-    toks = F.coalesce(
-        word_tokens_col(text_col), F.array().cast("array<string>")
+    segs = F.regexp_extract_all(
+        F.coalesce(F.col(text_col), F.lit("")), F.lit(_SEG_RE), F.lit(0)
+    )
+    toks = F.transform(
+        F.filter(segs, lambda s: s.rlike(_TOK_HEAD)), F.lower
     )
     return df.select(
-        F.col(id_col).alias("id"), order.alias("__ord"), toks.alias("toks")
+        F.col(id_col).alias("id"),
+        order.alias("__ord"),
+        segs.alias("segs"),
+        toks.alias("toks"),
     )
 
 
@@ -1203,8 +1224,17 @@ def _doc_grams(docs: DataFrame, k: int) -> DataFrame:
 def _cut_dup_spans(docs: DataFrame, occ: DataFrame, k: int) -> DataFrame:
     """Merge redundant gram occurrences (id, pos) into maximal spans
     per document (gaps-and-islands; window partitioned BY DOCUMENT) and
-    cut them out of the token arrays. Output (id, n_tokens, n_removed,
-    text)."""
+    cut them out of the ORIGINAL text via the run decomposition: a
+    token run is cut when its token index lies inside a span, a
+    separator run only when it sits strictly INSIDE one span (between
+    two cut tokens of the same island) — so documents with zero
+    duplicated spans reassemble byte-for-byte identical to the input,
+    and cut documents keep their surrounding case/punctuation intact.
+
+    Scale shape: both windows and the final group partition BY
+    DOCUMENT, and they follow the (id)-keyed span join, so Catalyst
+    reuses that hash partitioning — the segment pass adds per-partition
+    sorts, not Exchanges. Output (id, n_tokens, n_removed, text)."""
     occ = occ.select("id", "pos", (F.col("pos") + (k - 1)).alias("end"))
     w = Window.partitionBy("id").orderBy("pos")
     occ = occ.withColumn(
@@ -1232,18 +1262,56 @@ def _cut_dup_spans(docs: DataFrame, occ: DataFrame, k: int) -> DataFrame:
             "spans", F.array().cast("array<struct<start:int,end:int>>")
         ),
     )
-    kept = F.filter(
-        F.col("toks"),
-        lambda t, i: ~F.exists(
-            F.col("spans"),
-            lambda s: (i >= s["start"]) & (i <= s["end"]),
-        ),
-    )
-    return joined.select(
+    seg_rows = joined.select(
         "id",
         F.size("toks").alias("n_tokens"),
-        (F.size("toks") - F.size(kept)).alias("n_removed"),
-        F.array_join(kept, " ").alias("text"),
+        "spans",
+        F.posexplode_outer("segs").alias("si", "seg"),
+    )
+    istok = F.col("seg").rlike(_TOK_HEAD)
+    sw = Window.partitionBy("id").orderBy("si")
+    # running token count: a token run's own index is ntok-1; a
+    # separator run sits between token indices ntok-1 and ntok, so its
+    # cut test [lo, hi] = [ntok-1, ntok] is inside-one-span exactly
+    # when both neighbouring tokens are cut by the same island (the
+    # leading/trailing separators of a doc fall outside every span)
+    seg_rows = seg_rows.withColumn(
+        "__ntok", F.sum(istok.cast("int")).over(sw)
+    )
+    lo = F.col("__ntok") - 1
+    hi = F.when(istok, lo).otherwise(F.col("__ntok"))
+    seg_rows = seg_rows.withColumn(
+        "__cut",
+        F.coalesce(
+            F.exists(
+                F.col("spans"),
+                lambda s: (s["start"] <= lo) & (hi <= s["end"]),
+            ),
+            F.lit(False),
+        ),
+    )
+    return (
+        seg_rows.groupBy("id", "n_tokens")
+        .agg(
+            F.sum(F.when(istok & F.col("__cut"), 1).otherwise(0))
+            .cast("int")
+            .alias("n_removed"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                ~F.col("__cut") & F.col("seg").isNotNull(),
+                                F.struct("si", "seg"),
+                            )
+                        )
+                    ),
+                    lambda x: x["seg"],
+                ),
+                "",
+            ).alias("text"),
+        )
+        .select("id", "n_tokens", "n_removed", "text")
     )
 
 
@@ -1283,7 +1351,9 @@ def exact_substring_dedup(
     grams (the dedup targets) collapse map-side, so the reducer sees no
     skew -> join back on the gram hash (AQE skew-join covers hot probe
     keys) -> per-document island merge (window partitioned BY DOCUMENT,
-    never global) -> span cut via array HOFs. No Python anywhere. The
+    never global) -> span cut over the run decomposition of the
+    ORIGINAL text (doc-partitioned window + group reusing the span
+    join's hash partitioning). No Python anywhere. The
     gram relation is |tokens| rows — the same working set the
     suffix-array build scans, but shuffled once on a uniform md5 key.
     Run :func:`dedup_exact` first at scale: whole-doc copies otherwise
@@ -1298,7 +1368,10 @@ def exact_substring_dedup(
     safety.
 
     Output: (id, n_tokens, n_removed, text) with ``text`` the cleaned
-    document ('' when everything was duplicated elsewhere).
+    document: the ORIGINAL text minus the duplicated spans (and the
+    separators strictly inside them) — untouched documents come back
+    byte-for-byte identical, cut documents keep the case/punctuation of
+    everything that survives. Null text -> ''.
     """
     if k < 2:
         raise ValueError(f"k must be >= 2, got {k}")

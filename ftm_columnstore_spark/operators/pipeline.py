@@ -51,8 +51,10 @@ def prepare_training_data(
     operators.dedup.line_dedup` (None → skip; note this stage REWRITES
     ``text_col`` to the cleaned text). ``substring_dedup``: kwargs for
     :func:`~ftm_columnstore_spark.operators.dedup.
-    exact_substring_dedup` (None → skip; also rewrites ``text_col`` and
-    runs AFTER exact dedup — whole-document copies are collapsed
+    exact_substring_dedup` (None → skip; also rewrites ``text_col`` —
+    the cut preserves the ORIGINAL bytes outside the removed spans, so
+    documents with no duplicated spans pass through unchanged — and
+    runs AFTER exact dedup: whole-document copies are collapsed
     cheaply first, then only partial overlap pays the span machinery).
     ``near_dedup``: kwargs for :func:`~ftm_columnstore_spark.
     operators.dedup.minhash_dedup` (None → skip). ``splits``: weights

@@ -394,16 +394,40 @@ def test_exact_substring_dedup(spark):
         r["id"]: r
         for r in exact_substring_dedup(df, k=8).collect()
     }
-    # doc 1 is the globally-first occurrence → untouched
+    # doc 1 is the globally-first occurrence → byte-for-byte untouched
     assert out[1]["n_removed"] == 0
     assert out[1]["text"] == f"{shared} tail1 unique1"
-    # doc 2 loses exactly the 10 shared tokens, keeps head/tail in order
+    # doc 2 loses exactly the 10 shared tokens; the separators AROUND
+    # the cut span survive (only separators inside a span are cut), so
+    # the original bytes outside the span are preserved verbatim
     assert out[2]["n_removed"] == 10
-    assert out[2]["text"] == "head2 tail2"
+    assert out[2]["text"] == "head2  tail2"
     # untouched docs
     assert out[3]["n_removed"] == 0
     assert out[4]["n_tokens"] == 0 and out[4]["text"] == ""
     assert out[5]["n_removed"] == 0 and out[5]["text"] == "short doc"
+
+
+def test_exact_substring_dedup_preserves_original_bytes(spark):
+    """The span cut operates on the run decomposition of the ORIGINAL
+    text: untouched docs come back byte-identical (case, punctuation,
+    unicode, whitespace intact) and cut docs keep everything outside
+    the span verbatim."""
+    from ftm_columnstore_spark.operators.dedup import exact_substring_dedup
+
+    fancy = 'Hello, World!  "Quoted" — naïve…\ttabs & CASE.'
+    shared = "one two three four five six seven eight"
+    rows = [
+        (1, fancy),
+        (2, shared),
+        (3, f"Keep, THIS! {shared} (and this)"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["id"]: r for r in exact_substring_dedup(df, k=8).collect()}
+    assert out[1]["text"] == fancy and out[1]["n_removed"] == 0
+    assert out[2]["text"] == shared and out[2]["n_removed"] == 0
+    assert out[3]["text"] == "Keep, THIS!  (and this)"
+    assert out[3]["n_removed"] == 8
 
 
 def test_exact_substring_dedup_within_doc_and_no_keep(spark):
@@ -414,13 +438,14 @@ def test_exact_substring_dedup_within_doc_and_no_keep(spark):
         [(1, f"{span} mid {span}")], ["doc_id", "text"]
     )
     out = exact_substring_dedup(df, k=8).collect()[0]
-    # second within-doc occurrence removed, first kept
-    assert out["text"] == f"{span} mid"
+    # second within-doc occurrence removed, first kept (boundary
+    # separator of the cut span survives → trailing space)
+    assert out["text"] == f"{span} mid "
     assert out["n_removed"] == 8
 
     out2 = exact_substring_dedup(df, k=8, keep_first=False).collect()[0]
     # keep_first=False removes every occurrence
-    assert out2["text"] == "mid"
+    assert out2["text"] == " mid "
     assert out2["n_removed"] == 16
 
     with pytest.raises(ValueError):
@@ -451,9 +476,9 @@ def test_exact_substring_dedup_cross(spark):
         r["id"]: r
         for r in exact_substring_dedup_cross(batch, corpus=corpus, k=8).collect()
     }
-    assert out[10]["text"] == "pre post" and out[10]["n_removed"] == 10
+    assert out[10]["text"] == "pre  post" and out[10]["n_removed"] == 10
     assert out[11]["n_removed"] == 0
-    assert out[12]["text"] == "also" and out[12]["n_removed"] == 8
+    assert out[12]["text"] == "also " and out[12]["n_removed"] == 8
     assert out[13]["n_removed"] == 0
 
     # prebuilt persisted index path + within_batch off
