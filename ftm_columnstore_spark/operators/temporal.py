@@ -160,6 +160,10 @@ def funnel(
     """
     if len(steps) < 1:
         raise ValueError("steps must name at least one event type")
+    if window_seconds is not None and window_seconds <= 0:
+        raise ValueError(
+            f"window_seconds must be positive, got {window_seconds}"
+        )
     e = events.select(
         F.col(user_col).alias("user"),
         F.col(ts_col).alias("__ts"),
@@ -171,7 +175,8 @@ def funnel(
         .agg(F.min("__ts").alias("t1"))
     )
     deadline = (
-        F.col("t1") + F.expr(f"INTERVAL {float(window_seconds)} SECONDS")
+        F.col("t1")
+        + F.make_dt_interval(secs=F.lit(float(window_seconds)))
         if window_seconds is not None
         else None
     )

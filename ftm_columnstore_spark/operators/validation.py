@@ -3,16 +3,19 @@ VLDB'18): declarative column checks computed as ONE aggregation pass
 over the table, returned as an audit report relation rather than an
 exception — the "is this 100 TB batch sane before it ships" gate.
 
-Every check compiles to a conditional aggregate inside a single
-``agg(...)`` — one scan, one partial+final reduction, zero joins; the
-report is |checks| rows. Uniqueness is the one check needing a second
-shuffle (count distinct over the column), expressed as
-``distinct().count()``-style two-stage agg to stay skew-proof.
+Every check — including uniqueness — compiles into a single
+``agg(...)`` producing ONE row, which is then pivoted into report rows
+by exploding an array of structs over that row. One scan is guaranteed
+by construction (there is exactly one aggregate subplan; nothing relies
+on exchange reuse deduplicating identical branches). Uniqueness uses
+``count_distinct`` inside the same agg: Spark plans multiple distinct
+aggregates via Expand + a two-stage keyed aggregation, so hot values
+still spread across reducers.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
@@ -29,7 +32,9 @@ def check_report(
     (rates for null/accepted checks, counts for rows/uniqueness).
 
     - ``not_null``: columns whose null rate must be 0
-    - ``unique``: columns whose values must be distinct
+    - ``unique``: columns whose values must be distinct (judged among
+      non-null values; ``count_distinct`` and the non-null total both
+      ignore nulls)
     - ``accepted_values``: column -> allowed values (violation rate 0)
     - ``ranges``: column -> (lo, hi) inclusive bounds on non-null values
     - ``min_rows``: minimum table cardinality
@@ -56,69 +61,59 @@ def check_report(
                 ).cast("long")
             ).alias(f"__oob_{c}")
         )
+    for c in unique or []:
+        aggs.append(F.count_distinct(F.col(c)).alias(f"__dist_{c}"))
+        aggs.append(F.count(F.col(c)).alias(f"__pres_{c}"))
     base = df.agg(*aggs)
 
-    reports = []
-    n = F.col("__n").cast("double")
-    if min_rows is not None:
-        reports.append(
-            base.select(
-                F.lit("min_rows").alias("check"),
-                n.alias("observed"),
-                F.lit(float(min_rows)).alias("threshold"),
-                (n >= min_rows).alias("passed"),
+    rows: list[Column] = []
+
+    def rep(name: str, observed: Column, threshold: Column, passed: Column):
+        rows.append(
+            F.struct(
+                F.lit(name).alias("check"),
+                observed.cast("double").alias("observed"),
+                threshold.cast("double").alias("threshold"),
+                passed.alias("passed"),
             )
         )
+
+    n = F.col("__n").cast("double")
+    if min_rows is not None:
+        rep("min_rows", n, F.lit(float(min_rows)), n >= min_rows)
     for c in not_null or []:
         rate = F.col(f"__null_{c}") / F.greatest(n, F.lit(1.0))
-        reports.append(
-            base.select(
-                F.lit(f"not_null:{c}").alias("check"),
-                F.round(rate, 6).alias("observed"),
-                F.lit(0.0).alias("threshold"),
-                (F.col(f"__null_{c}") == 0).alias("passed"),
-            )
+        rep(
+            f"not_null:{c}",
+            F.round(rate, 6),
+            F.lit(0.0),
+            F.col(f"__null_{c}") == 0,
         )
     for c in accepted_values or {}:
         rate = F.col(f"__bad_{c}") / F.greatest(n, F.lit(1.0))
-        reports.append(
-            base.select(
-                F.lit(f"accepted:{c}").alias("check"),
-                F.round(rate, 6).alias("observed"),
-                F.lit(0.0).alias("threshold"),
-                (F.col(f"__bad_{c}") == 0).alias("passed"),
-            )
+        rep(
+            f"accepted:{c}",
+            F.round(rate, 6),
+            F.lit(0.0),
+            F.col(f"__bad_{c}") == 0,
         )
     for c in ranges or {}:
         rate = F.col(f"__oob_{c}") / F.greatest(n, F.lit(1.0))
-        reports.append(
-            base.select(
-                F.lit(f"range:{c}").alias("check"),
-                F.round(rate, 6).alias("observed"),
-                F.lit(0.0).alias("threshold"),
-                (F.col(f"__oob_{c}") == 0).alias("passed"),
-            )
+        rep(
+            f"range:{c}",
+            F.round(rate, 6),
+            F.lit(0.0),
+            F.col(f"__oob_{c}") == 0,
         )
     for c in unique or []:
-        # lazy, one aggregation per column: distinct vs non-null counts
-        # (count_distinct ignores nulls; so does the non-null total —
-        # uniqueness is judged among present values). Spark plans the
-        # distinct as a two-stage agg, so hot values spread.
-        u = df.agg(
-            F.count_distinct(F.col(c)).cast("double").alias("observed"),
-            F.count(F.col(c)).cast("double").alias("threshold"),
+        rep(
+            f"unique:{c}",
+            F.col(f"__dist_{c}"),
+            F.col(f"__pres_{c}"),
+            F.col(f"__dist_{c}") == F.col(f"__pres_{c}"),
         )
-        reports.append(
-            u.select(
-                F.lit(f"unique:{c}").alias("check"),
-                "observed",
-                "threshold",
-                (F.col("observed") == F.col("threshold")).alias("passed"),
-            )
-        )
-    if not reports:
+    if not rows:
         raise ValueError("no checks declared")
-    out = reports[0]
-    for r in reports[1:]:
-        out = out.unionAll(r)
-    return out
+    # pivot the single base row into |checks| report rows — exploding an
+    # array literal over one row, so the aggregate subplan exists once
+    return base.select(F.explode(F.array(*rows)).alias("r")).select("r.*")

@@ -21,6 +21,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
+from ftm_columnstore_spark.streaming.release import unpersist_on_termination
+
 
 def stream_clean_against_corpus(
     spark: SparkSession,
@@ -162,5 +164,6 @@ def stream_clean_against_corpus(
     if available_now:
         writer = writer.trigger(availableNow=True)
     query = writer.start()
-    query._cached_intermediates = cached
-    return query
+    # LM counts / gram index / banded signatures are unpersisted when
+    # the stream terminates; also reachable for early manual release
+    return unpersist_on_termination(spark, query, cached)

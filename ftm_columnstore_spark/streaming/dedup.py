@@ -31,6 +31,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
+from ftm_columnstore_spark.streaming.release import unpersist_on_termination
+
 from ftm_columnstore_spark.operators.dedup import (
     _band_relation,
     cross_pairs_from_banded,
@@ -92,11 +94,11 @@ def stream_dedup_against_corpus(
     if available_now:
         writer = writer.trigger(availableNow=True)
     query = writer.start()
-    # release path for the persisted index after the stream stops:
-    # unpersist_intermediates(query) — same caching contract as the
-    # batch pair operators
-    query._cached_intermediates = [corpus_banded]
-    return query
+    # the persisted index is released automatically when the stream
+    # terminates (normal stop or failure); it also stays reachable on
+    # query._cached_intermediates for early manual release — same
+    # caching contract as the batch pair operators
+    return unpersist_on_termination(spark, query, [corpus_banded])
 
 
 def stream_substring_cut_against_corpus(
@@ -155,5 +157,4 @@ def stream_substring_cut_against_corpus(
     if available_now:
         writer = writer.trigger(availableNow=True)
     query = writer.start()
-    query._cached_intermediates = [grams]
-    return query
+    return unpersist_on_termination(spark, query, [grams])

@@ -133,6 +133,21 @@ def test_funnel(spark):
 
     with _pytest.raises(ValueError):
         funnel(ev, [])
+    # zero/negative windows would silently make every step unreachable
+    with _pytest.raises(ValueError):
+        funnel(ev, ["view", "click"], window_seconds=0)
+    with _pytest.raises(ValueError):
+        funnel(ev, ["view", "click"], window_seconds=-5)
+
+    # fractional windows go through interval arithmetic, not SQL-string
+    # interpolation: 120.5s admits u3's click at +2min
+    out3 = {
+        r["user"]: r["depth"]
+        for r in funnel(
+            ev, ["view", "click", "purchase"], window_seconds=120.5
+        ).collect()
+    }
+    assert out3[3] == 2
 
 
 def test_retention(spark):

@@ -426,6 +426,18 @@ def test_stream_substring_cut_against_corpus(spark, tmp_path):
     assert rows[100]["n_removed"] == 10
     assert rows[101]["n_removed"] == 0
 
+    # the persisted corpus gram index is released once the stream
+    # terminates (listener fires asynchronously — poll briefly)
+    import time
+
+    cached = q._cached_intermediates
+    assert cached
+    for _ in range(100):
+        if all(not c.is_cached for c in cached):
+            break
+        time.sleep(0.2)
+    assert all(not c.is_cached for c in cached)
+
 
 def test_stream_clean_against_corpus(spark, tmp_path):
     """Full ingest-time cleanup stream: gate, reference-LM screen,

@@ -42,3 +42,22 @@ def test_check_report_all_pass(spark):
     df = spark.createDataFrame([(1, "en"), (2, "de")], ["id", "lang"])
     rep = check_report(df, not_null=["lang"], unique=["id"], min_rows=1)
     assert all(r["passed"] for r in rep.collect())
+
+
+def test_check_report_single_scan(spark):
+    """The report is ONE aggregation pass by construction: the source
+    appears exactly once in the optimized plan even with several check
+    families (including uniqueness) declared."""
+    from pyspark.sql import functions as F
+
+    df = spark.range(100).withColumn("lang", F.lit("en"))
+    rep = check_report(
+        df,
+        not_null=["lang"],
+        unique=["id"],
+        accepted_values={"lang": ["en"]},
+        ranges={"id": (0, 1000)},
+        min_rows=1,
+    )
+    plan = rep._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("Range (0, 100") == 1, plan
