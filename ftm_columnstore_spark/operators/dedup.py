@@ -1015,7 +1015,7 @@ def semantic_dedup_portable(
     df,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
-    n_centroids: int = 16,
+    n_centroids: int | None = None,
     threshold: float = 0.8,
     scale: int = 1_000_000,
 ):
@@ -1033,7 +1033,12 @@ def semantic_dedup_portable(
     :func:`~ftm_columnstore_spark.operators.similarity.ivf_topk_portable`
     (trained path: ``kmeans_centroids``/``build_ivf_index``). The
     pairwise stage self-joins ON THE CLUSTER ID, so cost is
-    sum(|cluster|²) — tuned by ``n_centroids`` — never corpus²; pair
+    sum(|cluster|²) — tuned by ``n_centroids``; the ``None`` default
+    auto-sizes ``ceil(N/4096)`` centroids from one count job
+    (:func:`~ftm_columnstore_spark.operators.similarity.
+    auto_n_centroids_pairs`), keeping expected cluster size ~4096 and
+    the pair stage ~linear in the corpus (pass an explicit value for
+    oracle determinism or to skip the count) — never corpus²; pair
     cosines are quantized-int dots (IEEE-exact cross-engine). Zero-norm
     vectors have undefined cosine: they join no pairs and are kept.
 
@@ -1067,6 +1072,13 @@ def semantic_dedup_portable(
         .withColumn("nq", nq)
         .localCheckpoint(eager=True)
     )
+    if n_centroids is None:
+        from ftm_columnstore_spark.operators.similarity import (
+            auto_n_centroids_pairs,
+        )
+
+        # counting the checkpointed relation is cheap (no recompute)
+        n_centroids = auto_n_centroids_pairs(q.count())
     cent_rows = q.orderBy("id").limit(n_centroids).collect()
     cents = [
         (r["id"], [int(v) for v in r["q"]])

@@ -241,6 +241,33 @@ def lsh_topk_portable(
     return _rerank_topk(cand, qq, qnorm, id_col, k)
 
 
+def auto_n_centroids_ivf(n_rows: int, cap: int = 4096) -> int:
+    """Default IVF coarse-quantizer sizing: ``sqrt(N)`` clamped to
+    [16, cap] (the FAISS guideline is ~4·sqrt(N)–16·sqrt(N) lists;
+    plain sqrt(N) here because probe cost is a partition-pruned scan of
+    ``n_probe/n_centroids`` of the corpus either way, while the
+    centroid relation must stay driver-collect/broadcast-bounded).
+    With a fixed default of 16 the per-list size — and with it probe
+    cost — grew linearly with the corpus; sqrt sizing keeps both the
+    list size and the centroid scan at O(sqrt(N))."""
+    if n_rows < 0:
+        raise ValueError(f"n_rows must be >= 0, got {n_rows}")
+    return max(16, min(cap, int(round(n_rows**0.5))))
+
+
+def auto_n_centroids_pairs(
+    n_rows: int, target_cluster: int = 4096, cap: int = 1 << 17
+) -> int:
+    """Default sizing for Σ|cluster|² pair stages (SemDeDup):
+    ``ceil(N / target_cluster)`` clamped to [16, cap], so the expected
+    cluster size stays ~``target_cluster`` and the within-cluster pair
+    join costs ~``target_cluster · N`` — linear in the corpus — instead
+    of N²/16 under a fixed 16-centroid default."""
+    if n_rows < 0:
+        raise ValueError(f"n_rows must be >= 0, got {n_rows}")
+    return max(16, min(cap, -(-n_rows // max(target_cluster, 1))))
+
+
 def assign_fixed_centroids(q: DataFrame, cents, id_type) -> DataFrame:
     """Relational nearest-centroid assignment over quantized-int vectors:
     argmax of ``dot(q, c)/sqrt(|c|²)`` with (score DESC, cid) tiebreak —
@@ -297,13 +324,16 @@ def ivf_topk_portable(
     k: int = 10,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
-    n_centroids: int = 16,
+    n_centroids: int | None = None,
     n_probe: int = 4,
     scale: int = 1_000_000,
     centroids: list | None = None,
 ) -> DataFrame:
     """IVF probe path on the engine-portable quantized ints, with FIXED
-    centroids (the ``n_centroids`` lowest-id corpus vectors) instead of
+    centroids (the ``n_centroids`` lowest-id corpus vectors; None →
+    :func:`auto_n_centroids_ivf` sizes sqrt(N) from one count job —
+    pass an explicit value to skip the count or pin oracle
+    determinism) instead of
     trained ones — index *training* is an offline job in any real ANN
     system, and pinning the centroids makes the entire serve path
     (assignment → probe selection → re-rank) exact integer/IEEE
@@ -332,6 +362,8 @@ def ivf_topk_portable(
     if centroids is not None:
         cents = list(centroids)
     else:
+        if n_centroids is None:
+            n_centroids = auto_n_centroids_ivf(q.count())
         cent_rows = q.orderBy("id").limit(n_centroids).collect()
         # zero-norm centroids dropped (cosine-to-centroid undefined
         # there); selection-then-filter order is mirrored by the oracle
@@ -413,7 +445,7 @@ def brute_force_topk_np(
 
 def kmeans_centroids(
     df: DataFrame,
-    n_centroids: int = 16,
+    n_centroids: int | None = None,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     sample_size: int = 10_000,
@@ -421,10 +453,14 @@ def kmeans_centroids(
 ) -> list[list[float]]:
     """Spherical k-means on a deterministic hash-ordered sample (train
     small on the driver, apply distributed — the sample bounds driver
-    memory regardless of corpus size). Returns unit-norm centroids for
+    memory regardless of corpus size). ``n_centroids=None`` sizes
+    sqrt(corpus) via :func:`auto_n_centroids_ivf` (one count job),
+    clamped to the sample size. Returns unit-norm centroids for
     ``ivf_topk(..., centroids=...)``."""
     import numpy as np
 
+    if n_centroids is None:
+        n_centroids = min(auto_n_centroids_ivf(df.count()), sample_size)
     rows = (
         df.select(id_col, vec_col)
         .orderBy(F.xxhash64(F.col(id_col).cast("string")))
@@ -442,6 +478,37 @@ def kmeans_centroids(
                 m = members.mean(axis=0)
                 cents[c] = m / max(np.linalg.norm(m), 1e-12)
     return [[float(v) for v in c] for c in cents]
+
+
+def _nearest_centroid_col(
+    centroids: list[list[float]], vec_col: str
+) -> Column:
+    """bucket = argmax cosine over the centroid array. Small centroid
+    sets stay a pure (codegen-able) expression; past 64 centroids the
+    C-branch expression tree stops being viable and assignment switches
+    to an Arrow-batched numpy matmul (one X @ C.T per batch — the
+    standard coarse-quantizer pass). Tie-break differs between the two
+    (expression: highest bucket wins; numpy argmax: lowest) — ties are
+    measure-zero for float embeddings and this path is not
+    oracle-checked (the exact-arithmetic contract lives in
+    assign_fixed_centroids)."""
+    if len(centroids) <= 64:
+        return _nearest_centroid_expr(centroids, vec_col)
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    c = np.asarray(centroids, dtype=np.float64)
+    cu = c / np.maximum(np.linalg.norm(c, axis=1, keepdims=True), 1e-12)
+
+    def _assign(v):
+        x = np.vstack([np.asarray(row, dtype=np.float64) for row in v])
+        x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+        return pd.Series(np.argmax(x @ cu.T, axis=1).astype(np.int32))
+
+    # no type hints: `from __future__ import annotations` stringifies
+    # them, which pandas_udf's hint inference cannot resolve here
+    return pandas_udf(_assign, "int")(F.col(vec_col))
 
 
 def _nearest_centroid_expr(
@@ -470,13 +537,16 @@ def ivf_topk(
     k: int = 10,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
-    n_centroids: int = 16,
+    n_centroids: int | None = None,
     n_probe: int = 4,
     centroids: list[list[float]] | None = None,
 ) -> DataFrame:
     """IVF-style ANN: coarse-quantize the corpus to ``n_centroids`` buckets
-    (nearest centroid by cosine), probe the query's ``n_probe`` nearest
-    buckets, exact re-rank inside them.
+    (nearest centroid by cosine; None → sqrt(N) auto-sizing via
+    :func:`auto_n_centroids_ivf`, capped at 256 because this path
+    evaluates assignment as one C-branch expression — the uncapped
+    scale path is :func:`build_ivf_index`'s materialized layout), probe
+    the query's ``n_probe`` nearest buckets, exact re-rank inside them.
 
     Default centroids are a deterministic hash-ordered sample of the
     corpus (no training step, reproducible); pass
@@ -489,6 +559,8 @@ def ivf_topk(
     import math
 
     if centroids is None:
+        if n_centroids is None:
+            n_centroids = auto_n_centroids_ivf(df.count(), cap=256)
         centroid_rows = (
             df.select(id_col, vec_col)
             .orderBy(F.xxhash64(F.col(id_col).cast("string")))
@@ -508,7 +580,7 @@ def ivf_topk(
         key=lambda i: -cos_py(centroids[i], [float(x) for x in query_vec]),
     )[:n_probe]
 
-    best = _nearest_centroid_expr(centroids, vec_col)
+    best = _nearest_centroid_col(centroids, vec_col)
 
     q = F.array(*[F.lit(float(x)) for x in query_vec]).cast("array<float>")
     candidates = df.withColumn("__bucket", best).filter(
@@ -620,7 +692,7 @@ def knn_join_np(
 def build_ivf_index(
     df: DataFrame,
     path: str,
-    n_centroids: int = 16,
+    n_centroids: int | None = None,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     centroids: list[list[float]] | None = None,
@@ -636,7 +708,12 @@ def build_ivf_index(
     Centroids default to trained spherical k-means (``train=True``) or a
     deterministic hash-ordered sample; they are persisted UNDER the index
     at ``_ivf_centroids`` (underscore-prefixed → invisible to parquet
-    discovery, like ``_SUCCESS``) so probes need no side-channel."""
+    discovery, like ``_SUCCESS``) so probes need no side-channel.
+    ``n_centroids=None`` → sqrt(N) auto-sizing (one count job; the list
+    count and per-list size then both grow O(sqrt(N)) instead of probe
+    cost growing linearly under a fixed default)."""
+    if n_centroids is None and centroids is None:
+        n_centroids = auto_n_centroids_ivf(df.count())
     if centroids is None:
         centroids = (
             kmeans_centroids(df, n_centroids, vec_col, id_col)
@@ -653,7 +730,7 @@ def build_ivf_index(
         centroids = [[float(x) for x in r[vec_col]] for r in rows]
 
     (
-        df.withColumn("__bucket", _nearest_centroid_expr(centroids, vec_col))
+        df.withColumn("__bucket", _nearest_centroid_col(centroids, vec_col))
         .write.mode("overwrite")
         .partitionBy("__bucket")
         .parquet(path)
@@ -712,7 +789,7 @@ def ivf_topk_indexed(
 
 def kmeans_centroids_portable(
     df: DataFrame,
-    n_centroids: int = 16,
+    n_centroids: int | None = None,
     iterations: int = 2,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
@@ -742,6 +819,8 @@ def kmeans_centroids_portable(
     q = df.select(
         F.col(id_col).alias("id"), _quantize_col(vec_col, scale).alias("q")
     )
+    if n_centroids is None:
+        n_centroids = auto_n_centroids_ivf(q.count())
     seed_rows = q.orderBy("id").limit(n_centroids).collect()
     cents = [
         (r["id"], [int(v) for v in r["q"]])

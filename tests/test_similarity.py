@@ -258,3 +258,108 @@ def test_kmeans_centroids_portable(spark):
     assert kmeans_centroids_portable(
         df.where("vec_id > 99"), n_centroids=2
     ) == []
+
+
+def test_auto_centroid_sizing_formulas():
+    """n_centroids defaults derive from corpus size: sqrt(N) for IVF
+    probe balance, N/4096 for Σ|cluster|² pair stages — both floored at
+    16 (the old fixed default) and capped."""
+    from ftm_columnstore_spark.operators.similarity import (
+        auto_n_centroids_ivf,
+        auto_n_centroids_pairs,
+    )
+
+    # floors: tiny corpora keep the old behavior
+    assert auto_n_centroids_ivf(0) == 16
+    assert auto_n_centroids_ivf(100) == 16
+    assert auto_n_centroids_pairs(100) == 16
+    # growth: 100× the corpus → 10× the IVF lists, 100× the pair clusters
+    assert auto_n_centroids_ivf(1_000_000) == 1000
+    assert auto_n_centroids_ivf(100_000_000) == 4096  # capped
+    assert auto_n_centroids_pairs(1_000_000) == 245  # ceil(1e6/4096)
+    assert auto_n_centroids_pairs(100_000_000) == 24415
+    # expected cluster size stays ~target under pairs sizing
+    for n in (10**5, 10**6, 10**7):
+        k = auto_n_centroids_pairs(n)
+        assert n / k <= 4096 + 1
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        auto_n_centroids_ivf(-1)
+
+
+def test_semantic_dedup_auto_sizing_scales(spark):
+    """semantic_dedup_portable with the None default picks more
+    centroids for a bigger corpus (and still returns every input row)."""
+    from ftm_columnstore_spark.operators.dedup import semantic_dedup_portable
+    from ftm_columnstore_spark.operators.similarity import (
+        auto_n_centroids_pairs,
+    )
+
+    rows = [
+        (i, [float((i * 13 + j * 5) % 17) / 17 + 0.01 for j in range(4)])
+        for i in range(300)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = semantic_dedup_portable(df, threshold=0.999999)
+    got = out.collect()
+    assert len(got) == 300
+    # the auto default at N=300 is the floor — same as the old fixed 16
+    assert auto_n_centroids_pairs(300) == 16
+    n_clusters = len({r["cid"] for r in got})
+    assert 1 <= n_clusters <= 16
+
+
+def test_ivf_topk_auto_sizing(spark):
+    """ivf_topk / ivf_topk_portable run with the None default (auto
+    count job) and still return exact-cosine-ordered results."""
+    from ftm_columnstore_spark.operators.similarity import (
+        ivf_topk,
+        ivf_topk_portable,
+    )
+
+    rows = [
+        (i, [float((i * 7 + j * 3) % 10) / 10 + 0.01 for j in range(8)])
+        for i in range(50)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = ivf_topk_portable(df, rows[0][1], k=5, n_probe=16).collect()
+    assert 0 < len(got) <= 5
+    got2 = ivf_topk(df, rows[0][1], k=5, n_probe=16).collect()
+    assert 0 < len(got2) <= 5
+    # the target vector itself ranks first in both
+    assert got[0]["vec_id"] == 0 and got2[0]["vec_id"] == 0
+
+
+def test_nearest_centroid_numpy_path_matches_expr(spark):
+    """Past 64 centroids assignment switches to the Arrow numpy matmul;
+    on tie-free data it assigns identically to the expression path."""
+    from ftm_columnstore_spark.operators.similarity import (
+        _nearest_centroid_col,
+        _nearest_centroid_expr,
+    )
+
+    import random
+
+    rng = random.Random(7)
+    cents = [
+        [rng.uniform(-1, 1) for _ in range(6)] for _ in range(70)
+    ]
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(6)]) for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    a = {
+        r["vec_id"]: r["b"]
+        for r in df.select(
+            "vec_id", _nearest_centroid_col(cents, "embedding").alias("b")
+        ).collect()
+    }
+    b = {
+        r["vec_id"]: r["b"]
+        for r in df.select(
+            "vec_id", _nearest_centroid_expr(cents, "embedding").alias("b")
+        ).collect()
+    }
+    assert a == b
