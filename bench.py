@@ -117,9 +117,9 @@ def main() -> None:
 
     # sequential steady-state latencies, best of 3 (GC pauses land
     # somewhere every suite pass; three samples isolate them)
-    timings: dict[str, float] = {}
+    solo: dict[str, float] = {}
     for name in HEADLINE:
-        timings[name] = round(min(run(name) for _ in range(3)), 3)
+        solo[name] = round(min(run(name) for _ in range(3)), 3)
         # drop caches persisted inside operators (d3/d5 reuse their
         # mid-relations within a query; stranded entries otherwise pile
         # up across 100+ invocations and surface as GC-pressure spikes
@@ -129,15 +129,22 @@ def main() -> None:
 
     # pass 3+: throughput — whole suite, 8 concurrent submitters,
     # best of 3 (AQE/persist warm-up + GC variance dominate a single
-    # run; observed 2x swings between identical passes)
+    # run; observed 2x swings between identical passes). Per-query
+    # latencies UNDER contention come from the best-wall pass, so
+    # `queries` carries {solo, concurrent} and rounds diff
+    # like-for-like (solo = plan quality, concurrent = scheduler mix).
     wall = float("inf")
+    concurrent: dict[str, float] = {}
     for _ in range(3):
         spark.catalog.clearCache()
         spark._jvm.System.gc()
         t0 = time.perf_counter()
         with ThreadPoolExecutor(max_workers=8) as pool:
-            list(pool.map(run, HEADLINE))
-        wall = min(wall, time.perf_counter() - t0)
+            pass_times = dict(zip(HEADLINE, pool.map(run, HEADLINE)))
+        elapsed = time.perf_counter() - t0
+        if elapsed < wall:
+            wall = elapsed
+            concurrent = {k: round(v, 3) for k, v in pass_times.items()}
     wall = round(wall, 3)
 
     sf = SF_DIR.rstrip("/").split("sf")[-1]
@@ -151,8 +158,14 @@ def main() -> None:
                 ),
                 "value": wall,
                 "unit": "sec",
-                "queries": timings,
-                "sum_sequential": round(sum(timings.values()), 3),
+                "queries": {
+                    name: {
+                        "solo": solo[name],
+                        "concurrent": concurrent[name],
+                    }
+                    for name in HEADLINE
+                },
+                "sum_sequential": round(sum(solo.values()), 3),
                 "sf": float(sf),
             }
         )
