@@ -2145,8 +2145,13 @@ def m6_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     codecs), rows-only check: synthesize a deterministic BMP per document
     (pixels derived from doc_id), run the Arrow-batched mapInPandas
     feature extractor (operators/multimodal.py) with ``fake=False`` so
-    the dependency-free BMP codec actually decodes every payload, and
-    return rounded feature components."""
+    every payload is actually decoded, and return rounded feature
+    components. Decode dispatch is environment-conditional: where
+    Pillow is importable, decode_image routes these payloads through
+    PIL; otherwise the dependency-free BMP codec decodes them — BMP is
+    lossless, so the features (and this entry's rows) are identical
+    either way (equivalence pinned by
+    tests/test_codecs.py::test_decode_image_pil_path_matches_bmp_codec)."""
     import numpy as np
     import pandas as pd
 

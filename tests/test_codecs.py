@@ -139,3 +139,38 @@ def test_undecodable_raises_without_fake(spark):
     # stand-in path still works
     out = extract_features(media, fake=True).collect()
     assert len(out[0]["features"]) == 16
+
+
+def test_decode_image_pil_path_matches_bmp_codec():
+    """When Pillow IS importable, decode_image routes through PIL; BMP
+    being lossless, PIL must hand back the exact pixels our own codec
+    produces — the property that keeps the m6 driver entry green with
+    and without Pillow installed. Skips where Pillow is absent (the
+    dependency-free path is covered by the other tests)."""
+    import numpy as np
+
+    from ftm_columnstore_spark.operators import codecs
+
+    if not codecs.has_pil():
+        pytest.skip("Pillow not installed; BMP fallback covered elsewhere")
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 256, size=(9, 7, 3), dtype=np.uint8)
+    payload = codecs.encode_bmp(img)
+    via_pil = codecs.decode_image(payload)
+    assert np.array_equal(via_pil, codecs.decode_bmp(payload))
+
+
+def test_decode_image_dispatch_without_pil(monkeypatch):
+    """With Pillow unavailable, decode_image IS the BMP codec (same
+    array object semantics), and non-BMP payloads raise the documented
+    UnsupportedMediaError instead of silently faking."""
+    import numpy as np
+
+    from ftm_columnstore_spark.operators import codecs
+
+    monkeypatch.setattr(codecs, "has_pil", lambda: False)
+    img = np.arange(5 * 4 * 3, dtype=np.uint8).reshape(5, 4, 3)
+    payload = codecs.encode_bmp(img)
+    assert np.array_equal(codecs.decode_image(payload), img)
+    with pytest.raises(Exception):
+        codecs.decode_image(b"\x89PNG\r\n\x1a\nnot-really")

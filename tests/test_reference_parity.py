@@ -372,3 +372,90 @@ def test_cli_iterate_counts(spark, parity_store, capsys):
     assert rc == 0
     lines = [l for l in capsys.readouterr().out.strip().split("\n") if l.strip()]
     assert len(lines) == 151
+
+
+# --- adjacency tuple shape (test_store.py:30-41) --------------------------
+
+
+def test_tchibo_adjacent_tuple_shape(view):
+    """The reference walks get_adjacent(entity) as typed pairs; our
+    analog yields (direction, prop, entity_id) triples — pin the shape
+    and that the out-edge follows Tchibo's own entity-typed property
+    to the exact address id, with the inverted pointer closing the
+    loop (test_store.py:30-41)."""
+    ent = view.get_entity(TCHIBO)
+    address = ent["properties"]["addressEntity"][0]
+    adjacent = list(view.get_adjacent(TCHIBO))
+    assert len(adjacent) == 2
+    for item in adjacent:
+        assert isinstance(item, tuple) and len(item) == 3
+        direction, prop, other = item
+        assert direction in {"in", "out"}
+        assert isinstance(prop, str) and prop
+        assert isinstance(other, str) and other
+    assert ("out", "addressEntity", address) in adjacent
+    # the other neighbour points AT Tchibo (an in-edge), and the same
+    # edge is visible through get_inverted on the address side
+    assert sum(1 for d, _, _ in adjacent if d == "in") == 1
+    assert any(eid == TCHIBO for _, eid in view.get_inverted(address))
+
+
+# --- apply_iter analog (test_store.py:250-256) -----------------------------
+
+
+def test_apply_iter_counts_without_store(spark):
+    """The reference's q.apply_iter(proxies) evaluates a query over an
+    in-memory iterable with no store. The analog here is F11: the SAME
+    compiler applied to any statements DataFrame — built directly from
+    the fixture files, never written to a Store — must reproduce the
+    reference counts (37 date-gated reverse Payments, 0 reverse
+    Persons)."""
+    from ftm_columnstore_spark.plans.compiler import compile_entities
+    from ftm_columnstore_spark.sources.statements import (
+        entities_to_statements,
+    )
+
+    stmts = entities_to_statements(
+        read_entities(spark, DONATIONS), "donations"
+    ).unionByName(
+        entities_to_statements(
+            read_entities(spark, AUTHORITIES), "eu_authorities"
+        )
+    )
+    entity_id = "783d918df9f9178400d6b3386439ab3b3679979c"
+    q = Q().where(reverse=entity_id, schema="Payment")
+    q = q.where(prop="date", value=2007, comparator="gte")
+    assert compile_entities(stmts, q).count() == 37
+    q2 = Q().where(reverse=entity_id, schema="Person")
+    assert compile_entities(stmts, q2).count() == 0
+
+
+# --- leaf dataset names (test_store.py:99) ---------------------------------
+
+
+def test_store_dataset_names(parity_store):
+    """store.dataset.leaf_names == {donations, eu_authorities} — the
+    analog is the distinct dataset column of the statement relation."""
+    names = {
+        r["dataset"]
+        for r in parity_store.statements().select("dataset").distinct().collect()
+    }
+    assert names == {"donations", "eu_authorities"}
+
+
+# --- entity payload completeness (test_store.py:100-104) -------------------
+
+
+def test_entities_are_complete_payloads(view):
+    """Every iterated entity is a full FtM payload (the reference
+    asserts isinstance CompositeEntity): id, schema, caption,
+    non-empty properties dict, datasets list."""
+    seen = 0
+    for ent in view.entities():
+        assert set(ent) >= {"id", "schema", "caption", "properties", "datasets"}
+        assert isinstance(ent["properties"], dict) and ent["properties"]
+        assert isinstance(ent["datasets"], list) and ent["datasets"]
+        seen += 1
+        if seen >= 5:
+            break
+    assert seen == 5
