@@ -1265,15 +1265,25 @@ def _cut_dup_spans(docs: DataFrame, occ: DataFrame, k: int) -> DataFrame:
     spans = occ.groupBy("id", "__island").agg(
         F.min("pos").alias("start"), F.max("end").alias("end")
     )
-    doc_spans = spans.groupBy("id").agg(
-        F.collect_list(F.struct("start", "end")).alias("spans")
+    # one row per document WITH duplicated spans — bounded by the dup
+    # fraction of the corpus; checkpointed because both branches below
+    # consume it (the anti join and the cut join would otherwise each
+    # re-run the gram aggregation lineage)
+    doc_spans = (
+        spans.groupBy("id")
+        .agg(F.collect_list(F.struct("start", "end")).alias("spans"))
+        .localCheckpoint(eager=True)
     )
-    joined = docs.join(doc_spans, on="id", how="left").withColumn(
-        "spans",
-        F.coalesce(
-            "spans", F.array().cast("array<struct<start:int,end:int>>")
-        ),
+    # untouched documents (the common case on real corpora) short-
+    # circuit: concat(segs) IS the original text byte-for-byte, so they
+    # never enter the segment explode/window below
+    untouched = docs.join(doc_spans, on="id", how="left_anti").select(
+        "id",
+        F.size("toks").alias("n_tokens"),
+        F.lit(0).alias("n_removed"),
+        F.array_join("segs", "").alias("text"),
     )
+    joined = docs.join(doc_spans, on="id")
     seg_rows = joined.select(
         "id",
         F.size("toks").alias("n_tokens"),
@@ -1302,7 +1312,7 @@ def _cut_dup_spans(docs: DataFrame, occ: DataFrame, k: int) -> DataFrame:
             F.lit(False),
         ),
     )
-    return (
+    cut_docs = (
         seg_rows.groupBy("id", "n_tokens")
         .agg(
             F.sum(F.when(istok & F.col("__cut"), 1).otherwise(0))
@@ -1325,6 +1335,7 @@ def _cut_dup_spans(docs: DataFrame, occ: DataFrame, k: int) -> DataFrame:
         )
         .select("id", "n_tokens", "n_removed", "text")
     )
+    return cut_docs.unionByName(untouched)
 
 
 def exact_substring_dedup(
