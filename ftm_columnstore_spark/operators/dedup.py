@@ -216,18 +216,27 @@ def minhash_lsh_pairs(
     jaccard_est = fraction of agreeing signature positions (unbiased MinHash
     estimator). The band join shuffles on (band, band-hash); bucket skew
     (boilerplate shingles) is handled by AQE skew-join splitting.
+
+    Scale shape: only (id, band, bucket) rides the self-join and the
+    pair distinct — 16-byte pair rows. The signatures (num_hashes longs
+    each) join back AFTER the distinct, so a duplicate-heavy corpus —
+    clusters of c near-copies emit O(c² · bands) raw band matches —
+    shuffles narrow rows where a signature-carrying join would move
+    ~60× the bytes through the dedup aggregate (measured: the wide form
+    OOMed a 500k-doc soak whose clusters had c≈100; this form runs it).
     """
-    # persist: the self-join reads the banded relation twice; projection
-    # collapse would otherwise inline (and re-evaluate) the entire
-    # signature+banding computation into both sides (caching contract:
-    # see unpersist_intermediates)
+    # persist: the self-join reads the banded relation twice and the
+    # signature join-back reads it again; projection collapse would
+    # otherwise inline (and re-evaluate) the entire signature+banding
+    # computation into every branch (caching contract: see
+    # unpersist_intermediates)
     banded = _band_relation(signatures, num_bands).persist()
 
-    left = banded.alias("l")
-    right = banded.alias("r")
-    pairs = (
-        left.join(
-            right,
+    slim = banded.select("id", "band", "bucket")
+    cand = (
+        slim.alias("l")
+        .join(
+            slim.alias("r"),
             on=[
                 F.col("l.band") == F.col("r.band"),
                 F.col("l.bucket") == F.col("r.bucket"),
@@ -237,10 +246,22 @@ def minhash_lsh_pairs(
         .select(
             F.col("l.id").alias("left_id"),
             F.col("r.id").alias("right_id"),
-            F.col("l.signature").alias("ls"),
-            F.col("r.signature").alias("rs"),
         )
-        .dropDuplicates(["left_id", "right_id"])
+        .distinct()
+    )
+    # one row per id, read from the persisted banded relation (band 0
+    # always exists) — no recompute, no extra aggregation
+    sigs = banded.where(F.col("band") == 0).select("id", "signature")
+    pairs = cand.join(
+        sigs.select(
+            F.col("id").alias("left_id"), F.col("signature").alias("ls")
+        ),
+        on="left_id",
+    ).join(
+        sigs.select(
+            F.col("id").alias("right_id"), F.col("signature").alias("rs")
+        ),
+        on="right_id",
     )
     est = (
         F.size(
@@ -291,11 +312,16 @@ def cross_pairs_from_banded(
     """Pair stage of :func:`minhash_lsh_pairs_cross` over PRE-BANDED
     relations (from :func:`_band_relation`) — the entry point for callers
     that band the corpus once and reuse it (persisted dedup index,
-    per-micro-batch streaming dedup)."""
-    pairs = (
-        new_banded.alias("l")
+    per-micro-batch streaming dedup).
+
+    Same narrow-pairing shape as :func:`minhash_lsh_pairs`: ids-only
+    band join and distinct, signatures joined back afterwards."""
+    slim_l = new_banded.select("id", "band", "bucket")
+    slim_r = corpus_banded.select("id", "band", "bucket")
+    cand = (
+        slim_l.alias("l")
         .join(
-            corpus_banded.alias("r"),
+            slim_r.alias("r"),
             on=[
                 F.col("l.band") == F.col("r.band"),
                 F.col("l.bucket") == F.col("r.bucket"),
@@ -304,10 +330,23 @@ def cross_pairs_from_banded(
         .select(
             F.col("l.id").alias("new_id"),
             F.col("r.id").alias("corpus_id"),
-            F.col("l.signature").alias("ls"),
-            F.col("r.signature").alias("rs"),
         )
-        .dropDuplicates(["new_id", "corpus_id"])
+        .distinct()
+    )
+    new_sigs = new_banded.where(F.col("band") == 0).select("id", "signature")
+    corpus_sigs = corpus_banded.where(F.col("band") == 0).select(
+        "id", "signature"
+    )
+    pairs = cand.join(
+        new_sigs.select(
+            F.col("id").alias("new_id"), F.col("signature").alias("ls")
+        ),
+        on="new_id",
+    ).join(
+        corpus_sigs.select(
+            F.col("id").alias("corpus_id"), F.col("signature").alias("rs")
+        ),
+        on="corpus_id",
     )
     est = (
         F.size(
