@@ -225,12 +225,15 @@ def minhash_lsh_pairs(
     ~60× the bytes through the dedup aggregate (measured: the wide form
     OOMed a 500k-doc soak whose clusters had c≈100; this form runs it).
     """
-    # persist: the self-join reads the banded relation twice and the
-    # signature join-back reads it again; projection collapse would
-    # otherwise inline (and re-evaluate) the entire signature+banding
-    # computation into every branch (caching contract: see
-    # unpersist_intermediates)
+    # persist + EAGER materialize: the self-join reads the banded
+    # relation twice and the signature join-back twice more. persist()
+    # alone is lazy — all four consumers are separate stages of ONE job,
+    # so they race to compute the uncached signature lineage
+    # concurrently (measured 4-5x wall blowup at sf0.1); one count()
+    # populates the cache once before the fan-out. (caching contract:
+    # see unpersist_intermediates)
     banded = _band_relation(signatures, num_bands).persist()
+    banded.count()
 
     slim = banded.select("id", "band", "bucket")
     cand = (
@@ -297,8 +300,11 @@ def minhash_lsh_pairs_cross(
     (band, bucket) only. The corpus side's banded relation is exactly
     what a persisted dedup index stores — feed previously-computed
     signatures to skip recomputing the corpus at every batch."""
+    # eager materialize before the fan-out (see minhash_lsh_pairs)
     nb = _band_relation(new_signatures, num_bands).persist()
+    nb.count()
     cb = _band_relation(corpus_signatures, num_bands).persist()
+    cb.count()
     out = cross_pairs_from_banded(nb, cb, min_jaccard_est)
     out._cached_intermediates = [nb, cb]
     return out
@@ -654,8 +660,12 @@ def simhash_pairs_portable(
     reproducible outside Spark — this is the oracle-checked variant; the
     numpy/siphash one stays as the single-engine throughput path."""
     _check_simhash_params(bands, max_hamming)
-    # persist (caching contract: see unpersist_intermediates)
+    # persist + eager materialize — the bucket-size agg and both join
+    # sides consume it; lazy persist lets those stages race to compute
+    # the lineage concurrently (see minhash_lsh_pairs). (caching
+    # contract: see unpersist_intermediates)
     chunks = simhash_chunks(df, text_col, id_col, bands).persist()
+    chunks.count()
     banded = chunks.select(
         "*",
         F.explode(
@@ -796,6 +806,10 @@ def ngram_jaccard_pairs(
         )
         .persist()
     )
+    # eager materialize: the prefix self-join and both set join-backs
+    # are four concurrent consumers — lazy persist lets them race to
+    # compute the shingle+freq+collect lineage (see minhash_lsh_pairs)
+    sets.count()
     prefix = sets.select(
         "id",
         "setsize",
@@ -907,10 +921,12 @@ def embedding_dup_pairs_portable(
     the only wide op is the signature-bucket self-join."""
     from ftm_columnstore_spark.operators.similarity import quantized_features
 
-    # persist: the self-join references feats twice — without it the
-    # whole quantize+signature lineage is inlined into BOTH sides
-    # (same lesson as the banded MinHash relation)
+    # persist + eager materialize: the self-join references feats twice —
+    # without the persist the whole quantize+signature lineage is inlined
+    # into BOTH sides, and without the count the two sides race to
+    # compute it concurrently (same lesson as the banded MinHash relation)
     feats = quantized_features(df, vec_col, id_col, num_planes, scale).persist()
+    feats.count()
     l, r = feats.alias("l"), feats.alias("r")
     dotq = F.aggregate(
         F.zip_with("l.q", "r.q", lambda a, b: a * b),

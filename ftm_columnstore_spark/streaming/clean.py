@@ -70,6 +70,7 @@ def stream_clean_against_corpus(
     if max_bits_per_bigram is not None:
         c2, c1, vocab = train_bigram_lm(corpus, text_col, id_col)
         c2, c1 = c2.persist(), c1.persist()
+        c2.count(), c1.count()  # build indexes at stream start
         cached += [c2, c1]
         lm = (c2, c1, vocab)
     grams = None
@@ -77,6 +78,7 @@ def stream_clean_against_corpus(
         grams = corpus_gram_index(
             corpus, text_col, id_col, substring_k
         ).persist()
+        grams.count()  # build the index at stream start, not first batch
         cached.append(grams)
     banded = None
     nd = dict(near_dedup or {})
@@ -98,6 +100,9 @@ def stream_clean_against_corpus(
             ),
             nd.get("num_bands", 8),
         ).persist()
+        # eager: the per-batch cross pairing reads it twice (band join +
+        # signature join-back) — build once at stream start
+        banded.count()
         cached.append(banded)
 
     def process(batch_df: DataFrame, _batch_id: int) -> None:

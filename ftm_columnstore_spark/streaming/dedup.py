@@ -66,6 +66,10 @@ def stream_dedup_against_corpus(
         minhash_signature(corpus, text_col, id_col, num_hashes, shingle_k),
         num_bands,
     ).persist()
+    # eager: build the index NOW, once — a lazy persist would make the
+    # first micro-batch's two consumers (band join + signature join-back)
+    # race to compute the corpus lineage concurrently
+    corpus_banded.count()
 
     def process(batch_df: DataFrame, _batch_id: int) -> None:
         if batch_df.isEmpty():
@@ -135,6 +139,7 @@ def stream_substring_cut_against_corpus(
     )
 
     grams = corpus_gram_index(corpus, text_col, id_col, k).persist()
+    grams.count()  # build the index at stream start, not first batch
 
     def process(batch_df: DataFrame, _batch_id: int) -> None:
         if batch_df.isEmpty():

@@ -62,6 +62,21 @@ def test_minhash_lsh_pairs(corpus):
     assert (4, 5) not in pairs
 
 
+def test_minhash_pair_dedup_is_narrow(corpus):
+    """Scale-shape pin: the candidate-pair distinct groups bare ids only —
+    signatures must NOT ride the band join into the dedup aggregate (a
+    duplicate-heavy corpus emits O(c²·bands) raw matches per c-sized
+    cluster; wide rows there OOMed a 500k-doc soak)."""
+    sigs = minhash_signature(corpus, num_hashes=16, shingle_k=3)
+    pairs = minhash_lsh_pairs(sigs, num_bands=8)
+    plan = pairs._jdf.queryExecution().optimizedPlan().toString()
+    agg_lines = [ln for ln in plan.splitlines() if "Aggregate [" in ln]
+    assert agg_lines, plan
+    # dropDuplicates over payload columns would show up as first(...)
+    # agg expressions; the narrow distinct has none
+    assert all("first(" not in ln for ln in agg_lines), agg_lines
+
+
 def test_minhash_dedup(corpus):
     kept = sorted(
         r["doc_id"]
