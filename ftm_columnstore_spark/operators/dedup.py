@@ -139,12 +139,20 @@ def minhash_signature(
             f"hash_family must be 'portable' or 'fast', got {hash_family!r}"
         )
     shingled = shingle_rows(df, text_col, id_col, shingle_k)
+    # per-permutation hashes are PROJECTED before the aggregation and
+    # min() runs over plain columns: agg-input expressions evaluate on
+    # the interpreted path inside the aggregate, measured 4× slower
+    # than the projected form at 50k docs (same finding as the LM
+    # scoring avg — see operators/text.py bigram_lm_scores)
     if hash_family == "fast":
         hashed = shingled.select("id", F.xxhash64("shingle").alias("__h"))
-        aggs = [
-            F.min(F.xxhash64("__h", F.lit(i))).alias(f"__m{i}")
-            for i in range(num_hashes)
-        ]
+        hashed = hashed.select(
+            "id",
+            *[
+                F.xxhash64("__h", F.lit(i)).alias(f"__p{i}")
+                for i in range(num_hashes)
+            ],
+        )
     else:
         h = F.conv(F.substring(F.md5("shingle"), 1, 15), 16, 10).cast("long")
         hashed = shingled.select(
@@ -152,13 +160,23 @@ def minhash_signature(
             F.shiftrightunsigned(h, 30).alias("__hi"),
             (h % F.lit(_SPLIT)).alias("__lo"),
         )
-        aggs = [
-            F.min(
-                (F.lit(a) * F.col("__hi") + F.lit(b) * F.col("__lo") + F.lit(c))
-                % F.lit(_MERSENNE31)
-            ).alias(f"__m{i}")
-            for i, (a, b, c) in enumerate(_perm_constants(num_hashes))
-        ]
+        hashed = hashed.select(
+            "id",
+            *[
+                (
+                    (
+                        F.lit(a) * F.col("__hi")
+                        + F.lit(b) * F.col("__lo")
+                        + F.lit(c)
+                    )
+                    % F.lit(_MERSENNE31)
+                ).alias(f"__p{i}")
+                for i, (a, b, c) in enumerate(_perm_constants(num_hashes))
+            ],
+        )
+    aggs = [
+        F.min(f"__p{i}").alias(f"__m{i}") for i in range(num_hashes)
+    ]
     return (
         hashed.groupBy("id")
         .agg(*aggs)
@@ -622,11 +640,17 @@ def simhash_chunks(
         src, off = ("__lo", j) if j < 32 else ("__hi", j - 32)
         return F.shiftright(F.col(src), off).bitwiseAND(F.lit(1))
 
-    votes = hashed.groupBy("id").agg(
+    # vote terms projected before the agg — agg-input expressions run
+    # interpreted inside the aggregate (see minhash_signature)
+    voted = hashed.select(
+        "id",
         *[
-            F.sum(F.col("__cnt") * (bit(j) * 2 - F.lit(1))).alias(f"__v{j}")
+            (F.col("__cnt") * (bit(j) * 2 - F.lit(1))).alias(f"__t{j}")
             for j in range(64)
-        ]
+        ],
+    )
+    votes = voted.groupBy("id").agg(
+        *[F.sum(f"__t{j}").alias(f"__v{j}") for j in range(64)]
     )
     chunk_cols = [
         sum(
@@ -1033,9 +1057,10 @@ def line_dedup(
     # join back to the exploded relation is needed — one shuffle fewer
     # (measured 6.5s -> 2.9s at sf0.1 with full row materialization).
     kept = (
-        keyed.groupBy("h")
+        keyed.withColumn("__s", F.struct("__ord", "id", "pos"))
+        .groupBy("h")
         .agg(
-            F.min(F.struct("__ord", "id", "pos")).alias("__first"),
+            F.min("__s").alias("__first"),
             F.any_value("line").alias("line"),
         )
         .select(
@@ -1367,22 +1392,26 @@ def _cut_dup_spans(docs: DataFrame, occ: DataFrame, k: int) -> DataFrame:
             F.lit(False),
         ),
     )
+    # agg inputs projected first (interpreted-path rule — see
+    # minhash_signature): the removed-token flag and the kept-segment
+    # struct become plain columns before the aggregate
     cut_docs = (
-        seg_rows.groupBy("id", "n_tokens")
+        seg_rows.withColumn(
+            "__rm", F.when(istok & F.col("__cut"), 1).otherwise(0)
+        )
+        .withColumn(
+            "__keep",
+            F.when(
+                ~F.col("__cut") & F.col("seg").isNotNull(),
+                F.struct("si", "seg"),
+            ),
+        )
+        .groupBy("id", "n_tokens")
         .agg(
-            F.sum(F.when(istok & F.col("__cut"), 1).otherwise(0))
-            .cast("int")
-            .alias("n_removed"),
+            F.sum("__rm").cast("int").alias("n_removed"),
             F.array_join(
                 F.transform(
-                    F.array_sort(
-                        F.collect_list(
-                            F.when(
-                                ~F.col("__cut") & F.col("seg").isNotNull(),
-                                F.struct("si", "seg"),
-                            )
-                        )
-                    ),
+                    F.array_sort(F.collect_list("__keep")),
                     lambda x: x["seg"],
                 ),
                 "",
@@ -1455,9 +1484,15 @@ def exact_substring_dedup(
         raise ValueError(f"k must be >= 2, got {k}")
     docs = _tokenized_docs(df, text_col, id_col, keep_order_col)
     grams = _doc_grams(docs, k)
-    firsts = grams.groupBy("h").agg(
-        F.count(F.lit(1)).alias("__cnt"),
-        F.min(F.struct("__ord", "id", "pos")).alias("__first"),
+    # struct projected before the agg (agg-input expressions run
+    # interpreted inside the aggregate — see minhash_signature)
+    firsts = (
+        grams.withColumn("__s", F.struct("__ord", "id", "pos"))
+        .groupBy("h")
+        .agg(
+            F.count(F.lit(1)).alias("__cnt"),
+            F.min("__s").alias("__first"),
+        )
     )
     dup = grams.join(firsts, on="h").where(F.col("__cnt") >= 2)
     if keep_first:
@@ -1532,9 +1567,15 @@ def exact_substring_dedup_cross(
     ).select("id", "pos")
     if not within_batch:
         return _cut_dup_spans(docs, in_corpus, k)
-    firsts = grams.groupBy("h").agg(
-        F.count(F.lit(1)).alias("__cnt"),
-        F.min(F.struct("__ord", "id", "pos")).alias("__first"),
+    # struct projected before the agg (agg-input expressions run
+    # interpreted inside the aggregate — see minhash_signature)
+    firsts = (
+        grams.withColumn("__s", F.struct("__ord", "id", "pos"))
+        .groupBy("h")
+        .agg(
+            F.count(F.lit(1)).alias("__cnt"),
+            F.min("__s").alias("__first"),
+        )
     )
     batch_dup = (
         grams.join(firsts, on="h")

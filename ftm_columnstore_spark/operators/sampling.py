@@ -337,9 +337,13 @@ def write_training_shards(
     if text_col is not None and text_col in written.columns:
         from ftm_columnstore_spark.functions.text import word_tokens_col
 
-        aggs.append(
-            F.sum(F.size(word_tokens_col(text_col))).alias("n_tokens")
+        # token count projected before the agg — the tokenize would
+        # otherwise run interpreted inside the aggregate (see
+        # operators/dedup.py minhash_signature)
+        written = written.withColumn(
+            "__ntok", F.size(word_tokens_col(text_col))
         )
+        aggs.append(F.sum("__ntok").alias("n_tokens"))
     return written.groupBy("shard").agg(*aggs).orderBy("shard")
 
 

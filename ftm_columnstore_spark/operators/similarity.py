@@ -185,19 +185,30 @@ def quantized_features(
         F.col(id_col).alias("id"), _quantize_col(vec_col, scale).alias("q")
     )
     ex = q.select("id", F.posexplode("q").alias("pos", "qv"))
+    # products/bit terms projected before each agg — agg-input
+    # expressions run interpreted inside the aggregate (see
+    # operators/dedup.py minhash_signature)
     dots = (
         ex.join(F.broadcast(planes), on="pos")
+        .withColumn("__x", F.col("qv") * F.col("s"))
         .groupBy("id", "plane")
-        .agg(F.sum(F.col("qv") * F.col("s")).alias("dot"))
+        .agg(F.sum("__x").alias("dot"))
     )
-    sigs = dots.groupBy("id").agg(
-        F.sum(
-            F.when(F.col("dot") >= 0, F.expr("shiftleft(1L, plane)")).otherwise(
-                F.lit(0)
-            )
-        ).alias("sig")
+    sigs = (
+        dots.withColumn(
+            "__bit",
+            F.when(
+                F.col("dot") >= 0, F.expr("shiftleft(1L, plane)")
+            ).otherwise(F.lit(0)),
+        )
+        .groupBy("id")
+        .agg(F.sum("__bit").alias("sig"))
     )
-    norms = ex.groupBy("id").agg(F.sum(F.col("qv") * F.col("qv")).alias("nq"))
+    norms = (
+        ex.withColumn("__q2", F.col("qv") * F.col("qv"))
+        .groupBy("id")
+        .agg(F.sum("__q2").alias("nq"))
+    )
     # zero-norm rows dropped: cosine against them is NaN, and engines
     # disagree on NaN comparisons (Spark: NaN fails >=; DuckDB: NaN
     # sorts above everything) — excluding them keeps oracle parity

@@ -157,6 +157,23 @@ def analyze_documents(
     )
 
 
+def _bigram_rows(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(id, w1, w2) — one row per consecutive token pair, derived
+    NARROWLY: the token array sliced into positions [1..n-1] and
+    [2..n] and zipped. Replaces the posexplode + per-doc lag-window
+    form: identical multiset of bigrams, but zero shuffles and cheap
+    enough to recompute per consumer instead of checkpointing a
+    corpus-sized intermediate."""
+    ts = word_tokens_col(text_col)
+    n1 = F.greatest(F.size(ts) - 1, F.lit(0))
+    z = F.arrays_zip(
+        F.slice(ts, 1, n1).alias("w1"), F.slice(ts, 2, n1).alias("w2")
+    )
+    return df.select(
+        F.col(id_col).alias("id"), F.explode(z).alias("p")
+    ).select("id", "p.w1", "p.w2")
+
+
 def bigram_lm_scores(
     df: DataFrame,
     text_col: str = "text",
@@ -169,42 +186,47 @@ def bigram_lm_scores(
     wrong language). score = mean over a doc's bigrams of
     ``-log2 P(w2|w1)`` with ``P = (c(w1,w2)+k) / (c(w1)+k·V)``.
 
-    Fully relational (100 TB path): tokenize is narrow; bigrams come from
-    ONE per-doc window pass (shuffle on doc id); the LM "training" is two
+    Fully relational (100 TB path): tokenize AND the bigram derive are
+    narrow (consecutive array slices zipped — no per-doc window, no
+    shuffle, nothing materialized; each consumer recomputes the cheap
+    map lineage rather than checkpointing a corpus-sized bigram
+    relation, which measured 18× super-linear at a 500k-doc soak from
+    the checkpoint's serialize+spill alone); the LM "training" is two
     corpus-wide aggregations on token keys whose outputs are
     vocabulary-sized (AQE broadcasts them back when small); the scoring
     join shuffles on the bigram key. Docs with < 2 tokens are excluded
     (they have no bigrams). Output: (id, n_bigrams, bits_per_bigram)."""
-    from pyspark.sql import Window
-
-    toks = df.select(
-        F.col(id_col).alias("id"),
-        F.posexplode(word_tokens_col(text_col)).alias("pos", "w"),
+    vocab_size = (
+        df.select(F.explode(word_tokens_col(text_col)).alias("w"))
+        .distinct()
+        .count()
     )
-    vocab_size = toks.select("w").distinct().count()
-    w = Window.partitionBy("id").orderBy("pos")
-    # localCheckpoint: c2, c1 AND the scoring join all read `big` (the
-    # tokenize + window lineage would otherwise run three times); unlike
-    # persist the blocks are ContextCleaner-released once unreferenced
-    big = (
-        toks.withColumn("w1", F.lag("w").over(w))
-        .filter(F.col("w1").isNotNull())
-        .select("id", "w1", F.col("w").alias("w2"))
-        .localCheckpoint(eager=True)
-    )
+    big = _bigram_rows(df, text_col, id_col)
     c2 = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
     c1 = big.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
     bits = (
         F.log(F.col("c1").cast("double") + F.lit(float(k) * vocab_size))
         - F.log(F.col("c2").cast("double") + F.lit(float(k)))
     ) / F.log(F.lit(2.0))
+    # EXPLICIT broadcast of the vocabulary-bounded count relations:
+    # Catalyst's size estimate downstream of explode+join is unreliable
+    # enough that it chose BuildLeft here — broadcasting the CORPUS-
+    # sized bigram stream and probing it with the 31-row c1 (measured
+    # 119s vs 13s for a 27M-bigram corpus). The hint declares what the
+    # docstring promises: the count relations are the broadcast side.
+    #
+    # bits is PROJECTED before the aggregate: avg(<log expression>)
+    # inline evaluates the expression on the interpreted path inside
+    # the agg (measured 178s vs 17s over 27M bigrams); avg over a
+    # projected column stays in whole-stage codegen.
     return (
-        big.join(c2, on=["w1", "w2"])
-        .join(c1, on="w1")
+        big.join(F.broadcast(c2), on=["w1", "w2"])
+        .join(F.broadcast(c1), on="w1")
+        .withColumn("__bits", bits)
         .groupBy("id")
         .agg(
             F.count(F.lit(1)).alias("n_bigrams"),
-            F.round(F.avg(bits), 6).alias("bits_per_bigram"),
+            F.round(F.avg("__bits"), 6).alias("bits_per_bigram"),
         )
     )
 
@@ -611,19 +633,13 @@ def train_bigram_lm(
     ``(c2 + k) / (c1 + k·V)`` never divides by (or logs) zero; every
     scored bigram then falls back to ``-log2(k / k) = 0`` bits. The
     DuckDB oracle mirrors this with ``greatest(v.vs, 1)``."""
-    from pyspark.sql import Window
-
-    toks = df.select(
-        F.col(id_col).alias("id"),
-        F.posexplode(word_tokens_col(text_col)).alias("pos", "w"),
+    vocab_size = max(
+        df.select(F.explode(word_tokens_col(text_col)).alias("w"))
+        .distinct()
+        .count(),
+        1,
     )
-    vocab_size = max(toks.select("w").distinct().count(), 1)
-    w = Window.partitionBy("id").orderBy("pos")
-    big = (
-        toks.withColumn("w1", F.lag("w").over(w))
-        .filter(F.col("w1").isNotNull())
-        .select("w1", F.col("w").alias("w2"))
-    )
+    big = _bigram_rows(df, text_col, id_col).select("w1", "w2")
     # ONE corpus pass: c1 folds out of c2 (sum of bigram counts per
     # context) — the vocabulary-sized c2 relation, never the corpus,
     # is re-aggregated (bigram_lm_scores localCheckpoints the same
@@ -646,25 +662,16 @@ def score_with_bigram_lm(
     corpus fall back to c2=0 (and c1=0 for unseen contexts), so
     out-of-domain text scores high — exactly the screening signal.
 
-    One per-doc window pass + one left join against the (vocabulary-
+    One narrow bigram derive + one left join against the (vocabulary-
     bounded, broadcastable) count relations. Output:
     (id, n_bigrams, bits_per_bigram)."""
-    from pyspark.sql import Window
-
     c2, c1, vocab_size = lm
-    toks = df.select(
-        F.col(id_col).alias("id"),
-        F.posexplode(word_tokens_col(text_col)).alias("pos", "w"),
-    )
-    w = Window.partitionBy("id").orderBy("pos")
-    big = (
-        toks.withColumn("w1", F.lag("w").over(w))
-        .filter(F.col("w1").isNotNull())
-        .select("id", "w1", F.col("w").alias("w2"))
-    )
+    big = _bigram_rows(df, text_col, id_col)
+    # explicit broadcast — same build-side-inversion guard as
+    # bigram_lm_scores (the trained LM is vocabulary-bounded by design)
     joined = (
-        big.join(c2, on=["w1", "w2"], how="left")
-        .join(c1, on="w1", how="left")
+        big.join(F.broadcast(c2), on=["w1", "w2"], how="left")
+        .join(F.broadcast(c1), on="w1", how="left")
         .withColumn("__c2", F.coalesce("c2", F.lit(0)))
         .withColumn("__c1", F.coalesce("c1", F.lit(0)))
     )
@@ -674,7 +681,13 @@ def score_with_bigram_lm(
         )
         - F.log(F.col("__c2").cast("double") + F.lit(float(k)))
     ) / F.log(F.lit(2.0))
-    return joined.groupBy("id").agg(
-        F.count(F.lit(1)).alias("n_bigrams"),
-        F.round(F.avg(bits), 6).alias("bits_per_bigram"),
+    # projected before the agg — avg(<expression>) inline runs the
+    # expression interpreted inside the aggregate (see bigram_lm_scores)
+    return (
+        joined.withColumn("__bits", bits)
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(F.avg("__bits"), 6).alias("bits_per_bigram"),
+        )
     )
