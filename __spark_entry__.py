@@ -1177,6 +1177,23 @@ def d3_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_pairs(sigs, num_bands=8)
 
 
+def d16_minhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster labels for every document: LSH pairs at
+    jaccard_est >= 0.5 (same portable md5 family as d3) → large-star/
+    small-star connected components → singletons keep their own id.
+    Oracle: the d3 signature SQL with a threshold, recursive-CTE
+    reachability (d7 pattern), LEFT JOIN back to documents."""
+    from ftm_columnstore_spark.operators.dedup import minhash_clusters
+
+    return minhash_clusters(
+        _t(spark, sf_dir, "documents"),
+        num_hashes=32,
+        num_bands=8,
+        threshold=0.5,
+        shingle_k=3,
+    )
+
+
 def d4_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ftm_columnstore_spark.operators.dedup import simhash_pairs_portable
 
@@ -2440,6 +2457,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "v5_ivf_topk": v5_ivf_topk,
         "t9_pack_sequences": t9_pack_sequences,
         # --- round-3 additions land here (inside the driver window) ---
+        "d16_minhash_clusters": d16_minhash_clusters,
         # --- verified green in CORRECTNESS_r02.json ---
         "a4_avg_via_dsl": a4_avg_via_dsl,
         "m2_fingerprint_freq": m2_fingerprint_freq,
@@ -2603,6 +2621,38 @@ def _d3_oracle(nh: int = 32, k: int = 3, nb: int = 8) -> str:
                round(len(list_filter(range(1, {nh + 1}), i -> ls[i] = rs[i]))
                      / {nh}.0, 6) AS jaccard_est
         FROM pairs
+    """
+
+
+def _d16_oracle(
+    threshold: float = 0.5, nh: int = 32, k: int = 3, nb: int = 8
+) -> str:
+    """DuckDB oracle for minhash_clusters: the d3 pair SQL thresholded,
+    symmetric-closure recursive reachability (d7 pattern), component
+    minimum, LEFT JOIN back so singletons (incl. null-text docs) keep
+    their own id."""
+    pairs_sql = _d3_oracle(nh, k, nb)
+    return f"""
+        WITH RECURSIVE pr AS ({pairs_sql}),
+        sym AS (
+            SELECT left_id AS src, right_id AS dst FROM pr
+            WHERE jaccard_est >= {threshold}
+            UNION
+            SELECT right_id, left_id FROM pr
+            WHERE jaccard_est >= {threshold}
+        ),
+        reach AS (
+            SELECT src, dst FROM sym
+            UNION
+            SELECT r.src, e.dst FROM reach r JOIN sym e ON r.dst = e.src
+        ),
+        comp AS (
+            SELECT src AS id, least(src, min(dst)) AS cid
+            FROM reach GROUP BY src
+        )
+        SELECT d.doc_id AS doc_id,
+               CAST(coalesce(c.cid, d.doc_id) AS BIGINT) AS cluster_id
+        FROM documents d LEFT JOIN comp c ON d.doc_id = c.id
     """
 
 
@@ -4126,6 +4176,7 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY ROLLUP(event_type, d)
         """,
         "d3_minhash_lsh_pairs": _d3_oracle(),
+        "d16_minhash_clusters": _d16_oracle(),
         "d4_simhash_pairs": _d4_oracle(),
         "v4_embedding_dups": _v4_oracle(min_cosine=0.40, num_planes=4),
         "v3_lsh_topk": _v3_oracle(),

@@ -389,6 +389,57 @@ def cross_pairs_from_banded(
     return out
 
 
+def minhash_clusters(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    num_bands: int = 16,
+    threshold: float = 0.8,
+    shingle_k: int = 5,
+    hash_family: str = "portable",
+) -> DataFrame:
+    """(id, cluster_id) for EVERY input row: near-dup cluster labels —
+    the LSH pairs at ``jaccard_est >= threshold`` form the edge set,
+    large-star/small-star connected components label each member with
+    its component's minimum id, and docs in no pair (including
+    null-text docs, which produce no signature) are singletons labeled
+    by their own id. Where :func:`minhash_dedup` DROPS near-dups, this
+    keeps everything and exposes the grouping — the shape needed for
+    cluster-aware sampling, review queues, or keep-best selection.
+
+    Scale: pair stage is the narrow banded join (see
+    :func:`minhash_lsh_pairs`); CC is O(log² n) rounds over the pair
+    graph only — the corpus never enters the iteration."""
+    from ftm_columnstore_spark.operators.blocking import (
+        connected_components,
+    )
+
+    sigs = minhash_signature(
+        df, text_col, id_col, num_hashes, shingle_k, hash_family
+    )
+    pairs = minhash_lsh_pairs(sigs, num_bands, threshold)
+    cmap = connected_components(pairs.select("left_id", "right_id"))
+    id_type = df.schema[id_col].dataType
+    out = (
+        df.select(F.col(id_col).alias("id"))
+        .join(
+            cmap.select(
+                F.col("entity_id").cast(id_type).alias("id"),
+                F.col("canonical_id").cast(id_type).alias("__cid"),
+            ),
+            on="id",
+            how="left",
+        )
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce("__cid", "id").alias("cluster_id"),
+        )
+    )
+    out._cached_intermediates = getattr(pairs, "_cached_intermediates", [])
+    return out
+
+
 def minhash_dedup(
     df: DataFrame,
     text_col: str = "text",

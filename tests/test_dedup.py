@@ -62,6 +62,22 @@ def test_minhash_lsh_pairs(corpus):
     assert (4, 5) not in pairs
 
 
+def test_minhash_clusters(corpus, spark):
+    from ftm_columnstore_spark.operators.dedup import minhash_clusters
+
+    # doc 6 has null text → no signature → singleton by its own id
+    docs = corpus.unionByName(
+        spark.createDataFrame([(6, None)], corpus.schema)
+    )
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in minhash_clusters(
+            docs, num_hashes=16, num_bands=8, threshold=0.5
+        ).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 4, 5: 5, 6: 6}, got
+
+
 def test_minhash_pair_dedup_is_narrow(corpus):
     """Scale-shape pin: the candidate-pair distinct groups bare ids only —
     signatures must NOT ride the band join into the dedup aggregate (a
