@@ -80,6 +80,7 @@ HEADLINE = [
     "m9_moving_average",
     "a21_data_checks",
     "t20_cross_corpus_lm",
+    "d16_minhash_clusters",
 ]
 
 

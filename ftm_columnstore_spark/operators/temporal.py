@@ -240,11 +240,14 @@ def retention(
     sizes = firsts.groupBy("cohort").agg(
         F.count(F.lit(1)).alias("n_users")
     )
-    rets = joined.groupBy("cohort").agg(
-        *[
-            F.sum((F.col("off") == d).cast("int")).alias(f"d{d}")
-            for d in offsets
-        ]
+    # offset-hit flags projected before the agg (agg-input expressions
+    # run interpreted inside the aggregate — see dedup minhash_signature)
+    flagged = joined.select(
+        "cohort",
+        *[(F.col("off") == d).cast("int").alias(f"__h{d}") for d in offsets],
+    )
+    rets = flagged.groupBy("cohort").agg(
+        *[F.sum(f"__h{d}").alias(f"d{d}") for d in offsets]
     )
     return sizes.join(rets, on="cohort", how="left").select(
         F.date_format("cohort", "yyyy-MM-dd").alias("cohort"),

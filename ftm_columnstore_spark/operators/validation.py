@@ -39,32 +39,32 @@ def check_report(
     - ``ranges``: column -> (lo, hi) inclusive bounds on non-null values
     - ``min_rows``: minimum table cardinality
     """
+    # violation flags projected before the one-pass agg (agg-input
+    # expressions run interpreted inside the aggregate — see
+    # operators/dedup.py minhash_signature)
+    flags: list[Column] = []
     aggs = [F.count(F.lit(1)).alias("__n")]
     for c in not_null or []:
-        aggs.append(
-            F.sum(F.col(c).isNull().cast("long")).alias(f"__null_{c}")
-        )
+        flags.append(F.col(c).isNull().cast("long").alias(f"__fnull_{c}"))
+        aggs.append(F.sum(f"__fnull_{c}").alias(f"__null_{c}"))
     for c, vals in (accepted_values or {}).items():
-        aggs.append(
-            F.sum(
-                (
-                    F.col(c).isNotNull() & ~F.col(c).isin(*vals)
-                ).cast("long")
-            ).alias(f"__bad_{c}")
+        flags.append(
+            (F.col(c).isNotNull() & ~F.col(c).isin(*vals))
+            .cast("long")
+            .alias(f"__fbad_{c}")
         )
+        aggs.append(F.sum(f"__fbad_{c}").alias(f"__bad_{c}"))
     for c, (lo, hi) in (ranges or {}).items():
-        aggs.append(
-            F.sum(
-                (
-                    F.col(c).isNotNull()
-                    & ((F.col(c) < lo) | (F.col(c) > hi))
-                ).cast("long")
-            ).alias(f"__oob_{c}")
+        flags.append(
+            (F.col(c).isNotNull() & ((F.col(c) < lo) | (F.col(c) > hi)))
+            .cast("long")
+            .alias(f"__foob_{c}")
         )
+        aggs.append(F.sum(f"__foob_{c}").alias(f"__oob_{c}"))
     for c in unique or []:
         aggs.append(F.count_distinct(F.col(c)).alias(f"__dist_{c}"))
         aggs.append(F.count(F.col(c)).alias(f"__pres_{c}"))
-    base = df.agg(*aggs)
+    base = df.select("*", *flags).agg(*aggs) if flags else df.agg(*aggs)
 
     rows: list[Column] = []
 
