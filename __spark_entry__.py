@@ -1200,6 +1200,25 @@ def d4_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_pairs_portable(_t(spark, sf_dir, "documents"), max_hamming=3)
 
 
+def _pq_query_vec() -> list:
+    """Deterministic 64-dim query for v12 — shared by the Spark entry
+    and the oracle's literal list (no corpus probe job needed)."""
+    return [((i * 37) % 19 - 9) / 10.0 for i in range(64)]
+
+
+def v12_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (operators/similarity.py:pq_topk —
+    Jégou+ TPAMI'11): 8 subspaces × 16 fixed codes over quantized
+    int64 subvectors, ADC lookup-table scan (one codegen pass over the
+    m-int code column, zero shuffles), exact integer-L2 refine of the
+    top-50. Fully oracle-checked: encode argmin, ADC sums and the
+    refine cut are all exact integer arithmetic."""
+    from ftm_columnstore_spark.operators.similarity import pq_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    return pq_topk(e, _pq_query_vec(), k=10, m=8, n_codes=16, refine=50)
+
+
 def v8_ivf_topk_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF probe path with fixed centroids — the serve-path counterpart
     of v5 (trained k-means, rows-only): pinning centroids to the lowest
@@ -2458,6 +2477,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t9_pack_sequences": t9_pack_sequences,
         # --- round-3 additions land here (inside the driver window) ---
         "d16_minhash_clusters": d16_minhash_clusters,
+        "v12_pq_topk": v12_pq_topk,
         # --- verified green in CORRECTNESS_r02.json ---
         "a4_avg_via_dsl": a4_avg_via_dsl,
         "m2_fingerprint_freq": m2_fingerprint_freq,
@@ -3185,6 +3205,68 @@ def _v9_oracle(
         )
         SELECT a.id AS vec_id, a.cid, (d.id IS NOT NULL) AS is_dup
         FROM assign a LEFT JOIN dups d ON d.id = a.id
+    """
+
+
+def _v12_oracle() -> str:
+    """PQ-ADC replay: fixed codebooks from the 16 lowest-id quantized
+    vectors, per-subspace argmin with (dist, code) tiebreak via
+    min(struct), ADC table join, top-50 ADC cut then exact integer-L2
+    refine — mirrors operators/similarity.py:pq_topk arithmetic
+    exactly (same quantization contract as v8's oracle)."""
+    import math
+
+    qlist = "[" + ",".join(
+        str(math.floor(x * 1_000_000 + 0.5)) for x in _pq_query_vec()
+    ) + "]"
+    return f"""
+        WITH q AS (
+          SELECT vec_id AS id,
+                 list_transform(embedding,
+                     x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5)
+                               AS BIGINT)) AS q
+          FROM embeddings WHERE len(embedding) = 64
+        ), cb AS (
+          SELECT row_number() OVER (ORDER BY id) - 1 AS code, q
+          FROM (SELECT id, q FROM q ORDER BY id LIMIT 16)
+        ), sub AS (SELECT s.range AS s FROM range(8) s),
+        dist AS (
+          SELECT q.id, sub.s, cb.code,
+                 CAST(list_sum(list_transform(range(1, 9),
+                     i -> (q.q[CAST(sub.s*8+i AS INT)]
+                           - cb.q[CAST(sub.s*8+i AS INT)])
+                        * (q.q[CAST(sub.s*8+i AS INT)]
+                           - cb.q[CAST(sub.s*8+i AS INT)])))
+                      AS BIGINT) AS d
+          FROM q, sub, cb
+        ), best AS (
+          SELECT id, s, min(struct_pack(d := d, code := code)) AS bc
+          FROM dist GROUP BY id, s
+        ), qv AS (SELECT {qlist}::BIGINT[] AS q),
+        qdist AS (
+          SELECT cb.code, sub.s,
+                 CAST(list_sum(list_transform(range(1, 9),
+                     i -> (qv.q[CAST(sub.s*8+i AS INT)]
+                           - cb.q[CAST(sub.s*8+i AS INT)])
+                        * (qv.q[CAST(sub.s*8+i AS INT)]
+                           - cb.q[CAST(sub.s*8+i AS INT)])))
+                      AS BIGINT) AS d
+          FROM qv, sub, cb
+        ), adist AS (
+          SELECT b.id, CAST(sum(qd.d) AS BIGINT) AS adist
+          FROM best b JOIN qdist qd ON b.s = qd.s AND b.bc.code = qd.code
+          GROUP BY b.id
+        ), cand AS (
+          SELECT id FROM adist ORDER BY adist ASC, id LIMIT 50
+        ), exact AS (
+          SELECT q.id,
+                 CAST(list_sum(list_transform(range(1, 65),
+                     i -> (q.q[i] - qv.q[i]) * (q.q[i] - qv.q[i])))
+                      AS BIGINT) AS adist
+          FROM q JOIN cand USING (id), qv
+        )
+        SELECT id AS vec_id, adist
+        FROM exact ORDER BY adist ASC, id LIMIT 10
     """
 
 
@@ -4177,6 +4259,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "d3_minhash_lsh_pairs": _d3_oracle(),
         "d16_minhash_clusters": _d16_oracle(),
+        "v12_pq_topk": _v12_oracle(),
         "d4_simhash_pairs": _d4_oracle(),
         "v4_embedding_dups": _v4_oracle(min_cosine=0.40, num_planes=4),
         "v3_lsh_topk": _v3_oracle(),

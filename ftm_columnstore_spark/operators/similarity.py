@@ -870,3 +870,369 @@ def kmeans_centroids_portable(
             new_cents.append((cid, old))  # empty/zero cluster: keep
         cents = new_cents
     return cents
+
+
+# --- product quantization (PQ) -----------------------------------------------
+
+
+def _check_pq_params(dim: int, m: int, n_codes: int) -> int:
+    if m < 1 or dim % m != 0:
+        raise ValueError(
+            f"m must divide the vector dimension, got m={m} for dim={dim}"
+        )
+    if n_codes < 1:
+        raise ValueError(f"n_codes must be >= 1, got {n_codes}")
+    return dim // m
+
+
+def pq_codebooks_fixed(
+    df: DataFrame,
+    dim: int,
+    m: int = 8,
+    n_codes: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    scale: int = 1_000_000,
+) -> list:
+    """FIXED per-subspace PQ codebooks from the ``n_codes`` lowest-id
+    corpus vectors (the same pin-the-training trick as
+    :func:`ivf_topk_portable`: codebook *training* is an offline k-means
+    job in any real PQ deployment — freezing it makes the whole
+    encode/serve path exact integer arithmetic, hence oracle-checkable).
+    Returns ``codebooks[s] = [(code, [int components]), ...]`` over the
+    quantized int64 subvectors; bounded driver state
+    (``m · n_codes · dim/m`` ints), never corpus-sized."""
+    dsub = _check_pq_params(dim, m, n_codes)
+    rows = (
+        df.select(
+            F.col(id_col).alias("id"),
+            _quantize_col(vec_col, scale).alias("q"),
+        )
+        .orderBy("id")
+        .limit(n_codes)
+        .collect()
+    )
+    return [
+        [
+            (c, [int(v) for v in r["q"][s * dsub : (s + 1) * dsub]])
+            for c, r in enumerate(rows)
+        ]
+        for s in range(m)
+    ]
+
+
+def _pq_code_col(sub: int, dsub: int, codebook: list):
+    """argmin-L2 code for subspace ``sub`` of the quantized vector column
+    ``q``: per-code squared distance via array HOFs over literal
+    codebook components, argmin with (dist, code) tiebreak via
+    ``array_sort`` on (d, c) structs — whole-stage-codegen expressions
+    only, no join, no shuffle, no Python."""
+    start = sub * dsub + 1  # slice() is 1-based
+    subv = F.slice(F.col("q"), start, dsub)
+    entries = []
+    for code, cvec in codebook:
+        carr = F.array(*[F.lit(v).cast("long") for v in cvec])
+        d = F.aggregate(
+            F.zip_with(subv, carr, lambda a, b: (a - b) * (a - b)),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+        entries.append(F.struct(d.alias("d"), F.lit(code).alias("c")))
+    return F.array_sort(F.array(*entries))[0]["c"]
+
+
+def _pq_codes_col(codebooks: list):
+    """codes array column over the quantized vector column ``q``."""
+    dsub = len(codebooks[0][0][1])
+    return F.array(
+        *[
+            _pq_code_col(s, dsub, cb).alias(f"c{s}")
+            for s, cb in enumerate(codebooks)
+        ]
+    )
+
+
+def pq_codebooks_trained(
+    df: DataFrame,
+    dim: int,
+    m: int = 8,
+    n_codes: int = 16,
+    iterations: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    scale: int = 1_000_000,
+) -> list:
+    """TRAINED per-subspace PQ codebooks: exact-integer Lloyd over the
+    quantized subvectors (the PQ analogue of
+    :func:`kmeans_centroids_portable`, same arithmetic contract —
+    assignment by integer squared-L2 with (dist, code) tiebreak, update
+    by per-dimension ``floor(sum/count)`` integer mean, empty codes
+    keep their previous entry). Seeded from
+    :func:`pq_codebooks_fixed`. Every step is deterministic and
+    replayable in plain SQL, so the trained serve path stays
+    oracle-checkable end-to-end.
+
+    Distributed shape per iteration: ONE encode pass (codegen argmin
+    for small codebooks, broadcast codebook join for large ones — see
+    :func:`pq_encode`) + one (subspace, code, dim) aggregation whose
+    result is the ``m·n_codes·dim/m`` codebook — bounded driver state;
+    the corpus never leaves the executors."""
+    dsub = _check_pq_params(dim, m, n_codes)
+    if iterations < 0:
+        raise ValueError(f"iterations must be >= 0, got {iterations}")
+    cbs = pq_codebooks_fixed(df, dim, m, n_codes, vec_col, id_col, scale)
+    if not cbs or not cbs[0]:
+        return cbs
+    use_join = n_codes > _PQ_EXPR_MAX_CODES
+    q = df.select(
+        F.col(id_col).alias("id"), _quantize_col(vec_col, scale).alias("q")
+    ).where(F.size("q") == dim)
+    for _ in range(iterations):
+        if use_join:
+            assigned = _pq_assign_join(q, cbs, keep_subv=True)
+            exploded = assigned.select(
+                "s", "code", F.posexplode("subv").alias("posl", "qv")
+            )
+        else:
+            enc = q.select("q", _pq_codes_col(cbs).alias("codes"))
+            sub = (F.col("pos") / dsub).cast("int")
+            exploded = enc.select(
+                F.posexplode("q").alias("pos", "qv"), "codes"
+            ).select(
+                sub.alias("s"),
+                (F.col("pos") % dsub).alias("posl"),
+                F.element_at("codes", sub + 1).alias("code"),
+                "qv",
+            )
+        upd_rows = (
+            exploded.groupBy("s", "code", "posl")
+            .agg(
+                F.floor(
+                    F.sum("qv").cast("double")
+                    / F.count(F.lit(1)).cast("double")
+                )
+                .cast("long")
+                .alias("cv")
+            )
+            .collect()
+        )
+        by_key: dict = {}
+        for r in upd_rows:
+            by_key.setdefault((r["s"], r["code"]), {})[r["posl"]] = int(
+                r["cv"]
+            )
+        cbs = [
+            [
+                (
+                    code,
+                    [by_key[(s, code)].get(p, 0) for p in range(dsub)]
+                    if (s, code) in by_key
+                    else old,
+                )
+                for code, old in cb
+            ]
+            for s, cb in enumerate(cbs)
+        ]
+    return cbs
+
+
+# Above this many codes per subspace the literal argmin expression
+# (n_codes structs × a dsub-length fold EACH, per subspace) makes
+# Catalyst analysis/codegen super-linear — measured: n_codes=64, m=8
+# on 64-dim vectors never finished planning where 16 codes takes
+# seconds. The join path below is the scale plan for big codebooks.
+_PQ_EXPR_MAX_CODES = 32
+
+
+def _pq_assign_join(
+    q: DataFrame, codebooks: list, keep_subv: bool = False
+) -> DataFrame:
+    """Per-(vector, subspace) nearest-code assignment via a BROADCAST
+    join against the codebook relation — the scale path for large
+    codebooks (e.g. the standard 256 codes/subspace), where the
+    literal-expression argmin would blow up codegen. Explodes each
+    row into its ``m`` subvectors (narrow, map-side), broadcast-joins
+    the tiny (s, code, cvec) relation, and takes the per-(id, s)
+    ``min(struct(d, code))`` — same (dist, code) tiebreak as the
+    expression path, one partial-aggregatable shuffle on (id, s).
+    Returns (id, s, code); with ``keep_subv`` also the subvector
+    (carried inside the min struct — (d, code) is already unique per
+    group, so the comparison never reaches it)."""
+    spark = q.sparkSession
+    dsub = len(codebooks[0][0][1])
+    cb_df = spark.createDataFrame(
+        [
+            (s, code, [int(v) for v in cvec])
+            for s, cb in enumerate(codebooks)
+            for code, cvec in cb
+        ],
+        "s int, code int, cvec array<bigint>",
+    )
+    subs = q.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(s).alias("s"),
+                        F.slice("q", s * dsub + 1, dsub).alias("subv"),
+                    )
+                    for s in range(len(codebooks))
+                ]
+            )
+        ).alias("e"),
+    ).select("id", F.col("e.s").alias("s"), F.col("e.subv").alias("subv"))
+    d = F.aggregate(
+        F.zip_with("subv", "cvec", lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    fields = [d.alias("d"), F.col("code").alias("c")]
+    if keep_subv:
+        fields.append(F.col("subv").alias("subv"))
+    best = (
+        subs.join(F.broadcast(cb_df), on="s")
+        .select("id", "s", F.struct(*fields).alias("dc"))
+        .groupBy("id", "s")
+        .agg(F.min("dc").alias("dc"))
+    )
+    cols = ["id", "s", F.col("dc.c").alias("code")]
+    if keep_subv:
+        cols.append(F.col("dc.subv").alias("subv"))
+    return best.select(*cols)
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: list,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    scale: int = 1_000_000,
+    method: str = "auto",
+) -> DataFrame:
+    """Corpus → PQ codes ``(id, codes array<int>)``: each vector is
+    quantized to int64, split into ``m = len(codebooks)`` subvectors,
+    and each subvector mapped to its nearest codebook entry by EXACT
+    integer squared-L2 (ties → lowest code). The encoded relation is
+    ``m`` ints per row regardless of the input dimension, which is the
+    whole point of PQ at 100 TB: a 64-dim float corpus compresses 32×
+    and the serve scan reads only the code column.
+
+    ``method``: ``"expr"`` — one narrow map-only codegen scan, zero
+    shuffles; right for small codebooks. ``"join"`` — broadcast join
+    against the codebook relation + per-(id, s) min aggregation; right
+    for big codebooks (256 codes/subspace) where the literal argmin
+    expression makes Catalyst super-linear. ``"auto"`` picks by
+    ``n_codes``. Both produce byte-identical codes (same integer
+    arithmetic, same tiebreak) — tested against each other."""
+    m = len(codebooks)
+    dsub = len(codebooks[0][0][1])
+    n_codes = len(codebooks[0])
+    if method == "auto":
+        method = "expr" if n_codes <= _PQ_EXPR_MAX_CODES else "join"
+    if method not in ("expr", "join"):
+        raise ValueError(f"unknown pq_encode method: {method!r}")
+    q = df.select(
+        F.col(id_col).alias("id"), _quantize_col(vec_col, scale).alias("q")
+    ).where(F.size("q") == dsub * m)
+    if method == "expr":
+        return q.select("id", _pq_codes_col(codebooks).alias("codes"))
+    assigned = _pq_assign_join(q, codebooks)
+    return assigned.groupBy("id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("s", "code"))),
+            lambda x: x["code"],
+        ).alias("codes")
+    )
+
+
+def pq_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    m: int = 8,
+    n_codes: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    scale: int = 1_000_000,
+    codebooks: list | None = None,
+    refine: int | None = None,
+    train_iterations: int = 0,
+) -> DataFrame:
+    """PQ top-k via asymmetric distance computation (ADC — Jégou,
+    Douze & Schmid, "Product Quantization for Nearest Neighbor Search",
+    TPAMI 2011): the query's squared-L2 distance to every codebook
+    entry is a tiny driver-side table (``m · n_codes`` int64s), and a
+    row's approximate distance is the sum of ``m`` table lookups on its
+    codes — one codegen scan over the code column plus a
+    ``TakeOrderedAndProject`` top-k; zero shuffles, zero Python.
+
+    ``refine`` re-ranks the top-``refine`` ADC candidates by exact
+    integer squared-L2 against the original vectors (the standard
+    two-stage PQ serve path); both stages use (dist ASC, id) ordering so
+    the result is deterministic and engine-portable end-to-end. Output:
+    (id, adist) — approximate distance, or exact distance when refined.
+
+    Quality note (measured on the testdata embeddings, where neighbour
+    distances concentrate within ~5-9% of each other): 32-bit codes
+    (m=8, 16 codes) rank poorly on their own — raw-ADC recall@10 ≈
+    1-3/10 — and ``refine`` is the knob that restores it (7/10 at
+    refine=100/500; scale ``refine`` with corpus size). m=16 doubles
+    the code budget to 64 bits and lifts raw ADC to ~5/10. Books with
+    >{_PQ_EXPR_MAX_CODES} codes/subspace automatically switch encode
+    and training to the broadcast-join path (:func:`pq_encode`
+    ``method="join"``) — the literal argmin expression is a measured
+    Catalyst cliff at 64 codes."""
+    dim = len(query_vec)
+    dsub = _check_pq_params(dim, m, n_codes)
+    if refine is not None and refine < k:
+        raise ValueError(f"refine must be >= k, got refine={refine}, k={k}")
+    if codebooks is None:
+        if train_iterations > 0:
+            codebooks = pq_codebooks_trained(
+                df, dim, m, n_codes, train_iterations, vec_col, id_col, scale
+            )
+        else:
+            codebooks = pq_codebooks_fixed(
+                df, dim, m, n_codes, vec_col, id_col, scale
+            )
+    qq, _ = _quantize_query(query_vec, scale)
+    # ADC table: dtable[s][code] = ||q_s - c||² — exact int64 python math
+    dtable = [
+        [
+            sum((a - b) * (a - b) for a, b in zip(qq[s * dsub : (s + 1) * dsub], cvec))
+            for _, cvec in sorted(cb)
+        ]
+        for s, cb in enumerate(codebooks)
+    ]
+    codes = pq_encode(df, codebooks, vec_col, id_col, scale)
+    adist = None
+    for s, col_dists in enumerate(dtable):
+        lut = F.array(*[F.lit(d).cast("long") for d in col_dists])
+        term = F.element_at(lut, F.element_at("codes", s + 1) + 1)
+        adist = term if adist is None else adist + term
+    ranked = (
+        codes.select("id", adist.alias("adist"))
+        .orderBy(F.col("adist").asc(), F.col("id"))
+        .limit(refine if refine is not None else k)
+    )
+    if refine is None:
+        return ranked.select(F.col("id").alias(id_col), "adist")
+    # exact integer squared-L2 re-rank of the bounded candidate set:
+    # ||q - x||² over the quantized ints (broadcast semi-join back to
+    # the vectors — `ranked` is ≤ refine rows)
+    qarr = F.array(*[F.lit(v).cast("long") for v in qq])
+    qrows = df.select(
+        F.col(id_col).alias("id"), _quantize_col(vec_col, scale).alias("q")
+    ).join(F.broadcast(ranked.select("id")), on="id")
+    exact = F.aggregate(
+        F.zip_with("q", qarr, lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return (
+        qrows.select("id", exact.alias("adist"))
+        .orderBy(F.col("adist").asc(), F.col("id"))
+        .limit(k)
+        .select(F.col("id").alias(id_col), "adist")
+    )

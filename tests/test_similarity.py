@@ -363,3 +363,250 @@ def test_nearest_centroid_numpy_path_matches_expr(spark):
         ).collect()
     }
     assert a == b
+
+
+# --- product quantization ----------------------------------------------------
+
+
+def _pq_brute_py(data, q, scale=1_000_000, m=4, n_codes=16, k=5, refine=None):
+    """Pure-python PQ replay: fixed codebooks from lowest ids, argmin
+    encode, ADC sums, optional exact-L2 refine — the oracle arithmetic."""
+    qz = lambda v: [math.floor(float(x) * scale + 0.5) for x in v]
+    rows = sorted((i, qz(v)) for i, v in data)
+    dim = len(rows[0][1])
+    dsub = dim // m
+    cb = [
+        [(c, vec[s * dsub : (s + 1) * dsub]) for c, (_, vec) in enumerate(rows[:n_codes])]
+        for s in range(m)
+    ]
+    qq = qz(q)
+
+    def enc(vec):
+        codes = []
+        for s in range(m):
+            sub = vec[s * dsub : (s + 1) * dsub]
+            d = [
+                (sum((a - b) * (a - b) for a, b in zip(sub, cvec)), c)
+                for c, cvec in cb[s]
+            ]
+            codes.append(min(d)[1])
+        return codes
+
+    dtab = [
+        [
+            sum(
+                (a - b) * (a - b)
+                for a, b in zip(qq[s * dsub : (s + 1) * dsub], cvec)
+            )
+            for _, cvec in cb[s]
+        ]
+        for s in range(m)
+    ]
+    scored = sorted(
+        (sum(dtab[s][c] for s, c in enumerate(enc(vec))), i) for i, vec in rows
+    )
+    if refine is None:
+        return [(i, d) for d, i in scored[:k]]
+    cand = {i for _, i in scored[:refine]}
+    exact = sorted(
+        (sum((a - b) * (a - b) for a, b in zip(vec, qq)), i)
+        for i, vec in rows
+        if i in cand
+    )
+    return [(i, d) for d, i in exact[:k]]
+
+
+def test_pq_topk_matches_python_replay(vectors):
+    from ftm_columnstore_spark.operators.similarity import pq_topk
+
+    data = [(r["vec_id"], list(r["embedding"])) for r in vectors.collect()]
+    q = data[3][1]
+    expected = _pq_brute_py(data, q, m=4, n_codes=16, k=5)
+    got = [
+        (r["vec_id"], r["adist"])
+        for r in pq_topk(vectors, q, k=5, m=4, n_codes=16).collect()
+    ]
+    assert got == expected
+
+
+def test_pq_topk_refine_matches_python_replay(vectors):
+    from ftm_columnstore_spark.operators.similarity import pq_topk
+
+    data = [(r["vec_id"], list(r["embedding"])) for r in vectors.collect()]
+    q = data[7][1]
+    expected = _pq_brute_py(data, q, m=4, n_codes=16, k=5, refine=40)
+    got = [
+        (r["vec_id"], r["adist"])
+        for r in pq_topk(vectors, q, k=5, m=4, n_codes=16, refine=40).collect()
+    ]
+    assert got == expected
+
+
+def test_pq_refine_improves_exact_recall(vectors):
+    """The two-stage serve path must beat raw ADC on exact-neighbour
+    recall (that is its reason to exist)."""
+    from ftm_columnstore_spark.operators.similarity import pq_topk
+
+    q = list(vectors.filter(F.col("vec_id") == 0).collect()[0]["embedding"])
+    exact = {r["vec_id"] for r in brute_force_topk(vectors, q, k=10).collect()}
+    adc = {
+        r["vec_id"] for r in pq_topk(vectors, q, k=10, m=4, n_codes=16).collect()
+    }
+    refined = {
+        r["vec_id"]
+        for r in pq_topk(vectors, q, k=10, m=4, n_codes=16, refine=60).collect()
+    }
+    assert len(refined & exact) >= len(adc & exact)
+    assert len(refined & exact) >= 5
+
+
+def test_pq_params_validated(vectors):
+    from ftm_columnstore_spark.operators.similarity import pq_topk
+
+    q = [0.1] * 16
+    with pytest.raises(ValueError, match="must divide"):
+        pq_topk(vectors, q, m=5)
+    with pytest.raises(ValueError, match="n_codes"):
+        pq_topk(vectors, q, m=4, n_codes=0)
+    with pytest.raises(ValueError, match="refine"):
+        pq_topk(vectors, q, k=10, m=4, refine=5)
+
+
+def test_pq_topk_plan_has_no_shuffle(vectors):
+    """The ADC stage is the PQ scale contract: one codegen scan +
+    TakeOrderedAndProject, no Exchange before the top-k."""
+    from ftm_columnstore_spark.operators.similarity import (
+        pq_codebooks_fixed,
+        pq_topk,
+    )
+
+    cbs = pq_codebooks_fixed(vectors, dim=16, m=4, n_codes=16)
+    q = [0.1] * 16
+    plan = pq_topk(vectors, q, k=5, m=4, n_codes=16, codebooks=cbs)._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange" not in plan
+
+
+def _pq_train_py(data, dim, m, n_codes, iterations, scale=1_000_000):
+    """Pure-python integer-Lloyd replay of pq_codebooks_trained: argmin
+    assignment by integer squared-L2 with (dist, code) tiebreak, update
+    by floor(sum/count) per dimension, empty codes keep their entry."""
+    qz = lambda v: [math.floor(float(x) * scale + 0.5) for x in v]
+    rows = sorted((i, qz(v)) for i, v in data if len(v) == dim)
+    dsub = dim // m
+    cbs = [
+        [(c, vec[s * dsub : (s + 1) * dsub]) for c, (_, vec) in enumerate(rows[:n_codes])]
+        for s in range(m)
+    ]
+    for _ in range(iterations):
+        sums = {}
+        for _, vec in rows:
+            for s in range(m):
+                sub = vec[s * dsub : (s + 1) * dsub]
+                code = min(
+                    (sum((a - b) * (a - b) for a, b in zip(sub, cv)), c)
+                    for c, cv in cbs[s]
+                )[1]
+                acc, n = sums.setdefault((s, code), ([0] * dsub, [0]))
+                for p, v in enumerate(sub):
+                    acc[p] += v
+                n[0] += 1
+        cbs = [
+            [
+                (
+                    c,
+                    [
+                        math.floor(sums[(s, c)][0][p] / sums[(s, c)][1][0])
+                        for p in range(dsub)
+                    ]
+                    if (s, c) in sums
+                    else old,
+                )
+                for c, old in cb
+            ]
+            for s, cb in enumerate(cbs)
+        ]
+    return cbs
+
+
+def test_pq_codebooks_trained_matches_python_replay(vectors):
+    from ftm_columnstore_spark.operators.similarity import pq_codebooks_trained
+
+    data = [(r["vec_id"], list(r["embedding"])) for r in vectors.collect()]
+    expected = _pq_train_py(data, dim=16, m=4, n_codes=8, iterations=2)
+    got = pq_codebooks_trained(vectors, dim=16, m=4, n_codes=8, iterations=2)
+    assert got == expected
+
+
+def test_pq_trained_improves_adc_recall(vectors):
+    """Trained codebooks exist because fixed ones quantize poorly; the
+    integer-Lloyd pass must not make raw-ADC exact-L2 recall worse."""
+    from ftm_columnstore_spark.operators.similarity import (
+        pq_codebooks_fixed,
+        pq_codebooks_trained,
+        pq_topk,
+    )
+
+    data = sorted(
+        (r["vec_id"], list(r["embedding"])) for r in vectors.collect()
+    )
+    q = data[11][1]
+    qz = [math.floor(float(x) * 1_000_000 + 0.5) for x in q]
+    exact = {
+        i
+        for _, i in sorted(
+            (
+                sum(
+                    (math.floor(float(x) * 1_000_000 + 0.5) - b) ** 2
+                    for x, b in zip(vec, qz)
+                ),
+                i,
+            )
+            for i, vec in data
+        )[:10]
+    }
+    fixed = pq_codebooks_fixed(vectors, dim=16, m=4, n_codes=16)
+    trained = pq_codebooks_trained(vectors, dim=16, m=4, n_codes=16, iterations=3)
+    r_fixed = {
+        r["vec_id"]
+        for r in pq_topk(vectors, q, k=10, m=4, n_codes=16, codebooks=fixed).collect()
+    }
+    r_trained = {
+        r["vec_id"]
+        for r in pq_topk(vectors, q, k=10, m=4, n_codes=16, codebooks=trained).collect()
+    }
+    assert len(r_trained & exact) >= len(r_fixed & exact)
+    assert len(r_trained & exact) >= 3
+
+
+def test_pq_encode_join_matches_expr(vectors):
+    """The broadcast-join encode (scale path for 256-code books) must
+    produce byte-identical codes to the codegen expression path."""
+    from ftm_columnstore_spark.operators.similarity import (
+        pq_codebooks_fixed,
+        pq_encode,
+    )
+
+    cbs = pq_codebooks_fixed(vectors, dim=16, m=4, n_codes=16)
+    a = {
+        r["id"]: list(r["codes"])
+        for r in pq_encode(vectors, cbs, method="expr").collect()
+    }
+    b = {
+        r["id"]: list(r["codes"])
+        for r in pq_encode(vectors, cbs, method="join").collect()
+    }
+    assert a == b
+    with pytest.raises(ValueError, match="method"):
+        pq_encode(vectors, cbs, method="nope")
+
+
+def test_pq_trained_join_path_matches_replay(vectors):
+    """Training with a >32-code book takes the join-assignment branch;
+    it must match the same pure-python integer-Lloyd replay."""
+    from ftm_columnstore_spark.operators.similarity import pq_codebooks_trained
+
+    data = [(r["vec_id"], list(r["embedding"])) for r in vectors.collect()]
+    expected = _pq_train_py(data, dim=16, m=4, n_codes=40, iterations=1)
+    got = pq_codebooks_trained(vectors, dim=16, m=4, n_codes=40, iterations=1)
+    assert got == expected
