@@ -1219,6 +1219,25 @@ def v12_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_topk(e, _pq_query_vec(), k=10, m=8, n_codes=16, refine=50)
 
 
+def v13_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ ANN (operators/similarity.py:ivfpq_topk_portable — the
+    FAISS ``IVFx,PQy`` composition, Jégou+ TPAMI'11 §V): integer-L2
+    routing to 4 of 16 cells, PQ-ADC ranking over the probed rows'
+    8-int codes, exact integer-L2 refine of the top-50. One codegen
+    scan (route + encode + ADC are all literal expressions) into a
+    top-k — zero shuffles; the materialized twin
+    (build_ivfpq_index/ivfpq_topk_indexed) turns the cell filter into
+    parquet partition pruning and is plan-asserted equal in
+    tests/test_similarity.py. Fully oracle-checked end-to-end."""
+    from ftm_columnstore_spark.operators.similarity import ivfpq_topk_portable
+
+    e = _t(spark, sf_dir, "embeddings")
+    return ivfpq_topk_portable(
+        e, _pq_query_vec(), k=10, m=8, n_codes=16, n_centroids=16,
+        n_probe=4, refine=50,
+    )
+
+
 def v8_ivf_topk_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF probe path with fixed centroids — the serve-path counterpart
     of v5 (trained k-means, rows-only): pinning centroids to the lowest
@@ -2478,6 +2497,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- round-3 additions land here (inside the driver window) ---
         "d16_minhash_clusters": d16_minhash_clusters,
         "v12_pq_topk": v12_pq_topk,
+        "v13_ivfpq_topk": v13_ivfpq_topk,
         # --- verified green in CORRECTNESS_r02.json ---
         "a4_avg_via_dsl": a4_avg_via_dsl,
         "m2_fingerprint_freq": m2_fingerprint_freq,
@@ -3264,6 +3284,92 @@ def _v12_oracle() -> str:
                      i -> (q.q[i] - qv.q[i]) * (q.q[i] - qv.q[i])))
                       AS BIGINT) AS adist
           FROM q JOIN cand USING (id), qv
+        )
+        SELECT id AS vec_id, adist
+        FROM exact ORDER BY adist ASC, id LIMIT 10
+    """
+
+
+def _v13_oracle() -> str:
+    """IVF-PQ replay: v12's PQ-ADC arithmetic composed with integer-L2
+    cell routing — centroids = 16 lowest-id quantized vectors, corpus
+    assignment by min(struct(d, cid)), probe cells = query's 4 nearest
+    centroids, then the PQ encode/ADC/refine replay restricted to the
+    probed rows. Mirrors operators/similarity.py:ivfpq_topk_portable
+    exactly (same quantization contract as v8/v12)."""
+    import math
+
+    qlist = "[" + ",".join(
+        str(math.floor(x * 1_000_000 + 0.5)) for x in _pq_query_vec()
+    ) + "]"
+    return f"""
+        WITH q AS (
+          SELECT vec_id AS id,
+                 list_transform(embedding,
+                     x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5)
+                               AS BIGINT)) AS q
+          FROM embeddings WHERE len(embedding) = 64
+        ), qv AS (SELECT {qlist}::BIGINT[] AS q),
+        cents AS (
+          SELECT row_number() OVER (ORDER BY id) - 1 AS cid, q AS cv
+          FROM (SELECT id, q FROM q ORDER BY id LIMIT 16)
+        ), cdist AS (
+          SELECT q.id, c.cid,
+                 CAST(list_sum(list_transform(range(1, 65),
+                     i -> (q.q[i] - c.cv[i]) * (q.q[i] - c.cv[i])))
+                      AS BIGINT) AS d
+          FROM q, cents c
+        ), assign AS (
+          SELECT id, min(struct_pack(d := d, cid := cid)) AS bc
+          FROM cdist GROUP BY id
+        ), probes AS (
+          SELECT c.cid,
+                 CAST(list_sum(list_transform(range(1, 65),
+                     i -> (qv.q[i] - c.cv[i]) * (qv.q[i] - c.cv[i])))
+                      AS BIGINT) AS d
+          FROM qv, cents c
+          ORDER BY d ASC, c.cid LIMIT 4
+        ), cand0 AS (
+          SELECT q.id, q.q FROM q
+          JOIN assign a ON a.id = q.id
+          JOIN probes p ON p.cid = a.bc.cid
+        ), cb AS (
+          SELECT row_number() OVER (ORDER BY id) - 1 AS code, q
+          FROM (SELECT id, q FROM q ORDER BY id LIMIT 16)
+        ), sub AS (SELECT s.range AS s FROM range(8) s),
+        dist AS (
+          SELECT c0.id, sub.s, cb.code,
+                 CAST(list_sum(list_transform(range(1, 9),
+                     i -> (c0.q[CAST(sub.s*8+i AS INT)]
+                           - cb.q[CAST(sub.s*8+i AS INT)])
+                        * (c0.q[CAST(sub.s*8+i AS INT)]
+                           - cb.q[CAST(sub.s*8+i AS INT)])))
+                      AS BIGINT) AS d
+          FROM cand0 c0, sub, cb
+        ), best AS (
+          SELECT id, s, min(struct_pack(d := d, code := code)) AS bc
+          FROM dist GROUP BY id, s
+        ), qdist AS (
+          SELECT cb.code, sub.s,
+                 CAST(list_sum(list_transform(range(1, 9),
+                     i -> (qv.q[CAST(sub.s*8+i AS INT)]
+                           - cb.q[CAST(sub.s*8+i AS INT)])
+                        * (qv.q[CAST(sub.s*8+i AS INT)]
+                           - cb.q[CAST(sub.s*8+i AS INT)])))
+                      AS BIGINT) AS d
+          FROM qv, sub, cb
+        ), adist AS (
+          SELECT b.id, CAST(sum(qd.d) AS BIGINT) AS adist
+          FROM best b JOIN qdist qd ON b.s = qd.s AND b.bc.code = qd.code
+          GROUP BY b.id
+        ), cand AS (
+          SELECT id FROM adist ORDER BY adist ASC, id LIMIT 50
+        ), exact AS (
+          SELECT c0.id,
+                 CAST(list_sum(list_transform(range(1, 65),
+                     i -> (c0.q[i] - qv.q[i]) * (c0.q[i] - qv.q[i])))
+                      AS BIGINT) AS adist
+          FROM cand0 c0 JOIN cand USING (id), qv
         )
         SELECT id AS vec_id, adist
         FROM exact ORDER BY adist ASC, id LIMIT 10
@@ -4260,6 +4366,7 @@ def oracle_sql() -> dict[str, str]:
         "d3_minhash_lsh_pairs": _d3_oracle(),
         "d16_minhash_clusters": _d16_oracle(),
         "v12_pq_topk": _v12_oracle(),
+        "v13_ivfpq_topk": _v13_oracle(),
         "d4_simhash_pairs": _d4_oracle(),
         "v4_embedding_dups": _v4_oracle(min_cosine=0.40, num_planes=4),
         "v3_lsh_topk": _v3_oracle(),

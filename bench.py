@@ -81,6 +81,8 @@ HEADLINE = [
     "a21_data_checks",
     "t20_cross_corpus_lm",
     "d16_minhash_clusters",
+    "v12_pq_topk",
+    "v13_ivfpq_topk",
 ]
 
 

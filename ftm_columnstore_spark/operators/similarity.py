@@ -1197,34 +1197,56 @@ def pq_topk(
                 df, dim, m, n_codes, vec_col, id_col, scale
             )
     qq, _ = _quantize_query(query_vec, scale)
-    # ADC table: dtable[s][code] = ||q_s - c||² — exact int64 python math
-    dtable = [
-        [
-            sum((a - b) * (a - b) for a, b in zip(qq[s * dsub : (s + 1) * dsub], cvec))
+    codes = pq_encode(df, codebooks, vec_col, id_col, scale)
+    qrel = df.select(
+        F.col(id_col).alias("id"), _quantize_col(vec_col, scale).alias("q")
+    )
+    return _pq_serve(codes, qrel, qq, codebooks, dsub, k, refine, id_col)
+
+
+def _pq_adc_col(qq: list[int], codebooks: list, dsub: int):
+    """ADC distance column over a ``codes`` array: the query's squared-L2
+    to every codebook entry is a tiny driver-side table (``m · n_codes``
+    int64s, exact python math), and the row distance is the sum of ``m``
+    literal-array lookups — pure codegen, no join, no shuffle."""
+    adist = None
+    for s, cb in enumerate(codebooks):
+        col_dists = [
+            sum(
+                (a - b) * (a - b)
+                for a, b in zip(qq[s * dsub : (s + 1) * dsub], cvec)
+            )
             for _, cvec in sorted(cb)
         ]
-        for s, cb in enumerate(codebooks)
-    ]
-    codes = pq_encode(df, codebooks, vec_col, id_col, scale)
-    adist = None
-    for s, col_dists in enumerate(dtable):
         lut = F.array(*[F.lit(d).cast("long") for d in col_dists])
         term = F.element_at(lut, F.element_at("codes", s + 1) + 1)
         adist = term if adist is None else adist + term
+    return adist
+
+
+def _pq_serve(
+    codes: DataFrame,
+    qrel: DataFrame,
+    qq: list[int],
+    codebooks: list,
+    dsub: int,
+    k: int,
+    refine: int | None,
+    id_col: str,
+) -> DataFrame:
+    """Shared PQ serve tail: ADC rank over ``codes`` (id, codes), then
+    optionally re-rank the top-``refine`` candidates by exact integer
+    squared-L2 against ``qrel`` (id, q) — the candidate set is bounded,
+    so the join back to the vectors broadcasts."""
     ranked = (
-        codes.select("id", adist.alias("adist"))
+        codes.select("id", _pq_adc_col(qq, codebooks, dsub).alias("adist"))
         .orderBy(F.col("adist").asc(), F.col("id"))
         .limit(refine if refine is not None else k)
     )
     if refine is None:
         return ranked.select(F.col("id").alias(id_col), "adist")
-    # exact integer squared-L2 re-rank of the bounded candidate set:
-    # ||q - x||² over the quantized ints (broadcast semi-join back to
-    # the vectors — `ranked` is ≤ refine rows)
     qarr = F.array(*[F.lit(v).cast("long") for v in qq])
-    qrows = df.select(
-        F.col(id_col).alias("id"), _quantize_col(vec_col, scale).alias("q")
-    ).join(F.broadcast(ranked.select("id")), on="id")
+    qrows = qrel.join(F.broadcast(ranked.select("id")), on="id")
     exact = F.aggregate(
         F.zip_with("q", qarr, lambda a, b: (a - b) * (a - b)),
         F.lit(0).cast("long"),
@@ -1236,3 +1258,226 @@ def pq_topk(
         .limit(k)
         .select(F.col("id").alias(id_col), "adist")
     )
+
+
+def _argmin_l2_centroid(cents: list, col: str = "q"):
+    """Nearest-centroid-by-integer-L2 column over a quantized vector
+    column: argmin with (dist, cid) tiebreak via ``array_sort`` on
+    (d, cid) structs — literal codegen expressions, zero shuffles (the
+    IVF-PQ analogue of :func:`_pq_code_col`; same n_centroids·dim
+    expression-size caveat, use bounded centroid counts)."""
+    entries = []
+    for cid, cvec in cents:
+        carr = F.array(*[F.lit(v).cast("long") for v in cvec])
+        d = F.aggregate(
+            F.zip_with(F.col(col), carr, lambda a, b: (a - b) * (a - b)),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+        entries.append(F.struct(d.alias("d"), F.lit(cid).alias("c")))
+    return F.array_sort(F.array(*entries))[0]["c"]
+
+
+def ivfpq_topk_portable(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    m: int = 8,
+    n_codes: int = 16,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    scale: int = 1_000_000,
+    centroids: list | None = None,
+    codebooks: list | None = None,
+    refine: int | None = None,
+    train_iterations: int = 0,
+) -> DataFrame:
+    """IVF-PQ top-k — the composition every production ANN system serves
+    at scale (FAISS ``IVFx,PQy``; Jégou+ TPAMI'11 §V): a coarse
+    quantizer routes the query to ``n_probe`` of ``n_centroids`` cells,
+    and only rows in the probed cells are ranked — by PQ ADC over their
+    ``m``-int codes, then exact integer-L2 ``refine``.
+
+    Everything is integer arithmetic on the quantized vectors
+    (assignment and probe selection by squared-L2 with (dist, cid)
+    tiebreak; fixed lowest-id centroids/codebooks unless trained ones
+    are passed), so the full route→rank→refine path replays in plain
+    SQL — oracle-checked end-to-end as v13.
+
+    Plan shape: ONE codegen scan (centroid argmin + cell filter + PQ
+    encode + ADC sum are all literal expressions) into a
+    ``TakeOrderedAndProject`` — zero shuffles before the top-k; the
+    refine join broadcasts the bounded candidate set. In the
+    materialized layout (:func:`build_ivfpq_index`) the cell filter
+    becomes parquet partition pruning and the ADC scan reads only the
+    code column."""
+    dim = len(query_vec)
+    dsub = _check_pq_params(dim, m, n_codes)
+    if n_centroids < 1:
+        raise ValueError(f"n_centroids must be >= 1, got {n_centroids}")
+    if n_probe < 1:
+        raise ValueError(f"n_probe must be >= 1, got {n_probe}")
+    if refine is not None and refine < k:
+        raise ValueError(f"refine must be >= k, got refine={refine}, k={k}")
+    q = df.select(
+        F.col(id_col).alias("id"), _quantize_col(vec_col, scale).alias("q")
+    ).where(F.size("q") == dim)
+    if centroids is None:
+        rows = q.orderBy("id").limit(n_centroids).collect()
+        centroids = [
+            (cid, [int(v) for v in r["q"]]) for cid, r in enumerate(rows)
+        ]
+    if codebooks is None:
+        if train_iterations > 0:
+            codebooks = pq_codebooks_trained(
+                df, dim, m, n_codes, train_iterations, vec_col, id_col, scale
+            )
+        else:
+            codebooks = pq_codebooks_fixed(
+                df, dim, m, n_codes, vec_col, id_col, scale
+            )
+    qq, _ = _quantize_query(query_vec, scale)
+    probed = [
+        cid
+        for _, cid in sorted(
+            (sum((a - b) * (a - b) for a, b in zip(qq, cvec)), cid)
+            for cid, cvec in centroids
+        )[:n_probe]
+    ]
+    cand = q.withColumn("cid", _argmin_l2_centroid(centroids)).filter(
+        F.col("cid").isin(probed)
+    )
+    codes = cand.select("id", _pq_codes_col(codebooks).alias("codes"))
+    return _pq_serve(
+        codes, cand.select("id", "q"), qq, codebooks, dsub, k, refine, id_col
+    )
+
+
+def build_ivfpq_index(
+    df: DataFrame,
+    path: str,
+    m: int = 8,
+    n_codes: int = 16,
+    n_centroids: int | None = None,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    scale: int = 1_000_000,
+    centroids: list | None = None,
+    codebooks: list | None = None,
+    train_iterations: int = 0,
+) -> tuple[list, list]:
+    """Materialize an IVF-PQ index: each row is routed to its nearest
+    centroid (exact integer L2) and written to parquet **partitioned by
+    ``__bucket``**, carrying its ``m``-int PQ ``codes`` column alongside
+    the original vector. This is the 100 TB ANN layout:
+
+    - a probe opens only ``n_probe`` of ``n_centroids`` directories
+      (partition pruning);
+    - the ADC ranking pass reads ONLY (id, codes) — for a 64-dim float
+      corpus that is a 32× smaller scan (column pruning), the entire
+      reason PQ exists;
+    - only the ≤ ``refine`` winners' full vectors are ever read, via a
+      broadcast semi-join inside the same pruned directories.
+
+    Centroids/codebooks default to the fixed lowest-id recipe
+    (``train_iterations`` > 0 trains codebooks with integer Lloyd) and
+    are persisted under the index as underscore-prefixed JSON sidecars
+    (invisible to parquet discovery, like ``_SUCCESS``), so probes need
+    no side-channel. Returns (centroids, codebooks)."""
+    first = df.select(vec_col).first()
+    dim = len(first[0])
+    dsub = _check_pq_params(dim, m, n_codes)
+    if n_centroids is None:
+        n_centroids = auto_n_centroids_ivf(df.count())
+    q = df.select(
+        F.col(id_col).alias("id"), _quantize_col(vec_col, scale).alias("q")
+    ).where(F.size("q") == dim)
+    if centroids is None:
+        rows = q.orderBy("id").limit(n_centroids).collect()
+        centroids = [
+            (cid, [int(v) for v in r["q"]]) for cid, r in enumerate(rows)
+        ]
+    if codebooks is None:
+        if train_iterations > 0:
+            codebooks = pq_codebooks_trained(
+                df, dim, m, n_codes, train_iterations, vec_col, id_col, scale
+            )
+        else:
+            codebooks = pq_codebooks_fixed(
+                df, dim, m, n_codes, vec_col, id_col, scale
+            )
+    (
+        q.select(
+            F.col("id").alias(id_col),
+            F.col("q"),
+            _pq_codes_col(codebooks).alias("codes"),
+            _argmin_l2_centroid(centroids).alias("__bucket"),
+        )
+        .write.mode("overwrite")
+        .partitionBy("__bucket")
+        .parquet(path)
+    )
+    spark = df.sparkSession
+    spark.createDataFrame(
+        [(cid, [int(v) for v in cvec]) for cid, cvec in centroids],
+        "cid int, cvec array<bigint>",
+    ).coalesce(1).write.mode("overwrite").json(f"{path}/_ivfpq_centroids")
+    spark.createDataFrame(
+        [
+            (s, code, [int(v) for v in cvec])
+            for s, cb in enumerate(codebooks)
+            for code, cvec in cb
+        ],
+        "s int, code int, cvec array<bigint>",
+    ).coalesce(1).write.mode("overwrite").json(f"{path}/_ivfpq_codebooks")
+    return centroids, codebooks
+
+
+def ivfpq_topk_indexed(
+    spark,
+    path: str,
+    query_vec: list[float],
+    k: int = 10,
+    n_probe: int = 4,
+    refine: int | None = None,
+    id_col: str = "vec_id",
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Top-k against a :func:`build_ivfpq_index` layout. The
+    ``__bucket`` predicate lands in the scan's PartitionFilters and the
+    ADC pass selects only (id, codes) — both pruning claims are
+    plan-asserted in ``tests/test_similarity.py``. Same integer
+    arithmetic as :func:`ivfpq_topk_portable`: given the same
+    centroids/codebooks the two return identical rows."""
+    if n_probe < 1:
+        raise ValueError(f"n_probe must be >= 1, got {n_probe}")
+    if refine is not None and refine < k:
+        raise ValueError(f"refine must be >= k, got refine={refine}, k={k}")
+    cent_rows = spark.read.schema("cid int, cvec array<bigint>").json(
+        f"{path}/_ivfpq_centroids"
+    ).collect()
+    centroids = [(r["cid"], [int(v) for v in r["cvec"]]) for r in cent_rows]
+    cb_rows = spark.read.schema("s int, code int, cvec array<bigint>").json(
+        f"{path}/_ivfpq_codebooks"
+    ).collect()
+    by_s: dict = {}
+    for r in cb_rows:
+        by_s.setdefault(r["s"], []).append(
+            (r["code"], [int(v) for v in r["cvec"]])
+        )
+    codebooks = [sorted(by_s[s]) for s in sorted(by_s)]
+    dsub = len(codebooks[0][0][1])
+    qq, _ = _quantize_query(query_vec, scale)
+    probed = [
+        cid
+        for _, cid in sorted(
+            (sum((a - b) * (a - b) for a, b in zip(qq, cvec)), cid)
+            for cid, cvec in centroids
+        )[:n_probe]
+    ]
+    pruned = spark.read.parquet(path).filter(F.col("__bucket").isin(probed))
+    codes = pruned.select(F.col(id_col).alias("id"), "codes")
+    qrel = pruned.select(F.col(id_col).alias("id"), "q")
+    return _pq_serve(codes, qrel, qq, codebooks, dsub, k, refine, id_col)
