@@ -1219,6 +1219,36 @@ def v12_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_topk(e, _pq_query_vec(), k=10, m=8, n_codes=16, refine=50)
 
 
+def a22_hll_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Portable HyperLogLog distinct-part estimate per returnflag
+    (operators/sketches.py:hll_cardinality — Flajolet+ 2007): 256
+    registers over the md5-60bit hash family, rank via exact integer
+    bin()-length arithmetic, ONE IEEE division per group. Two cascaded
+    map-side-combinable aggs; register state ≤ 256 rows/group at any
+    corpus size. Oracle replays the identical integer register math."""
+    from ftm_columnstore_spark.operators.sketches import hll_cardinality
+
+    li = _t(spark, sf_dir, "lineitem")
+    return hll_cardinality(li, "l_partkey", p=8, group_by=["l_returnflag"])
+
+
+def a23_cms_heavy_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min heavy-hitter tokens (operators/sketches.py —
+    Cormode-Muthukrishnan 2005): 4×512-cell sketch over corpus tokens,
+    distinct-key probe, est ≥ true count guaranteed (no false
+    negatives). The sketch is one bounded agg + a broadcast probe —
+    the hot-key detector you run BEFORE choosing a salting strategy at
+    100 TB. Exact integer arithmetic end-to-end, oracle-replayed."""
+    from ftm_columnstore_spark.functions.text import word_tokens_col
+    from ftm_columnstore_spark.operators.sketches import cms_heavy_hitters
+
+    d = _t(spark, sf_dir, "documents")
+    toks = d.where(F.col("text").isNotNull()).select(
+        F.explode(word_tokens_col("text")).alias("token")
+    )
+    return cms_heavy_hitters(toks, "token", threshold=100, d=4, w=512)
+
+
 def v13_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-PQ ANN (operators/similarity.py:ivfpq_topk_portable — the
     FAISS ``IVFx,PQy`` composition, Jégou+ TPAMI'11 §V): integer-L2
@@ -2498,6 +2528,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d16_minhash_clusters": d16_minhash_clusters,
         "v12_pq_topk": v12_pq_topk,
         "v13_ivfpq_topk": v13_ivfpq_topk,
+        "a22_hll_cardinality": a22_hll_cardinality,
+        "a23_cms_heavy_tokens": a23_cms_heavy_tokens,
         # --- verified green in CORRECTNESS_r02.json ---
         "a4_avg_via_dsl": a4_avg_via_dsl,
         "m2_fingerprint_freq": m2_fingerprint_freq,
@@ -3373,6 +3405,88 @@ def _v13_oracle() -> str:
         )
         SELECT id AS vec_id, adist
         FROM exact ORDER BY adist ASC, id LIMIT 10
+    """
+
+
+def _a22_oracle(p: int = 8) -> str:
+    """HLL replay: identical md5-60bit hash, register index/rank integer
+    arithmetic, scaled-int indicator sum, one IEEE division, linear
+    counting branch — mirrors operators/sketches.py:hll_cardinality."""
+    m = 1 << p
+    maxbits = 60 - p
+    sp = maxbits + 1
+    if m == 16:
+        alpha = 0.673
+    elif m == 32:
+        alpha = 0.697
+    elif m == 64:
+        alpha = 0.709
+    else:
+        alpha = 0.7213 / (1.0 + 1.079 / m)
+    alpha_num = alpha * m * m * float(1 << sp)
+    return f"""
+        WITH h AS (
+          SELECT l_returnflag AS g,
+                 ('0x'||substr(md5(CAST(l_partkey AS VARCHAR)),1,15))::BIGINT AS h
+          FROM lineitem WHERE l_partkey IS NOT NULL
+        ), reg AS (
+          SELECT g, h % {m} AS idx, h // {m} AS w FROM h
+        ), rk AS (
+          SELECT g, idx,
+                 CASE WHEN w > 0 THEN {maxbits} - length(bin(w)) + 1
+                      ELSE {maxbits + 1} END AS rho
+          FROM reg
+        ), regs AS (
+          SELECT g, idx, max(rho) AS rho FROM rk GROUP BY g, idx
+        ), agg AS (
+          SELECT g, sum(1::BIGINT << ({sp} - rho)) AS s, count(*) AS n
+          FROM regs GROUP BY g
+        ), est AS (
+          SELECT g,
+                 {alpha_num!r} / CAST(s + ({m} - n) * (1::BIGINT << {sp})
+                                      AS DOUBLE) AS raw,
+                 CAST({m} - n AS DOUBLE) AS v
+          FROM agg
+        )
+        SELECT g AS l_returnflag,
+               CAST(floor(CASE WHEN raw <= {2.5 * m!r} AND v > 0
+                               THEN {float(m)!r} * ln({float(m)!r} / v)
+                               ELSE raw END + 0.5) AS BIGINT)
+               AS n_distinct_est
+        FROM est
+    """
+
+
+def _a23_oracle(d: int = 4, w: int = 512, threshold: int = 100) -> str:
+    """CMS replay: md5-60bit of ``j|token`` mod w per hash row, cell
+    counts, min-over-rows point estimate, threshold filter — mirrors
+    operators/sketches.py:cms_heavy_hitters."""
+    return f"""
+        WITH toks AS (
+          SELECT unnest(list_filter(
+              string_split_regex(lower(text), '[^a-z0-9]+'),
+              x -> x != '')) AS token
+          FROM documents WHERE text IS NOT NULL
+        ), cells AS (
+          SELECT j.range AS j,
+                 ('0x'||substr(md5(CAST(j.range AS VARCHAR)||'|'||token),
+                               1,15))::BIGINT % {w} AS cell
+          FROM toks, range({d}) j
+        ), cms AS (
+          SELECT j, cell, count(*) AS cnt FROM cells GROUP BY j, cell
+        ), keys AS (
+          SELECT DISTINCT token FROM toks
+        ), probes AS (
+          SELECT token, j.range AS j,
+                 ('0x'||substr(md5(CAST(j.range AS VARCHAR)||'|'||token),
+                               1,15))::BIGINT % {w} AS cell
+          FROM keys, range({d}) j
+        ), est AS (
+          SELECT token, min(coalesce(cms.cnt, 0)) AS est_count
+          FROM probes LEFT JOIN cms USING (j, cell)
+          GROUP BY token
+        )
+        SELECT token, est_count FROM est WHERE est_count >= {threshold}
     """
 
 
@@ -4367,6 +4481,8 @@ def oracle_sql() -> dict[str, str]:
         "d16_minhash_clusters": _d16_oracle(),
         "v12_pq_topk": _v12_oracle(),
         "v13_ivfpq_topk": _v13_oracle(),
+        "a22_hll_cardinality": _a22_oracle(),
+        "a23_cms_heavy_tokens": _a23_oracle(),
         "d4_simhash_pairs": _d4_oracle(),
         "v4_embedding_dups": _v4_oracle(min_cosine=0.40, num_planes=4),
         "v3_lsh_topk": _v3_oracle(),

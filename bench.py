@@ -83,6 +83,8 @@ HEADLINE = [
     "d16_minhash_clusters",
     "v12_pq_topk",
     "v13_ivfpq_topk",
+    "a22_hll_cardinality",
+    "a23_cms_heavy_tokens",
 ]
 
 

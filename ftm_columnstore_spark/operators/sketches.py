@@ -1,0 +1,230 @@
+"""Engine-portable probabilistic sketches: HyperLogLog cardinality and
+Count-Min heavy hitters (north-star extension).
+
+Spark ships `approx_count_distinct` (HLL++) and `count_min_sketch`, but
+their hash functions and register encodings are engine-private — the
+estimates can't be replayed by another engine, so they can't be
+oracle-checked and can't be shared with non-Spark consumers. These
+implementations trade a constant factor for *portability*: every hash is
+the repo's md5-60bit family (`conv(substr(md5(x),1,15),16,10)` — exact
+in any engine with md5, see NOTES.md "Engine-portable hash families"),
+every register update is integer max/sum, and the only floating-point
+steps are one IEEE division (correctly rounded everywhere) and — in
+HLL's small-range branch — one `ln` whose ≤1-ulp library variance is
+absorbed by rounding the final estimate to an integer.
+
+100 TB shape: both sketches are classic one-pass, bounded-state
+streaming summaries. HLL is two cascaded map-side-combinable
+aggregations (per-register max, then a sum over ≤2^p registers per
+group); CMS build is one aggregation over d·w cells; heavy-hitter
+probing broadcasts the d·w-cell table. Nothing is corpus-sized on the
+driver, nothing shuffles more than the register/cell keyspace.
+
+References: Flajolet, Fusy, Gandouet & Meunier, "HyperLogLog: the
+analysis of a near-optimal cardinality estimation algorithm" (AofA
+2007); Cormode & Muthukrishnan, "An improved data stream summary: the
+count-min sketch and its applications" (J. Algorithms 2005).
+
+Reference parity: the reference engine exposes count-distinct stats
+(reference: ftm_columnstore/query.py aggregation paths) exactly; these
+sketches are the approximate, scale-first siblings for cardinalities
+where exact distinct would shuffle the full keyspace.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: md5-60bit hash family (shared contract with operators/dedup.py —
+#: DuckDB mirror: ``('0x'||substr(md5(x),1,15))::BIGINT``)
+_HASH_BITS = 60
+
+
+def _md5_60bit(col: Column) -> Column:
+    return F.conv(
+        F.substring(F.md5(col.cast("string")), 1, 15), 16, 10
+    ).cast("long")
+
+
+def _hll_alpha(m: int) -> float:
+    """Bias-correction constant from Flajolet+ 2007, Fig. 3."""
+    if m == 16:
+        return 0.673
+    if m == 32:
+        return 0.697
+    if m == 64:
+        return 0.709
+    return 0.7213 / (1.0 + 1.079 / m)
+
+
+def hll_cardinality(
+    df: DataFrame,
+    col: str,
+    p: int = 6,
+    group_by: list[str] | None = None,
+) -> DataFrame:
+    """Distinct-count estimate for ``col`` (optionally per group) with
+    2^p registers — relative error ≈ 1.04/sqrt(2^p) (p=6 → ~13%,
+    p=12 → ~1.6%).
+
+    Register index = low ``p`` bits of the 60-bit md5 hash; rank = count
+    of leading zeros in the remaining ``60-p`` bits + 1, computed as
+    ``(60-p) - length(bin(w)) + 1`` — ``bin()`` exists with identical
+    semantics in Spark and DuckDB, so the rank is exact integer
+    arithmetic (no float log2, whose double rounding misassigns ranks
+    near powers of two). The indicator sum Σ2^(-rho) is scaled by
+    2^(60-p+1) into an exact int64 (max 2^62, no overflow for p ≥ 4),
+    leaving exactly ONE floating-point division for the raw estimate.
+    The small-range branch (raw ≤ 2.5m with empty registers) uses linear
+    counting ``m·ln(m/V)`` per the paper; the final estimate is rounded
+    to a bigint, absorbing ≤1-ulp ``ln`` library variance.
+
+    Output: ``group_by`` columns + ``n_distinct_est`` (bigint).
+    Plan: two cascaded partial-aggregatable groupBys — register state is
+    ≤ 2^p rows per group, never corpus-sized."""
+    if not 4 <= p <= 16:
+        raise ValueError(f"p must be in [4, 16], got {p}")
+    g = list(group_by or [])
+    m = 1 << p
+    maxbits = _HASH_BITS - p
+    scale_pow = maxbits + 1  # Σ 2^(scale_pow - rho) is exact int64
+    alpha_num = _hll_alpha(m) * m * m * float(1 << scale_pow)
+
+    h = _md5_60bit(F.col(col))
+    # __w = h DIV m via SQL integer division — a double division would
+    # lose bits above 2^53
+    base = (
+        df.where(F.col(col).isNotNull())
+        .select(*g, h.alias("__h"))
+        .select(
+            *g,
+            F.pmod(F.col("__h"), F.lit(m)).alias("__idx"),
+            F.expr(f"__h DIV {m}").alias("__w"),
+        )
+    )
+    rho = F.when(
+        F.col("__w") > 0, F.lit(maxbits) - F.length(F.bin("__w")) + 1
+    ).otherwise(F.lit(maxbits + 1))
+    regs = (
+        base.select(*g, "__idx", rho.alias("__rho"))
+        .groupBy(*g, "__idx")
+        .agg(F.max("__rho").alias("__rho"))
+    )
+    agg = regs.groupBy(*g).agg(
+        F.sum(
+            F.expr(f"shiftleft(CAST(1 AS BIGINT), {scale_pow} - __rho)")
+        ).alias("__s"),
+        F.count(F.lit(1)).alias("__n"),
+    )
+    # empty registers contribute 2^-0 = 1 each (scaled: 2^scale_pow)
+    s_total = F.col("__s") + (F.lit(m) - F.col("__n")) * F.lit(
+        1 << scale_pow
+    ).cast("long")
+    v_empty = (F.lit(m) - F.col("__n")).cast("double")
+    raw = F.lit(alpha_num) / s_total.cast("double")
+    est = F.when(
+        (raw <= F.lit(2.5 * m)) & (v_empty > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / v_empty),
+    ).otherwise(raw)
+    return agg.select(
+        *g, F.floor(est + F.lit(0.5)).cast("long").alias("n_distinct_est")
+    )
+
+
+def _cms_cell(col: Column, j: int, w: int) -> Column:
+    """Row-j CMS cell for a key: md5-60bit of ``j|key`` mod w."""
+    return F.pmod(
+        _md5_60bit(F.concat(F.lit(f"{j}|"), col.cast("string"))), F.lit(w)
+    )
+
+
+def cms_build(
+    df: DataFrame,
+    col: str,
+    d: int = 4,
+    w: int = 1024,
+    weight_col: str | None = None,
+) -> DataFrame:
+    """Count-Min sketch of ``col``: ``d`` independent md5-salted hash
+    rows × ``w`` cells, cell value = (weighted) occurrence count.
+    Returns the bounded (j, cell, cnt) relation — ≤ d·w rows total, one
+    partial-aggregatable shuffle to build regardless of input size."""
+    if d < 1 or w < 1:
+        raise ValueError(f"d and w must be >= 1, got d={d}, w={w}")
+    c = F.col(col)
+    wt = F.col(weight_col) if weight_col else F.lit(1).cast("long")
+    return (
+        df.where(c.isNotNull())
+        .select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(j).alias("j"),
+                            _cms_cell(c, j, w).alias("cell"),
+                        )
+                        for j in range(d)
+                    ]
+                )
+            ).alias("e"),
+            wt.alias("__wt"),
+        )
+        .groupBy(F.col("e.j").alias("j"), F.col("e.cell").alias("cell"))
+        .agg(F.sum("__wt").alias("cnt"))
+    )
+
+
+def cms_estimate(
+    cms: DataFrame,
+    keys: DataFrame,
+    col: str,
+    d: int = 4,
+    w: int = 1024,
+) -> DataFrame:
+    """Point estimates for every key row: est = min over the d probed
+    cells — never under the true count (Cormode-Muthukrishnan), over by
+    at most ε·N with probability 1-δ for w = ⌈e/ε⌉, d = ⌈ln 1/δ⌉.
+    ``cms`` is broadcast (≤ d·w rows). Output: (col, est_count)."""
+    c = F.col(col)
+    probes = keys.where(c.isNotNull()).select(
+        c,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("j"), _cms_cell(c, j, w).alias("cell")
+                    )
+                    for j in range(d)
+                ]
+            )
+        ).alias("e"),
+    ).select(col, F.col("e.j").alias("j"), F.col("e.cell").alias("cell"))
+    return (
+        probes.join(F.broadcast(cms), on=["j", "cell"], how="left")
+        .groupBy(col)
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est_count"))
+    )
+
+
+def cms_heavy_hitters(
+    df: DataFrame,
+    col: str,
+    threshold: int,
+    d: int = 4,
+    w: int = 1024,
+) -> DataFrame:
+    """Keys whose CMS estimate is ≥ ``threshold`` with their estimates —
+    superset of the true heavy hitters (CMS never underestimates, so no
+    false negatives; false positives bounded by the sketch width).
+    One sketch build + one distinct-key probe pass; the candidate-side
+    state is the distinct keyspace, the sketch side is ≤ d·w rows."""
+    if threshold < 1:
+        raise ValueError(f"threshold must be >= 1, got {threshold}")
+    cms = cms_build(df, col, d, w)
+    keys = df.select(col).where(F.col(col).isNotNull()).distinct()
+    return cms_estimate(cms, keys, col, d, w).filter(
+        F.col("est_count") >= threshold
+    )

@@ -1,0 +1,164 @@
+"""Portable sketches: HLL cardinality and CMS heavy hitters.
+
+Each test replays the exact md5/integer arithmetic in pure python and
+requires equality — the same contract the DuckDB oracles (a22/a23 in
+__spark_entry__) enforce cross-engine.
+"""
+
+import hashlib
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from ftm_columnstore_spark.operators.sketches import (
+    cms_build,
+    cms_estimate,
+    cms_heavy_hitters,
+    hll_cardinality,
+)
+
+
+def _h60(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+def _hll_py(values, p):
+    m = 1 << p
+    maxbits = 60 - p
+    regs = {}
+    for v in values:
+        h = _h60(str(v))
+        idx, w = h % m, h // m
+        rho = maxbits - (w.bit_length()) + 1 if w > 0 else maxbits + 1
+        regs[idx] = max(regs.get(idx, 0), rho)
+    if m == 16:
+        alpha = 0.673
+    elif m == 32:
+        alpha = 0.697
+    elif m == 64:
+        alpha = 0.709
+    else:
+        alpha = 0.7213 / (1.0 + 1.079 / m)
+    sp = maxbits + 1
+    s = sum(1 << (sp - r) for r in regs.values()) + (m - len(regs)) * (
+        1 << sp
+    )
+    raw = (alpha * m * m * float(1 << sp)) / float(s)
+    v_empty = m - len(regs)
+    if raw <= 2.5 * m and v_empty > 0:
+        est = m * math.log(m / v_empty)
+    else:
+        est = raw
+    return math.floor(est + 0.5)
+
+
+@pytest.fixture(scope="module")
+def keyed(spark):
+    rows = [(i, f"k{i % 137}", f"g{i % 3}") for i in range(2000)]
+    return spark.createDataFrame(rows, ["i", "k", "g"]).cache()
+
+
+def test_hll_matches_python_replay(keyed):
+    got = hll_cardinality(keyed, "k", p=6).collect()[0]["n_distinct_est"]
+    expected = _hll_py([f"k{i % 137}" for i in range(2000)], p=6)
+    assert got == expected
+
+
+def test_hll_grouped_matches_python_replay(keyed):
+    got = {
+        r["g"]: r["n_distinct_est"]
+        for r in hll_cardinality(keyed, "k", p=6, group_by=["g"]).collect()
+    }
+    for gk in ("g0", "g1", "g2"):
+        vals = [
+            f"k{i % 137}" for i in range(2000) if f"g{i % 3}" == gk
+        ]
+        assert got[gk] == _hll_py(vals, p=6)
+
+
+def test_hll_accuracy_within_error_bound(spark):
+    # p=10 → 1024 registers, theoretical σ ≈ 3.3%; allow 4σ
+    n = 5000
+    df = spark.createDataFrame([(f"v{i}",) for i in range(n)], ["k"])
+    est = hll_cardinality(df, "k", p=10).collect()[0]["n_distinct_est"]
+    assert abs(est - n) / n < 4 * 1.04 / math.sqrt(1024)
+
+
+def test_hll_small_range_linear_counting(spark):
+    # 3 distinct values over 64 registers → linear-counting branch
+    df = spark.createDataFrame([("a",), ("b",), ("c",), ("a",)], ["k"])
+    est = hll_cardinality(df, "k", p=6).collect()[0]["n_distinct_est"]
+    expected = _hll_py(["a", "b", "c", "a"], p=6)
+    assert est == expected
+    assert abs(est - 3) <= 1
+
+
+def test_hll_validates_p(keyed):
+    with pytest.raises(ValueError, match="p must"):
+        hll_cardinality(keyed, "k", p=2)
+
+
+def _cms_py(values, d, w):
+    cells = {}
+    for v in values:
+        for j in range(d):
+            cell = _h60(f"{j}|{v}") % w
+            cells[(j, cell)] = cells.get((j, cell), 0) + 1
+    return cells
+
+
+def test_cms_build_matches_python_replay(keyed):
+    vals = [f"k{i % 137}" for i in range(2000)]
+    expected = _cms_py(vals, d=3, w=64)
+    got = {
+        (r["j"], r["cell"]): r["cnt"]
+        for r in cms_build(keyed, "k", d=3, w=64).collect()
+    }
+    assert got == expected
+
+
+def test_cms_estimate_never_underestimates(keyed):
+    true = {}
+    for i in range(2000):
+        true[f"k{i % 137}"] = true.get(f"k{i % 137}", 0) + 1
+    cms = cms_build(keyed, "k", d=4, w=64)
+    keys = keyed.select("k").distinct()
+    got = {
+        r["k"]: r["est_count"]
+        for r in cms_estimate(cms, keys, "k", d=4, w=64).collect()
+    }
+    assert set(got) == set(true)
+    for k, t in true.items():
+        assert got[k] >= t
+
+
+def test_cms_heavy_hitters_superset_of_true(spark):
+    # skewed: "hot" appears 500×, others ≤ 20×
+    rows = [("hot",)] * 500 + [(f"c{i % 50}",) for i in range(1000)]
+    df = spark.createDataFrame(rows, ["k"])
+    hh = {
+        r["k"]: r["est_count"]
+        for r in cms_heavy_hitters(df, "k", threshold=100, d=4, w=256).collect()
+    }
+    assert "hot" in hh and hh["hot"] >= 500
+    # wide sketch, tiny keyspace → no false positives here
+    assert set(hh) == {"hot"}
+
+
+def test_cms_weighted_build(spark):
+    df = spark.createDataFrame([("a", 5), ("a", 3), ("b", 2)], ["k", "n"])
+    cms = cms_build(df, "k", d=2, w=32, weight_col="n")
+    keys = df.select("k").distinct()
+    got = {
+        r["k"]: r["est_count"]
+        for r in cms_estimate(cms, keys, "k", d=2, w=32).collect()
+    }
+    assert got["a"] >= 8 and got["b"] >= 2
+
+
+def test_cms_validates_params(keyed):
+    with pytest.raises(ValueError, match="d and w"):
+        cms_build(keyed, "k", d=0)
+    with pytest.raises(ValueError, match="threshold"):
+        cms_heavy_hitters(keyed, "k", threshold=0)
