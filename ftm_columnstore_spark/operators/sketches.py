@@ -60,62 +60,91 @@ def _hll_alpha(m: int) -> float:
     return 0.7213 / (1.0 + 1.079 / m)
 
 
-def hll_cardinality(
+def hll_registers(
     df: DataFrame,
     col: str,
     p: int = 6,
     group_by: list[str] | None = None,
 ) -> DataFrame:
-    """Distinct-count estimate for ``col`` (optionally per group) with
-    2^p registers — relative error ≈ 1.04/sqrt(2^p) (p=6 → ~13%,
-    p=12 → ~1.6%).
+    """The HLL register relation for ``col``: (``group_by`` columns,
+    ``reg_idx``, ``reg_rho``) with ≤ 2^p rows per group — THE mergeable
+    sketch state. Register index = low ``p`` bits of the 60-bit md5
+    hash; rank = leading zeros of the remaining ``60-p`` bits + 1,
+    computed as ``(60-p) - length(bin(w)) + 1`` — ``bin()`` exists with
+    identical semantics in Spark and DuckDB, so the rank is exact
+    integer arithmetic (no float log2, whose double rounding misassigns
+    ranks near powers of two).
 
-    Register index = low ``p`` bits of the 60-bit md5 hash; rank = count
-    of leading zeros in the remaining ``60-p`` bits + 1, computed as
-    ``(60-p) - length(bin(w)) + 1`` — ``bin()`` exists with identical
-    semantics in Spark and DuckDB, so the rank is exact integer
-    arithmetic (no float log2, whose double rounding misassigns ranks
-    near powers of two). The indicator sum Σ2^(-rho) is scaled by
-    2^(60-p+1) into an exact int64 (max 2^62, no overflow for p ≥ 4),
-    leaving exactly ONE floating-point division for the raw estimate.
-    The small-range branch (raw ≤ 2.5m with empty registers) uses linear
-    counting ``m·ln(m/V)`` per the paper; the final estimate is rounded
-    to a bigint, absorbing ≤1-ulp ``ln`` library variance.
-
-    Output: ``group_by`` columns + ``n_distinct_est`` (bigint).
-    Plan: two cascaded partial-aggregatable groupBys — register state is
-    ≤ 2^p rows per group, never corpus-sized."""
+    One partial-aggregatable groupBy; streaming-compatible (a windowed
+    ``group_by`` turns this into per-window register state — see
+    ``tests/test_sketches.py``). Materialize it as the incremental
+    summary (per day / per shard / per source) and combine with
+    :func:`hll_merge` + :func:`hll_estimate_from_registers`: max-merge
+    is exactly how a 1000-executor rollup avoids ever re-scanning
+    history."""
     if not 4 <= p <= 16:
         raise ValueError(f"p must be in [4, 16], got {p}")
     g = list(group_by or [])
     m = 1 << p
     maxbits = _HASH_BITS - p
-    scale_pow = maxbits + 1  # Σ 2^(scale_pow - rho) is exact int64
-    alpha_num = _hll_alpha(m) * m * m * float(1 << scale_pow)
-
     h = _md5_60bit(F.col(col))
-    # __w = h DIV m via SQL integer division — a double division would
+    # w = h DIV m via SQL integer division — a double division would
     # lose bits above 2^53
     base = (
         df.where(F.col(col).isNotNull())
         .select(*g, h.alias("__h"))
         .select(
             *g,
-            F.pmod(F.col("__h"), F.lit(m)).alias("__idx"),
+            F.pmod(F.col("__h"), F.lit(m)).alias("reg_idx"),
             F.expr(f"__h DIV {m}").alias("__w"),
         )
     )
     rho = F.when(
         F.col("__w") > 0, F.lit(maxbits) - F.length(F.bin("__w")) + 1
     ).otherwise(F.lit(maxbits + 1))
-    regs = (
-        base.select(*g, "__idx", rho.alias("__rho"))
-        .groupBy(*g, "__idx")
-        .agg(F.max("__rho").alias("__rho"))
+    return (
+        base.select(*g, "reg_idx", rho.alias("reg_rho"))
+        .groupBy(*g, "reg_idx")
+        .agg(F.max("reg_rho").alias("reg_rho"))
     )
+
+
+def hll_merge(*regs: DataFrame, group_by: list[str] | None = None) -> DataFrame:
+    """Combine register relations (from :func:`hll_registers`, possibly
+    different days/shards/streams): union + per-register max — the
+    lossless HLL merge (the merged sketch equals the sketch of the
+    concatenated inputs, exactly; asserted in tests)."""
+    if not regs:
+        raise ValueError("hll_merge needs at least one register relation")
+    g = list(group_by or [])
+    u = regs[0]
+    for r in regs[1:]:
+        u = u.unionByName(r)
+    return u.groupBy(*g, "reg_idx").agg(F.max("reg_rho").alias("reg_rho"))
+
+
+def hll_estimate_from_registers(
+    regs: DataFrame,
+    p: int,
+    group_by: list[str] | None = None,
+) -> DataFrame:
+    """Estimate from a register relation. The indicator sum Σ2^(-rho)
+    is scaled by 2^(60-p+1) into an exact int64 (max 2^62, no overflow
+    for p ≥ 4), leaving exactly ONE floating-point division for the raw
+    estimate. The small-range branch (raw ≤ 2.5m with empty registers)
+    uses linear counting ``m·ln(m/V)`` per Flajolet+ 2007; the final
+    estimate is rounded to a bigint, absorbing ≤1-ulp ``ln`` library
+    variance. Output: ``group_by`` columns + ``n_distinct_est``."""
+    if not 4 <= p <= 16:
+        raise ValueError(f"p must be in [4, 16], got {p}")
+    g = list(group_by or [])
+    m = 1 << p
+    maxbits = _HASH_BITS - p
+    scale_pow = maxbits + 1  # Σ 2^(scale_pow - reg_rho) is exact int64
+    alpha_num = _hll_alpha(m) * m * m * float(1 << scale_pow)
     agg = regs.groupBy(*g).agg(
         F.sum(
-            F.expr(f"shiftleft(CAST(1 AS BIGINT), {scale_pow} - __rho)")
+            F.expr(f"shiftleft(CAST(1 AS BIGINT), {scale_pow} - reg_rho)")
         ).alias("__s"),
         F.count(F.lit(1)).alias("__n"),
     )
@@ -131,6 +160,23 @@ def hll_cardinality(
     ).otherwise(raw)
     return agg.select(
         *g, F.floor(est + F.lit(0.5)).cast("long").alias("n_distinct_est")
+    )
+
+
+def hll_cardinality(
+    df: DataFrame,
+    col: str,
+    p: int = 6,
+    group_by: list[str] | None = None,
+) -> DataFrame:
+    """Distinct-count estimate for ``col`` (optionally per group) with
+    2^p registers — relative error ≈ 1.04/sqrt(2^p) (p=6 → ~13%,
+    p=12 → ~1.6%). Composition of :func:`hll_registers` →
+    :func:`hll_estimate_from_registers`: two cascaded
+    partial-aggregatable groupBys — register state is ≤ 2^p rows per
+    group, never corpus-sized."""
+    return hll_estimate_from_registers(
+        hll_registers(df, col, p, group_by), p, group_by
     )
 
 
@@ -175,6 +221,17 @@ def cms_build(
         .groupBy(F.col("e.j").alias("j"), F.col("e.cell").alias("cell"))
         .agg(F.sum("__wt").alias("cnt"))
     )
+
+
+def cms_merge(*sketches: DataFrame) -> DataFrame:
+    """Combine CMS relations built with the SAME (d, w): union +
+    per-cell sum — the lossless CMS merge (cell counts are linear)."""
+    if not sketches:
+        raise ValueError("cms_merge needs at least one sketch")
+    u = sketches[0]
+    for s in sketches[1:]:
+        u = u.unionByName(s)
+    return u.groupBy("j", "cell").agg(F.sum("cnt").alias("cnt"))
 
 
 def cms_estimate(

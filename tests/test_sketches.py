@@ -162,3 +162,92 @@ def test_cms_validates_params(keyed):
         cms_build(keyed, "k", d=0)
     with pytest.raises(ValueError, match="threshold"):
         cms_heavy_hitters(keyed, "k", threshold=0)
+
+
+def test_hll_merge_is_lossless(spark):
+    """Sketch of a union == max-merge of per-part sketches — the
+    property that makes incremental/per-shard HLL rollups exact."""
+    from ftm_columnstore_spark.operators.sketches import (
+        hll_estimate_from_registers,
+        hll_merge,
+        hll_registers,
+    )
+
+    a = spark.createDataFrame([(f"x{i}",) for i in range(300)], ["k"])
+    b = spark.createDataFrame([(f"x{i}",) for i in range(150, 500)], ["k"])
+    whole = a.unionByName(b)
+    merged = hll_merge(
+        hll_registers(a, "k", p=7), hll_registers(b, "k", p=7)
+    )
+    got = hll_estimate_from_registers(merged, p=7).collect()[0][
+        "n_distinct_est"
+    ]
+    direct = hll_cardinality(whole, "k", p=7).collect()[0]["n_distinct_est"]
+    assert got == direct
+
+
+def test_cms_merge_is_lossless(spark):
+    from ftm_columnstore_spark.operators.sketches import cms_merge
+
+    a = spark.createDataFrame([(f"k{i % 7}",) for i in range(100)], ["k"])
+    b = spark.createDataFrame([(f"k{i % 11}",) for i in range(80)], ["k"])
+    merged = {
+        (r["j"], r["cell"]): r["cnt"]
+        for r in cms_merge(
+            cms_build(a, "k", d=3, w=32), cms_build(b, "k", d=3, w=32)
+        ).collect()
+    }
+    direct = {
+        (r["j"], r["cell"]): r["cnt"]
+        for r in cms_build(a.unionByName(b), "k", d=3, w=32).collect()
+    }
+    assert merged == direct
+
+
+def test_hll_registers_stream_to_batch_estimate(spark, tmp_path):
+    """The streaming shape: per-window register state IS the streaming
+    aggregation (single groupBy max — streaming-legal); estimates are
+    computed on read from the sink. Must equal the batch sketch."""
+    import json as _json
+
+    from ftm_columnstore_spark.operators.sketches import (
+        hll_estimate_from_registers,
+        hll_registers,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    rows = [
+        {"ts": f"2026-01-01 00:{i % 2}0:00", "user": f"u{i % 61}"}
+        for i in range(400)
+    ]
+    (src / "a.json").write_text("\n".join(_json.dumps(r) for r in rows))
+    schema = "ts timestamp, user string"
+
+    stream = spark.readStream.schema(schema).json(str(src))
+    windowed = stream.withColumn(
+        "win", F.window("ts", "10 minutes").start.cast("string")
+    )
+    regs = hll_registers(windowed, "user", p=6, group_by=["win"])
+    q = (
+        regs.writeStream.format("memory")
+        .queryName("hll_regs")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["win"]: r["n_distinct_est"]
+        for r in hll_estimate_from_registers(
+            spark.table("hll_regs"), p=6, group_by=["win"]
+        ).collect()
+    }
+    batch = spark.read.schema(schema).json(str(src)).withColumn(
+        "win", F.window("ts", "10 minutes").start.cast("string")
+    )
+    expected = {
+        r["win"]: r["n_distinct_est"]
+        for r in hll_cardinality(batch, "user", p=6, group_by=["win"]).collect()
+    }
+    assert got == expected and len(got) == 2
