@@ -1249,6 +1249,23 @@ def a23_cms_heavy_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cms_heavy_hitters(toks, "token", threshold=100, d=4, w=512)
 
 
+def a24_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass column-cardinality profile
+    (operators/sketches.py:profile_cardinalities): HLL estimate per
+    column from ONE stacked scan + one grouped register aggregation —
+    the table-profiling question ("which columns are keys?") answered
+    without a count-distinct shuffle per column. Oracle replays the
+    stacked register math exactly."""
+    from ftm_columnstore_spark.operators.sketches import (
+        profile_cardinalities,
+    )
+
+    li = _t(spark, sf_dir, "lineitem")
+    return profile_cardinalities(
+        li, ["l_partkey", "l_suppkey", "l_returnflag"], p=8
+    )
+
+
 def v13_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-PQ ANN (operators/similarity.py:ivfpq_topk_portable — the
     FAISS ``IVFx,PQy`` composition, Jégou+ TPAMI'11 §V): integer-L2
@@ -2530,6 +2547,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "v13_ivfpq_topk": v13_ivfpq_topk,
         "a22_hll_cardinality": a22_hll_cardinality,
         "a23_cms_heavy_tokens": a23_cms_heavy_tokens,
+        "a24_column_profile": a24_column_profile,
         # --- verified green in CORRECTNESS_r02.json ---
         "a4_avg_via_dsl": a4_avg_via_dsl,
         "m2_fingerprint_freq": m2_fingerprint_freq,
@@ -3449,6 +3467,51 @@ def _a22_oracle(p: int = 8) -> str:
           FROM agg
         )
         SELECT g AS l_returnflag,
+               CAST(floor(CASE WHEN raw <= {2.5 * m!r} AND v > 0
+                               THEN {float(m)!r} * ln({float(m)!r} / v)
+                               ELSE raw END + 0.5) AS BIGINT)
+               AS n_distinct_est
+        FROM est
+    """
+
+
+def _a24_oracle(p: int = 8) -> str:
+    """Stacked per-column HLL replay — same register math as
+    _a22_oracle over a UNION ALL of the profiled columns cast to
+    VARCHAR (the exact stacking profile_cardinalities performs)."""
+    m = 1 << p
+    maxbits = 60 - p
+    sp = maxbits + 1
+    alpha = 0.7213 / (1.0 + 1.079 / m) if m > 64 else {16: 0.673, 32: 0.697, 64: 0.709}[m]
+    alpha_num = alpha * m * m * float(1 << sp)
+    stack = " UNION ALL ".join(
+        f"SELECT '{c}' AS g, CAST({c} AS VARCHAR) AS k FROM lineitem "
+        f"WHERE {c} IS NOT NULL"
+        for c in ("l_partkey", "l_suppkey", "l_returnflag")
+    )
+    return f"""
+        WITH vals AS ({stack}), h AS (
+          SELECT g, ('0x'||substr(md5(k),1,15))::BIGINT AS h FROM vals
+        ), reg AS (
+          SELECT g, h % {m} AS idx, h // {m} AS w FROM h
+        ), rk AS (
+          SELECT g, idx,
+                 CASE WHEN w > 0 THEN {maxbits} - length(bin(w)) + 1
+                      ELSE {maxbits + 1} END AS rho
+          FROM reg
+        ), regs AS (
+          SELECT g, idx, max(rho) AS rho FROM rk GROUP BY g, idx
+        ), agg AS (
+          SELECT g, sum(1::BIGINT << ({sp} - rho)) AS s, count(*) AS n
+          FROM regs GROUP BY g
+        ), est AS (
+          SELECT g,
+                 {alpha_num!r} / CAST(s + ({m} - n) * (1::BIGINT << {sp})
+                                      AS DOUBLE) AS raw,
+                 CAST({m} - n AS DOUBLE) AS v
+          FROM agg
+        )
+        SELECT g AS "column",
                CAST(floor(CASE WHEN raw <= {2.5 * m!r} AND v > 0
                                THEN {float(m)!r} * ln({float(m)!r} / v)
                                ELSE raw END + 0.5) AS BIGINT)
@@ -4483,6 +4546,7 @@ def oracle_sql() -> dict[str, str]:
         "v13_ivfpq_topk": _v13_oracle(),
         "a22_hll_cardinality": _a22_oracle(),
         "a23_cms_heavy_tokens": _a23_oracle(),
+        "a24_column_profile": _a24_oracle(),
         "d4_simhash_pairs": _d4_oracle(),
         "v4_embedding_dups": _v4_oracle(min_cosine=0.40, num_planes=4),
         "v3_lsh_topk": _v3_oracle(),

@@ -85,6 +85,7 @@ HEADLINE = [
     "v13_ivfpq_topk",
     "a22_hll_cardinality",
     "a23_cms_heavy_tokens",
+    "a24_column_profile",
 ]
 
 

@@ -285,3 +285,34 @@ def cms_heavy_hitters(
     return cms_estimate(cms, keys, col, d, w).filter(
         F.col("est_count") >= threshold
     )
+
+
+def profile_cardinalities(
+    df: DataFrame,
+    cols: list[str] | None = None,
+    p: int = 8,
+) -> DataFrame:
+    """One-pass distinct-cardinality profile: HLL estimate per column
+    (the first question against any unfamiliar 100 TB table — which
+    columns are keys, which are categories — answered without one
+    count-distinct shuffle per column). Columns are stacked into
+    (column, value) pairs map-side, then a single grouped register
+    aggregation covers all of them; state is ≤ len(cols)·2^p rows.
+    Output: (column, n_distinct_est), one row per profiled column."""
+    names = cols if cols is not None else df.columns
+    if not names:
+        raise ValueError("profile_cardinalities needs at least one column")
+    stacked = df.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("column"),
+                        F.col(c).cast("string").alias("value"),
+                    )
+                    for c in names
+                ]
+            )
+        ).alias("e")
+    ).select(F.col("e.column").alias("column"), F.col("e.value").alias("value"))
+    return hll_cardinality(stacked, "value", p=p, group_by=["column"])

@@ -251,3 +251,52 @@ def test_hll_registers_stream_to_batch_estimate(spark, tmp_path):
         for r in hll_cardinality(batch, "user", p=6, group_by=["win"]).collect()
     }
     assert got == expected and len(got) == 2
+
+
+def test_profile_cardinalities_matches_per_column_hll(keyed):
+    from ftm_columnstore_spark.operators.sketches import (
+        profile_cardinalities,
+    )
+
+    got = {
+        r["column"]: r["n_distinct_est"]
+        for r in profile_cardinalities(keyed, ["k", "g"], p=8).collect()
+    }
+    for c in ("k", "g"):
+        solo = hll_cardinality(
+            keyed.select(F.col(c).cast("string").alias("v")), "v", p=8
+        ).collect()[0]["n_distinct_est"]
+        assert got[c] == solo
+    # g has 3 distinct values — small-range branch must be near-exact
+    assert got["g"] == 3
+
+
+def test_cms_build_streaming_matches_batch(spark, tmp_path):
+    """CMS build is a single sum aggregation — legal streaming state;
+    the streamed sketch must equal the batch sketch cell-for-cell."""
+    import json as _json
+
+    src = tmp_path / "cms_src"
+    src.mkdir()
+    rows = [{"k": f"t{i % 23}"} for i in range(300)]
+    (src / "a.json").write_text("\n".join(_json.dumps(r) for r in rows))
+    stream = spark.readStream.schema("k string").json(str(src))
+    q = (
+        cms_build(stream, "k", d=3, w=64)
+        .writeStream.format("memory")
+        .queryName("cms_stream")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["j"], r["cell"]): r["cnt"]
+        for r in spark.table("cms_stream").collect()
+    }
+    batch = spark.read.schema("k string").json(str(src))
+    expected = {
+        (r["j"], r["cell"]): r["cnt"]
+        for r in cms_build(batch, "k", d=3, w=64).collect()
+    }
+    assert got == expected
