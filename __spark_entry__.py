@@ -1219,6 +1219,27 @@ def v12_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_topk(e, _pq_query_vec(), k=10, m=8, n_codes=16, refine=50)
 
 
+def t21_nb_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Naive-Bayes log-odds quality classifier
+    (operators/text.py:train_quality_classifier /
+    score_quality_classifier — the closed-form sibling of the fastText
+    filters in CCNet/RefinedWeb): train token log-odds between the
+    English half (good) and the rest (bad) of the corpus, score every
+    document by mean per-token log-odds. Train is two token aggs + one
+    vocabulary-bounded full-outer join; scoring is one broadcast join +
+    one agg. Oracle replays train AND score end-to-end."""
+    from ftm_columnstore_spark.operators.text import (
+        score_quality_classifier,
+        train_quality_classifier,
+    )
+
+    d = _t(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    w = train_quality_classifier(
+        d.where(F.col("lang") == "en"), d.where(F.col("lang") != "en")
+    )
+    return score_quality_classifier(d, w)
+
+
 def a22_hll_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Portable HyperLogLog distinct-part estimate per returnflag
     (operators/sketches.py:hll_cardinality — Flajolet+ 2007): 256
@@ -2548,6 +2569,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a22_hll_cardinality": a22_hll_cardinality,
         "a23_cms_heavy_tokens": a23_cms_heavy_tokens,
         "a24_column_profile": a24_column_profile,
+        "t21_nb_quality_scores": t21_nb_quality_scores,
         # --- verified green in CORRECTNESS_r02.json ---
         "a4_avg_via_dsl": a4_avg_via_dsl,
         "m2_fingerprint_freq": m2_fingerprint_freq,
@@ -3472,6 +3494,47 @@ def _a22_oracle(p: int = 8) -> str:
                                ELSE raw END + 0.5) AS BIGINT)
                AS n_distinct_est
         FROM est
+    """
+
+
+def _t21_oracle() -> str:
+    """NB log-odds replay: token counts per corpus half, full-outer
+    vocabulary join, Laplace-1 log-odds (bigint totals + double
+    arithmetic — identical IEEE steps to the engine; ln variance
+    absorbed by the round-6 convention), broadcast-score join, mean."""
+    return """
+        WITH toks AS (
+          SELECT doc_id AS id, lang,
+                 unnest(list_filter(
+                     string_split_regex(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '')) AS token
+          FROM documents WHERE text IS NOT NULL
+        ), g AS (
+          SELECT token, count(*) AS cg FROM toks WHERE lang = 'en'
+          GROUP BY token
+        ), b AS (
+          SELECT token, count(*) AS cb FROM toks WHERE lang <> 'en'
+          GROUP BY token
+        ), j AS (
+          SELECT coalesce(g.token, b.token) AS token,
+                 coalesce(cg, 0) AS cg, coalesce(cb, 0) AS cb
+          FROM g FULL OUTER JOIN b ON g.token = b.token
+        ), tot AS (
+          SELECT greatest(count(*), 1) AS v,
+                 coalesce(sum(cg), 0) AS ng,
+                 coalesce(sum(cb), 0) AS nb
+          FROM j
+        ), wts AS (
+          SELECT token,
+                 ln((cg + 1.0) / (ng + 1.0 * v))
+                 - ln((cb + 1.0) / (nb + 1.0 * v)) AS weight
+          FROM j, tot
+        ), sc AS (
+          SELECT t.id, w.weight FROM toks t JOIN wts w USING (token)
+        )
+        SELECT id, count(*) AS n_scored_tokens,
+               round(avg(weight), 6) AS nb_score
+        FROM sc GROUP BY id
     """
 
 
@@ -4547,6 +4610,7 @@ def oracle_sql() -> dict[str, str]:
         "a22_hll_cardinality": _a22_oracle(),
         "a23_cms_heavy_tokens": _a23_oracle(),
         "a24_column_profile": _a24_oracle(),
+        "t21_nb_quality_scores": _t21_oracle(),
         "d4_simhash_pairs": _d4_oracle(),
         "v4_embedding_dups": _v4_oracle(min_cosine=0.40, num_planes=4),
         "v3_lsh_topk": _v3_oracle(),

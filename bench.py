@@ -86,6 +86,7 @@ HEADLINE = [
     "a22_hll_cardinality",
     "a23_cms_heavy_tokens",
     "a24_column_profile",
+    "t21_nb_quality_scores",
 ]
 
 

@@ -691,3 +691,92 @@ def score_with_bigram_lm(
             F.round(F.avg("__bits"), 6).alias("bits_per_bigram"),
         )
     )
+
+
+def train_quality_classifier(
+    good_df: DataFrame,
+    bad_df: DataFrame,
+    text_col: str = "text",
+    alpha: float = 1.0,
+) -> DataFrame:
+    """Train a Naive-Bayes log-odds quality classifier — the
+    discriminative document filter every modern pretraining pipeline
+    runs (fastText-style classifiers in CCNet/Wenzek+'20 and
+    RefinedWeb/Penedo+'23; multinomial NB is their closed-form,
+    shuffle-friendly sibling): per-token weight
+
+        w(t) = ln((cg+α)/(Ng+α·V)) − ln((cb+α)/(Nb+α·V))
+
+    with cg/cb the token's count in the good/bad corpus, Ng/Nb the
+    corpus token totals, V the joint vocabulary size (floored at 1 —
+    the empty-corpus contract, learned from the t20 ln(0) episode:
+    degenerate inputs yield a defined, empty-ish model, never a
+    runtime error).
+
+    Fully relational train: two token-count aggregations + one
+    full-outer join, all map-side-combinable; the result is the
+    vocabulary-bounded (token, weight) relation — persist it once and
+    score every batch/stream against it. The three corpus totals are
+    one bounded driver collect (3 int64s)."""
+    gt = (
+        good_df.select(F.explode(word_tokens_col(text_col)).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cg"))
+    )
+    bt = (
+        bad_df.select(F.explode(word_tokens_col(text_col)).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cb"))
+    )
+    joint = (
+        gt.join(bt, on="token", how="full_outer")
+        .select(
+            "token",
+            F.coalesce("cg", F.lit(0)).alias("cg"),
+            F.coalesce("cb", F.lit(0)).alias("cb"),
+        )
+        .localCheckpoint()  # vocabulary-bounded; cut the double lineage
+    )
+    tot = joint.agg(
+        F.count(F.lit(1)).alias("v"), F.sum("cg").alias("ng"), F.sum("cb").alias("nb")
+    ).collect()[0]
+    v = max(int(tot["v"] or 0), 1)
+    ng, nb = int(tot["ng"] or 0), int(tot["nb"] or 0)
+    a = float(alpha)
+    return joint.select(
+        "token",
+        (
+            F.log((F.col("cg") + F.lit(a)) / F.lit(float(ng + a * v)))
+            - F.log((F.col("cb") + F.lit(a)) / F.lit(float(nb + a * v)))
+        ).alias("weight"),
+    )
+
+
+def score_quality_classifier(
+    df: DataFrame,
+    weights: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Score documents against a trained (token, weight) relation:
+    mean per-token log-odds (length-normalized, so long documents don't
+    dominate), rounded to 6 decimals per the repo's float-portability
+    convention (NOTES.md). Positive → good-corpus-like.
+
+    One narrow token explode + one BROADCAST join against the
+    vocabulary-bounded weight relation (same build-side guard as
+    score_with_bigram_lm) + one map-side-combinable aggregation.
+    Out-of-vocabulary tokens carry no signal and are dropped (inner
+    join); documents with zero in-vocabulary tokens yield no row."""
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(word_tokens_col(text_col)).alias("token"),
+    )
+    return (
+        toks.join(F.broadcast(weights), on="token")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_scored_tokens"),
+            F.round(F.avg("weight"), 6).alias("nb_score"),
+        )
+    )

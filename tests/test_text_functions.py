@@ -388,3 +388,100 @@ def test_train_score_bigram_lm_split(spark):
     assert math.isclose(
         got["bits_per_bigram"], math.log2(3), rel_tol=1e-6
     )
+
+
+# --- Naive-Bayes quality classifier ------------------------------------------
+
+
+def _nb_py(good_texts, bad_texts, score_texts, alpha=1.0):
+    import math as _math
+    import re as _re
+
+    tok = lambda t: [x for x in _re.split(r"[^a-z0-9]+", t.lower()) if x]
+    cg, cb = {}, {}
+    for t in good_texts:
+        for w in tok(t):
+            cg[w] = cg.get(w, 0) + 1
+    for t in bad_texts:
+        for w in tok(t):
+            cb[w] = cb.get(w, 0) + 1
+    vocab = set(cg) | set(cb)
+    v = max(len(vocab), 1)
+    ng, nb = sum(cg.values()), sum(cb.values())
+    wts = {
+        w: _math.log((cg.get(w, 0) + alpha) / (ng + alpha * v))
+        - _math.log((cb.get(w, 0) + alpha) / (nb + alpha * v))
+        for w in vocab
+    }
+    out = {}
+    for i, t in enumerate(score_texts):
+        ws = [wts[w] for w in tok(t) if w in wts]
+        if ws:
+            out[i] = (len(ws), round(sum(ws) / len(ws), 6))
+    return out
+
+
+def test_nb_classifier_matches_python_replay(spark):
+    from ftm_columnstore_spark.operators.text import (
+        score_quality_classifier,
+        train_quality_classifier,
+    )
+
+    good = ["the quick brown fox", "a quick brown dog", "the lazy fox"]
+    bad = ["zzz spam spam buy now", "buy zzz now spam", "lazy spam"]
+    score = ["quick fox runs", "buy spam now", "the dog and the fox"]
+    gdf = spark.createDataFrame([(t,) for t in good], ["text"])
+    bdf = spark.createDataFrame([(t,) for t in bad], ["text"])
+    sdf = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(score)], ["doc_id", "text"]
+    )
+    w = train_quality_classifier(gdf, bdf)
+    got = {
+        r["id"]: (r["n_scored_tokens"], r["nb_score"])
+        for r in score_quality_classifier(sdf, w).collect()
+    }
+    assert got == _nb_py(good, bad, score)
+
+
+def test_nb_classifier_separates_corpora(spark):
+    """Good-like text must score positive, bad-like negative."""
+    from ftm_columnstore_spark.operators.text import (
+        score_quality_classifier,
+        train_quality_classifier,
+    )
+
+    good = ["clean prose about science and history"] * 5
+    bad = ["win cash prize click here winner"] * 5
+    gdf = spark.createDataFrame([(t,) for t in good], ["text"])
+    bdf = spark.createDataFrame([(t,) for t in bad], ["text"])
+    sdf = spark.createDataFrame(
+        [(0, "an essay about history and science"),
+         (1, "click here to win a cash prize")],
+        ["doc_id", "text"],
+    )
+    w = train_quality_classifier(gdf, bdf)
+    got = {
+        r["id"]: r["nb_score"]
+        for r in score_quality_classifier(sdf, w).collect()
+    }
+    assert got[0] > 0 > got[1]
+
+
+def test_nb_classifier_empty_corpus_contract(spark):
+    """Empty training halves yield a defined (empty) model, not ln(0) —
+    the t20 lesson applied up front."""
+    from ftm_columnstore_spark.operators.text import (
+        score_quality_classifier,
+        train_quality_classifier,
+    )
+
+    empty = spark.createDataFrame([], "text string")
+    bdf = spark.createDataFrame([("spam spam eggs",)], ["text"])
+    sdf = spark.createDataFrame([(0, "spam spam")], ["doc_id", "text"])
+    w = train_quality_classifier(empty, bdf)
+    rows = score_quality_classifier(sdf, w).collect()
+    # defined, finite scores (no ln(0)); the over-represented bad token
+    # scores negative against the empty-good uniform model
+    assert len(rows) == 1 and rows[0]["nb_score"] < 0
+    w2 = train_quality_classifier(empty, empty)
+    assert score_quality_classifier(sdf, w2).collect() == []
