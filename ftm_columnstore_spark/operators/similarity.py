@@ -1465,19 +1465,7 @@ def ivfpq_topk_indexed(
         raise ValueError(f"n_probe must be >= 1, got {n_probe}")
     if refine is not None and refine < k:
         raise ValueError(f"refine must be >= k, got refine={refine}, k={k}")
-    cent_rows = spark.read.schema("cid int, cvec array<bigint>").json(
-        f"{path}/_ivfpq_centroids"
-    ).collect()
-    centroids = [(r["cid"], [int(v) for v in r["cvec"]]) for r in cent_rows]
-    cb_rows = spark.read.schema("s int, code int, cvec array<bigint>").json(
-        f"{path}/_ivfpq_codebooks"
-    ).collect()
-    by_s: dict = {}
-    for r in cb_rows:
-        by_s.setdefault(r["s"], []).append(
-            (r["code"], [int(v) for v in r["cvec"]])
-        )
-    codebooks = [sorted(by_s[s]) for s in sorted(by_s)]
+    centroids, codebooks = _read_ivfpq_artifacts(spark, path)
     dsub = len(codebooks[0][0][1])
     qq, _ = _quantize_query(query_vec, scale)
     probed = [
@@ -1491,3 +1479,57 @@ def ivfpq_topk_indexed(
     codes = pruned.select(F.col(id_col).alias("id"), "codes")
     qrel = pruned.select(F.col(id_col).alias("id"), "q")
     return _pq_serve(codes, qrel, qq, codebooks, dsub, k, refine, id_col)
+
+
+def _read_ivfpq_artifacts(spark, path: str) -> tuple[list, list]:
+    """(centroids, codebooks) from a :func:`build_ivfpq_index` layout's
+    JSON sidecars — bounded driver state."""
+    cent_rows = spark.read.schema("cid int, cvec array<bigint>").json(
+        f"{path}/_ivfpq_centroids"
+    ).collect()
+    centroids = [(r["cid"], [int(v) for v in r["cvec"]]) for r in cent_rows]
+    cb_rows = spark.read.schema("s int, code int, cvec array<bigint>").json(
+        f"{path}/_ivfpq_codebooks"
+    ).collect()
+    by_s: dict = {}
+    for r in cb_rows:
+        by_s.setdefault(r["s"], []).append(
+            (r["code"], [int(v) for v in r["cvec"]])
+        )
+    codebooks = [sorted(by_s[s]) for s in sorted(by_s)]
+    return centroids, codebooks
+
+
+def append_to_ivfpq_index(
+    df: DataFrame,
+    path: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    scale: int = 1_000_000,
+) -> None:
+    """Incrementally add rows to an existing IVF-PQ layout: route and
+    encode the new batch with the index's OWN persisted centroids and
+    codebooks (read from the sidecars — no retraining, the standard
+    production contract: quantizers are versioned artifacts, data
+    arrives forever) and append only the touched ``__bucket``
+    partitions. The ingest cost is one map-only pass over the batch —
+    existing partitions are never rewritten, and serves pick up the new
+    rows with no index rebuild. Probes stay ``n_probe/n_centroids`` of
+    the (now larger) corpus."""
+    spark = df.sparkSession
+    centroids, codebooks = _read_ivfpq_artifacts(spark, path)
+    dim = len(centroids[0][1])
+    q = df.select(
+        F.col(id_col).alias("id"), _quantize_col(vec_col, scale).alias("q")
+    ).where(F.size("q") == dim)
+    (
+        q.select(
+            F.col("id").alias(id_col),
+            F.col("q"),
+            _pq_codes_col(codebooks).alias("codes"),
+            _argmin_l2_centroid(centroids).alias("__bucket"),
+        )
+        .write.mode("append")
+        .partitionBy("__bucket")
+        .parquet(path)
+    )

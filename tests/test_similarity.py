@@ -760,3 +760,39 @@ def test_ivfpq_params_validated(vectors):
         ivfpq_topk_portable(vectors, q, m=4, n_probe=0)
     with pytest.raises(ValueError, match="refine"):
         ivfpq_topk_portable(vectors, q, k=10, m=4, refine=2)
+
+
+def test_ivfpq_append_matches_full_build(vectors, tmp_path):
+    """Appending a batch with the index's persisted artifacts must serve
+    identically to the portable path over the full corpus with the same
+    centroids/codebooks — no rebuild, no drift."""
+    from ftm_columnstore_spark.operators.similarity import (
+        append_to_ivfpq_index,
+        build_ivfpq_index,
+        ivfpq_topk_indexed,
+        ivfpq_topk_portable,
+    )
+
+    first = vectors.filter(F.col("vec_id") < 100)
+    rest = vectors.filter(F.col("vec_id") >= 100)
+    path = str(tmp_path / "ivfpq_inc")
+    cents, cbs = build_ivfpq_index(first, path, m=4, n_codes=16, n_centroids=8)
+    append_to_ivfpq_index(rest, path)
+    spark = vectors.sparkSession
+    q = list(vectors.filter(F.col("vec_id") == 150).first()["embedding"])
+    a = [
+        (r["vec_id"], r["adist"])
+        for r in ivfpq_topk_indexed(
+            spark, path, q, k=5, n_probe=3, refine=40
+        ).collect()
+    ]
+    b = [
+        (r["vec_id"], r["adist"])
+        for r in ivfpq_topk_portable(
+            vectors, q, k=5, m=4, n_codes=16, n_probe=3, refine=40,
+            centroids=cents, codebooks=cbs,
+        ).collect()
+    ]
+    assert a == b and len(a) == 5
+    # appended rows are reachable (the query IS an appended row)
+    assert a[0] == (150, 0)
