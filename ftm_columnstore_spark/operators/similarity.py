@@ -1518,6 +1518,22 @@ def append_to_ivfpq_index(
     the (now larger) corpus."""
     spark = df.sparkSession
     centroids, codebooks = _read_ivfpq_artifacts(spark, path)
+    append_routed_ivfpq(df, path, centroids, codebooks, vec_col, id_col, scale)
+
+
+def append_routed_ivfpq(
+    df: DataFrame,
+    path: str,
+    centroids: list,
+    codebooks: list,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    scale: int = 1_000_000,
+) -> None:
+    """Route + encode + append with GIVEN quantizer artifacts — the
+    shared tail of batch (:func:`append_to_ivfpq_index`) and streaming
+    (``streaming/ann.py``) ingest, which reads the sidecars once per
+    stream instead of once per micro-batch."""
     dim = len(centroids[0][1])
     q = df.select(
         F.col(id_col).alias("id"), _quantize_col(vec_col, scale).alias("q")

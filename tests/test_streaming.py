@@ -508,3 +508,65 @@ def test_stream_clean_against_corpus(spark, tmp_path):
     assert set(rows) == {101, 104}
     assert "alpha" not in rows[101] and "fox runs" in rows[101]
     assert "fox" in rows[104]
+
+
+def test_stream_index_ivfpq_matches_batch_append(spark, tmp_path):
+    """Streamed micro-batch ingest into an IVF-PQ index must serve
+    identically to the batch full-corpus build with the same quantizer
+    artifacts (shared append path by construction)."""
+    import json as _json
+    import random
+
+    from pyspark.sql import functions as F
+
+    from ftm_columnstore_spark.operators.similarity import (
+        build_ivfpq_index,
+        ivfpq_topk_indexed,
+        ivfpq_topk_portable,
+    )
+    from ftm_columnstore_spark.streaming.ann import stream_index_ivfpq
+
+    rng = random.Random(11)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(16)]) for i in range(120)
+    ]
+    all_vecs = spark.createDataFrame(rows, ["vec_id", "embedding"]).withColumn(
+        "embedding", F.col("embedding").cast("array<float>")
+    )
+    first = all_vecs.filter(F.col("vec_id") < 60)
+    path = str(tmp_path / "ivfpq_stream")
+    cents, cbs = build_ivfpq_index(first, path, m=4, n_codes=16, n_centroids=8)
+
+    src = tmp_path / "vec_src"
+    src.mkdir()
+    late = [
+        {"vec_id": i, "embedding": [float(x) for x in v]}
+        for i, v in rows
+        if i >= 60
+    ]
+    (src / "a.json").write_text("\n".join(_json.dumps(r) for r in late))
+    q = stream_index_ivfpq(
+        spark,
+        str(src),
+        path,
+        str(tmp_path / "ckpt"),
+        "vec_id bigint, embedding array<float>",
+        available_now=True,
+    )
+    q.awaitTermination(120)
+
+    qv = rows[90][1]
+    a = [
+        (r["vec_id"], r["adist"])
+        for r in ivfpq_topk_indexed(
+            spark, path, qv, k=5, n_probe=3, refine=40
+        ).collect()
+    ]
+    b = [
+        (r["vec_id"], r["adist"])
+        for r in ivfpq_topk_portable(
+            all_vecs, qv, k=5, m=4, n_codes=16, n_probe=3, refine=40,
+            centroids=cents, codebooks=cbs,
+        ).collect()
+    ]
+    assert a == b and a[0] == (90, 0)
