@@ -244,3 +244,46 @@ def test_transitions(spark):
     assert out[("a", "b")]["n"] == 2 and out[("a", "b")]["p"] == 1.0
     # from-state b has exactly one outgoing pair -> probability 1
     assert out[("b", "a")]["n"] == 1 and out[("b", "a")]["p"] == 1.0
+
+
+def test_hll_is_two_cascaded_partial_aggs(spark):
+    """Sketch contract: per-register max then register rollup, both
+    map-side-combinable, exactly two Exchanges (register key, then
+    group key) — never a corpus-wide distinct."""
+    from ftm_columnstore_spark.operators.sketches import hll_cardinality
+
+    df = spark.createDataFrame([(i, f"k{i}") for i in range(100)], ["i", "k"])
+    plan = _plan(hll_cardinality(df, "k", p=6))
+    assert "partial_max" in plan
+    assert plan.count("Exchange") == 2
+    assert "Window" not in plan and "Sort" not in plan.replace("SortAggregate", "")
+
+
+def test_cms_build_is_single_partial_agg(spark):
+    from ftm_columnstore_spark.operators.sketches import cms_build
+
+    df = spark.createDataFrame([(f"k{i % 9}",) for i in range(100)], ["k"])
+    plan = _plan(cms_build(df, "k", d=3, w=32))
+    assert "partial_sum" in plan
+    assert plan.count("Exchange") == 1
+
+
+def test_pq_adc_scan_is_shuffle_free(spark):
+    """PQ serve contract: encode + ADC + top-k in one codegen scan into
+    TakeOrderedAndProject — zero Exchanges (bench latency AND the
+    100 TB plan: nothing corpus-wide moves)."""
+    from ftm_columnstore_spark.operators.similarity import (
+        pq_codebooks_fixed,
+        pq_topk,
+    )
+    import random
+
+    rng = random.Random(3)
+    df = spark.createDataFrame(
+        [(i, [rng.uniform(-1, 1) for _ in range(16)]) for i in range(50)],
+        ["vec_id", "embedding"],
+    ).withColumn("embedding", F.col("embedding").cast("array<float>"))
+    cbs = pq_codebooks_fixed(df, dim=16, m=4, n_codes=8)
+    plan = _plan(pq_topk(df, [0.1] * 16, k=5, m=4, n_codes=8, codebooks=cbs))
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange" not in plan
