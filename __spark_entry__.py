@@ -1219,6 +1219,22 @@ def v12_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_topk(e, _pq_query_vec(), k=10, m=8, n_codes=16, refine=50)
 
 
+def a25_sample_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic sample-based quantiles
+    (operators/sampling.py:sample_quantiles): md5-threshold sample of
+    documents.n_chars (the split_by_hash contract — bit-reproducible,
+    no RNG), type-1 nearest-rank quantiles over ONE bounded-sample
+    sort. The scale path for distribution profiling: the full-column
+    global sort never happens. Oracle replays sample and rank math
+    verbatim."""
+    from ftm_columnstore_spark.operators.sampling import sample_quantiles
+
+    d = _t(spark, sf_dir, "documents")
+    return sample_quantiles(
+        d, "n_chars", [0.25, 0.5, 0.9, 0.99], rate=0.5, id_col="doc_id"
+    )
+
+
 def t21_nb_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Naive-Bayes log-odds quality classifier
     (operators/text.py:train_quality_classifier /
@@ -2570,6 +2586,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a23_cms_heavy_tokens": a23_cms_heavy_tokens,
         "a24_column_profile": a24_column_profile,
         "t21_nb_quality_scores": t21_nb_quality_scores,
+        "a25_sample_quantiles": a25_sample_quantiles,
         # --- verified green in CORRECTNESS_r02.json ---
         "a4_avg_via_dsl": a4_avg_via_dsl,
         "m2_fingerprint_freq": m2_fingerprint_freq,
@@ -3494,6 +3511,31 @@ def _a22_oracle(p: int = 8) -> str:
                                ELSE raw END + 0.5) AS BIGINT)
                AS n_distinct_est
         FROM est
+    """
+
+
+def _a25_oracle(rate: float = 0.5) -> str:
+    """Sample-quantile replay: identical md5-prefix sample threshold,
+    (value, key) order, type-1 nearest-rank selection."""
+    thr = format(min(int(rate * 2**32), 2**32 - 1), "08x")
+    return f"""
+        WITH s AS (
+          SELECT n_chars AS value,
+                 substr(md5('' || CAST(doc_id AS VARCHAR)), 1, 8) AS k
+          FROM documents WHERE n_chars IS NOT NULL
+        ), f AS (
+          SELECT * FROM s WHERE k < '{thr}'
+        ), r AS (
+          SELECT value, row_number() OVER (ORDER BY value, k) AS r,
+                 count(*) OVER () AS n
+          FROM f
+        ), p AS (
+          SELECT unnest([0.25, 0.5, 0.9, 0.99]) AS prob
+        )
+        SELECT prob, value
+        FROM r, p
+        WHERE r.r = greatest(1, CAST(ceil(prob * n) AS INT))
+        ORDER BY prob
     """
 
 
@@ -4611,6 +4653,7 @@ def oracle_sql() -> dict[str, str]:
         "a23_cms_heavy_tokens": _a23_oracle(),
         "a24_column_profile": _a24_oracle(),
         "t21_nb_quality_scores": _t21_oracle(),
+        "a25_sample_quantiles": _a25_oracle(),
         "d4_simhash_pairs": _d4_oracle(),
         "v4_embedding_dups": _v4_oracle(min_cosine=0.40, num_planes=4),
         "v3_lsh_topk": _v3_oracle(),

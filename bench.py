@@ -87,6 +87,7 @@ HEADLINE = [
     "a23_cms_heavy_tokens",
     "a24_column_profile",
     "t21_nb_quality_scores",
+    "a25_sample_quantiles",
 ]
 
 

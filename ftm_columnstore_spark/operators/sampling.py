@@ -417,3 +417,66 @@ def pack_sequences_portable(
         shard_assignment_col(id_col, n_buckets, seed).alias("bucket"),
     )
     return base.groupBy("bucket").applyInPandas(pack, out_schema)
+
+
+def sample_quantiles(
+    df: DataFrame,
+    col: str,
+    probs: list[float],
+    rate: float = 1.0,
+    id_col: str = "doc_id",
+    seed: str = "",
+) -> DataFrame:
+    """Deterministic sample-based quantiles — the scale path for
+    distribution profiling: exact quantiles need a global sort of the
+    full column; at 100 TB you sort a *deterministic md5 sample*
+    instead (same `hash_key_col` threshold contract as
+    :func:`split_by_hash`, so the sample — and therefore every quantile
+    — is bit-reproducible across engines and reruns; no RNG state).
+
+    Quantile rule: type-1 / lower nearest-rank — the value at row
+    ``max(1, ceil(p·n))`` of the sample ordered by (value, hash-key) —
+    pure integer rank arithmetic, no interpolation, hence replayable in
+    any SQL engine verbatim. Sampling error ~ O(1/sqrt(rate·N));
+    ``rate=1.0`` degrades gracefully to exact type-1 quantiles.
+
+    Plan shape: threshold filter (map-only) → one sort of the sample
+    (bounded by rate) → rank filter. Output: (prob, value), one row per
+    requested quantile."""
+    if not probs:
+        raise ValueError("probs must be non-empty")
+    if not all(0.0 < p <= 1.0 for p in probs):
+        raise ValueError(f"probs must be in (0, 1], got {probs}")
+    if not 0.0 < rate <= 1.0:
+        raise ValueError(f"rate must be in (0, 1], got {rate}")
+    from pyspark.sql import Window
+
+    key = hash_key_col(id_col, seed)
+    sample = df.where(F.col(col).isNotNull()).select(
+        F.col(col).alias("value"), key.alias("__k")
+    )
+    if rate < 1.0:
+        sample = sample.where(F.col("__k") < F.lit(_hex_threshold(rate)))
+    w = Window.orderBy(F.col("value"), F.col("__k"))
+    ranked = sample.select(
+        "value",
+        F.row_number().over(w).alias("__r"),
+        F.count(F.lit(1)).over(
+            Window.partitionBy().rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("__n"),
+    )
+    spark = df.sparkSession
+    pdf = spark.createDataFrame(
+        [(float(p),) for p in sorted(probs)], "prob double"
+    )
+    target = F.greatest(
+        F.lit(1), F.ceil(F.col("prob") * F.col("__n")).cast("int")
+    )
+    return (
+        ranked.crossJoin(F.broadcast(pdf))
+        .where(F.col("__r") == target)
+        .select("prob", "value")
+        .orderBy("prob")
+    )

@@ -294,3 +294,77 @@ def test_pack_sequences_portable(spark):
 
     with _pytest.raises(ValueError):
         pack_sequences_portable(df, budget=0)
+
+
+# --- sample-based quantiles --------------------------------------------------
+
+
+def _sq_py(rows, probs, rate, seed=""):
+    import hashlib
+    import math as _math
+
+    keyed = [
+        (v, hashlib.md5(f"{seed}{i}".encode()).hexdigest()[:8])
+        for i, v in rows
+    ]
+    thr = format(min(int(rate * 2**32), 2**32 - 1), "08x")
+    samp = sorted(
+        (v, k) for v, k in keyed if rate >= 1.0 or k < thr
+    )
+    n = len(samp)
+    out = []
+    for p in sorted(probs):
+        r = max(1, _math.ceil(p * n))
+        out.append((p, samp[r - 1][0]))
+    return out
+
+
+def test_sample_quantiles_match_python_replay(spark):
+    from ftm_columnstore_spark.operators.sampling import sample_quantiles
+
+    rows = [(i, (i * 37) % 1000) for i in range(500)]
+    df = spark.createDataFrame(rows, ["doc_id", "v"])
+    probs = [0.25, 0.5, 0.9, 0.99]
+    got = [
+        (r["prob"], r["value"])
+        for r in sample_quantiles(df, "v", probs, rate=0.5).collect()
+    ]
+    assert got == _sq_py(rows, probs, rate=0.5)
+
+
+def test_sample_quantiles_rate1_is_exact_type1(spark):
+    from ftm_columnstore_spark.operators.sampling import sample_quantiles
+
+    rows = [(i, v) for i, v in enumerate([5, 1, 9, 3, 7, 2, 8, 4, 6, 10])]
+    df = spark.createDataFrame(rows, ["doc_id", "v"])
+    got = {
+        r["prob"]: r["value"]
+        for r in sample_quantiles(df, "v", [0.5, 1.0], rate=1.0).collect()
+    }
+    # type-1: p=0.5 over n=10 → rank 5 → value 5; p=1.0 → rank 10 → 10
+    assert got == {0.5: 5, 1.0: 10}
+
+
+def test_sample_quantiles_accuracy(spark):
+    """A 25% sample's median of uniform data lands near the true one."""
+    from ftm_columnstore_spark.operators.sampling import sample_quantiles
+
+    rows = [(i, i) for i in range(10_000)]
+    df = spark.createDataFrame(rows, ["doc_id", "v"])
+    got = {
+        r["prob"]: r["value"]
+        for r in sample_quantiles(df, "v", [0.5], rate=0.25).collect()
+    }
+    assert abs(got[0.5] - 5000) < 500
+
+
+def test_sample_quantiles_validation(spark):
+    from ftm_columnstore_spark.operators.sampling import sample_quantiles
+
+    df = spark.createDataFrame([(1, 1)], ["doc_id", "v"])
+    with pytest.raises(ValueError, match="probs"):
+        sample_quantiles(df, "v", [])
+    with pytest.raises(ValueError, match="probs"):
+        sample_quantiles(df, "v", [1.5])
+    with pytest.raises(ValueError, match="rate"):
+        sample_quantiles(df, "v", [0.5], rate=0.0)
