@@ -2,7 +2,8 @@
 stage of this package exists for, packaged so a user can run the whole
 cleanup with defaults and override per-stage knobs:
 
-    quality gate (Gopher rules) → perplexity bucket filter (CCNet) →
+    quality gate (Gopher rules) → NB classifier filter (CCNet/
+    RefinedWeb-style) → perplexity bucket filter (CCNet) →
     line-level dedup (C4) → exact dedup → ExactSubstr span cut →
     MinHash near-dedup → deterministic train/val/test split
 
@@ -31,6 +32,7 @@ def prepare_training_data(
     text_col: str = "text",
     id_col: str = "doc_id",
     quality: dict | None = None,
+    classifier: dict | None = None,
     perplexity: dict | None = None,
     line_dedup_sep: str | None = "\n",
     substring_dedup: dict | None = None,
@@ -43,7 +45,15 @@ def prepare_training_data(
     given.
 
     ``quality``: kwargs for :func:`~ftm_columnstore_spark.operators.text.
-    quality_gate` (None → skip the stage). ``perplexity``: kwargs for
+    quality_gate` (None → skip the stage). ``classifier``: a dict with
+    ``weights`` (the trained (token, weight) relation from
+    :func:`~ftm_columnstore_spark.operators.text.
+    train_quality_classifier`) and optional ``min_score`` (default 0.0)
+    — documents scoring below it are dropped; documents with no
+    in-vocabulary tokens are KEPT (unscorable != bad, same stance as
+    the perplexity stage). One broadcast join + one agg, placed after
+    the codegen-only gate and before the LM stage (cheap-first order).
+    ``perplexity``: kwargs for
     :func:`~ftm_columnstore_spark.operators.text.perplexity_buckets`
     plus an optional ``keep`` tuple of bucket names (default
     ``("head", "middle")`` — drop the tail, the CCNet recipe).
@@ -79,6 +89,23 @@ def prepare_training_data(
             F.col("id").alias(id_col)
         )
         out = out.join(keep_ids, on=id_col, how="left_semi")
+    if classifier is not None:
+        from ftm_columnstore_spark.operators.text import (
+            score_quality_classifier,
+        )
+
+        kwargs = dict(classifier)
+        weights = kwargs.pop("weights")
+        min_score = float(kwargs.pop("min_score", 0.0))
+        if kwargs:
+            raise ValueError(f"unknown classifier options: {sorted(kwargs)}")
+        scored = score_quality_classifier(
+            out, weights, text_col=text_col, id_col=id_col
+        )
+        drop_ids = scored.where(F.col("nb_score") < min_score).select(
+            F.col("id").alias(id_col)
+        )
+        out = out.join(drop_ids, on=id_col, how="left_anti")
     if perplexity is not None:
         kwargs = dict(perplexity)
         keep_buckets = tuple(kwargs.pop("keep", ("head", "middle")))

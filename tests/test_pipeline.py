@@ -194,3 +194,42 @@ def test_pipeline_keeps_ungradable_and_tokenless_docs(spark):
         docs, line_dedup_sep=None, substring_dedup={"k": 8}
     )
     assert {r.doc_id for r in out2.collect()} == {1, 2, 3}
+
+
+def test_pipeline_classifier_stage(spark):
+    """The NB-classifier stage drops below-threshold documents and
+    keeps unscorable ones."""
+    from ftm_columnstore_spark.operators.pipeline import (
+        prepare_training_data,
+    )
+    from ftm_columnstore_spark.operators.text import (
+        train_quality_classifier,
+    )
+
+    good = spark.createDataFrame(
+        [("prose about science history nature",)] * 4, ["text"]
+    )
+    bad = spark.createDataFrame(
+        [("spam winner cash prize click",)] * 4, ["text"]
+    )
+    w = train_quality_classifier(good, bad)
+    docs = spark.createDataFrame(
+        [
+            (1, "an essay about science and nature"),
+            (2, "cash prize spam click winner"),
+            (3, "zzzz qqqq"),  # fully out-of-vocabulary: unscorable, kept
+        ],
+        ["doc_id", "text"],
+    )
+    out = prepare_training_data(
+        docs,
+        classifier={"weights": w, "min_score": 0.0},
+        line_dedup_sep=None,
+    )
+    assert {r["doc_id"] for r in out.collect()} == {1, 3}
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="unknown classifier"):
+        prepare_training_data(
+            docs, classifier={"weights": w, "bogus": 1}, line_dedup_sep=None
+        ).collect()
