@@ -1256,6 +1256,19 @@ def t21_nb_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     return score_quality_classifier(d, w)
 
 
+def v14_pq_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-query PQ kNN join (operators/similarity.py:pq_knn_join):
+    3 query vectors against the corpus, ADC over the 8-int code column
+    — one codegen scan emitting all (query, row) distances (no join
+    against the query side), WindowGroupLimit top-5 per query. Exact
+    integer arithmetic end-to-end, oracle-replayed."""
+    from ftm_columnstore_spark.operators.similarity import pq_knn_join
+
+    e = _t(spark, sf_dir, "embeddings")
+    left = e.filter(F.col("vec_id").isin(1, 2, 3))
+    return pq_knn_join(left, e, k=5, m=8, n_codes=16)
+
+
 def a22_hll_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Portable HyperLogLog distinct-part estimate per returnflag
     (operators/sketches.py:hll_cardinality — Flajolet+ 2007): 256
@@ -2587,6 +2600,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a24_column_profile": a24_column_profile,
         "t21_nb_quality_scores": t21_nb_quality_scores,
         "a25_sample_quantiles": a25_sample_quantiles,
+        "v14_pq_knn_join": v14_pq_knn_join,
         # --- verified green in CORRECTNESS_r02.json ---
         "a4_avg_via_dsl": a4_avg_via_dsl,
         "m2_fingerprint_freq": m2_fingerprint_freq,
@@ -3511,6 +3525,58 @@ def _a22_oracle(p: int = 8) -> str:
                                ELSE raw END + 0.5) AS BIGINT)
                AS n_distinct_est
         FROM est
+    """
+
+
+def _v14_oracle() -> str:
+    """Multi-query PQ-ADC replay: v12's fixed-codebook encode/ADC math
+    with the query SIDE as a relation (vec_id 1-3), per-query
+    row_number top-5 with (adist, cid) tiebreak."""
+    return """
+        WITH q AS (
+          SELECT vec_id AS id,
+                 list_transform(embedding,
+                     x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5)
+                               AS BIGINT)) AS q
+          FROM embeddings WHERE len(embedding) = 64
+        ), cb AS (
+          SELECT row_number() OVER (ORDER BY id) - 1 AS code, q
+          FROM (SELECT id, q FROM q ORDER BY id LIMIT 16)
+        ), sub AS (SELECT s.range AS s FROM range(8) s),
+        dist AS (
+          SELECT q.id, sub.s, cb.code,
+                 CAST(list_sum(list_transform(range(1, 9),
+                     i -> (q.q[CAST(sub.s*8+i AS INT)]
+                           - cb.q[CAST(sub.s*8+i AS INT)])
+                        * (q.q[CAST(sub.s*8+i AS INT)]
+                           - cb.q[CAST(sub.s*8+i AS INT)])))
+                      AS BIGINT) AS d
+          FROM q, sub, cb
+        ), best AS (
+          SELECT id, s, min(struct_pack(d := d, code := code)) AS bc
+          FROM dist GROUP BY id, s
+        ), qv AS (
+          SELECT id AS qid, q FROM q WHERE id IN (1, 2, 3)
+        ), qdist AS (
+          SELECT qv.qid, cb.code, sub.s,
+                 CAST(list_sum(list_transform(range(1, 9),
+                     i -> (qv.q[CAST(sub.s*8+i AS INT)]
+                           - cb.q[CAST(sub.s*8+i AS INT)])
+                        * (qv.q[CAST(sub.s*8+i AS INT)]
+                           - cb.q[CAST(sub.s*8+i AS INT)])))
+                      AS BIGINT) AS d
+          FROM qv, sub, cb
+        ), adist AS (
+          SELECT qd.qid, b.id AS cid, CAST(sum(qd.d) AS BIGINT) AS adist
+          FROM best b JOIN qdist qd ON b.s = qd.s AND b.bc.code = qd.code
+          GROUP BY qd.qid, b.id
+        )
+        SELECT qid, cid, adist FROM (
+          SELECT qid, cid, adist,
+                 row_number() OVER (PARTITION BY qid
+                                    ORDER BY adist ASC, cid) AS rn
+          FROM adist
+        ) WHERE rn <= 5
     """
 
 
@@ -4654,6 +4720,7 @@ def oracle_sql() -> dict[str, str]:
         "a24_column_profile": _a24_oracle(),
         "t21_nb_quality_scores": _t21_oracle(),
         "a25_sample_quantiles": _a25_oracle(),
+        "v14_pq_knn_join": _v14_oracle(),
         "d4_simhash_pairs": _d4_oracle(),
         "v4_embedding_dups": _v4_oracle(min_cosine=0.40, num_planes=4),
         "v3_lsh_topk": _v3_oracle(),

@@ -88,6 +88,7 @@ HEADLINE = [
     "a24_column_profile",
     "t21_nb_quality_scores",
     "a25_sample_quantiles",
+    "v14_pq_knn_join",
 ]
 
 

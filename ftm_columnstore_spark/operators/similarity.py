@@ -1549,3 +1549,119 @@ def append_routed_ivfpq(
         .partitionBy("__bucket")
         .parquet(path)
     )
+
+
+def pq_knn_join(
+    left: DataFrame,
+    right: DataFrame,
+    k: int = 5,
+    m: int = 8,
+    n_codes: int = 16,
+    left_vec: str = "embedding",
+    right_vec: str = "embedding",
+    left_id: str = "vec_id",
+    right_id: str = "vec_id",
+    scale: int = 1_000_000,
+    codebooks: list | None = None,
+    refine: int | None = None,
+) -> DataFrame:
+    """PQ-accelerated kNN join: k nearest right-rows per left-row by
+    ADC over the corpus' ``m``-int codes — the multi-query serve path.
+    Same bounded-left contract as :func:`knn_join_np` (the query batch
+    is collected driver-side); per query the corpus pays ``m`` table
+    lookups instead of a ``dim``-length fold, a ``dim/m``× work cut
+    (8× at the defaults), and in a materialized code layout the scan
+    reads only the code column.
+
+    Plan: ONE codegen scan emitting every (query, row) ADC distance
+    (literal lookup tables — no join against the query side at all),
+    then a per-query top-k window that Spark executes as
+    WindowGroupLimit (map-side partial top-k before the one shuffle).
+    ``refine`` re-ranks the bounded Q·refine candidate set by exact
+    integer squared-L2 via broadcast joins. Output:
+    (qid, cid, adist) — approximate distance, exact when refined;
+    (adist ASC, cid) deterministic order within each query."""
+    import math
+
+    from pyspark.sql import Window
+    from pyspark.sql.types import ArrayType, LongType, StructField, StructType
+
+    if refine is not None and refine < k:
+        raise ValueError(f"refine must be >= k, got refine={refine}, k={k}")
+    qid_type = left.schema[left_id].dataType
+    qrows = left.select(
+        F.col(left_id).alias("qid"), F.col(left_vec).alias("qv")
+    ).collect()
+    spark = left.sparkSession
+    if not qrows:
+        return spark.createDataFrame(
+            [],
+            StructType(
+                [
+                    StructField("qid", qid_type),
+                    StructField("cid", right.schema[right_id].dataType),
+                    StructField("adist", LongType()),
+                ]
+            ),
+        )
+    dim = len(qrows[0]["qv"])
+    dsub = _check_pq_params(dim, m, n_codes)
+    if any(len(r["qv"]) != dim for r in qrows):
+        raise ValueError("query vectors must share one dimension")
+    if codebooks is None:
+        codebooks = pq_codebooks_fixed(
+            right, dim, m, n_codes, right_vec, right_id, scale
+        )
+    qqs = [
+        (
+            r["qid"],
+            [math.floor(float(x) * scale + 0.5) for x in r["qv"]],
+        )
+        for r in qrows
+    ]
+    codes = pq_encode(right, codebooks, right_vec, right_id, scale)
+    # literal qids keep the left id dtype (a bare python-int literal
+    # would downgrade bigint ids to int32)
+    entries = [
+        F.struct(
+            F.lit(qid).cast(qid_type).alias("qid"),
+            _pq_adc_col(qq, codebooks, dsub).alias("adist"),
+        )
+        for qid, qq in qqs
+    ]
+    stacked = codes.select(
+        F.col("id").alias("cid"), F.explode(F.array(*entries)).alias("e")
+    ).select(F.col("e.qid").alias("qid"), "cid", F.col("e.adist").alias("adist"))
+    w = Window.partitionBy("qid").orderBy(F.col("adist").asc(), F.col("cid"))
+    ranked = (
+        stacked.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= (refine if refine is not None else k))
+        .drop("__rn")
+    )
+    if refine is None:
+        return ranked
+    qdf = spark.createDataFrame(
+        [(qid, qq) for qid, qq in qqs],
+        StructType(
+            [
+                StructField("qid", qid_type),
+                StructField("qarr", ArrayType(LongType())),
+            ]
+        ),
+    )
+    qrel = right.select(
+        F.col(right_id).alias("cid"),
+        _quantize_col(right_vec, scale).alias("q"),
+    ).join(F.broadcast(ranked.select("qid", "cid")), on="cid")
+    exact = F.aggregate(
+        F.zip_with("q", "qarr", lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return (
+        qrel.join(F.broadcast(qdf), on="qid")
+        .select("qid", "cid", exact.alias("adist"))
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )

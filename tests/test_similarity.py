@@ -796,3 +796,63 @@ def test_ivfpq_append_matches_full_build(vectors, tmp_path):
     assert a == b and len(a) == 5
     # appended rows are reachable (the query IS an appended row)
     assert a[0] == (150, 0)
+
+
+def test_pq_knn_join_matches_python_replay(vectors):
+    from ftm_columnstore_spark.operators.similarity import pq_knn_join
+
+    data = sorted(
+        (r["vec_id"], list(r["embedding"])) for r in vectors.collect()
+    )
+    queries = data[:4]
+    left = vectors.sparkSession.createDataFrame(
+        [(i, v) for i, v in queries], ["vec_id", "embedding"]
+    ).withColumn("embedding", F.col("embedding").cast("array<float>"))
+
+    got = {}
+    for r in pq_knn_join(left, vectors, k=3, m=4, n_codes=16).collect():
+        got.setdefault(r["qid"], []).append((r["cid"], r["adist"]))
+    for qid, qv in queries:
+        expected = _pq_brute_py(data, qv, m=4, n_codes=16, k=3)
+        assert got[qid] == expected, qid
+
+
+def test_pq_knn_join_refine_is_exact(vectors):
+    from ftm_columnstore_spark.operators.similarity import pq_knn_join
+
+    data = sorted(
+        (r["vec_id"], list(r["embedding"])) for r in vectors.collect()
+    )
+    queries = data[10:12]
+    left = vectors.sparkSession.createDataFrame(
+        [(i, v) for i, v in queries], ["vec_id", "embedding"]
+    ).withColumn("embedding", F.col("embedding").cast("array<float>"))
+    got = {}
+    for r in pq_knn_join(left, vectors, k=3, m=4, n_codes=16, refine=40).collect():
+        got.setdefault(r["qid"], []).append((r["cid"], r["adist"]))
+    for qid, qv in queries:
+        expected = _pq_brute_py(data, qv, m=4, n_codes=16, k=3, refine=40)
+        assert got[qid] == expected, qid
+        # the query is its own nearest neighbour at distance 0
+        assert got[qid][0] == (qid, 0)
+
+
+def test_pq_knn_join_empty_left(vectors):
+    from ftm_columnstore_spark.operators.similarity import pq_knn_join
+
+    empty = vectors.sparkSession.createDataFrame(
+        [], "vec_id bigint, embedding array<float>"
+    )
+    out = pq_knn_join(empty, vectors, k=3, m=4)
+    assert out.collect() == []
+    assert [f.name for f in out.schema.fields] == ["qid", "cid", "adist"]
+
+
+def test_pq_knn_join_uses_window_group_limit(vectors):
+    """The per-query top-k must be a WindowGroupLimit (map-side partial
+    top-k), not a full sort of the N x Q stacked relation."""
+    from ftm_columnstore_spark.operators.similarity import pq_knn_join
+
+    left = vectors.limit(3)
+    plan = pq_knn_join(left, vectors, k=3, m=4)._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan
