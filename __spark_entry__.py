@@ -1256,6 +1256,22 @@ def t21_nb_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     return score_quality_classifier(d, w)
 
 
+def t22_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Budgeted corpus prefix (operators/sampling.py:take_budget —
+    "give me N training tokens"): walk documents in md5-hash order and
+    keep rows while the running n_chars total stays ≤ 100k. The running
+    total is a DISTRIBUTED prefix sum — per-bucket subtotals → driver
+    offsets → parallel within-bucket window cumsum; the plan contains
+    no single-partition window (asserted in test_sampling). Oracle
+    replays the same walk with one plain window cumsum."""
+    from ftm_columnstore_spark.operators.sampling import take_budget
+
+    d = _t(spark, sf_dir, "documents")
+    return take_budget(d, "n_chars", 100_000, id_col="doc_id").select(
+        "doc_id", "n_chars"
+    )
+
+
 def v14_pq_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-query PQ kNN join (operators/similarity.py:pq_knn_join):
     3 query vectors against the corpus, ADC over the 8-int code column
@@ -2601,6 +2617,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t21_nb_quality_scores": t21_nb_quality_scores,
         "a25_sample_quantiles": a25_sample_quantiles,
         "v14_pq_knn_join": v14_pq_knn_join,
+        "t22_token_budget": t22_token_budget,
         # --- verified green in CORRECTNESS_r02.json ---
         "a4_avg_via_dsl": a4_avg_via_dsl,
         "m2_fingerprint_freq": m2_fingerprint_freq,
@@ -4721,6 +4738,20 @@ def oracle_sql() -> dict[str, str]:
         "t21_nb_quality_scores": _t21_oracle(),
         "a25_sample_quantiles": _a25_oracle(),
         "v14_pq_knn_join": _v14_oracle(),
+        "t22_token_budget": """
+            WITH base AS (
+              SELECT doc_id, n_chars,
+                     substr(md5('' || CAST(doc_id AS VARCHAR)), 1, 8) AS k
+              FROM documents
+            ), c AS (
+              SELECT doc_id, n_chars,
+                     sum(n_chars) OVER (ORDER BY k, doc_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS cum
+              FROM base
+            )
+            SELECT doc_id, n_chars FROM c WHERE cum <= 100000
+        """,
         "d4_simhash_pairs": _d4_oracle(),
         "v4_embedding_dups": _v4_oracle(min_cosine=0.40, num_planes=4),
         "v3_lsh_topk": _v3_oracle(),

@@ -89,6 +89,7 @@ HEADLINE = [
     "t21_nb_quality_scores",
     "a25_sample_quantiles",
     "v14_pq_knn_join",
+    "t22_token_budget",
 ]
 
 

@@ -480,3 +480,70 @@ def sample_quantiles(
         .select("prob", "value")
         .orderBy("prob")
     )
+
+
+def take_budget(
+    df: DataFrame,
+    cost_col: str,
+    budget: int | float,
+    id_col: str = "doc_id",
+    seed: str = "",
+    n_buckets: int = 256,
+) -> DataFrame:
+    """Deterministic budgeted prefix: walk the corpus in md5-hash order
+    (the :func:`split_by_hash` contract — a stable, engine-reproducible
+    shuffle) and keep documents while the running ``cost_col`` total
+    stays ≤ ``budget`` — "give me 10B training tokens" as one operator.
+
+    The running total is a DISTRIBUTED PREFIX SUM, not a global sort:
+    rows land in ``n_buckets`` hash-prefix buckets (2-hex-char ranges),
+    per-bucket subtotals (one tiny agg, ``n_buckets`` rows) become
+    driver-side cumulative offsets broadcast back, and each bucket
+    computes its within-bucket cumsum in parallel (window PARTITIONED
+    by bucket) + its offset. No single-partition global window ever
+    materializes the corpus order — the classic two-pass scan shape
+    that survives 100 TB.
+
+    Keep rule: a document is kept iff its cumulative total (inclusive)
+    is ≤ budget — the output's total cost never exceeds the budget.
+    Output: the surviving rows of ``df``, original columns."""
+    if budget < 0:
+        raise ValueError(f"budget must be >= 0, got {budget}")
+    if not 1 <= n_buckets <= 65536:
+        raise ValueError(f"n_buckets must be in [1, 65536], got {n_buckets}")
+    from pyspark.sql import Window
+
+    key = hash_key_col(id_col, seed)
+    # bucket = the key's position scaled into n_buckets ranges — order
+    # by (bucket, key) is exactly order by key
+    bucket = F.floor(
+        F.conv(F.substring(key, 1, 8), 16, 10).cast("long")
+        * n_buckets
+        / F.lit(2**32)
+    ).cast("int")
+    base = df.withColumn("__k", key).withColumn("__b", bucket)
+    sums = (
+        base.groupBy("__b")
+        .agg(F.sum(F.col(cost_col)).alias("__s"))
+        .collect()
+    )
+    by_bucket = {r["__b"]: r["__s"] or 0 for r in sums}
+    offsets, acc = {}, 0
+    for b in sorted(by_bucket):
+        offsets[b] = acc
+        acc += by_bucket[b]
+    spark = df.sparkSession
+    off_df = spark.createDataFrame(
+        [(b, o) for b, o in offsets.items()], "__b int, __off bigint"
+    )
+    w = (
+        Window.partitionBy("__b")
+        .orderBy("__k", id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        base.join(F.broadcast(off_df), on="__b")
+        .withColumn("__cum", F.sum(F.col(cost_col)).over(w) + F.col("__off"))
+        .where(F.col("__cum") <= budget)
+        .drop("__k", "__b", "__off", "__cum")
+    )

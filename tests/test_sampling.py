@@ -368,3 +368,74 @@ def test_sample_quantiles_validation(spark):
         sample_quantiles(df, "v", [1.5])
     with pytest.raises(ValueError, match="rate"):
         sample_quantiles(df, "v", [0.5], rate=0.0)
+
+
+# --- budgeted prefix (distributed prefix sum) --------------------------------
+
+
+def _budget_py(rows, budget, seed=""):
+    import hashlib
+
+    keyed = sorted(
+        (hashlib.md5(f"{seed}{i}".encode()).hexdigest()[:8], i, c)
+        for i, c in rows
+    )
+    kept, acc = [], 0
+    for _, i, c in keyed:
+        acc += c
+        if acc <= budget:
+            kept.append(i)
+        else:
+            break
+    return set(kept)
+
+
+def test_take_budget_matches_python_replay(spark):
+    from ftm_columnstore_spark.operators.sampling import take_budget
+
+    rows = [(i, 10 + (i * 7) % 90) for i in range(300)]
+    df = spark.createDataFrame(rows, ["doc_id", "cost"])
+    for budget in (0, 500, 5000, 10**9):
+        got = {
+            r["doc_id"]
+            for r in take_budget(df, "cost", budget).collect()
+        }
+        assert got == _budget_py(rows, budget), budget
+
+
+def test_take_budget_total_never_exceeds(spark):
+    from ftm_columnstore_spark.operators.sampling import take_budget
+
+    rows = [(i, 33) for i in range(100)]
+    df = spark.createDataFrame(rows, ["doc_id", "cost"])
+    out = take_budget(df, "cost", 1000)
+    total = out.agg(F.sum("cost").alias("s")).collect()[0]["s"]
+    assert total <= 1000
+    # 30 docs of 33 = 990 <= 1000 < 1023
+    assert out.count() == 30
+
+
+def test_take_budget_no_single_partition_window(spark):
+    """The scale contract: the cumsum window partitions by bucket —
+    the plan must NOT contain a global (empty-partition-spec) Window,
+    whose single-reducer sort is exactly what this operator avoids."""
+    from ftm_columnstore_spark.operators.sampling import take_budget
+
+    rows = [(i, 5) for i in range(200)]
+    df = spark.createDataFrame(rows, ["doc_id", "cost"])
+    plan = (
+        take_budget(df, "cost", 100)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Window" in plan
+    assert "SinglePartition" not in plan
+
+
+def test_take_budget_validation(spark):
+    from ftm_columnstore_spark.operators.sampling import take_budget
+
+    df = spark.createDataFrame([(1, 1)], ["doc_id", "cost"])
+    with pytest.raises(ValueError, match="budget"):
+        take_budget(df, "cost", -1)
+    with pytest.raises(ValueError, match="n_buckets"):
+        take_budget(df, "cost", 10, n_buckets=0)
