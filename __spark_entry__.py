@@ -1194,6 +1194,25 @@ def d16_minhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def t23_leakage_free_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-free train/test split
+    (operators/sampling.py:split_by_cluster): near-dup cluster labels
+    (d16's machinery) hashed INSTEAD of document ids, so every member
+    of a duplicate cluster lands in one split — the contamination mode
+    per-document hashing silently allows. Oracle composes the d16
+    cluster replay with the t6 md5-threshold split replay."""
+    from ftm_columnstore_spark.operators.dedup import minhash_clusters
+    from ftm_columnstore_spark.operators.sampling import split_by_cluster
+
+    d = _t(spark, sf_dir, "documents")
+    clusters = minhash_clusters(
+        d, num_hashes=32, num_bands=8, threshold=0.5, shingle_k=3
+    )
+    return split_by_cluster(
+        d, clusters, {"train": 0.8, "test": 0.2}, seed="seed"
+    ).select("doc_id", "split")
+
+
 def d4_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ftm_columnstore_spark.operators.dedup import simhash_pairs_portable
 
@@ -2618,6 +2637,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a25_sample_quantiles": a25_sample_quantiles,
         "v14_pq_knn_join": v14_pq_knn_join,
         "t22_token_budget": t22_token_budget,
+        "t23_leakage_free_split": t23_leakage_free_split,
         # --- verified green in CORRECTNESS_r02.json ---
         "a4_avg_via_dsl": a4_avg_via_dsl,
         "m2_fingerprint_freq": m2_fingerprint_freq,
@@ -3594,6 +3614,25 @@ def _v14_oracle() -> str:
                                     ORDER BY adist ASC, cid) AS rn
           FROM adist
         ) WHERE rn <= 5
+    """
+
+
+def _t23_oracle() -> str:
+    """d16's cluster replay composed with the t6 split replay: split
+    key = coalesce(cluster label, own id), md5-threshold CASE
+    (0.8 → 'cccccccc')."""
+    return f"""
+        WITH clusters AS ({_d16_oracle()}),
+        keyed AS (
+          SELECT d.doc_id,
+                 coalesce(CAST(c.cluster_id AS VARCHAR),
+                          CAST(d.doc_id AS VARCHAR)) AS sk
+          FROM documents d LEFT JOIN clusters c ON d.doc_id = c.doc_id
+        )
+        SELECT doc_id,
+               CASE WHEN substr(md5('seed' || sk), 1, 8) < 'cccccccc'
+                    THEN 'train' ELSE 'test' END AS split
+        FROM keyed
     """
 
 
@@ -4738,6 +4777,7 @@ def oracle_sql() -> dict[str, str]:
         "t21_nb_quality_scores": _t21_oracle(),
         "a25_sample_quantiles": _a25_oracle(),
         "v14_pq_knn_join": _v14_oracle(),
+        "t23_leakage_free_split": _t23_oracle(),
         "t22_token_budget": """
             WITH base AS (
               SELECT doc_id, n_chars,

@@ -90,6 +90,7 @@ HEADLINE = [
     "a25_sample_quantiles",
     "v14_pq_knn_join",
     "t22_token_budget",
+    "t23_leakage_free_split",
 ]
 
 

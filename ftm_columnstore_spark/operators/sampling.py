@@ -547,3 +547,38 @@ def take_budget(
         .where(F.col("__cum") <= budget)
         .drop("__k", "__b", "__off", "__cum")
     )
+
+
+def split_by_cluster(
+    df: DataFrame,
+    clusters: DataFrame,
+    weights: dict[str, float],
+    id_col: str = "doc_id",
+    cluster_col: str = "cluster_id",
+    seed: str = "",
+) -> DataFrame:
+    """Leakage-free train/val/test split: hash the near-dup CLUSTER id
+    instead of the document id, so every member of a duplicate cluster
+    lands in the SAME split — per-document hashing leaks near-copies of
+    training documents into the test set, silently inflating eval
+    (the contamination mode ExactSubstr/decontamination papers warn
+    about *inside* one corpus). ``clusters`` is an (id, cluster) label
+    relation, e.g. from
+    :func:`~ftm_columnstore_spark.operators.dedup.minhash_clusters`;
+    documents without a label fall back to their own id (singleton =
+    its own cluster). Same md5-threshold contract as
+    :func:`split_by_hash` — deterministic, engine-reproducible; one
+    co-partitioned join on the id."""
+    labeled = df.join(
+        clusters.select(
+            F.col(id_col), F.col(cluster_col).alias("__cluster")
+        ),
+        on=id_col,
+        how="left",
+    ).withColumn(
+        "__split_key",
+        F.coalesce(F.col("__cluster").cast("string"), F.col(id_col).cast("string")),
+    )
+    return split_by_hash(
+        labeled, weights, id_col="__split_key", seed=seed
+    ).drop("__cluster", "__split_key")

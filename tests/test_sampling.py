@@ -439,3 +439,38 @@ def test_take_budget_validation(spark):
         take_budget(df, "cost", -1)
     with pytest.raises(ValueError, match="n_buckets"):
         take_budget(df, "cost", 10, n_buckets=0)
+
+
+def test_split_by_cluster_keeps_near_dups_together(spark):
+    from ftm_columnstore_spark.operators.sampling import split_by_cluster
+
+    docs = spark.createDataFrame(
+        [(i, f"text {i}") for i in range(200)], ["doc_id", "text"]
+    )
+    # clusters: pairs (2i, 2i+1) share a cluster; 150+ unlabeled
+    clusters = spark.createDataFrame(
+        [(i, (i // 2) * 2) for i in range(150)], ["doc_id", "cluster_id"]
+    )
+    out = split_by_cluster(
+        docs, clusters, {"train": 0.5, "val": 0.25, "test": 0.25}
+    )
+    rows = {r["doc_id"]: r["split"] for r in out.collect()}
+    assert len(rows) == 200 and set(rows.values()) <= {"train", "val", "test"}
+    # every labeled pair stays in one split
+    for i in range(0, 150 - 1, 2):
+        assert rows[i] == rows[i + 1], i
+    # unlabeled docs split by their own id — matches split_by_hash
+    from ftm_columnstore_spark.operators.sampling import split_by_hash
+
+    solo = {
+        r["doc_id"]: r["split"]
+        for r in split_by_hash(
+            docs.filter(F.col("doc_id") >= 150).withColumn(
+                "__split_key", F.col("doc_id").cast("string")
+            ),
+            {"train": 0.5, "val": 0.25, "test": 0.25},
+            id_col="__split_key",
+        ).collect()
+    }
+    for i in range(150, 200):
+        assert rows[i] == solo[i]
