@@ -1665,3 +1665,58 @@ def pq_knn_join(
         .filter(F.col("__rn") <= k)
         .drop("__rn")
     )
+
+
+def mmr_rerank(
+    candidates: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    lam: float = 0.5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> list:
+    """Maximal Marginal Relevance re-rank (Carbonell & Goldstein,
+    SIGIR'98) of a BOUNDED candidate set — the diversity stage of a
+    RAG retrieval chain (chunk → ANN top-N → MMR top-k): greedily pick
+    the candidate maximizing
+
+        lam · cos(query, c) − (1 − lam) · max_{s ∈ selected} cos(c, s)
+
+    This is inherently sequential-greedy (each pick depends on all
+    prior picks), so it runs DRIVER-SIDE over the collected candidates
+    — correct only because the input is the bounded top-N of an ANN
+    stage, never a corpus. Cosines are rounded to 6 decimals before
+    comparison and ties break on lowest id, so the selection is
+    deterministic and engine-independent. Returns
+    [(id, relevance, mmr_score), ...] in selection order."""
+    import math
+
+    if not 0.0 <= lam <= 1.0:
+        raise ValueError(f"lam must be in [0, 1], got {lam}")
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    rows = candidates.select(F.col(id_col), F.col(vec_col)).collect()
+    if not rows:
+        return []
+
+    def cos(a: list[float], b: list[float]) -> float:
+        dot = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return round(dot / (na * nb), 6) if na and nb else 0.0
+
+    q = [float(x) for x in query_vec]
+    cand = {r[id_col]: [float(x) for x in r[vec_col]] for r in rows}
+    rel = {i: cos(v, q) for i, v in cand.items()}
+    selected: list = []
+    sel_vecs: list = []
+    while cand and len(selected) < k:
+        best_score, best_id = None, None
+        for i, v in sorted(cand.items()):
+            diversity = max((cos(v, s) for s in sel_vecs), default=0.0)
+            score = round(lam * rel[i] - (1.0 - lam) * diversity, 6)
+            if best_score is None or score > best_score:
+                best_score, best_id = score, i
+        sel_vecs.append(cand.pop(best_id))
+        selected.append((best_id, rel[best_id], best_score))
+    return selected

@@ -856,3 +856,55 @@ def test_pq_knn_join_uses_window_group_limit(vectors):
     left = vectors.limit(3)
     plan = pq_knn_join(left, vectors, k=3, m=4)._jdf.queryExecution().executedPlan().toString()
     assert "WindowGroupLimit" in plan
+
+
+# --- MMR re-rank -------------------------------------------------------------
+
+
+def test_mmr_lam1_is_pure_relevance(vectors):
+    from ftm_columnstore_spark.operators.similarity import mmr_rerank
+
+    q = list(vectors.filter(F.col("vec_id") == 0).first()["embedding"])
+    cand = vectors.filter(F.col("vec_id") < 40)
+    got = [i for i, _, _ in mmr_rerank(cand, q, k=10, lam=1.0)]
+    exact = [
+        r["vec_id"] for r in brute_force_topk(cand, q, k=10).collect()
+    ]
+    assert got == exact
+
+
+def test_mmr_penalizes_duplicates(spark):
+    """Two identical highly-relevant vectors: plain ranking takes both;
+    MMR takes one, then something diverse."""
+    from ftm_columnstore_spark.operators.similarity import mmr_rerank
+
+    q = [1.0, 0.0, 0.0, 0.0]
+    rows = [
+        (1, [0.9, 0.436, 0.0, 0.0]),   # rel 0.9
+        (2, [0.9, 0.436, 0.0, 0.0]),   # exact duplicate of 1
+        (3, [0.9, -0.436, 0.0, 0.0]),  # equally relevant, diverse
+        (4, [0.0, 1.0, 0.0, 0.0]),     # orthogonal to q
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"]).withColumn(
+        "embedding", F.col("embedding").cast("array<float>")
+    )
+    got = [i for i, _, _ in mmr_rerank(df, q, k=3, lam=0.5)]
+    assert got[0] == 1          # most relevant, lowest id
+    assert got[1] == 3          # NOT the duplicate (2): diversity wins
+    assert 2 not in got[:3][:2]
+
+
+def test_mmr_deterministic_and_validated(vectors):
+    from ftm_columnstore_spark.operators.similarity import mmr_rerank
+
+    q = [0.1] * 16
+    cand = vectors.filter(F.col("vec_id") < 30)
+    a = mmr_rerank(cand, q, k=5, lam=0.4)
+    b = mmr_rerank(cand, q, k=5, lam=0.4)
+    assert a == b and len(a) == 5
+    with pytest.raises(ValueError, match="lam"):
+        mmr_rerank(cand, q, lam=1.5)
+    with pytest.raises(ValueError, match="k"):
+        mmr_rerank(cand, q, k=0)
+    empty = cand.filter(F.col("vec_id") < 0)
+    assert mmr_rerank(empty, q, k=5) == []
