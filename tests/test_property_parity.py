@@ -563,3 +563,115 @@ def test_cross_corpus_lm_match_duckdb(spark, texts):
         entry.oracle_sql()["t20_cross_corpus_lm"],
     )
     _assert_same(got, want)
+
+
+# --- round-3 additions: sketches / budget / PQ / classifier ------------------
+
+
+@given(
+    vals=st.lists(
+        st.one_of(st.none(), st.sampled_from(VOCAB)), min_size=1, max_size=40
+    ),
+    p=st.sampled_from([4, 6, 8]),
+)
+@SETTINGS
+def test_hll_matches_duckdb_replay(spark, vals, p):
+    """Fuzzed cross-engine HLL: arbitrary value lists (with nulls) →
+    Spark registers/estimate == the DuckDB replay of the same math."""
+    from ftm_columnstore_spark.operators.sketches import hll_cardinality
+
+    df = spark.createDataFrame([(v,) for v in vals], "k string")
+    got = hll_cardinality(df, "k", p=p).collect()[0]["n_distinct_est"]
+    m = 1 << p
+    maxbits, sp = 60 - p, 60 - p + 1
+    alpha = {16: 0.673, 32: 0.697, 64: 0.709}.get(
+        m, 0.7213 / (1.0 + 1.079 / m)
+    )
+    alpha_num = alpha * m * m * float(1 << sp)
+    con = duckdb.connect()
+    con.register("vals", pd.DataFrame({"k": vals}))
+    o = con.execute(f"""
+        WITH h AS (
+          SELECT ('0x'||substr(md5(k),1,15))::BIGINT AS h FROM vals
+          WHERE k IS NOT NULL
+        ), reg AS (SELECT h % {m} AS idx, h // {m} AS w FROM h),
+        rk AS (
+          SELECT idx, CASE WHEN w > 0 THEN {maxbits} - length(bin(w)) + 1
+                           ELSE {maxbits + 1} END AS rho FROM reg
+        ), regs AS (SELECT idx, max(rho) AS rho FROM rk GROUP BY idx),
+        agg AS (
+          SELECT sum(1::BIGINT << ({sp} - rho)) AS s, count(*) AS n
+          FROM regs
+        ), est AS (
+          SELECT {alpha_num!r} / CAST(s + ({m} - n) * (1::BIGINT << {sp})
+                                      AS DOUBLE) AS raw,
+                 CAST({m} - n AS DOUBLE) AS v
+          FROM agg
+        )
+        SELECT CAST(floor(CASE WHEN raw <= {2.5 * m!r} AND v > 0
+                               THEN {float(m)!r} * ln({float(m)!r} / v)
+                               ELSE raw END + 0.5) AS BIGINT) AS e
+        FROM est
+    """).fetchone()[0]
+    if all(v is None for v in vals):
+        # no rows reach the register agg: Spark yields no group either
+        return
+    assert got == o
+
+
+@given(
+    costs=st.lists(st.integers(min_value=0, max_value=500), min_size=1, max_size=30),
+    budget=st.integers(min_value=0, max_value=4000),
+)
+@SETTINGS
+def test_take_budget_matches_replay_fuzzed(spark, costs, budget):
+    import hashlib
+
+    from ftm_columnstore_spark.operators.sampling import take_budget
+
+    rows = list(enumerate(costs))
+    df = spark.createDataFrame(rows, ["doc_id", "cost"])
+    got = {r["doc_id"] for r in take_budget(df, "cost", budget).collect()}
+    keyed = sorted(
+        (hashlib.md5(str(i).encode()).hexdigest()[:8], i, c) for i, c in rows
+    )
+    acc, expected = 0, set()
+    for _, i, c in keyed:
+        acc += c
+        if acc <= budget:
+            expected.add(i)
+    assert got == expected
+
+
+@given(
+    n=st.integers(min_value=8, max_value=25),
+    qi=st.integers(min_value=0, max_value=7),
+)
+@SETTINGS
+def test_pq_topk_matches_replay_fuzzed(spark, n, qi):
+    import random
+
+    from pyspark.sql import functions as F
+
+    from tests.test_similarity import _pq_brute_py
+    from ftm_columnstore_spark.operators.similarity import pq_topk
+
+    rng = random.Random(n * 31 + qi)
+    data = [
+        (i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(n)
+    ]
+    df = spark.createDataFrame(data, ["vec_id", "embedding"]).withColumn(
+        "embedding", F.col("embedding").cast("array<float>")
+    )
+    # re-read the float32-rounded vectors: the replay must quantize the
+    # same values the operator sees
+    data32 = sorted(
+        (r["vec_id"], list(r["embedding"])) for r in df.collect()
+    )
+    q = data32[qi][1]
+    expected = _pq_brute_py(data32, q, m=4, n_codes=min(8, n), k=3)
+    got = [
+        (r["vec_id"], r["adist"])
+        for r in pq_topk(df, q, k=3, m=4, n_codes=min(8, n)).collect()
+    ]
+    assert got == expected
