@@ -1254,6 +1254,19 @@ def a25_sample_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def a26_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full one-pass table profile
+    (operators/sketches.py:profile_columns): value/null counts + HLL
+    distinct estimate per column from a single stacked scan — nulls
+    ride a sentinel register (idx −1), costing no extra pass and never
+    entering the estimate. Oracle replays the stacked register math
+    with the same sentinel."""
+    from ftm_columnstore_spark.operators.sketches import profile_columns
+
+    d = _t(spark, sf_dir, "documents")
+    return profile_columns(d, ["text", "lang", "n_chars"], p=8)
+
+
 def t21_nb_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Naive-Bayes log-odds quality classifier
     (operators/text.py:train_quality_classifier /
@@ -2638,6 +2651,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "v14_pq_knn_join": v14_pq_knn_join,
         "t22_token_budget": t22_token_budget,
         "t23_leakage_free_split": t23_leakage_free_split,
+        "a26_table_profile": a26_table_profile,
         # --- verified green in CORRECTNESS_r02.json ---
         "a4_avg_via_dsl": a4_avg_via_dsl,
         "m2_fingerprint_freq": m2_fingerprint_freq,
@@ -3614,6 +3628,60 @@ def _v14_oracle() -> str:
                                     ORDER BY adist ASC, cid) AS rn
           FROM adist
         ) WHERE rn <= 5
+    """
+
+
+def _a26_oracle(p: int = 8) -> str:
+    """Stacked register replay with the null-sentinel register —
+    mirrors operators/sketches.py:profile_columns. Output counts cast
+    to BIGINT (DuckDB SUM of BIGINT yields HUGEINT)."""
+    m = 1 << p
+    maxbits = 60 - p
+    sp = maxbits + 1
+    alpha = {16: 0.673, 32: 0.697, 64: 0.709}.get(m, 0.7213 / (1.0 + 1.079 / m))
+    alpha_num = alpha * m * m * float(1 << sp)
+    stack = " UNION ALL ".join(
+        f"SELECT '{c}' AS c, CAST({c} AS VARCHAR) AS v FROM documents"
+        for c in ("text", "lang", "n_chars")
+    )
+    h = "('0x'||substr(md5(v),1,15))::BIGINT"
+    return f"""
+        WITH vals AS ({stack}), keyed AS (
+          SELECT c,
+                 CASE WHEN v IS NULL THEN -1 ELSE {h} % {m} END AS idx,
+                 CASE WHEN v IS NULL THEN 0
+                      WHEN {h} // {m} > 0
+                      THEN {maxbits} - length(bin({h} // {m})) + 1
+                      ELSE {maxbits + 1} END AS rho
+          FROM vals
+        ), regs AS (
+          SELECT c, idx, max(rho) AS rho, count(*) AS cnt
+          FROM keyed GROUP BY c, idx
+        ), agg AS (
+          SELECT c,
+                 sum(CASE WHEN idx >= 0
+                          THEN 1::BIGINT << ({sp} - rho) END) AS s,
+                 count(CASE WHEN idx >= 0 THEN 1 END) AS n,
+                 coalesce(sum(CASE WHEN idx < 0 THEN cnt END), 0) AS n_nulls,
+                 coalesce(sum(CASE WHEN idx >= 0 THEN cnt END), 0)
+                   AS n_values
+          FROM regs GROUP BY c
+        ), est AS (
+          SELECT c, n_values, n_nulls,
+                 {alpha_num!r} / CAST(coalesce(s, 0)
+                     + ({m} - n) * (1::BIGINT << {sp}) AS DOUBLE) AS raw,
+                 CAST({m} - n AS DOUBLE) AS vv
+          FROM agg
+        )
+        SELECT c AS "column",
+               CAST(n_values AS BIGINT) AS n_values,
+               CAST(n_nulls AS BIGINT) AS n_nulls,
+               CASE WHEN n_values = 0 THEN 0
+                    ELSE CAST(floor(CASE WHEN raw <= {2.5 * m!r} AND vv > 0
+                                    THEN {float(m)!r} * ln({float(m)!r} / vv)
+                                    ELSE raw END + 0.5) AS BIGINT) END
+               AS n_distinct_est
+        FROM est
     """
 
 
@@ -4778,6 +4846,7 @@ def oracle_sql() -> dict[str, str]:
         "a25_sample_quantiles": _a25_oracle(),
         "v14_pq_knn_join": _v14_oracle(),
         "t23_leakage_free_split": _t23_oracle(),
+        "a26_table_profile": _a26_oracle(),
         "t22_token_budget": """
             WITH base AS (
               SELECT doc_id, n_chars,

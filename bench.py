@@ -91,6 +91,7 @@ HEADLINE = [
     "v14_pq_knn_join",
     "t22_token_budget",
     "t23_leakage_free_split",
+    "a26_table_profile",
 ]
 
 

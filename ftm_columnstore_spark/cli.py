@@ -48,6 +48,13 @@ def main(argv: list[str] | None = None) -> int:
     sq = sub.add_parser("sql")
     sq.add_argument("query", help="SQL over the `statements` view")
 
+    pr = sub.add_parser("profile")
+    pr.add_argument("input", help="parquet file/dir to profile")
+    pr.add_argument("--columns", default=None,
+                    help="comma list (default: every column)")
+    pr.add_argument("-p", type=int, default=8,
+                    help="HLL precision (2^p registers; default 8)")
+
     cl = sub.add_parser("clean")
     cl.add_argument("input", help="documents parquet (id + text columns)")
     cl.add_argument("-o", "--output", required=True)
@@ -67,7 +74,7 @@ def main(argv: list[str] | None = None) -> int:
                     help="write N hash shards instead of plain parquet")
 
     args = p.parse_args(argv)
-    if args.cmd != "clean" and not args.store:
+    if args.cmd not in ("clean", "profile") and not args.store:
         p.error(f"--store is required for the {args.cmd} verb")
     spark = get_spark("ftmcs-cli")
     store = Store(spark, args.store) if args.store else None
@@ -107,6 +114,15 @@ def main(argv: list[str] | None = None) -> int:
     elif args.cmd == "sql":
         store.statements().createOrReplaceTempView("statements")
         spark.sql(args.query).show(100, truncate=False)
+    elif args.cmd == "profile":
+        from ftm_columnstore_spark.operators.sketches import profile_columns
+
+        pdf = spark.read.parquet(args.input)
+        cols = args.columns.split(",") if args.columns else None
+        for row in (
+            profile_columns(pdf, cols, p=args.p).orderBy("column").collect()
+        ):
+            print(json.dumps(row.asDict()))
     elif args.cmd == "clean":
         from ftm_columnstore_spark.operators.pipeline import (
             prepare_training_data,

@@ -316,3 +316,108 @@ def profile_cardinalities(
         ).alias("e")
     ).select(F.col("e.column").alias("column"), F.col("e.value").alias("value"))
     return hll_cardinality(stacked, "value", p=p, group_by=["column"])
+
+
+def profile_columns(
+    df: DataFrame,
+    cols: list[str] | None = None,
+    p: int = 8,
+) -> DataFrame:
+    """Full one-pass column profile: (column, n_values, n_nulls,
+    n_distinct_est) for every profiled column from a SINGLE stacked
+    scan + one register aggregation — nulls ride along as a sentinel
+    register (idx = -1) carrying their count, so null statistics cost
+    no extra pass and never pollute the HLL estimate. The Deequ-style
+    table profile at 100 TB: one map-only scan, state ≤
+    len(cols)·(2^p + 1) rows."""
+    if not 4 <= p <= 16:
+        raise ValueError(f"p must be in [4, 16], got {p}")
+    names = cols if cols is not None else df.columns
+    if not names:
+        raise ValueError("profile_columns needs at least one column")
+    m = 1 << p
+    maxbits = _HASH_BITS - p
+    scale_pow = maxbits + 1
+    alpha_num = _hll_alpha(m) * m * m * float(1 << scale_pow)
+    stacked = df.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("column"),
+                        F.col(c).cast("string").alias("value"),
+                    )
+                    for c in names
+                ]
+            )
+        ).alias("e")
+    ).select("e.column", "e.value")
+    h = _md5_60bit(F.col("value"))
+    keyed = stacked.select(
+        "column",
+        F.when(F.col("value").isNull(), F.lit(-1))
+        .otherwise(F.pmod(h, F.lit(m)))
+        .alias("reg_idx"),
+        F.when(F.col("value").isNull(), F.lit(0))
+        .otherwise(
+            F.when(
+                F.expr(
+                    f"CAST(conv(substr(md5(value),1,15),16,10) AS BIGINT)"
+                    f" DIV {m}"
+                )
+                > 0,
+                F.lit(maxbits)
+                - F.length(
+                    F.bin(
+                        F.expr(
+                            f"CAST(conv(substr(md5(value),1,15),16,10)"
+                            f" AS BIGINT) DIV {m}"
+                        )
+                    )
+                )
+                + 1,
+            ).otherwise(F.lit(maxbits + 1))
+        )
+        .alias("reg_rho"),
+    )
+    regs = keyed.groupBy("column", "reg_idx").agg(
+        F.max("reg_rho").alias("reg_rho"), F.count(F.lit(1)).alias("cnt")
+    )
+    nonnull = F.col("reg_idx") >= 0
+    agg = regs.groupBy("column").agg(
+        F.sum(
+            F.when(
+                nonnull,
+                F.expr(
+                    f"shiftleft(CAST(1 AS BIGINT), {scale_pow} - reg_rho)"
+                ),
+            )
+        ).alias("__s"),
+        F.count(F.when(nonnull, F.lit(1))).alias("__n"),
+        F.coalesce(
+            F.sum(F.when(~nonnull, F.col("cnt"))), F.lit(0)
+        ).alias("n_nulls"),
+        F.coalesce(
+            F.sum(F.when(nonnull, F.col("cnt"))), F.lit(0)
+        ).alias("n_values"),
+    )
+    s_total = F.coalesce(F.col("__s"), F.lit(0)) + (
+        F.lit(m) - F.col("__n")
+    ) * F.lit(1 << scale_pow).cast("long")
+    v_empty = (F.lit(m) - F.col("__n")).cast("double")
+    raw = F.lit(alpha_num) / s_total.cast("double")
+    est = F.when(
+        (raw <= F.lit(2.5 * m)) & (v_empty > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / v_empty),
+    ).otherwise(raw)
+    return agg.select(
+        "column",
+        "n_values",
+        "n_nulls",
+        F.when(
+            F.col("n_values") == 0, F.lit(0)
+        )
+        .otherwise(F.floor(est + F.lit(0.5)))
+        .cast("long")
+        .alias("n_distinct_est"),
+    )

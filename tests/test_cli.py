@@ -61,3 +61,21 @@ def test_cli_clean_and_shard(spark, tmp_path, capsys):
     # doc 100 is an exact text duplicate of doc 0 -> always-on exact
     # dedup keeps 40 of the 41 inputs
     assert sum(r["n_rows"] for r in lines) == 40
+
+
+def test_cli_profile(tmp_path, capsys, spark):
+    import json as _json
+
+    from ftm_columnstore_spark.cli import main
+
+    df = spark.createDataFrame(
+        [(1, "a", None), (2, "b", "x"), (3, "a", "y")], "i int, k string, v string"
+    )
+    path = str(tmp_path / "t.parquet")
+    df.write.parquet(path)
+    assert main(["profile", path, "--columns", "k,v"]) in (0, None)
+    out = capsys.readouterr().out.strip().splitlines()
+    rows = {r["column"]: r for r in map(_json.loads, out)}
+    assert rows["k"]["n_values"] == 3 and rows["k"]["n_nulls"] == 0
+    assert rows["v"]["n_values"] == 2 and rows["v"]["n_nulls"] == 1
+    assert rows["k"]["n_distinct_est"] == 2

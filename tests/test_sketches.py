@@ -300,3 +300,40 @@ def test_cms_build_streaming_matches_batch(spark, tmp_path):
         for r in cms_build(batch, "k", d=3, w=64).collect()
     }
     assert got == expected
+
+
+def test_profile_columns_counts_and_estimates(spark):
+    from ftm_columnstore_spark.operators.sketches import (
+        profile_cardinalities,
+        profile_columns,
+    )
+
+    rows = [
+        (i, f"k{i % 37}" if i % 5 else None, f"g{i % 3}")
+        for i in range(400)
+    ]
+    df = spark.createDataFrame(rows, ["i", "k", "g"])
+    got = {
+        r["column"]: (r["n_values"], r["n_nulls"], r["n_distinct_est"])
+        for r in profile_columns(df, ["k", "g"], p=8).collect()
+    }
+    n_null = sum(1 for _, k, _ in rows if k is None)
+    assert got["k"][0] == 400 - n_null and got["k"][1] == n_null
+    assert got["g"] == (400, 0, 3)
+    # the estimate must agree with the nulls-dropped profiler exactly
+    base = {
+        r["column"]: r["n_distinct_est"]
+        for r in profile_cardinalities(df, ["k", "g"], p=8).collect()
+    }
+    assert got["k"][2] == base["k"] and got["g"][2] == base["g"]
+
+
+def test_profile_columns_all_null_column(spark):
+    from ftm_columnstore_spark.operators.sketches import profile_columns
+
+    df = spark.createDataFrame([(1, None), (2, None)], "i int, k string")
+    got = {
+        r["column"]: (r["n_values"], r["n_nulls"], r["n_distinct_est"])
+        for r in profile_columns(df, ["k"], p=6).collect()
+    }
+    assert got["k"] == (0, 2, 0)
