@@ -34,6 +34,7 @@ def stream_clean_against_corpus(
     text_col: str = "text",
     id_col: str = "doc_id",
     quality: dict | None = None,
+    classifier: dict | None = None,
     max_bits_per_bigram: float | None = None,
     substring_k: int | None = 8,
     within_batch: bool = False,
@@ -44,7 +45,13 @@ def stream_clean_against_corpus(
 
     Stage toggles mirror :func:`~ftm_columnstore_spark.operators.
     pipeline.prepare_training_data`: ``quality`` = quality_gate kwargs
-    (None → skip); ``max_bits_per_bigram`` screens against the
+    (None → skip); ``classifier`` = {"weights": trained (token, weight)
+    relation, "min_score": float} — the NB log-odds filter with a
+    PRE-TRAINED model (training belongs to a batch job, same
+    versioned-artifact stance as the LM and signature indexes; the
+    weight relation is persisted at stream start and broadcast per
+    batch; unscorable documents are kept); ``max_bits_per_bigram``
+    screens against the
     corpus-trained LM (None → skip); ``substring_k`` cuts duplicated
     spans (None → skip; ``within_batch=False`` by default so cleaned
     text never depends on micro-batch boundaries — batch backfill and
@@ -66,6 +73,17 @@ def stream_clean_against_corpus(
     )
 
     cached = []
+    weights = None
+    min_score = 0.0
+    if classifier is not None:
+        copts = dict(classifier)
+        weights = copts.pop("weights")
+        min_score = float(copts.pop("min_score", 0.0))
+        if copts:
+            raise ValueError(f"unknown classifier options: {sorted(copts)}")
+        weights = weights.persist()
+        weights.count()  # build at stream start, not first batch
+        cached.append(weights)
     lm = None
     if max_bits_per_bigram is not None:
         c2, c1, vocab = train_bigram_lm(corpus, text_col, id_col)
@@ -117,6 +135,16 @@ def stream_clean_against_corpus(
                 F.col("id").alias(id_col)
             )
             out = out.join(keep, on=id_col, how="left_semi")
+        if weights is not None:
+            from ftm_columnstore_spark.operators.text import (
+                score_quality_classifier,
+            )
+
+            nb = score_quality_classifier(out, weights, text_col, id_col)
+            low = nb.where(F.col("nb_score") < min_score).select(
+                F.col("id").alias(id_col)
+            )
+            out = out.join(low, on=id_col, how="left_anti")
         if lm is not None:
             scored = score_with_bigram_lm(out, lm, text_col, id_col)
             bad = scored.where(

@@ -570,3 +570,54 @@ def test_stream_index_ivfpq_matches_batch_append(spark, tmp_path):
         ).collect()
     ]
     assert a == b and a[0] == (90, 0)
+
+
+def test_stream_clean_classifier_stage(spark, tmp_path):
+    """Streaming clean with a pre-trained NB classifier drops
+    below-threshold documents; unscorable documents survive."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from ftm_columnstore_spark.operators.text import (
+        train_quality_classifier,
+    )
+    from ftm_columnstore_spark.streaming.clean import (
+        stream_clean_against_corpus,
+    )
+
+    good = spark.createDataFrame(
+        [("prose about science history nature",)] * 3, ["text"]
+    )
+    bad = spark.createDataFrame(
+        [("spam winner cash prize click",)] * 3, ["text"]
+    )
+    w = train_quality_classifier(good, bad)
+    corpus = spark.createDataFrame(
+        [(1000, "completely unrelated corpus text")], ["doc_id", "text"]
+    )
+    src = tmp_path / "clf_src"
+    src.mkdir()
+    rows = [
+        {"doc_id": 1, "text": "an essay about science and nature"},
+        {"doc_id": 2, "text": "cash prize spam click winner"},
+        {"doc_id": 3, "text": "zzzz qqqq"},
+    ]
+    (src / "a.json").write_text("\n".join(_json.dumps(r) for r in rows))
+    out = str(tmp_path / "clf_out")
+    q = stream_clean_against_corpus(
+        spark,
+        str(src),
+        corpus,
+        out,
+        str(tmp_path / "clf_ckpt"),
+        "doc_id bigint, text string",
+        classifier={"weights": w, "min_score": 0.0},
+        substring_k=None,
+        available_now=True,
+    )
+    q.awaitTermination(120)
+    kept = {
+        r["doc_id"] for r in spark.read.parquet(out).collect()
+    }
+    assert kept == {1, 3}
