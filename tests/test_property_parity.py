@@ -675,3 +675,42 @@ def test_pq_topk_matches_replay_fuzzed(spark, n, qi):
         for r in pq_topk(df, q, k=3, m=4, n_codes=min(8, n)).collect()
     ]
     assert got == expected
+
+
+@given(
+    gtexts=st.lists(doc, min_size=0, max_size=5),
+    btexts=st.lists(doc, min_size=0, max_size=5),
+)
+@SETTINGS
+def test_nb_classifier_fuzzed_never_errors_and_matches_replay(
+    spark, gtexts, btexts
+):
+    """Arbitrary corpora (nulls, empties, one-sided, fully empty) must
+    yield a defined model and scores matching the python replay within
+    1e-6 (Spark's partition-order double sums vs sequential replay)."""
+    import math
+
+    from tests.test_text_functions import _nb_py
+    from ftm_columnstore_spark.operators.text import (
+        score_quality_classifier,
+        train_quality_classifier,
+    )
+
+    gdf = spark.createDataFrame([(t,) for t in gtexts], "text string")
+    bdf = spark.createDataFrame([(t,) for t in btexts], "text string")
+    score_texts = [t for t in gtexts + btexts if t] or ["alpha"]
+    sdf = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(score_texts)], "doc_id int, text string"
+    )
+    w = train_quality_classifier(gdf, bdf)
+    got = {
+        r["id"]: (r["n_scored_tokens"], r["nb_score"])
+        for r in score_quality_classifier(sdf, w).collect()
+    }
+    expected = _nb_py(
+        [t for t in gtexts if t], [t for t in btexts if t], score_texts
+    )
+    assert set(got) == set(expected)
+    for i, (n, s) in expected.items():
+        assert got[i][0] == n
+        assert math.isclose(got[i][1], s, abs_tol=1e-6), (i, got[i][1], s)
