@@ -1254,6 +1254,18 @@ def a25_sample_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def t24_c4_line_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 line-quality filter (operators/text.py:c4_line_filter —
+    Raffel+'20 §2.2): terminal-punctuation + min-words + blocklist line
+    rules, per-document ordered reassembly. One narrow explode + pure
+    codegen predicates + one reassembly agg. Oracle replays the rules
+    as DuckDB list lambdas over the same split."""
+    from ftm_columnstore_spark.operators.text import c4_line_filter
+
+    d = _t(spark, sf_dir, "documents")
+    return c4_line_filter(d, min_words=3)
+
+
 def a26_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full one-pass table profile
     (operators/sketches.py:profile_columns): value/null counts + HLL
@@ -2652,6 +2664,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t22_token_budget": t22_token_budget,
         "t23_leakage_free_split": t23_leakage_free_split,
         "a26_table_profile": a26_table_profile,
+        "t24_c4_line_filter": t24_c4_line_filter,
         # --- verified green in CORRECTNESS_r02.json ---
         "a4_avg_via_dsl": a4_avg_via_dsl,
         "m2_fingerprint_freq": m2_fingerprint_freq,
@@ -4847,6 +4860,25 @@ def oracle_sql() -> dict[str, str]:
         "v14_pq_knn_join": _v14_oracle(),
         "t23_leakage_free_split": _t23_oracle(),
         "a26_table_profile": _a26_oracle(),
+        "t24_c4_line_filter": r"""
+            WITH base AS (
+              SELECT doc_id AS id,
+                     list_filter(string_split(text, chr(10)),
+                                 x -> trim(x) <> '') AS nb
+              FROM documents
+            ), kept AS (
+              SELECT id, nb,
+                     list_filter(nb, x ->
+                         regexp_matches(x, '[.!?"]\s*$')
+                         AND len(string_split_regex(trim(x), '\s+')) >= 3
+                         AND NOT contains(lower(x), 'javascript')) AS kl
+              FROM base
+            )
+            SELECT id, CAST(coalesce(len(nb), 0) AS BIGINT) AS n_lines,
+                   CAST(coalesce(len(kl), 0) AS BIGINT) AS n_kept,
+                   coalesce(array_to_string(kl, chr(10)), '') AS text
+            FROM kept
+        """,
         "t22_token_budget": """
             WITH base AS (
               SELECT doc_id, n_chars,

@@ -92,6 +92,7 @@ HEADLINE = [
     "t22_token_budget",
     "t23_leakage_free_split",
     "a26_table_profile",
+    "t24_c4_line_filter",
 ]
 
 

@@ -780,3 +780,67 @@ def score_quality_classifier(
             F.round(F.avg("weight"), 6).alias("nb_score"),
         )
     )
+
+
+def c4_line_filter(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep: str = "\n",
+    min_words: int = 3,
+    require_terminal: bool = True,
+    blocklist: tuple = ("javascript",),
+) -> DataFrame:
+    """C4's line-quality rules (Raffel+'20 §2.2): keep only lines that
+    end in terminal punctuation, contain at least ``min_words`` words,
+    and mention no blocklisted term; reassemble each document from its
+    surviving lines in original order. The boilerplate-stripping pass
+    that runs BEFORE any dedup in the C4 recipe (nav bars, cookie
+    banners, JS warnings are exactly what it removes).
+
+    Scale shape (same as line_dedup): one narrow explode → map-only
+    line predicates (pure codegen — regexes are RE2-compatible) → one
+    per-document reassembly aggregation. No join against anything, no
+    Python. Output: (id, n_lines, n_kept, text) for EVERY input
+    document — ``n_lines`` counts non-blank lines, ``text`` is ''
+    when nothing survives."""
+    if min_words < 0:
+        raise ValueError(f"min_words must be >= 0, got {min_words}")
+    lines = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(
+            F.split(F.col(text_col), "\\Q" + sep + "\\E")
+        ).alias("pos", "line"),
+    ).where(F.trim("line") != "")
+    keep = F.lit(True)
+    if require_terminal:
+        keep = keep & F.col("line").rlike('[.!?"]\\s*$')
+    if min_words:
+        keep = keep & (
+            F.size(F.split(F.trim(F.col("line")), "\\s+")) >= min_words
+        )
+    for term in blocklist:
+        keep = keep & ~F.lower(F.col("line")).contains(term.lower())
+    kept = lines.where(keep)
+    counts = lines.groupBy("id").agg(F.count(F.lit(1)).alias("n_lines"))
+    rebuilt = kept.groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda s: s["line"],
+            ),
+            sep,
+        ).alias("__text"),
+    )
+    return (
+        df.select(F.col(id_col).alias("id"))
+        .join(counts, on="id", how="left")
+        .join(rebuilt, on="id", how="left")
+        .select(
+            "id",
+            F.coalesce("n_lines", F.lit(0)).alias("n_lines"),
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+            F.coalesce("__text", F.lit("")).alias("text"),
+        )
+    )

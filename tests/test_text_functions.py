@@ -485,3 +485,45 @@ def test_nb_classifier_empty_corpus_contract(spark):
     assert len(rows) == 1 and rows[0]["nb_score"] < 0
     w2 = train_quality_classifier(empty, empty)
     assert score_quality_classifier(sdf, w2).collect() == []
+
+
+# --- C4 line filter ----------------------------------------------------------
+
+
+def test_c4_line_filter_rules(spark):
+    from ftm_columnstore_spark.operators.text import c4_line_filter
+
+    docs = spark.createDataFrame(
+        [
+            (1, "This is a good sentence.\nshort.\nEnable JavaScript to view.\n"
+                "Another proper line stays here!\nno terminal punctuation"),
+            (2, "   \n\n"),
+            (3, "One two three four."),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {
+        r["id"]: (r["n_lines"], r["n_kept"], r["text"])
+        for r in c4_line_filter(docs, min_words=3).collect()
+    }
+    assert got[1] == (
+        5,
+        2,
+        "This is a good sentence.\nAnother proper line stays here!",
+    )
+    assert got[2] == (0, 0, "")
+    assert got[3] == (1, 1, "One two three four.")
+
+
+def test_c4_line_filter_toggles(spark):
+    from ftm_columnstore_spark.operators.text import c4_line_filter
+
+    docs = spark.createDataFrame([(1, "one two\nthree four.")], ["doc_id", "text"])
+    all_kept = c4_line_filter(
+        docs, min_words=0, require_terminal=False, blocklist=()
+    ).collect()[0]
+    assert all_kept["n_kept"] == 2
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="min_words"):
+        c4_line_filter(docs, min_words=-1)
