@@ -4,8 +4,9 @@ cleanup with defaults and override per-stage knobs:
 
     quality gate (Gopher rules) → NB classifier filter (CCNet/
     RefinedWeb-style) → perplexity bucket filter (CCNet) →
-    line-level dedup (C4) → exact dedup → ExactSubstr span cut →
-    MinHash near-dedup → deterministic train/val/test split
+    C4 line-quality strip → line-level dedup (C4) → exact dedup →
+    ExactSubstr span cut → MinHash near-dedup → deterministic
+    train/val/test split
 
 Every stage is one of the individually oracle-checked operators; the
 pipeline adds NO new semantics, only order. Order rationale (measured in
@@ -34,6 +35,7 @@ def prepare_training_data(
     quality: dict | None = None,
     classifier: dict | None = None,
     perplexity: dict | None = None,
+    c4_lines: dict | None = None,
     line_dedup_sep: str | None = "\n",
     substring_dedup: dict | None = None,
     near_dedup: dict | None = None,
@@ -57,6 +59,10 @@ def prepare_training_data(
     :func:`~ftm_columnstore_spark.operators.text.perplexity_buckets`
     plus an optional ``keep`` tuple of bucket names (default
     ``("head", "middle")`` — drop the tail, the CCNet recipe).
+    ``c4_lines``: kwargs for :func:`~ftm_columnstore_spark.operators.
+    text.c4_line_filter` (None → skip) — the C4 boilerplate strip,
+    run BEFORE line dedup per the C4 recipe; REWRITES ``text_col`` and
+    drops documents with no surviving line.
     ``line_dedup_sep``: separator for :func:`~ftm_columnstore_spark.
     operators.dedup.line_dedup` (None → skip; note this stage REWRITES
     ``text_col`` to the cleaned text). ``substring_dedup``: kwargs for
@@ -119,6 +125,18 @@ def prepare_training_data(
             ~F.col("bucket").isin(*keep_buckets)
         ).select(F.col("id").alias(id_col))
         out = out.join(drop_ids, on=id_col, how="left_anti")
+    if c4_lines is not None:
+        from ftm_columnstore_spark.operators.text import c4_line_filter
+
+        filtered = c4_line_filter(
+            out, text_col=text_col, id_col=id_col, **c4_lines
+        ).where(F.col("n_kept") > 0)
+        out = out.drop(text_col).join(
+            filtered.select(
+                F.col("id").alias(id_col), F.col("text").alias(text_col)
+            ),
+            on=id_col,
+        )
     if line_dedup_sep is not None:
         cleaned = line_dedup(
             out, text_col=text_col, id_col=id_col, sep=line_dedup_sep

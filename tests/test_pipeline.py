@@ -233,3 +233,23 @@ def test_pipeline_classifier_stage(spark):
         prepare_training_data(
             docs, classifier={"weights": w, "bogus": 1}, line_dedup_sep=None
         ).collect()
+
+
+def test_pipeline_c4_lines_stage(spark):
+    from ftm_columnstore_spark.operators.pipeline import (
+        prepare_training_data,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "A good proper sentence here.\nEnable javascript now."),
+            (2, "no terminal punctuation at all"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = prepare_training_data(
+        docs, c4_lines={"min_words": 3}, line_dedup_sep=None
+    ).collect()
+    assert len(out) == 1
+    assert out[0]["doc_id"] == 1
+    assert out[0]["text"] == "A good proper sentence here."
