@@ -110,6 +110,20 @@ class View:
 
         return compile_aggregations(self._statements(), q)
 
+    def profile(self, cols: list[str] | None = None, p: int = 8) -> list[dict]:
+        """One-pass sketch profile of the statement table (value/null
+        counts + HLL distinct estimate per column) — the approximate,
+        single-scan sibling of :meth:`stats` for 100 TB stores where a
+        per-column count-distinct would shuffle every keyspace."""
+        from ftm_columnstore_spark.operators.sketches import profile_columns
+
+        return [
+            r.asDict()
+            for r in profile_columns(self._statements(), cols, p=p)
+            .orderBy("column")
+            .collect()
+        ]
+
 
 def view_for(store: Store, dataset: str | None = None) -> View:
     return View(store, dataset)

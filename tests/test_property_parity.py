@@ -714,3 +714,54 @@ def test_nb_classifier_fuzzed_never_errors_and_matches_replay(
     for i, (n, s) in expected.items():
         assert got[i][0] == n
         assert math.isclose(got[i][1], s, abs_tol=1e-6), (i, got[i][1], s)
+
+
+line_strategy = st.one_of(
+    st.sampled_from([
+        "A proper sentence here.",
+        "short.",
+        "no punct at all",
+        'He said "stop".',
+        "Enable JavaScript to continue.",
+        "  padded line with spaces.  ",
+        "one two three four!",
+        "tab\tseparated words here?",
+        "",
+        "   ",
+    ]),
+    st.text(
+        alphabet=st.sampled_from(list('abc .!?"\t')), min_size=0, max_size=20
+    ),
+)
+c4_doc = st.one_of(
+    st.none(),
+    st.lists(line_strategy, min_size=0, max_size=6).map("\n".join),
+)
+
+
+@given(texts=st.lists(c4_doc, min_size=1, max_size=6))
+@SETTINGS
+def test_c4_line_filter_matches_duckdb(spark, texts):
+    """Fuzzed cross-engine C4 rules: Java-regex predicates vs DuckDB
+    RE2 list lambdas must agree on adversarial lines (quotes, tabs,
+    whitespace padding, empty/null docs)."""
+    from ftm_columnstore_spark.operators.text import c4_line_filter
+
+    pdf = pd.DataFrame(
+        {"doc_id": range(len(texts)), "text": texts}
+    )
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id bigint, text string"
+    )
+    got = (
+        c4_line_filter(df, min_words=3)
+        .toPandas()
+        .sort_values("id")
+        .reset_index(drop=True)
+    )
+    oracle = _oracle(pdf, entry.oracle_sql()["t24_c4_line_filter"]).sort_values(
+        "id"
+    ).reset_index(drop=True)
+    assert got["n_lines"].tolist() == oracle["n_lines"].tolist()
+    assert got["n_kept"].tolist() == oracle["n_kept"].tolist()
+    assert got["text"].tolist() == oracle["text"].tolist()

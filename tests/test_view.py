@@ -63,3 +63,11 @@ def test_get_expanded(view):
     assert got["addr-1"] == 0
     assert got.get("org-acme") == 1
     assert got.get("pay-1") == 2
+
+
+def test_view_profile(view):
+    prof = {r["column"]: r for r in view.profile(["schema", "canonical_id"])}
+    assert set(prof) == {"schema", "canonical_id"}
+    assert prof["schema"]["n_nulls"] == 0
+    assert prof["schema"]["n_distinct_est"] >= 1
+    assert prof["canonical_id"]["n_values"] > 0
