@@ -76,3 +76,45 @@ def salted_join(
         "__salt", F.explode(F.array(*[F.lit(i) for i in range(salts)]))
     )
     return l.join(r, on=[on, "__salt"], how=how).drop("__salt")
+
+
+def skew_hybrid_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    threshold: int = 100_000,
+    d: int = 4,
+    w: int = 4096,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-aware equi-join: DETECT the hot keys with a Count-Min pass
+    (``operators.sketches.cms_heavy_hitters`` — one bounded-state scan,
+    est ≥ true count so no hot key is ever missed), then route them
+    through a broadcast branch while the long tail takes the normal
+    shuffle join:
+
+    - cold keys → plain ``left ⋈ right`` (sort-merge/AQE as usual);
+    - hot keys → ``left_hot ⋈ broadcast(right_hot)`` — the right-side
+      rows for the (bounded, ≤ corpus/threshold) hot keys are small by
+      construction, so no reducer ever sees a hot key's full row set.
+
+    This is the targeted remedy when AQE's skew splitting can't help
+    (e.g. the skew is on the BUILD side of a future stage, or the join
+    feeds a window keyed the same way). Union of the two branches is
+    row-identical to the plain join (asserted in tests). ``how``
+    supports 'inner' and 'left_semi'."""
+    if how not in ("inner", "left_semi"):
+        raise ValueError(f"unsupported how: {how!r}")
+    from ftm_columnstore_spark.operators.sketches import cms_heavy_hitters
+
+    hot_rows = cms_heavy_hitters(left, on, threshold, d=d, w=w).collect()
+    hot = [r[on] for r in hot_rows]
+    if not hot:
+        return left.join(right, on=on, how=how)
+    l_cold = left.filter(~F.col(on).isin(hot))
+    l_hot = left.filter(F.col(on).isin(hot))
+    r_cold = right.filter(~F.col(on).isin(hot))
+    r_hot = right.filter(F.col(on).isin(hot))
+    cold = l_cold.join(r_cold, on=on, how=how)
+    hot_j = l_hot.join(F.broadcast(r_hot), on=on, how=how)
+    return cold.unionByName(hot_j)

@@ -163,3 +163,60 @@ def test_dedup_window_hot_entity(spark, tmp_path):
     # newest version wins
     got = deduped.filter("canonical_id = 'e1'").collect()[0]
     assert str(got["last_seen"]).startswith("2024-06-01")
+
+
+def test_skew_hybrid_join_matches_plain_join(spark):
+    from ftm_columnstore_spark.functions.skew import skew_hybrid_join
+
+    # "hot" carries 500 of 600 left rows
+    left = spark.createDataFrame(
+        [(("hot" if i < 500 else f"k{i % 17}"), i) for i in range(600)],
+        ["k", "lv"],
+    )
+    right = spark.createDataFrame(
+        [("hot", 1), ("k1", 2), ("k2", 3), ("nowhere", 4)], ["k", "rv"]
+    )
+    got = sorted(
+        (r["k"], r["lv"], r["rv"])
+        for r in skew_hybrid_join(left, right, "k", threshold=100).collect()
+    )
+    plain = sorted(
+        (r["k"], r["lv"], r["rv"]) for r in left.join(right, "k").collect()
+    )
+    assert got == plain and len(got) > 500
+
+
+def test_skew_hybrid_join_semi_and_no_hot(spark):
+    from ftm_columnstore_spark.functions.skew import skew_hybrid_join
+
+    left = spark.createDataFrame([(f"k{i}", i) for i in range(50)], ["k", "lv"])
+    right = spark.createDataFrame([("k1", 1), ("k2", 2)], ["k", "rv"])
+    # nothing hot at this threshold: falls back to the plain join
+    got = sorted(
+        r["k"]
+        for r in skew_hybrid_join(
+            left, right, "k", threshold=1000, how="left_semi"
+        ).collect()
+    )
+    assert got == ["k1", "k2"]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="unsupported how"):
+        skew_hybrid_join(left, right, "k", how="left_anti")
+
+
+def test_skew_hybrid_join_hot_branch_broadcasts(spark):
+    from ftm_columnstore_spark.functions.skew import skew_hybrid_join
+
+    left = spark.createDataFrame(
+        [("hot", i) for i in range(400)] + [(f"k{i}", i) for i in range(40)],
+        ["k", "lv"],
+    )
+    right = spark.createDataFrame(
+        [("hot", 1)] + [(f"k{i}", i) for i in range(40)], ["k", "rv"]
+    )
+    plan = (
+        skew_hybrid_join(left, right, "k", threshold=100)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan
