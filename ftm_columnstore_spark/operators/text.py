@@ -844,3 +844,37 @@ def c4_line_filter(
             F.coalesce("__text", F.lit("")).alias("text"),
         )
     )
+
+
+def normalize_text(
+    df: DataFrame,
+    text_col: str = "text",
+    form: str = "NFC",
+    out_col: str | None = None,
+) -> DataFrame:
+    """Unicode-normalize a text column (NFC/NFD/NFKC/NFKD via
+    ``unicodedata``) — the canonicalization step multilingual pipelines
+    run before hashing/dedup so that visually-identical strings with
+    different codepoint sequences (composed é vs e + combining accent)
+    hash identically. Arrow-batched pandas UDF (no builtin Spark
+    normalizer); map-only, no shuffle. Nulls pass through.
+
+    NFC output is oracle-checkable against DuckDB's
+    ``nfc_normalize``; compatibility forms (NFKC/NFKD) additionally
+    fold width/ligature variants — the usual choice before
+    tokenization."""
+    import unicodedata
+
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    if form not in ("NFC", "NFD", "NFKC", "NFKD"):
+        raise ValueError(f"unknown normalization form: {form!r}")
+
+    def _norm(s):
+        return s.map(
+            lambda x: unicodedata.normalize(form, x) if x is not None else None
+        )
+
+    udf = pandas_udf(_norm, "string")
+    return df.withColumn(out_col or text_col, udf(F.col(text_col)))

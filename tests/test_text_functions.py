@@ -527,3 +527,46 @@ def test_c4_line_filter_toggles(spark):
 
     with _pytest.raises(ValueError, match="min_words"):
         c4_line_filter(docs, min_words=-1)
+
+
+def test_normalize_text_forms(spark):
+    from ftm_columnstore_spark.operators.text import normalize_text
+
+    composed = "café"              # é precomposed
+    decomposed = "café"           # e + combining acute
+    wide = "Ｈｉ"               # fullwidth "Hi"
+    df = spark.createDataFrame(
+        [(1, decomposed), (2, composed), (3, wide), (4, None)],
+        ["doc_id", "text"],
+    )
+    nfc = {r["doc_id"]: r["text"] for r in normalize_text(df, form="NFC").collect()}
+    assert nfc[1] == composed and nfc[2] == composed and nfc[4] is None
+    assert nfc[3] == wide  # NFC keeps compatibility variants
+    nfkc = {r["doc_id"]: r["text"] for r in normalize_text(df, form="NFKC").collect()}
+    assert nfkc[3] == "Hi"  # NFKC folds fullwidth forms
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="normalization form"):
+        normalize_text(df, form="NFX")
+
+
+def test_normalize_text_nfc_matches_duckdb(spark):
+    import duckdb
+    import pandas as pd
+
+    from ftm_columnstore_spark.operators.text import normalize_text
+
+    texts = ["café au lait", "naïve", "plain ascii.", "Å unit"]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+    )
+    got = {
+        r["doc_id"]: r["text"]
+        for r in normalize_text(df, form="NFC").collect()
+    }
+    con = duckdb.connect()
+    con.register("t", pd.DataFrame({"doc_id": range(len(texts)), "text": texts}))
+    oracle = dict(
+        con.execute("SELECT doc_id, nfc_normalize(text) FROM t").fetchall()
+    )
+    assert got == oracle
