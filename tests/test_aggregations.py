@@ -63,3 +63,22 @@ def test_stats(statements):
     assert res["schemata"]["Payment"] == 3
     assert res["schemata"]["Company"] == 1
     assert res["countries"]["de"] == 3
+
+
+def test_dataset_stats_approx_close_to_exact(statements):
+    from ftm_columnstore_spark.operators.aggregations import dataset_stats
+
+    exact = {
+        (r["dataset"], r["schema"]): (r["entities"], r["statements"])
+        for r in dataset_stats(statements).collect()
+    }
+    approx = {
+        (r["dataset"], r["schema"]): (r["entities"], r["statements"])
+        for r in dataset_stats(statements, approx=True).collect()
+    }
+    assert set(exact) == set(approx)
+    for k, (e_ents, e_stmts) in exact.items():
+        a_ents, a_stmts = approx[k]
+        assert a_stmts == e_stmts              # statement count stays exact
+        # p=12 → ~1.6% σ; tiny groups hit linear counting (near-exact)
+        assert abs(a_ents - e_ents) <= max(2, 0.1 * e_ents), k
