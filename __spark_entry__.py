@@ -1254,6 +1254,30 @@ def a25_sample_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def j19_skew_hybrid_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-aware hybrid join (functions/skew.py:skew_hybrid_join):
+    CMS-detected hot order keys route through a broadcast branch, the
+    tail through the normal shuffle join — and the union is
+    row-identical to the plain join, which is exactly what the oracle
+    asserts (the oracle IS the plain SQL join; any routing bug breaks
+    the hash match). Revenue per (orderkey bucket) afterwards keeps
+    the compare tight."""
+    from ftm_columnstore_spark.functions.skew import skew_hybrid_join
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice")
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority"
+    )
+    j = skew_hybrid_join(li, o, "l_orderkey", threshold=3, w=512)
+    return (
+        j.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("l_extendedprice"), 2).alias("revenue"),
+        )
+    )
+
+
 def t24_c4_line_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4 line-quality filter (operators/text.py:c4_line_filter —
     Raffel+'20 §2.2): terminal-punctuation + min-words + blocklist line
@@ -2665,6 +2689,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t23_leakage_free_split": t23_leakage_free_split,
         "a26_table_profile": a26_table_profile,
         "t24_c4_line_filter": t24_c4_line_filter,
+        "j19_skew_hybrid_join": j19_skew_hybrid_join,
         # --- verified green in CORRECTNESS_r02.json ---
         "a4_avg_via_dsl": a4_avg_via_dsl,
         "m2_fingerprint_freq": m2_fingerprint_freq,
@@ -4860,6 +4885,12 @@ def oracle_sql() -> dict[str, str]:
         "v14_pq_knn_join": _v14_oracle(),
         "t23_leakage_free_split": _t23_oracle(),
         "a26_table_profile": _a26_oracle(),
+        "j19_skew_hybrid_join": """
+            SELECT o_orderpriority, count(*) AS n,
+                   round(sum(l_extendedprice), 2) AS revenue
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            GROUP BY o_orderpriority
+        """,
         "t24_c4_line_filter": r"""
             WITH base AS (
               SELECT doc_id AS id,

@@ -93,6 +93,7 @@ HEADLINE = [
     "t23_leakage_free_split",
     "a26_table_profile",
     "t24_c4_line_filter",
+    "j19_skew_hybrid_join",
 ]
 
 
