@@ -765,3 +765,49 @@ def test_c4_line_filter_matches_duckdb(spark, texts):
     assert got["n_lines"].tolist() == oracle["n_lines"].tolist()
     assert got["n_kept"].tolist() == oracle["n_kept"].tolist()
     assert got["text"].tolist() == oracle["text"].tolist()
+
+
+@given(
+    vals=st.lists(
+        st.one_of(st.none(), st.sampled_from(VOCAB)), min_size=1, max_size=40
+    ),
+)
+@SETTINGS
+def test_cms_matches_duckdb_replay(spark, vals):
+    """Fuzzed cross-engine CMS: cell counts and min-estimates must be
+    identical between the Spark build and the DuckDB replay."""
+    from ftm_columnstore_spark.operators.sketches import (
+        cms_build,
+        cms_estimate,
+    )
+
+    df = spark.createDataFrame([(v,) for v in vals], "k string")
+    cms = cms_build(df, "k", d=3, w=32)
+    keys = df.where(df.k.isNotNull()).select("k").distinct()
+    got = {
+        r["k"]: r["est_count"]
+        for r in cms_estimate(cms, keys, "k", d=3, w=32).collect()
+    }
+    con = duckdb.connect()
+    con.register("vals", pd.DataFrame({"k": vals}))
+    oracle = dict(
+        con.execute("""
+            WITH cells AS (
+              SELECT j.range AS j,
+                     ('0x'||substr(md5(CAST(j.range AS VARCHAR)||'|'||k),
+                                   1,15))::BIGINT % 32 AS cell
+              FROM vals, range(3) j WHERE k IS NOT NULL
+            ), cms AS (
+              SELECT j, cell, count(*) AS cnt FROM cells GROUP BY j, cell
+            ), keys AS (SELECT DISTINCT k FROM vals WHERE k IS NOT NULL),
+            probes AS (
+              SELECT k, j.range AS j,
+                     ('0x'||substr(md5(CAST(j.range AS VARCHAR)||'|'||k),
+                                   1,15))::BIGINT % 32 AS cell
+              FROM keys, range(3) j
+            )
+            SELECT k, CAST(min(coalesce(cnt, 0)) AS BIGINT)
+            FROM probes LEFT JOIN cms USING (j, cell) GROUP BY k
+        """).fetchall()
+    )
+    assert got == oracle
