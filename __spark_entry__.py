@@ -2551,6 +2551,48 @@ def m8_resize_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def m10_image_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual image near-dup pairs
+    (operators/multimodal.py:image_ahash/image_dup_pairs): synthetic
+    deterministic 8×8 BMPs (same pixel formulas as m8, seeded by
+    doc_id % 24 so ids 24 apart are IDENTICAL images) → exact-integer
+    aHash through the REAL BMP codec roundtrip → the SimHash pigeonhole
+    pairing. The oracle recomputes the pixel formulas, hash bits and
+    all-pairs Hamming in SQL (pigeonhole recall is exact below the
+    band count, so all-pairs == banded)."""
+    import numpy as np
+    import pandas as pd
+
+    from ftm_columnstore_spark.operators.codecs import encode_bmp
+    from ftm_columnstore_spark.operators.multimodal import image_dup_pairs
+
+    docs = (
+        _t(spark, sf_dir, "documents").select("doc_id").filter(F.col("doc_id") < 48)
+    )
+
+    def gen(it):
+        for pdf in it:
+            payloads = []
+            for did in pdf["doc_id"]:
+                s = int(did) % 24
+                y, x = np.mgrid[0:8, 0:8]
+                img = np.stack(
+                    [
+                        (x * (s % 17 + 1) + 3) % 256,
+                        (y * 7 + s) % 256,
+                        (x + y + s * 5) % 256,
+                    ],
+                    axis=-1,
+                ).astype(np.uint8)
+                payloads.append(encode_bmp(img))
+            yield pd.DataFrame(
+                {"media_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    media = docs.mapInPandas(gen, "media_id long, payload binary")
+    return image_dup_pairs(media, max_hamming=3)
+
+
 def m9_moving_average(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trailing 7-day moving average over the daily per-type event
     value — the classic time-series smoothing window, as a RANGE frame
@@ -2690,6 +2732,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a26_table_profile": a26_table_profile,
         "t24_c4_line_filter": t24_c4_line_filter,
         "j19_skew_hybrid_join": j19_skew_hybrid_join,
+        "m10_image_dup_pairs": m10_image_dup_pairs,
         # --- verified green in CORRECTNESS_r02.json ---
         "a4_avg_via_dsl": a4_avg_via_dsl,
         "m2_fingerprint_freq": m2_fingerprint_freq,
@@ -4885,6 +4928,30 @@ def oracle_sql() -> dict[str, str]:
         "v14_pq_knn_join": _v14_oracle(),
         "t23_leakage_free_split": _t23_oracle(),
         "a26_table_profile": _a26_oracle(),
+        "m10_image_dup_pairs": """
+            WITH ids AS (
+              SELECT doc_id AS id, doc_id % 24 AS s FROM documents
+              WHERE doc_id < 48
+            ), px AS (
+              SELECT id, s, y.range AS y, x.range AS x,
+                     ((x.range * (s % 17 + 1) + 3) % 256)
+                     + ((y.range * 7 + s) % 256)
+                     + ((x.range + y.range + s * 5) % 256) AS v
+              FROM ids, range(8) y, range(8) x
+            ), tot AS (
+              SELECT id, sum(v) AS total FROM px GROUP BY id
+            ), bits AS (
+              SELECT px.id, y * 8 + x AS i,
+                     CASE WHEN v * 64 > total THEN 1 ELSE 0 END AS b
+              FROM px JOIN tot USING (id)
+            )
+            SELECT l.id AS left_id, r.id AS right_id,
+                   CAST(sum(CASE WHEN l.b <> r.b THEN 1 ELSE 0 END) AS INT)
+                   AS hamming
+            FROM bits l JOIN bits r ON l.i = r.i AND l.id < r.id
+            GROUP BY l.id, r.id
+            HAVING sum(CASE WHEN l.b <> r.b THEN 1 ELSE 0 END) <= 3
+        """,
         "j19_skew_hybrid_join": """
             SELECT o_orderpriority, count(*) AS n,
                    round(sum(l_extendedprice), 2) AS revenue

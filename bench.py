@@ -94,6 +94,7 @@ HEADLINE = [
     "a26_table_profile",
     "t24_c4_line_filter",
     "j19_skew_hybrid_join",
+    "m10_image_dup_pairs",
 ]
 
 

@@ -741,6 +741,25 @@ def simhash_pairs_portable(
     # contract: see unpersist_intermediates)
     chunks = simhash_chunks(df, text_col, id_col, bands).persist()
     chunks.count()
+    out = hamming_pairs_from_chunks(chunks, bands, max_hamming, max_bucket)
+    out._cached_intermediates = [chunks]
+    return out
+
+
+def hamming_pairs_from_chunks(
+    chunks: DataFrame,
+    bands: int,
+    max_hamming: int,
+    max_bucket: int = 1024,
+) -> DataFrame:
+    """Pigeonhole Hamming pairing over ANY chunked fingerprint relation
+    ``(id, c0..c{bands-1})`` — the machinery behind
+    :func:`simhash_pairs_portable`, factored out so other fingerprint
+    families (e.g. image aHash in ``operators/multimodal.py``) reuse the
+    identical banded-join/bucket-cap/verify contract. Any pair within
+    ``max_hamming`` < ``bands`` shares an exact chunk; oversized buckets
+    are dropped whole, deterministically. Output:
+    (left_id, right_id, hamming)."""
     banded = chunks.select(
         "*",
         F.explode(
@@ -788,7 +807,6 @@ def simhash_pairs_portable(
         .filter(F.col("hamming") <= max_hamming)
         .dropDuplicates(["left_id", "right_id"])
     )
-    out._cached_intermediates = [chunks]
     return out
 
 

@@ -241,3 +241,107 @@ def filter_by_mime(media: DataFrame, mime_prefix: str) -> DataFrame:
     """Metadata-only predicate — never touches payload bytes, so column
     pruning keeps the blob column out of the scan entirely."""
     return media.filter(F.col("meta.mime").startswith(mime_prefix))
+
+
+def image_ahash(
+    media: DataFrame,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+    hash_size: int = 8,
+) -> DataFrame:
+    """Perceptual average-hash of each image: decode (real codec),
+    nearest-neighbour resize to ``hash_size``² grayscale, one bit per
+    cell = "brighter than the image mean" — packed into a 64-bit int
+    (for the default 8×8). EXACT integer arithmetic end-to-end: the
+    grayscale cell value is the channel SUM (no /3 division), and the
+    bit test is ``cells · v > Σv`` (no float mean), so the hash is
+    bit-reproducible by any replayer of the pixel math.
+
+    Near-identical images (re-encodes, small edits) agree on almost
+    every bit; pair them with :func:`image_dup_pairs`, which reuses the
+    SimHash pigeonhole machinery. mapInPandas, constant memory;
+    output (media_id, ahash long)."""
+    import numpy as np
+
+    from ftm_columnstore_spark.operators import codecs
+
+    if hash_size * hash_size > 64:
+        raise ValueError(
+            f"hash_size² must fit 64 bits, got {hash_size}"
+        )
+    out_schema = StructType(
+        [
+            StructField("media_id", LongType(), False),
+            StructField("ahash", LongType(), False),
+        ]
+    )
+
+    def one(payload: bytes) -> int:
+        img = codecs.decode_image(bytes(payload))
+        h, w = img.shape[:2]
+        ys = (np.arange(hash_size) * h) // hash_size
+        xs = (np.arange(hash_size) * w) // hash_size
+        cells = img[np.ix_(ys, xs)].astype(np.int64)
+        if cells.ndim == 3:
+            cells = cells.sum(axis=-1)
+        total = int(cells.sum())
+        n = hash_size * hash_size
+        bits = (cells * n > total).flatten()
+        out = 0
+        for i, b in enumerate(bits):
+            if b:
+                out |= 1 << i
+        # keep the packed value in signed-int64 range (bit 63 set)
+        return out - (1 << 64) if out >= (1 << 63) else out
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf[id_col],
+                    "ahash": [one(p) for p in pdf[payload_col]],
+                }
+            )
+
+    return media.select(id_col, payload_col).mapInPandas(batches, out_schema)
+
+
+def image_dup_pairs(
+    media: DataFrame,
+    max_hamming: int = 3,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+    bands: int = 4,
+    max_bucket: int = 1024,
+) -> DataFrame:
+    """Near-duplicate image pairs: aHash → 16-bit chunk split →
+    the SAME pigeonhole banded join as text SimHash
+    (``operators.dedup.hamming_pairs_from_chunks`` — any pair within
+    ``max_hamming`` < ``bands`` shares an exact chunk). The multimodal
+    dedup path at 100 TB: hashing is one map-only decode pass, pairing
+    never compares images, only 64-bit ints. Output:
+    (left_id, right_id, hamming)."""
+    from pyspark.sql import functions as F
+
+    from ftm_columnstore_spark.operators.dedup import (
+        _check_simhash_params,
+        hamming_pairs_from_chunks,
+    )
+
+    _check_simhash_params(bands, max_hamming)
+    width = 64 // bands
+    mask = (1 << width) - 1
+    hashed = image_ahash(media, id_col, payload_col)
+    chunks = hashed.select(
+        F.col("media_id").alias("id"),
+        *[
+            F.shiftrightunsigned("ahash", b * width)
+            .bitwiseAND(F.lit(mask))
+            .alias(f"c{b}")
+            for b in range(bands)
+        ],
+    ).persist()
+    chunks.count()
+    out = hamming_pairs_from_chunks(chunks, bands, max_hamming, max_bucket)
+    out._cached_intermediates = [chunks]
+    return out

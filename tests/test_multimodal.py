@@ -71,3 +71,53 @@ def test_resize_images_fake(media):
     # deterministic + composable: resized media feeds extract_features
     feats = extract_features(out, fake=True).collect()
     assert len(feats) == 6
+
+
+def test_image_ahash_matches_manual_bits(spark):
+    import numpy as np
+
+    from ftm_columnstore_spark.operators.codecs import encode_bmp
+    from ftm_columnstore_spark.operators.multimodal import image_ahash
+
+    rng = np.random.RandomState(5)
+    img = rng.randint(0, 256, size=(8, 8, 3), dtype=np.uint8)
+    media = spark.createDataFrame(
+        [(1, bytearray(encode_bmp(img)))], "media_id long, payload binary"
+    )
+    got = image_ahash(media).collect()[0]["ahash"]
+    cells = img.astype(np.int64).sum(axis=-1)
+    total = int(cells.sum())
+    expected = 0
+    for i, v in enumerate(cells.flatten()):
+        if int(v) * 64 > total:
+            expected |= 1 << i
+    if expected >= 1 << 63:
+        expected -= 1 << 64
+    assert got == expected
+
+
+def test_image_dup_pairs_finds_near_duplicates(spark):
+    import numpy as np
+
+    from ftm_columnstore_spark.operators.codecs import encode_bmp
+    from ftm_columnstore_spark.operators.multimodal import image_dup_pairs
+
+    rng = np.random.RandomState(9)
+    base = rng.randint(0, 256, size=(8, 8, 3), dtype=np.uint8)
+    near = base.copy()
+    near[0, 0] = 255 - near[0, 0]          # one-pixel edit
+    far = rng.randint(0, 256, size=(8, 8, 3), dtype=np.uint8)
+    media = spark.createDataFrame(
+        [
+            (1, bytearray(encode_bmp(base))),
+            (2, bytearray(encode_bmp(near))),
+            (3, bytearray(encode_bmp(far))),
+        ],
+        "media_id long, payload binary",
+    )
+    pairs = {
+        (r["left_id"], r["right_id"]): r["hamming"]
+        for r in image_dup_pairs(media, max_hamming=3).collect()
+    }
+    assert (1, 2) in pairs and pairs[(1, 2)] <= 3
+    assert (1, 3) not in pairs and (2, 3) not in pairs
