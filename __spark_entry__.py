@@ -2593,6 +2593,42 @@ def m10_image_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return image_dup_pairs(media, max_hamming=3)
 
 
+def m11_audio_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio near-dup pairs
+    (operators/multimodal.py:audio_ahash/audio_dup_pairs): synthetic
+    deterministic 128-sample WAVs (PCM formula seeded by doc_id % 24 →
+    ids 24 apart are identical clips) → exact-integer energy-signature
+    hash through the REAL WAV codec roundtrip → the shared pigeonhole
+    pairing. Oracle replays PCM formulas, frame energies, hash bits
+    and all-pairs Hamming in SQL."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from ftm_columnstore_spark.operators import codecs
+    from ftm_columnstore_spark.operators.multimodal import audio_dup_pairs
+
+    docs = (
+        _t(spark, sf_dir, "documents").select("doc_id").filter(F.col("doc_id") < 48)
+    )
+
+    def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = []
+            for did in pdf["doc_id"]:
+                s = int(did) % 24
+                k = s % 13 + 1
+                pcm = (np.arange(128) * k) % 2048 - 1024
+                payloads.append(codecs.encode_wav(pcm, 8000))
+            yield pd.DataFrame(
+                {"media_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    media = docs.mapInPandas(gen, "media_id long, payload binary")
+    return audio_dup_pairs(media, max_hamming=3)
+
+
 def m9_moving_average(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trailing 7-day moving average over the daily per-type event
     value — the classic time-series smoothing window, as a RANGE frame
@@ -2733,6 +2769,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t24_c4_line_filter": t24_c4_line_filter,
         "j19_skew_hybrid_join": j19_skew_hybrid_join,
         "m10_image_dup_pairs": m10_image_dup_pairs,
+        "m11_audio_dup_pairs": m11_audio_dup_pairs,
         # --- verified green in CORRECTNESS_r02.json ---
         "a4_avg_via_dsl": a4_avg_via_dsl,
         "m2_fingerprint_freq": m2_fingerprint_freq,
@@ -4928,6 +4965,30 @@ def oracle_sql() -> dict[str, str]:
         "v14_pq_knn_join": _v14_oracle(),
         "t23_leakage_free_split": _t23_oracle(),
         "a26_table_profile": _a26_oracle(),
+        "m11_audio_dup_pairs": """
+            WITH ids AS (
+              SELECT doc_id AS id, (doc_id % 24) % 13 + 1 AS k
+              FROM documents WHERE doc_id < 48
+            ), px AS (
+              SELECT id, i.range AS i,
+                     abs(((i.range * k) % 2048) - 1024) AS v
+              FROM ids, range(128) i
+            ), fr AS (
+              SELECT id, i // 2 AS f, sum(v) AS e FROM px GROUP BY id, i // 2
+            ), tot AS (
+              SELECT id, sum(e) AS total FROM fr GROUP BY id
+            ), bits AS (
+              SELECT fr.id, f AS i,
+                     CASE WHEN e * 64 > total THEN 1 ELSE 0 END AS b
+              FROM fr JOIN tot USING (id)
+            )
+            SELECT l.id AS left_id, r.id AS right_id,
+                   CAST(sum(CASE WHEN l.b <> r.b THEN 1 ELSE 0 END) AS INT)
+                   AS hamming
+            FROM bits l JOIN bits r ON l.i = r.i AND l.id < r.id
+            GROUP BY l.id, r.id
+            HAVING sum(CASE WHEN l.b <> r.b THEN 1 ELSE 0 END) <= 3
+        """,
         "m10_image_dup_pairs": """
             WITH ids AS (
               SELECT doc_id AS id, doc_id % 24 AS s FROM documents

@@ -95,6 +95,7 @@ HEADLINE = [
     "t24_c4_line_filter",
     "j19_skew_hybrid_join",
     "m10_image_dup_pairs",
+    "m11_audio_dup_pairs",
 ]
 
 

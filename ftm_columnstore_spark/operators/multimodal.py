@@ -345,3 +345,96 @@ def image_dup_pairs(
     out = hamming_pairs_from_chunks(chunks, bands, max_hamming, max_bucket)
     out._cached_intermediates = [chunks]
     return out
+
+
+def audio_ahash(
+    media: DataFrame,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+    n_frames: int = 64,
+) -> DataFrame:
+    """Energy-signature fingerprint of each audio payload: decode (real
+    WAV codec), split the samples into ``n_frames`` contiguous frames
+    (exact integer bounds ``i·N // n_frames``), one bit per frame =
+    "frame |PCM| energy above the clip's mean" — packed into a 64-bit
+    int. Same exact-integer contract as :func:`image_ahash`: the frame
+    energy is the SUM of |sample| values and the bit test is
+    ``n_frames · e > Σe`` — no divisions, no floats, bit-reproducible.
+    Near-identical clips (re-encodes, level-preserving edits) agree on
+    almost every bit; pair with :func:`audio_dup_pairs`. Output:
+    (media_id, ahash long)."""
+    import numpy as np
+
+    from ftm_columnstore_spark.operators import codecs
+
+    if n_frames > 64:
+        raise ValueError(f"n_frames must fit 64 bits, got {n_frames}")
+    out_schema = StructType(
+        [
+            StructField("media_id", LongType(), False),
+            StructField("ahash", LongType(), False),
+        ]
+    )
+
+    def one(payload: bytes) -> int:
+        pcm, _ = codecs.decode_wav(bytes(payload))
+        a = np.abs(pcm.astype(np.int64))
+        n = len(a)
+        energies = []
+        for i in range(n_frames):
+            lo, hi = (i * n) // n_frames, ((i + 1) * n) // n_frames
+            energies.append(int(a[lo:hi].sum()))
+        total = sum(energies)
+        out = 0
+        for i, e in enumerate(energies):
+            if e * n_frames > total:
+                out |= 1 << i
+        return out - (1 << 64) if out >= (1 << 63) else out
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf[id_col],
+                    "ahash": [one(p) for p in pdf[payload_col]],
+                }
+            )
+
+    return media.select(id_col, payload_col).mapInPandas(batches, out_schema)
+
+
+def audio_dup_pairs(
+    media: DataFrame,
+    max_hamming: int = 3,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+    bands: int = 4,
+    max_bucket: int = 1024,
+) -> DataFrame:
+    """Near-duplicate audio pairs: :func:`audio_ahash` → 16-bit chunks →
+    the shared SimHash pigeonhole join (same contract as
+    :func:`image_dup_pairs`). Output: (left_id, right_id, hamming)."""
+    from pyspark.sql import functions as F
+
+    from ftm_columnstore_spark.operators.dedup import (
+        _check_simhash_params,
+        hamming_pairs_from_chunks,
+    )
+
+    _check_simhash_params(bands, max_hamming)
+    width = 64 // bands
+    mask = (1 << width) - 1
+    hashed = audio_ahash(media, id_col, payload_col)
+    chunks = hashed.select(
+        F.col("media_id").alias("id"),
+        *[
+            F.shiftrightunsigned("ahash", b * width)
+            .bitwiseAND(F.lit(mask))
+            .alias(f"c{b}")
+            for b in range(bands)
+        ],
+    ).persist()
+    chunks.count()
+    out = hamming_pairs_from_chunks(chunks, bands, max_hamming, max_bucket)
+    out._cached_intermediates = [chunks]
+    return out

@@ -121,3 +121,55 @@ def test_image_dup_pairs_finds_near_duplicates(spark):
     }
     assert (1, 2) in pairs and pairs[(1, 2)] <= 3
     assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_audio_ahash_matches_manual_bits(spark):
+    import numpy as np
+
+    from ftm_columnstore_spark.operators.codecs import encode_wav
+    from ftm_columnstore_spark.operators.multimodal import audio_ahash
+
+    rng = np.random.RandomState(3)
+    pcm = rng.randint(-1024, 1024, size=128).astype(np.int64)
+    media = spark.createDataFrame(
+        [(1, bytearray(encode_wav(pcm, 8000)))], "media_id long, payload binary"
+    )
+    got = audio_ahash(media).collect()[0]["ahash"]
+    a = np.abs(pcm)
+    es = [int(a[(i * 128) // 64 : ((i + 1) * 128) // 64].sum()) for i in range(64)]
+    tot = sum(es)
+    expected = 0
+    for i, e in enumerate(es):
+        if e * 64 > tot:
+            expected |= 1 << i
+    if expected >= 1 << 63:
+        expected -= 1 << 64
+    assert got == expected
+
+
+def test_audio_dup_pairs_finds_near_duplicates(spark):
+    import numpy as np
+
+    from ftm_columnstore_spark.operators.codecs import encode_wav
+    from ftm_columnstore_spark.operators.multimodal import audio_dup_pairs
+
+    rng = np.random.RandomState(4)
+    base = rng.randint(-1024, 1024, size=256).astype(np.int64)
+    near = base.copy()
+    near[10] = -near[10]            # |sample| unchanged in one spot? flip another way
+    near[11] = near[11] // 2        # small energy edit in one frame
+    far = rng.randint(-1024, 1024, size=256).astype(np.int64)
+    media = spark.createDataFrame(
+        [
+            (1, bytearray(encode_wav(base, 8000))),
+            (2, bytearray(encode_wav(near, 8000))),
+            (3, bytearray(encode_wav(far, 8000))),
+        ],
+        "media_id long, payload binary",
+    )
+    pairs = {
+        (r["left_id"], r["right_id"]): r["hamming"]
+        for r in audio_dup_pairs(media, max_hamming=3).collect()
+    }
+    assert (1, 2) in pairs
+    assert (1, 3) not in pairs and (2, 3) not in pairs
