@@ -101,9 +101,11 @@ def skew_hybrid_join(
     This is the targeted remedy when AQE's skew splitting can't help
     (e.g. the skew is on the BUILD side of a future stage, or the join
     feeds a window keyed the same way). Union of the two branches is
-    row-identical to the plain join (asserted in tests). ``how``
-    supports 'inner' and 'left_semi'."""
-    if how not in ("inner", "left_semi"):
+    row-identical to the plain join (asserted in tests) — each left row
+    belongs to exactly one branch, so 'left'/'left_anti' compose
+    correctly too. ``how`` supports 'inner', 'left', 'left_semi' and
+    'left_anti'."""
+    if how not in ("inner", "left", "left_semi", "left_anti"):
         raise ValueError(f"unsupported how: {how!r}")
     from ftm_columnstore_spark.operators.sketches import cms_heavy_hitters
 

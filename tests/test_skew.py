@@ -202,7 +202,7 @@ def test_skew_hybrid_join_semi_and_no_hot(spark):
     import pytest as _pytest
 
     with _pytest.raises(ValueError, match="unsupported how"):
-        skew_hybrid_join(left, right, "k", how="left_anti")
+        skew_hybrid_join(left, right, "k", how="right")
 
 
 def test_skew_hybrid_join_hot_branch_broadcasts(spark):
@@ -220,3 +220,23 @@ def test_skew_hybrid_join_hot_branch_broadcasts(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "BroadcastHashJoin" in plan
+
+
+def test_skew_hybrid_join_left_and_anti(spark):
+    from ftm_columnstore_spark.functions.skew import skew_hybrid_join
+
+    left = spark.createDataFrame(
+        [(("hot" if i < 300 else f"k{i % 9}"), i) for i in range(360)],
+        ["k", "lv"],
+    )
+    right = spark.createDataFrame([("hot", 1), ("k1", 2)], ["k", "rv"])
+    for how in ("left", "left_anti"):
+        got = sorted(
+            tuple(r) for r in skew_hybrid_join(
+                left, right, "k", threshold=100, how=how
+            ).collect()
+        )
+        plain = sorted(
+            tuple(r) for r in left.join(right, "k", how).collect()
+        )
+        assert got == plain, how
