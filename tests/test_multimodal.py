@@ -173,3 +173,67 @@ def test_audio_dup_pairs_finds_near_duplicates(spark):
     }
     assert (1, 2) in pairs
     assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_image_ahash_fuzz_replay(spark):
+    """Random images: the operator hash equals the manual bit replay
+    for every one (exact-integer contract)."""
+    import numpy as np
+
+    from ftm_columnstore_spark.operators.codecs import encode_bmp
+    from ftm_columnstore_spark.operators.multimodal import image_ahash
+
+    rng = np.random.RandomState(77)
+    imgs = [
+        rng.randint(0, 256, size=(h, w, 3), dtype=np.uint8)
+        for h, w in [(8, 8), (16, 16), (12, 20), (9, 7)]
+    ]
+    media = spark.createDataFrame(
+        [(i, bytearray(encode_bmp(im))) for i, im in enumerate(imgs)],
+        "media_id long, payload binary",
+    )
+    got = {r["media_id"]: r["ahash"] for r in image_ahash(media).collect()}
+    for i, im in enumerate(imgs):
+        h, w = im.shape[:2]
+        ys = (np.arange(8) * h) // 8
+        xs = (np.arange(8) * w) // 8
+        cells = im[np.ix_(ys, xs)].astype(np.int64).sum(axis=-1)
+        total = int(cells.sum())
+        exp = 0
+        for j, v in enumerate(cells.flatten()):
+            if int(v) * 64 > total:
+                exp |= 1 << j
+        if exp >= 1 << 63:
+            exp -= 1 << 64
+        assert got[i] == exp, i
+
+
+def test_audio_ahash_odd_lengths(spark):
+    """Non-divisible sample counts: integer frame bounds still cover
+    every sample exactly once (replay equality)."""
+    import numpy as np
+
+    from ftm_columnstore_spark.operators.codecs import encode_wav
+    from ftm_columnstore_spark.operators.multimodal import audio_ahash
+
+    rng = np.random.RandomState(21)
+    for n in (64, 65, 100, 127, 130):
+        pcm = rng.randint(-500, 500, size=n).astype(np.int64)
+        media = spark.createDataFrame(
+            [(1, bytearray(encode_wav(pcm, 8000)))],
+            "media_id long, payload binary",
+        )
+        got = audio_ahash(media).collect()[0]["ahash"]
+        a = np.abs(pcm)
+        es = [
+            int(a[(i * n) // 64 : ((i + 1) * n) // 64].sum())
+            for i in range(64)
+        ]
+        tot = sum(es)
+        exp = 0
+        for i, e in enumerate(es):
+            if e * 64 > tot:
+                exp |= 1 << i
+        if exp >= 1 << 63:
+            exp -= 1 << 64
+        assert got == exp, n
