@@ -86,6 +86,7 @@ def skew_hybrid_join(
     d: int = 4,
     w: int = 4096,
     how: str = "inner",
+    max_hot_keys: int = 100,
 ) -> DataFrame:
     """Skew-aware equi-join: DETECT the hot keys with a Count-Min pass
     (``operators.sketches.cms_heavy_hitters`` — one bounded-state scan,
@@ -109,7 +110,14 @@ def skew_hybrid_join(
         raise ValueError(f"unsupported how: {how!r}")
     from ftm_columnstore_spark.operators.sketches import cms_heavy_hitters
 
-    hot_rows = cms_heavy_hitters(left, on, threshold, d=d, w=w).collect()
+    if max_hot_keys < 1:
+        raise ValueError(f"max_hot_keys must be >= 1, got {max_hot_keys}")
+    hot_rows = (
+        cms_heavy_hitters(left, on, threshold, d=d, w=w)
+        .orderBy(F.col("est_count").desc(), F.col(on))
+        .limit(max_hot_keys)
+        .collect()
+    )
     hot = [r[on] for r in hot_rows]
     if not hot:
         return left.join(right, on=on, how=how)
