@@ -306,6 +306,37 @@ def image_ahash(
     return media.select(id_col, payload_col).mapInPandas(batches, out_schema)
 
 
+def _fingerprint_pairs(
+    hashed, bands: int, max_hamming: int, max_bucket: int
+):
+    """64-bit fingerprint relation (media_id, ahash) → near-dup pairs:
+    chunk split + the shared SimHash pigeonhole join (one contract for
+    image and audio fingerprints)."""
+    from pyspark.sql import functions as F
+
+    from ftm_columnstore_spark.operators.dedup import (
+        _check_simhash_params,
+        hamming_pairs_from_chunks,
+    )
+
+    _check_simhash_params(bands, max_hamming)
+    width = 64 // bands
+    mask = (1 << width) - 1
+    chunks = hashed.select(
+        F.col("media_id").alias("id"),
+        *[
+            F.shiftrightunsigned("ahash", b * width)
+            .bitwiseAND(F.lit(mask))
+            .alias(f"c{b}")
+            for b in range(bands)
+        ],
+    ).persist()
+    chunks.count()
+    out = hamming_pairs_from_chunks(chunks, bands, max_hamming, max_bucket)
+    out._cached_intermediates = [chunks]
+    return out
+
+
 def image_dup_pairs(
     media: DataFrame,
     max_hamming: int = 3,
@@ -321,30 +352,9 @@ def image_dup_pairs(
     dedup path at 100 TB: hashing is one map-only decode pass, pairing
     never compares images, only 64-bit ints. Output:
     (left_id, right_id, hamming)."""
-    from pyspark.sql import functions as F
-
-    from ftm_columnstore_spark.operators.dedup import (
-        _check_simhash_params,
-        hamming_pairs_from_chunks,
+    return _fingerprint_pairs(
+        image_ahash(media, id_col, payload_col), bands, max_hamming, max_bucket
     )
-
-    _check_simhash_params(bands, max_hamming)
-    width = 64 // bands
-    mask = (1 << width) - 1
-    hashed = image_ahash(media, id_col, payload_col)
-    chunks = hashed.select(
-        F.col("media_id").alias("id"),
-        *[
-            F.shiftrightunsigned("ahash", b * width)
-            .bitwiseAND(F.lit(mask))
-            .alias(f"c{b}")
-            for b in range(bands)
-        ],
-    ).persist()
-    chunks.count()
-    out = hamming_pairs_from_chunks(chunks, bands, max_hamming, max_bucket)
-    out._cached_intermediates = [chunks]
-    return out
 
 
 def audio_ahash(
@@ -414,27 +424,6 @@ def audio_dup_pairs(
     """Near-duplicate audio pairs: :func:`audio_ahash` → 16-bit chunks →
     the shared SimHash pigeonhole join (same contract as
     :func:`image_dup_pairs`). Output: (left_id, right_id, hamming)."""
-    from pyspark.sql import functions as F
-
-    from ftm_columnstore_spark.operators.dedup import (
-        _check_simhash_params,
-        hamming_pairs_from_chunks,
+    return _fingerprint_pairs(
+        audio_ahash(media, id_col, payload_col), bands, max_hamming, max_bucket
     )
-
-    _check_simhash_params(bands, max_hamming)
-    width = 64 // bands
-    mask = (1 << width) - 1
-    hashed = audio_ahash(media, id_col, payload_col)
-    chunks = hashed.select(
-        F.col("media_id").alias("id"),
-        *[
-            F.shiftrightunsigned("ahash", b * width)
-            .bitwiseAND(F.lit(mask))
-            .alias(f"c{b}")
-            for b in range(bands)
-        ],
-    ).persist()
-    chunks.count()
-    out = hamming_pairs_from_chunks(chunks, bands, max_hamming, max_bucket)
-    out._cached_intermediates = [chunks]
-    return out
