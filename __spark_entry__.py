@@ -2716,12 +2716,13 @@ def a21_data_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order matters: the driver's CORRECTNESS run covers the first
-    # ~50 entries.  r01 verified the trailing block; r02 verified the 50
-    # entries that had no r01 row (CORRECTNESS_r02.json, all pass).  Round 3
-    # rotates the last 25 never-driver-checked entries (round-2 additions:
-    # j16-j18, d13-d15, t16-t20, v5/v10/v11, w5-w8, m6-m9, a21, x5, t9) to
-    # the front, followed by queries added in round 3, then the r02/r01
-    # blocks re-rotate through the remaining window slots.
+    # ~50 entries.  r01 verified the trailing block; r02 the 50 entries with
+    # no r01 row (all pass).  Round 3's window order: the 25 never-checked
+    # round-2 entries first, then the 17 round-3 additions (d16, v12-v14,
+    # a22-a26, t21-t24, j19, m10, m11) — 42 priority slots; the r02 block
+    # fills the rest.  ROUND 4: once CORRECTNESS_r03 lands green, rotate
+    # again — any entry that STILL lacks a driver row goes first, then
+    # round-4 additions, then the longest-unchecked verified blocks.
     return {
         # --- never driver-checked (round-2 additions) ---
         "j16_pagerank": j16_pagerank,

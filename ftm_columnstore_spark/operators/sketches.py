@@ -197,7 +197,9 @@ def cms_build(
     """Count-Min sketch of ``col``: ``d`` independent md5-salted hash
     rows × ``w`` cells, cell value = (weighted) occurrence count.
     Returns the bounded (j, cell, cnt) relation — ≤ d·w rows total, one
-    partial-aggregatable shuffle to build regardless of input size."""
+    partial-aggregatable shuffle to build regardless of input size.
+    ``weight_col`` values must be non-negative — the CMS
+    never-underestimates guarantee assumes monotone cell updates."""
     if d < 1 or w < 1:
         raise ValueError(f"d and w must be >= 1, got d={d}, w={w}")
     c = F.col(col)
