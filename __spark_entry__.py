@@ -2326,6 +2326,45 @@ def j17_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triangle_count(e)
 
 
+def j20_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4-core of the part co-purchase graph (operators/graph.py:k_core
+    — Seidman 1983): iterative degree-< k peel to the unique fixpoint,
+    one shuffle + localCheckpoint per round (the pagerank discipline).
+    Peeling is confluent, so the oracle's UNROLLED 8-round SQL replay
+    (the v11 pattern) matches exactly — measured convergence is ≤ 5
+    rounds at both driver SFs, and the engine raises rather than
+    return an unconverged answer."""
+    from ftm_columnstore_spark.operators.graph import k_core
+
+    e = _copurchase_edges(spark, sf_dir)
+    return k_core(e, k=4).orderBy("id")
+
+
+def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared part co-purchase edge relation (one order month) —
+    used by j17 (triangles) and j20 (k-core)."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    items = (
+        o.where(
+            (F.col("o_orderdate") >= "1995-03-01")
+            & (F.col("o_orderdate") <= "1995-03-31")
+        )
+        .join(li, o.o_orderkey == li.l_orderkey)
+        .select(
+            F.col("o_orderkey").alias("ok"), F.col("l_partkey").alias("p")
+        )
+        .distinct()
+    )
+    a = items.select("ok", F.col("p").alias("pa"))
+    b = items.select("ok", F.col("p").alias("pb"))
+    return (
+        a.join(b, on="ok")
+        .where(F.col("pa") < F.col("pb"))
+        .select(F.col("pa").alias("src"), F.col("pb").alias("dst"))
+    )
+
+
 def t15_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-rule quality gate (operators/text.py:quality_gate):
     token-count / word-length / alnum-ratio / stopword / repetition
@@ -2771,6 +2810,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "j19_skew_hybrid_join": j19_skew_hybrid_join,
         "m10_image_dup_pairs": m10_image_dup_pairs,
         "m11_audio_dup_pairs": m11_audio_dup_pairs,
+        "j20_k_core": j20_k_core,
         # --- verified green in CORRECTNESS_r02.json ---
         "a4_avg_via_dsl": a4_avg_via_dsl,
         "m2_fingerprint_freq": m2_fingerprint_freq,
@@ -3748,6 +3788,38 @@ def _v14_oracle() -> str:
           FROM adist
         ) WHERE rn <= 5
     """
+
+
+def _j20_oracle(k: int = 4, rounds: int = 8) -> str:
+    """Unrolled k-core peel (confluent → fixpoint-equal once converged;
+    measured ≤ 5 rounds at both SFs, 8 unrolled for margin)."""
+    base = """
+        WITH items AS (
+          SELECT DISTINCT o_orderkey AS ok, l_partkey AS p
+          FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+          WHERE o_orderdate >= DATE '1995-03-01'
+            AND o_orderdate <= DATE '1995-03-31'
+        ), e AS (
+          SELECT a.p AS a, b.p AS b FROM items a JOIN items b USING (ok)
+          WHERE a.p < b.p
+        ), e0 AS MATERIALIZED (
+          SELECT a, b FROM e UNION SELECT b, a FROM e
+        )"""
+    parts = [base]
+    for i in range(1, rounds + 1):
+        parts.append(f""", d{i} AS (
+          SELECT a, count(*) AS c FROM e{i - 1} GROUP BY a
+        ), k{i} AS MATERIALIZED (
+          SELECT a FROM d{i} WHERE c >= {k}
+        ), e{i} AS MATERIALIZED (
+          SELECT e.a, e.b FROM e{i - 1} e
+          JOIN k{i} ka ON e.a = ka.a
+          JOIN k{i} kb ON e.b = kb.a
+        )""")
+    parts.append(
+        f"\nSELECT DISTINCT a AS id FROM e{rounds} ORDER BY id"
+    )
+    return "".join(parts)
 
 
 def _a26_oracle(p: int = 8) -> str:
@@ -4966,6 +5038,7 @@ def oracle_sql() -> dict[str, str]:
         "v14_pq_knn_join": _v14_oracle(),
         "t23_leakage_free_split": _t23_oracle(),
         "a26_table_profile": _a26_oracle(),
+        "j20_k_core": _j20_oracle(),
         "m11_audio_dup_pairs": """
             WITH ids AS (
               SELECT doc_id AS id, (doc_id % 24) % 13 + 1 AS k

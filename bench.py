@@ -96,6 +96,7 @@ HEADLINE = [
     "j19_skew_hybrid_join",
     "m10_image_dup_pairs",
     "m11_audio_dup_pairs",
+    "j20_k_core",
 ]
 
 

@@ -296,3 +296,56 @@ def triangle_count(
         .otherwise(F.lit(0.0))
         .alias("clustering"),
     )
+
+
+def k_core(
+    edges: DataFrame,
+    k: int,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 50,
+) -> DataFrame:
+    """k-core decomposition membership: iteratively peel nodes whose
+    (undirected, deduplicated) degree is < ``k`` until none remain —
+    the classic cohesive-subgraph filter (Seidman 1983; the dense-core
+    extractor for entity graphs before expensive per-community work).
+
+    Distributed shape per round: one symmetric-closure degree agg +
+    one semi-join — the same one-shuffle-per-iteration +
+    localCheckpoint discipline as :func:`pagerank` (each round's
+    survivor set is materialized, cutting the iterative lineage).
+    Peeling is confluent: the fixpoint is unique regardless of
+    removal order, so the result is deterministic under any
+    partitioning, and any SQL replay of the same number of rounds
+    matches once converged (the v11 unrolled-iteration oracle
+    pattern). Raises if ``max_iter`` rounds don't converge — a bounded
+    answer that silently isn't the k-core is worse than an error.
+
+    Output: (id,) — the nodes of the k-core (possibly empty)."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if max_iter < 1:
+        raise ValueError(f"max_iter must be >= 1, got {max_iter}")
+    e = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    sym = e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    cur = sym.localCheckpoint()
+    for _ in range(max_iter):
+        deg = cur.groupBy("a").agg(F.count(F.lit(1)).alias("d"))
+        keep = deg.where(F.col("d") >= k).select("a")
+        nxt = (
+            cur.join(keep, on="a", how="left_semi")
+            .join(
+                keep.select(F.col("a").alias("b")), on="b", how="left_semi"
+            )
+            .localCheckpoint()
+        )
+        if nxt.count() == cur.count():
+            return cur.select(F.col("a").alias("id")).distinct()
+        cur = nxt
+    raise RuntimeError(
+        f"k_core did not converge within {max_iter} rounds"
+    )

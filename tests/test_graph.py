@@ -119,3 +119,53 @@ def test_triangle_count_no_triangles(spark):
     assert all(r["triangles"] == 0 for r in out.values())
     assert out["hub"]["degree"] == 5 and out["hub"]["clustering"] == 0.0
     assert out["leaf0"]["clustering"] == 0.0  # degree 1 -> defined as 0
+
+
+def _k_core_py(edges, k):
+    from collections import defaultdict
+
+    adj = defaultdict(set)
+    for a, b in edges:
+        if a != b:
+            adj[a].add(b)
+            adj[b].add(a)
+    changed = True
+    while changed:
+        changed = False
+        for n in list(adj):
+            if len(adj[n]) < k:
+                for m in adj.pop(n):
+                    adj[m].discard(n)
+                changed = True
+    return set(adj)
+
+
+def test_k_core_matches_python_replay(spark):
+    import random
+
+    from ftm_columnstore_spark.operators.graph import k_core
+
+    rng = random.Random(13)
+    edges = list({
+        tuple(sorted((rng.randrange(40), rng.randrange(40))))
+        for _ in range(120)
+    })
+    edges = [(a, b) for a, b in edges if a != b]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    for k in (2, 3, 4):
+        got = {r["id"] for r in k_core(df, k).collect()}
+        assert got == _k_core_py(edges, k), k
+
+
+def test_k_core_known_graph(spark):
+    from ftm_columnstore_spark.operators.graph import k_core
+
+    # triangle (1,2,3) + a pendant 4 and an isolated edge 5-6
+    edges = [(1, 2), (2, 3), (1, 3), (3, 4), (5, 6)]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    assert {r["id"] for r in k_core(df, 2).collect()} == {1, 2, 3}
+    assert k_core(df, 3).collect() == []
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="k must"):
+        k_core(df, 0)
