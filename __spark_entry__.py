@@ -2303,27 +2303,7 @@ def j17_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     triangles."""
     from ftm_columnstore_spark.operators.graph import triangle_count
 
-    o = _t(spark, sf_dir, "orders")
-    li = _t(spark, sf_dir, "lineitem")
-    items = (
-        o.where(
-            (F.col("o_orderdate") >= "1995-03-01")
-            & (F.col("o_orderdate") <= "1995-03-31")
-        )
-        .join(li, o.o_orderkey == li.l_orderkey)
-        .select(
-            F.col("o_orderkey").alias("ok"), F.col("l_partkey").alias("p")
-        )
-        .distinct()
-    )
-    a = items.select("ok", F.col("p").alias("pa"))
-    b = items.select("ok", F.col("p").alias("pb"))
-    e = (
-        a.join(b, on="ok")
-        .where(F.col("pa") < F.col("pb"))
-        .select(F.col("pa").alias("src"), F.col("pb").alias("dst"))
-    )
-    return triangle_count(e)
+    return triangle_count(_copurchase_edges(spark, sf_dir))
 
 
 def j20_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
