@@ -3818,7 +3818,7 @@ def _a26_oracle(p: int = 8) -> str:
     h = "('0x'||substr(md5(v),1,15))::BIGINT"
     return f"""
         WITH vals AS ({stack}), keyed AS (
-          SELECT c,
+          SELECT c, v,
                  CASE WHEN v IS NULL THEN -1 ELSE {h} % {m} END AS idx,
                  CASE WHEN v IS NULL THEN 0
                       WHEN {h} // {m} > 0
@@ -3826,7 +3826,8 @@ def _a26_oracle(p: int = 8) -> str:
                       ELSE {maxbits + 1} END AS rho
           FROM vals
         ), regs AS (
-          SELECT c, idx, max(rho) AS rho, count(*) AS cnt
+          SELECT c, idx, max(rho) AS rho, count(*) AS cnt,
+                 min(v) AS vmin, max(v) AS vmax
           FROM keyed GROUP BY c, idx
         ), agg AS (
           SELECT c,
@@ -3835,10 +3836,12 @@ def _a26_oracle(p: int = 8) -> str:
                  count(CASE WHEN idx >= 0 THEN 1 END) AS n,
                  coalesce(sum(CASE WHEN idx < 0 THEN cnt END), 0) AS n_nulls,
                  coalesce(sum(CASE WHEN idx >= 0 THEN cnt END), 0)
-                   AS n_values
+                   AS n_values,
+                 min(CASE WHEN idx >= 0 THEN vmin END) AS min_value,
+                 max(CASE WHEN idx >= 0 THEN vmax END) AS max_value
           FROM regs GROUP BY c
         ), est AS (
-          SELECT c, n_values, n_nulls,
+          SELECT c, n_values, n_nulls, min_value, max_value,
                  {alpha_num!r} / CAST(coalesce(s, 0)
                      + ({m} - n) * (1::BIGINT << {sp}) AS DOUBLE) AS raw,
                  CAST({m} - n AS DOUBLE) AS vv
@@ -3851,7 +3854,8 @@ def _a26_oracle(p: int = 8) -> str:
                     ELSE CAST(floor(CASE WHEN raw <= {2.5 * m!r} AND vv > 0
                                     THEN {float(m)!r} * ln({float(m)!r} / vv)
                                     ELSE raw END + 0.5) AS BIGINT) END
-               AS n_distinct_est
+               AS n_distinct_est,
+               min_value, max_value
         FROM est
     """
 

@@ -326,11 +326,15 @@ def profile_columns(
     p: int = 8,
 ) -> DataFrame:
     """Full one-pass column profile: (column, n_values, n_nulls,
-    n_distinct_est) for every profiled column from a SINGLE stacked
-    scan + one register aggregation — nulls ride along as a sentinel
-    register (idx = -1) carrying their count, so null statistics cost
-    no extra pass and never pollute the HLL estimate. The Deequ-style
-    table profile at 100 TB: one map-only scan, state ≤
+    n_distinct_est, min_value, max_value) for every profiled column
+    from a SINGLE stacked scan + one register aggregation — nulls ride
+    along as a sentinel register (idx = -1) carrying their count, so
+    null statistics cost no extra pass and never pollute the HLL
+    estimate; min/max ride the registers too (min of per-register
+    minima is the exact global min). Values are compared as STRINGS
+    (the stacked representation), so numeric columns get lexicographic
+    bounds — exact-typed extrema belong to a per-column agg. The
+    Deequ-style table profile at 100 TB: one map-only scan, state ≤
     len(cols)·(2^p + 1) rows."""
     if not 4 <= p <= 16:
         raise ValueError(f"p must be in [4, 16], got {p}")
@@ -357,6 +361,7 @@ def profile_columns(
     h = _md5_60bit(F.col("value"))
     keyed = stacked.select(
         "column",
+        "value",
         F.when(F.col("value").isNull(), F.lit(-1))
         .otherwise(F.pmod(h, F.lit(m)))
         .alias("reg_idx"),
@@ -383,7 +388,10 @@ def profile_columns(
         .alias("reg_rho"),
     )
     regs = keyed.groupBy("column", "reg_idx").agg(
-        F.max("reg_rho").alias("reg_rho"), F.count(F.lit(1)).alias("cnt")
+        F.max("reg_rho").alias("reg_rho"),
+        F.count(F.lit(1)).alias("cnt"),
+        F.min("value").alias("vmin"),
+        F.max("value").alias("vmax"),
     )
     nonnull = F.col("reg_idx") >= 0
     agg = regs.groupBy("column").agg(
@@ -402,6 +410,8 @@ def profile_columns(
         F.coalesce(
             F.sum(F.when(nonnull, F.col("cnt"))), F.lit(0)
         ).alias("n_values"),
+        F.min(F.when(nonnull, F.col("vmin"))).alias("min_value"),
+        F.max(F.when(nonnull, F.col("vmax"))).alias("max_value"),
     )
     s_total = F.coalesce(F.col("__s"), F.lit(0)) + (
         F.lit(m) - F.col("__n")
@@ -422,4 +432,6 @@ def profile_columns(
         .otherwise(F.floor(est + F.lit(0.5)))
         .cast("long")
         .alias("n_distinct_est"),
+        "min_value",
+        "max_value",
     )

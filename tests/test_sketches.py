@@ -320,6 +320,13 @@ def test_profile_columns_counts_and_estimates(spark):
     n_null = sum(1 for _, k, _ in rows if k is None)
     assert got["k"][0] == 400 - n_null and got["k"][1] == n_null
     assert got["g"] == (400, 0, 3)
+    mm = {
+        r["column"]: (r["min_value"], r["max_value"])
+        for r in profile_columns(df, ["k", "g"], p=8).collect()
+    }
+    ks = sorted(k for _, k, _ in rows if k is not None)
+    assert mm["k"] == (ks[0], ks[-1])
+    assert mm["g"] == ("g0", "g2")
     # the estimate must agree with the nulls-dropped profiler exactly
     base = {
         r["column"]: r["n_distinct_est"]
@@ -333,7 +340,10 @@ def test_profile_columns_all_null_column(spark):
 
     df = spark.createDataFrame([(1, None), (2, None)], "i int, k string")
     got = {
-        r["column"]: (r["n_values"], r["n_nulls"], r["n_distinct_est"])
+        r["column"]: (
+            r["n_values"], r["n_nulls"], r["n_distinct_est"],
+            r["min_value"], r["max_value"],
+        )
         for r in profile_columns(df, ["k"], p=6).collect()
     }
-    assert got["k"] == (0, 2, 0)
+    assert got["k"] == (0, 2, 0, None, None)
