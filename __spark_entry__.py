@@ -1273,7 +1273,12 @@ def j19_skew_hybrid_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         j.groupBy("o_orderpriority")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.sum("l_extendedprice"), 2).alias("revenue"),
+            # decimal sum (house convention): double addition is
+            # order-dependent, and partial-agg order vs DuckDB can flip
+            # round(x, 2) on a .005 boundary
+            F.round(_dsum(F.col("l_extendedprice")), 2)
+            .cast("double")
+            .alias("revenue"),
         )
     )
 
@@ -2310,14 +2315,15 @@ def j20_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
     """4-core of the part co-purchase graph (operators/graph.py:k_core
     — Seidman 1983): iterative degree-< k peel to the unique fixpoint,
     one shuffle + localCheckpoint per round (the pagerank discipline).
-    Peeling is confluent, so the oracle's UNROLLED 8-round SQL replay
+    Peeling is confluent, so the oracle's UNROLLED 16-round SQL replay
     (the v11 pattern) matches exactly — measured convergence is ≤ 5
-    rounds at both driver SFs, and the engine raises rather than
-    return an unconverged answer."""
+    rounds at both driver SFs, and ``max_iter=16`` makes the engine
+    RAISE past the oracle's unroll depth rather than let a correct
+    deeper answer hash-mismatch a too-shallow replay."""
     from ftm_columnstore_spark.operators.graph import k_core
 
     e = _copurchase_edges(spark, sf_dir)
-    return k_core(e, k=4).orderBy("id")
+    return k_core(e, k=4, max_iter=16).orderBy("id")
 
 
 def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3770,9 +3776,13 @@ def _v14_oracle() -> str:
     """
 
 
-def _j20_oracle(k: int = 4, rounds: int = 8) -> str:
+def _j20_oracle(k: int = 4, rounds: int = 16) -> str:
     """Unrolled k-core peel (confluent → fixpoint-equal once converged;
-    measured ≤ 5 rounds at both SFs, 8 unrolled for margin)."""
+    measured ≤ 5 rounds at both SFs, 16 unrolled for margin — post-
+    convergence rounds are identity, and the extra CTEs peel shrinking
+    edge sets, so the margin is nearly free). The j20 entry caps the
+    engine at max_iter=16 so a dataset needing MORE rounds raises on
+    the engine side instead of silently diverging from this replay."""
     base = """
         WITH items AS (
           SELECT DISTINCT o_orderkey AS ok, l_partkey AS p
@@ -5073,7 +5083,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "j19_skew_hybrid_join": """
             SELECT o_orderpriority, count(*) AS n,
-                   round(sum(l_extendedprice), 2) AS revenue
+                   CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,6))), 2)
+                        AS DOUBLE) AS revenue
             FROM lineitem JOIN orders ON l_orderkey = o_orderkey
             GROUP BY o_orderpriority
         """,

@@ -104,8 +104,11 @@ def skew_hybrid_join(
     feeds a window keyed the same way). Union of the two branches is
     row-identical to the plain join (asserted in tests) — each left row
     belongs to exactly one branch, so 'left'/'left_anti' compose
-    correctly too. ``how`` supports 'inner', 'left', 'left_semi' and
-    'left_anti'."""
+    correctly too. NULL join keys route through the COLD branch
+    explicitly (``isNull() | ~isin(hot)``): a bare ``~isin`` evaluates
+    to NULL for NULL keys and would silently drop such rows from BOTH
+    branches, breaking 'left'/'left_anti' parity with the plain join.
+    ``how`` supports 'inner', 'left', 'left_semi' and 'left_anti'."""
     if how not in ("inner", "left", "left_semi", "left_anti"):
         raise ValueError(f"unsupported how: {how!r}")
     from ftm_columnstore_spark.operators.sketches import cms_heavy_hitters
@@ -121,7 +124,10 @@ def skew_hybrid_join(
     hot = [r[on] for r in hot_rows]
     if not hot:
         return left.join(right, on=on, how=how)
-    l_cold = left.filter(~F.col(on).isin(hot))
+    # null-safe cold routing: NULL keys never equi-match, but a plain
+    # left/left_anti join KEEPS the left row — so they must land in the
+    # cold branch, not vanish into the NULL of ~isin
+    l_cold = left.filter(F.col(on).isNull() | ~F.col(on).isin(hot))
     l_hot = left.filter(F.col(on).isin(hot))
     r_cold = right.filter(~F.col(on).isin(hot))
     r_hot = right.filter(F.col(on).isin(hot))

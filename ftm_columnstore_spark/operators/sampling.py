@@ -426,6 +426,7 @@ def sample_quantiles(
     rate: float = 1.0,
     id_col: str = "doc_id",
     seed: str = "",
+    max_sample_rows: int = 5_000_000,
 ) -> DataFrame:
     """Deterministic sample-based quantiles — the scale path for
     distribution profiling: exact quantiles need a global sort of the
@@ -437,18 +438,33 @@ def sample_quantiles(
     Quantile rule: type-1 / lower nearest-rank — the value at row
     ``max(1, ceil(p·n))`` of the sample ordered by (value, hash-key) —
     pure integer rank arithmetic, no interpolation, hence replayable in
-    any SQL engine verbatim. Sampling error ~ O(1/sqrt(rate·N));
-    ``rate=1.0`` degrades gracefully to exact type-1 quantiles.
+    any SQL engine verbatim. Sampling error ~ O(1/sqrt(rate·N)).
+
+    Reducer bound: the rank window is ONE sort of the sample through a
+    single partition — fine exactly because the sample is bounded.
+    ``rate=1.0`` (exact type-1 quantiles) therefore only runs when the
+    input fits ``max_sample_rows`` (one count job checks); a larger
+    input raises with the rate to pass instead — an exact answer that
+    funnels 100 TB through one reducer is the failure mode
+    :func:`take_budget` exists to avoid, and this operator refuses to
+    reproduce it silently. With ``rate < 1.0`` the caller owns the
+    bound: expected sample = rate·N (no count job is spent policing
+    it). For a one-pass mergeable alternative at unbounded scale use
+    ``percentile_approx``.
 
     Plan shape: threshold filter (map-only) → one sort of the sample
-    (bounded by rate) → rank filter. Output: (prob, value), one row per
-    requested quantile."""
+    (bounded as above) → rank filter. Output: (prob, value), one row
+    per requested quantile."""
     if not probs:
         raise ValueError("probs must be non-empty")
     if not all(0.0 < p <= 1.0 for p in probs):
         raise ValueError(f"probs must be in (0, 1], got {probs}")
     if not 0.0 < rate <= 1.0:
         raise ValueError(f"rate must be in (0, 1], got {rate}")
+    if max_sample_rows < 1:
+        raise ValueError(
+            f"max_sample_rows must be >= 1, got {max_sample_rows}"
+        )
     from pyspark.sql import Window
 
     key = hash_key_col(id_col, seed)
@@ -457,6 +473,16 @@ def sample_quantiles(
     )
     if rate < 1.0:
         sample = sample.where(F.col("__k") < F.lit(_hex_threshold(rate)))
+    else:
+        n_in = sample.count()
+        if n_in > max_sample_rows:
+            raise ValueError(
+                f"rate=1.0 would sort {n_in} rows through one reducer "
+                f"(max_sample_rows={max_sample_rows}); pass rate<="
+                f"{max_sample_rows / n_in:.6f} for sampled quantiles "
+                "or use percentile_approx for a mergeable exact-ish "
+                "sketch"
+            )
     w = Window.orderBy(F.col("value"), F.col("__k"))
     ranked = sample.select(
         "value",
@@ -471,8 +497,11 @@ def sample_quantiles(
     pdf = spark.createDataFrame(
         [(float(p),) for p in sorted(probs)], "prob double"
     )
+    # rank arithmetic in LONG: ceil(p·n) cast to int overflows past
+    # ~2.1B sample rows and silently empties the result
     target = F.greatest(
-        F.lit(1), F.ceil(F.col("prob") * F.col("__n")).cast("int")
+        F.lit(1).cast("long"),
+        F.ceil(F.col("prob") * F.col("__n")).cast("long"),
     )
     return (
         ranked.crossJoin(F.broadcast(pdf))
@@ -551,11 +580,12 @@ def take_budget(
 
 def split_by_cluster(
     df: DataFrame,
-    clusters: DataFrame,
+    clusters: DataFrame | None,
     weights: dict[str, float],
     id_col: str = "doc_id",
     cluster_col: str = "cluster_id",
     seed: str = "",
+    text_col: str = "text",
 ) -> DataFrame:
     """Leakage-free train/val/test split: hash the near-dup CLUSTER id
     instead of the document id, so every member of a duplicate cluster
@@ -568,7 +598,19 @@ def split_by_cluster(
     documents without a label fall back to their own id (singleton =
     its own cluster). Same md5-threshold contract as
     :func:`split_by_hash` — deterministic, engine-reproducible; one
-    co-partitioned join on the id."""
+    co-partitioned join on the id.
+
+    Pass the cluster relation you already computed (the pipeline's d16
+    output — ``persist()`` it if both dedup and this split consume it,
+    so LSH+CC runs ONCE); ``clusters=None`` computes default
+    ``minhash_clusters(df)`` labels over ``text_col`` as a
+    convenience."""
+    if clusters is None:
+        from ftm_columnstore_spark.operators.dedup import minhash_clusters
+
+        clusters = minhash_clusters(
+            df.select(id_col, text_col), text_col=text_col, id_col=id_col
+        )
     labeled = df.join(
         clusters.select(
             F.col(id_col), F.col(cluster_col).alias("__cluster")

@@ -157,6 +157,29 @@ def analyze_documents(
     )
 
 
+#: broadcast bound for the distinct-bigram count relation: ~5M rows of
+#: (w1, w2, count) is a few hundred MB serialized — comfortably inside
+#: Spark's broadcast limit while leaving driver headroom.
+_C2_BROADCAST_ROWS = 5_000_000
+
+
+def _gate_c2(c2: DataFrame, vocab_size: int) -> DataFrame:
+    """Build-side guard for the distinct-bigram relation: unlike c1
+    (vocabulary-bounded), c2 grows ~with the corpus (Heaps' law), so a
+    forced broadcast can exceed the broadcast limit / driver memory on
+    a corpus this operator's docstring claims to survive. Broadcast
+    only when provably or measurably small (vocab² bound skips the
+    count job for small vocabularies); otherwise pin c2 as the BUILD
+    side of a shuffled hash join — the stream side must never be the
+    corpus-sized bigram relation (the measured 119s inversion)."""
+    if (
+        vocab_size * vocab_size <= _C2_BROADCAST_ROWS
+        or c2.count() <= _C2_BROADCAST_ROWS
+    ):
+        return F.broadcast(c2)
+    return c2.hint("shuffle_hash")
+
+
 def _bigram_rows(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """(id, w1, w2) — one row per consecutive token pair, derived
     NARROWLY: the token array sliced into positions [1..n-1] and
@@ -208,19 +231,22 @@ def bigram_lm_scores(
         F.log(F.col("c1").cast("double") + F.lit(float(k) * vocab_size))
         - F.log(F.col("c2").cast("double") + F.lit(float(k)))
     ) / F.log(F.lit(2.0))
-    # EXPLICIT broadcast of the vocabulary-bounded count relations:
-    # Catalyst's size estimate downstream of explode+join is unreliable
-    # enough that it chose BuildLeft here — broadcasting the CORPUS-
-    # sized bigram stream and probing it with the 31-row c1 (measured
-    # 119s vs 13s for a 27M-bigram corpus). The hint declares what the
-    # docstring promises: the count relations are the broadcast side.
+    # EXPLICIT build-side control on the count relations: Catalyst's
+    # size estimate downstream of explode+join is unreliable enough
+    # that it chose BuildLeft here — broadcasting the CORPUS-sized
+    # bigram stream and probing it with the 31-row c1 (measured 119s
+    # vs 13s for a 27M-bigram corpus). c1 is vocabulary-bounded →
+    # always broadcast; c2 is the DISTINCT-BIGRAM relation, which
+    # grows with the corpus (Heaps' law), so it is broadcast only
+    # below a row bound and otherwise becomes the BUILD side of a
+    # shuffled hash join (_gate_c2 — never the stream side).
     #
     # bits is PROJECTED before the aggregate: avg(<log expression>)
     # inline evaluates the expression on the interpreted path inside
     # the agg (measured 178s vs 17s over 27M bigrams); avg over a
     # projected column stays in whole-stage codegen.
     return (
-        big.join(F.broadcast(c2), on=["w1", "w2"])
+        big.join(_gate_c2(c2, vocab_size), on=["w1", "w2"])
         .join(F.broadcast(c1), on="w1")
         .withColumn("__bits", bits)
         .groupBy("id")
@@ -667,10 +693,11 @@ def score_with_bigram_lm(
     (id, n_bigrams, bits_per_bigram)."""
     c2, c1, vocab_size = lm
     big = _bigram_rows(df, text_col, id_col)
-    # explicit broadcast — same build-side-inversion guard as
-    # bigram_lm_scores (the trained LM is vocabulary-bounded by design)
+    # same build-side guard as bigram_lm_scores: c1 is vocabulary-
+    # bounded (always broadcast); c2 grows with the REFERENCE corpus,
+    # so its broadcast is gated behind a row bound (_gate_c2)
     joined = (
-        big.join(F.broadcast(c2), on=["w1", "w2"], how="left")
+        big.join(_gate_c2(c2, vocab_size), on=["w1", "w2"], how="left")
         .join(F.broadcast(c1), on="w1", how="left")
         .withColumn("__c2", F.coalesce("c2", F.lit(0)))
         .withColumn("__c1", F.coalesce("c1", F.lit(0)))

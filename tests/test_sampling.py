@@ -345,6 +345,25 @@ def test_sample_quantiles_rate1_is_exact_type1(spark):
     assert got == {0.5: 5, 1.0: 10}
 
 
+def test_sample_quantiles_exact_mode_is_bounded(spark):
+    """rate=1.0 funnels the whole column through one reducer, so it
+    REFUSES inputs beyond max_sample_rows (with the rate to pass
+    instead) rather than silently running a global single-partition
+    sort — and still works when the input fits the bound."""
+    from ftm_columnstore_spark.operators.sampling import sample_quantiles
+
+    df = spark.createDataFrame([(i, i) for i in range(100)], ["doc_id", "v"])
+    with pytest.raises(ValueError, match="one reducer"):
+        sample_quantiles(df, "v", [0.5], rate=1.0, max_sample_rows=50)
+    got = {
+        r["prob"]: r["value"]
+        for r in sample_quantiles(
+            df, "v", [0.5], rate=1.0, max_sample_rows=100
+        ).collect()
+    }
+    assert got == {0.5: 49}
+
+
 def test_sample_quantiles_accuracy(spark):
     """A 25% sample's median of uniform data lands near the true one."""
     from ftm_columnstore_spark.operators.sampling import sample_quantiles
@@ -474,3 +493,18 @@ def test_split_by_cluster_keeps_near_dups_together(spark):
     }
     for i in range(150, 200):
         assert rows[i] == solo[i]
+
+
+def test_split_by_cluster_auto_clusters(spark):
+    """clusters=None computes minhash_clusters(df) internally — exact
+    duplicate texts must land in one split."""
+    from ftm_columnstore_spark.operators.sampling import split_by_cluster
+
+    dup_text = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [(i, dup_text) for i in range(6)]
+    rows += [(100 + i, f"unique document body number {i} " * 3) for i in range(30)]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = split_by_cluster(docs, None, {"train": 0.5, "test": 0.5})
+    got = {r["doc_id"]: r["split"] for r in out.collect()}
+    assert len(got) == 36
+    assert len({got[i] for i in range(6)}) == 1

@@ -240,3 +240,34 @@ def test_skew_hybrid_join_left_and_anti(spark):
             tuple(r) for r in left.join(right, "k", how).collect()
         )
         assert got == plain, how
+
+
+def test_skew_hybrid_join_null_keys_survive(spark):
+    """NULL join keys must behave exactly like the plain join: dropped
+    by inner/semi, KEPT by left/left_anti (a bare ~isin(hot) predicate
+    evaluates to NULL for them and silently drops them from both
+    branches — the regression this test pins)."""
+    from ftm_columnstore_spark.functions.skew import skew_hybrid_join
+
+    rows = [(("hot" if i < 300 else f"k{i % 9}"), i) for i in range(360)]
+    rows += [(None, 9001), (None, 9002)]
+    left = spark.createDataFrame(rows, "k string, lv int")
+    right = spark.createDataFrame([("hot", 1), ("k1", 2)], ["k", "rv"])
+    key = lambda t: tuple((x is None, x) for x in t)  # noqa: E731
+    for how in ("inner", "left", "left_semi", "left_anti"):
+        got = sorted(
+            (
+                tuple(r)
+                for r in skew_hybrid_join(
+                    left, right, "k", threshold=100, how=how
+                ).collect()
+            ),
+            key=key,
+        )
+        plain = sorted(
+            (tuple(r) for r in left.join(right, "k", how).collect()),
+            key=key,
+        )
+        assert got == plain, how
+        if how in ("left", "left_anti"):
+            assert (None, 9001) in {(g[0], g[1]) for g in got}, how
