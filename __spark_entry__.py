@@ -1129,17 +1129,29 @@ def v4_embedding_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def v5_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ftm_columnstore_spark.operators.similarity import ivf_topk
+def v5_ivf_trained_deep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trained portable IVF at DIFFERENT hyperparameters from v11
+    (8 coarse centroids, THREE integer-Lloyd iterations, 3 probes) —
+    exercises multi-iteration convergence and the small-centroid/low-
+    probe regime through the same exact-arithmetic machinery, so the
+    v11 unrolled-CTE oracle applies verbatim with these params.
+    (Replaces the permanently rows-only float-k-means entry: float
+    Lloyd training is inherently non-SQL, and its serve path is
+    pytest-covered via test_similarity + the v10 recall harness —
+    VERDICT r3 item 1b.)"""
+    from ftm_columnstore_spark.operators.similarity import (
+        ivf_topk_portable,
+        kmeans_centroids_portable,
+    )
 
     e = _t(spark, sf_dir, "embeddings")
+    corpus = e.filter(F.col("vec_id") != 0)
     qvec = [
         float(x)
         for x in e.filter(F.col("vec_id") == 0).collect()[0]["embedding"]
     ]
-    return ivf_topk(
-        e.filter(F.col("vec_id") != 0), qvec, k=20, n_centroids=16, n_probe=6
-    )
+    cents = kmeans_centroids_portable(corpus, n_centroids=8, iterations=3)
+    return ivf_topk_portable(corpus, qvec, k=12, n_probe=3, centroids=cents)
 
 
 def v6_ann_topk_numpy(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1154,16 +1166,117 @@ def v6_ann_topk_numpy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return brute_force_topk_np(e.filter(F.col("vec_id") != 0), qvec, k=20)
 
 
+#: Golden phonetic keys for every distinct part/region name across the
+#: three driver SFs (the token vocabulary is fixed: 8 adjectives × 8
+#: nouns + 5 regions). soundex values come from an INDEPENDENT pure-
+#: Python implementation of the published US-census algorithm (verified
+#: against the classic vectors: Robert→R163, Tymczak→T522,
+#: Pfister→P236, Ashcraft→A261, Honeyman→H555 — and cross-checked
+#: equal to Spark's builtin on all probes); metaphone values come from
+#: the repo's Double Metaphone port, whose per-algorithm ground truth
+#: is the 78 published golden vectors in tests/test_double_metaphone.py
+#: — so the driver compare pins the DISPATCHER plumbing (tokenize →
+#: per-element encode → serialization) against fixed expectations.
+_X5_GOLDEN: dict[str, tuple[str, str]] = {
+    "AFRICA": ("A162", "AFRK"),
+    "AMERICA": ("A562", "AMRK"),
+    "ASIA": ("A200", "AS"),
+    "EUROPE": ("E610", "ARP"),
+    "MIDDLE EAST": ("E235|M340", "ASTMTL|MTL"),
+    "blue anvil": ("A514", "ANFLPL"),
+    "blue bolt": ("B414", "PLPLT"),
+    "blue gear": ("B426", "PLJR"),
+    "blue gizmo": ("B422", "PLJSM"),
+    "blue plate": ("B414", "PLPLT"),
+    "blue ring": ("B465", "PLRNK"),
+    "blue rod": ("B463", "PLRT"),
+    "blue widget": ("B432|W323", "PLJT|AJT"),
+    "cold anvil": ("A514", "ANFLKLT"),
+    "cold bolt": ("B432", "PLTKLT"),
+    "cold gear": ("C432", "KLTJR"),
+    "cold gizmo": ("C432", "KLTJSM"),
+    "cold plate": ("C431", "KLTPLT"),
+    "cold ring": ("C436", "KLTRNK"),
+    "cold rod": ("C436", "KLTRT"),
+    "cold widget": ("C433|W323", "KLTJT|AJT"),
+    "hot anvil": ("A514", "ANFLT"),
+    "hot bolt": ("B433", "PLTT"),
+    "hot gear": ("G630", "JRT"),
+    "hot gizmo": ("G253", "JSMT"),
+    "hot plate": ("H314", "HTPLT"),
+    "hot ring": ("H365", "HTRNK"),
+    "hot rod": ("H363", "HTRT"),
+    "hot widget": ("H332|W323", "HTJT|AJT"),
+    "large anvil": ("A514", "ANFLLRJ"),
+    "large bolt": ("B434", "PLTLRJ"),
+    "large gear": ("G646", "JRLRJ"),
+    "large gizmo": ("G254", "JSMLRJ"),
+    "large plate": ("L621", "LRJPLT"),
+    "large ring": ("L626", "LRJRNK"),
+    "large rod": ("L626", "LRJRT"),
+    "large widget": ("L623|W323", "LRJJT|AJT"),
+    "new anvil": ("A514", "ANFLN"),
+    "new bolt": ("B435", "PLTN"),
+    "new gear": ("G650", "JRN"),
+    "new gizmo": ("G255", "JSMN"),
+    "new plate": ("N143", "NPLT"),
+    "new ring": ("N652", "NRNK"),
+    "new rod": ("N630", "NRT"),
+    "new widget": ("N323|W323", "NJT|AJT"),
+    "old anvil": ("A514", "ANFLLT"),
+    "old bolt": ("B434", "PLTLT"),
+    "old gear": ("G643", "JRLT"),
+    "old gizmo": ("G254", "JSMLT"),
+    "old plate": ("O431", "ALTPLT"),
+    "old ring": ("O436", "ALTRNK"),
+    "old rod": ("O436", "ALTRT"),
+    "old widget": ("O433|W323", "ALTJT|AJT"),
+    "red anvil": ("A514", "ANFLRT"),
+    "red bolt": ("B436", "PLTRT"),
+    "red gear": ("G663", "JRRT"),
+    "red gizmo": ("G256", "JSMRT"),
+    "red plate": ("P436", "PLTRT"),
+    "red ring": ("R365", "RTRNK"),
+    "red rod": ("R363", "RTRT"),
+    "red widget": ("R332|W323", "RTJT|AJT"),
+    "small anvil": ("A514", "ANFLSML"),
+    "small bolt": ("B432", "PLTSML"),
+    "small gear": ("G625", "JRSML"),
+    "small gizmo": ("G252", "JSMSML"),
+    "small plate": ("P432", "PLTSML"),
+    "small ring": ("R522", "RNKSML"),
+    "small rod": ("R325", "RTSML"),
+    "small widget": ("S543|W323", "SMLJT|AJT"),
+}
+
+
 def x5_phonetic_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3/X4/X5 phonetic dispatcher end-to-end
+    (functions/phonetics.py:phonetics_col): distinct part + region
+    names → tokenize ({fingerprint} ∪ {len>5 tokens}) → per-element
+    soundex (Spark builtin) and double-metaphone (Arrow UDF), each
+    array SERIALIZED via concat_ws('|') so the driver's pandas
+    canonicalizer can hash the rows (r03's array<string> output crashed
+    its lexsort — unhashable list). Oracle: the same name set derived
+    in SQL, LEFT-joined to the independently computed golden map
+    (``_X5_GOLDEN``) — a name missing from the map surfaces as a NULL
+    hash mismatch, never a silently dropped row."""
     from ftm_columnstore_spark.functions.phonetics import phonetics_col
 
-    # deterministic subset (filter, not LIMIT: unordered LIMIT may pick
-    # different rows across runs)
-    c = _t(spark, sf_dir, "customer").filter(F.col("c_custkey") <= 200)
-    return c.select(
-        "c_custkey",
-        phonetics_col("c_name", "soundex").alias("soundex"),
-        phonetics_col("c_name", "metaphone1").alias("metaphone"),
+    names = (
+        _t(spark, sf_dir, "part")
+        .select(F.col("p_name").alias("name"))
+        .unionByName(
+            _t(spark, sf_dir, "region").select(F.col("r_name").alias("name"))
+        )
+        .distinct()
+    )
+    return names.select(
+        "name",
+        F.concat_ws("|", phonetics_col("name", "soundex")).alias("soundex"),
+        F.concat_ws("|", phonetics_col("name", "metaphone1")).alias(
+            "metaphone"
+        ),
     )
 
 def d3_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2048,13 +2161,45 @@ def d9_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def t9_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sequence packing (best-fit-decreasing per hash partition) —
-    NON-SQL: per-partition stateful pass; rows-only check."""
+    """Sequence packing (operators/sampling.py:pack_sequences,
+    best-fit-decreasing per hash partition). The bin ASSIGNMENT is a
+    per-partition stateful pass (non-SQL), so the entry emits the
+    operator's SQL-checkable INVARIANTS instead of raw labels: every
+    document packed exactly once (n_rows = n_docs = |documents|), the
+    exact clamped total size (a real cross-engine value), and three
+    booleans the oracle asserts as literal TRUE — max bin fill ≤
+    budget, bin count ≥ the ceil(total/budget) lower bound, bin count
+    ≤ doc count. A packer bug flips a boolean (or a count) and breaks
+    the hash match; a correct packer matches bit-for-bit. (VERDICT r3
+    item 1c — replaces the permanently rows-only label dump; the
+    labels themselves stay pinned by tests/test_sampling.py.)"""
     from ftm_columnstore_spark.operators.sampling import pack_sequences
 
+    budget = 4096
     docs = _t(spark, sf_dir, "documents")
-    return pack_sequences(docs, budget=4096, size_col="n_chars").select(
-        "doc_id", "seq_id"
+    packed = pack_sequences(docs, budget=budget, size_col="n_chars")
+    clamped = F.least(F.col("n_chars"), F.lit(budget)).cast("long")
+    bins = packed.groupBy("seq_id").agg(F.sum(clamped).alias("__fill"))
+    stats = packed.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.sum(clamped).alias("total_size"),
+        F.countDistinct("seq_id").alias("__n_bins"),
+    )
+    fill = bins.agg(F.max("__fill").alias("__max_fill"))
+    lb = F.floor(
+        (F.col("total_size") + F.lit(budget - 1)) / F.lit(budget)
+    ).cast("long")
+    return (
+        stats.crossJoin(fill)
+        .select(
+            "n_rows",
+            "n_docs",
+            "total_size",
+            (F.col("__max_fill") <= budget).alias("fill_le_budget"),
+            (F.col("__n_bins") >= lb).alias("n_bins_ge_lb"),
+            (F.col("__n_bins") <= F.col("n_docs")).alias("n_bins_le_docs"),
+        )
     )
 
 
@@ -2740,116 +2885,21 @@ def a21_data_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # Registry order matters: the driver's CORRECTNESS run covers the first
-    # ~50 entries.  r01 verified the trailing block; r02 the 50 entries with
-    # no r01 row (all pass).  Round 3's window order: the 25 never-checked
-    # round-2 entries first, then the 17 round-3 additions (d16, v12-v14,
-    # a22-a26, t21-t24, j19, m10, m11) — 42 priority slots; the r02 block
-    # fills the rest.  ROUND 4: once CORRECTNESS_r03 lands green, rotate
-    # again — any entry that STILL lacks a driver row goes first, then
-    # round-4 additions, then the longest-unchecked verified blocks.
+    # Registry order matters: the driver's CORRECTNESS run covers the
+    # first ~50 entries. Rotation discipline (VERDICT r3 item 5): the
+    # three entries that have NEVER had a green driver row lead (x5/v5/
+    # t9 — all restructured this round to be oracle-checkable), then
+    # round-4 additions, then the LONGEST-UNCHECKED verified block (the
+    # r01 trailing block, 3 rounds stale), then r02, then the freshest
+    # (r03-verified) block last. ROUND 5: rotate again — never-checked
+    # first, newest additions next, stalest verified block after.
     return {
-        # --- never driver-checked (round-2 additions) ---
-        "j16_pagerank": j16_pagerank,
-        "t16_weighted_sample": t16_weighted_sample,
-        "d13_dedup_keep_best": d13_dedup_keep_best,
-        "d14_exact_substring_dedup": d14_exact_substring_dedup,
-        "j17_triangle_count": j17_triangle_count,
-        "d15_cross_substring_dedup": d15_cross_substring_dedup,
-        "t17_perplexity_buckets": t17_perplexity_buckets,
-        "t18_chunk_documents": t18_chunk_documents,
-        "v10_ann_recall": v10_ann_recall,
-        "w5_funnel": w5_funnel,
-        "w6_retention": w6_retention,
-        "w7_sessionize": w7_sessionize,
-        "w8_transitions": w8_transitions,
-        "m7_audio_frames": m7_audio_frames,
-        "m8_resize_features": m8_resize_features,
-        "m9_moving_average": m9_moving_average,
-        "a21_data_checks": a21_data_checks,
-        "j18_edit1_name_pairs": j18_edit1_name_pairs,
-        "v11_ivf_trained_portable": v11_ivf_trained_portable,
-        "t19_pack_portable": t19_pack_portable,
-        "t20_cross_corpus_lm": t20_cross_corpus_lm,
-        # NON-SQL — rows-only (m6: binary codecs; x5: metaphone; v5:
-        # iterative k-means training; t9: per-partition bin packing).
-        # m6/x5 first: if the driver's correctness window caps out, the
-        # sacrificed checks are the ones best covered by pytest already:
-        "m6_multimodal_features": m6_multimodal_features,
+        # --- never driver-green (restructured this round; VERDICT 1) ---
         "x5_phonetic_keys": x5_phonetic_keys,
-        "v5_ivf_topk": v5_ivf_topk,
+        "v5_ivf_trained_deep": v5_ivf_trained_deep,
         "t9_pack_sequences": t9_pack_sequences,
-        # --- round-3 additions land here (inside the driver window) ---
-        "d16_minhash_clusters": d16_minhash_clusters,
-        "v12_pq_topk": v12_pq_topk,
-        "v13_ivfpq_topk": v13_ivfpq_topk,
-        "a22_hll_cardinality": a22_hll_cardinality,
-        "a23_cms_heavy_tokens": a23_cms_heavy_tokens,
-        "a24_column_profile": a24_column_profile,
-        "t21_nb_quality_scores": t21_nb_quality_scores,
-        "a25_sample_quantiles": a25_sample_quantiles,
-        "v14_pq_knn_join": v14_pq_knn_join,
-        "t22_token_budget": t22_token_budget,
-        "t23_leakage_free_split": t23_leakage_free_split,
-        "a26_table_profile": a26_table_profile,
-        "t24_c4_line_filter": t24_c4_line_filter,
-        "j19_skew_hybrid_join": j19_skew_hybrid_join,
-        "m10_image_dup_pairs": m10_image_dup_pairs,
-        "m11_audio_dup_pairs": m11_audio_dup_pairs,
-        "j20_k_core": j20_k_core,
-        # --- verified green in CORRECTNESS_r02.json ---
-        "a4_avg_via_dsl": a4_avg_via_dsl,
-        "m2_fingerprint_freq": m2_fingerprint_freq,
-        "u3_intersect": u3_intersect,
-        "u4_except": u4_except,
-        "e6_schema_hierarchy": e6_schema_hierarchy,
-        "d6_jaccard_dedup_kept": d6_jaccard_dedup_kept,
-        "d7_connected_components": d7_connected_components,
-        "w2_rank_spenders": w2_rank_spenders,
-        "a10_rollup": a10_rollup,
-        "o4_deterministic_scan": o4_deterministic_scan,
-        "t4_language_id": t4_language_id,
-        "t5_quality_scores": t5_quality_scores,
-        "j11_order_count_distribution": j11_order_count_distribution,
-        "a14_small_quantity_revenue": a14_small_quantity_revenue,
-        "m4_top_supplier_revenue": m4_top_supplier_revenue,
-        "j12_supplier_counts_anti": j12_supplier_counts_anti,
-        "j13_late_sole_shippers": j13_late_sole_shippers,
-        "a15_idle_rich_customers": a15_idle_rich_customers,
-        "j14_best_supplier_per_part": j14_best_supplier_per_part,
-        "a16_part_value_share": a16_part_value_share,
-        "t6_hash_split": t6_hash_split,
-        "t7_stratified_sample": t7_stratified_sample,
-        "t8_deterministic_shuffle": t8_deterministic_shuffle,
-        "d8_decontamination": d8_decontamination,
-        "a17_regional_share": a17_regional_share,
-        "a18_product_profit": a18_product_profit,
-        "j15_dominant_suppliers": j15_dominant_suppliers,
-        "t10_mixture_sample": t10_mixture_sample,
-        # oracle-checked via engine-portable hash/quantization families:
-        "d3_minhash_lsh_pairs": d3_minhash_lsh_pairs,
-        "d4_simhash_pairs": d4_simhash_pairs,
-        "v3_lsh_topk": v3_lsh_topk,
-        "v4_embedding_dups": v4_embedding_dups,
-        "v8_ivf_topk_portable": v8_ivf_topk_portable,
-        "t11_bigram_lm": t11_bigram_lm,
-        "t12_tfidf_terms": t12_tfidf_terms,
-        "t13_pii_scrub": t13_pii_scrub,
-        "v6_ann_topk_numpy": v6_ann_topk_numpy,
-        "v7_knn_join_numpy": v7_knn_join_numpy,
-        "w3_asof_join": w3_asof_join,
-        "w4_band_join": w4_band_join,
-        "d9_repetition_filter": d9_repetition_filter,
-        "a19_percentiles": a19_percentiles,
-        "a20_cube": a20_cube,
-        "m5_time_rollup": m5_time_rollup,
-        "t14_winnow_fingerprints": t14_winnow_fingerprints,
-        "d10_winnow_overlap": d10_winnow_overlap,
-        "d11_line_dedup": d11_line_dedup,
-        "v9_semantic_dedup": v9_semantic_dedup,
-        "d12_cross_dedup": d12_cross_dedup,
-        "t15_quality_gate": t15_quality_gate,
-        # --- verified green in CORRECTNESS_r01.json ---
+        # --- round-4 additions land here (inside the driver window) ---
+        # --- verified green in CORRECTNESS_r01.json (stalest block) ---
         "s1_scan_project": s1_scan_project,
         "f3_comparator_filters": f3_comparator_filters,
         "f5_prefix_filter": f5_prefix_filter,
@@ -2900,6 +2950,97 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a13_late_shipments": a13_late_shipments,
         "j6_top_customers": j6_top_customers,
         "j7_big_orders": j7_big_orders,
+        # --- verified green in CORRECTNESS_r02.json ---
+        "a4_avg_via_dsl": a4_avg_via_dsl,
+        "m2_fingerprint_freq": m2_fingerprint_freq,
+        "u3_intersect": u3_intersect,
+        "u4_except": u4_except,
+        "e6_schema_hierarchy": e6_schema_hierarchy,
+        "d6_jaccard_dedup_kept": d6_jaccard_dedup_kept,
+        "d7_connected_components": d7_connected_components,
+        "w2_rank_spenders": w2_rank_spenders,
+        "a10_rollup": a10_rollup,
+        "o4_deterministic_scan": o4_deterministic_scan,
+        "t4_language_id": t4_language_id,
+        "t5_quality_scores": t5_quality_scores,
+        "j11_order_count_distribution": j11_order_count_distribution,
+        "a14_small_quantity_revenue": a14_small_quantity_revenue,
+        "m4_top_supplier_revenue": m4_top_supplier_revenue,
+        "j12_supplier_counts_anti": j12_supplier_counts_anti,
+        "j13_late_sole_shippers": j13_late_sole_shippers,
+        "a15_idle_rich_customers": a15_idle_rich_customers,
+        "j14_best_supplier_per_part": j14_best_supplier_per_part,
+        "a16_part_value_share": a16_part_value_share,
+        "t6_hash_split": t6_hash_split,
+        "t7_stratified_sample": t7_stratified_sample,
+        "t8_deterministic_shuffle": t8_deterministic_shuffle,
+        "d8_decontamination": d8_decontamination,
+        "a17_regional_share": a17_regional_share,
+        "a18_product_profit": a18_product_profit,
+        "j15_dominant_suppliers": j15_dominant_suppliers,
+        "t10_mixture_sample": t10_mixture_sample,
+        "d3_minhash_lsh_pairs": d3_minhash_lsh_pairs,
+        "d4_simhash_pairs": d4_simhash_pairs,
+        "v3_lsh_topk": v3_lsh_topk,
+        "v4_embedding_dups": v4_embedding_dups,
+        "v8_ivf_topk_portable": v8_ivf_topk_portable,
+        "t11_bigram_lm": t11_bigram_lm,
+        "t12_tfidf_terms": t12_tfidf_terms,
+        "t13_pii_scrub": t13_pii_scrub,
+        "v6_ann_topk_numpy": v6_ann_topk_numpy,
+        "v7_knn_join_numpy": v7_knn_join_numpy,
+        "w3_asof_join": w3_asof_join,
+        "w4_band_join": w4_band_join,
+        "d9_repetition_filter": d9_repetition_filter,
+        "a19_percentiles": a19_percentiles,
+        "a20_cube": a20_cube,
+        "m5_time_rollup": m5_time_rollup,
+        "t14_winnow_fingerprints": t14_winnow_fingerprints,
+        "d10_winnow_overlap": d10_winnow_overlap,
+        "d11_line_dedup": d11_line_dedup,
+        "v9_semantic_dedup": v9_semantic_dedup,
+        "d12_cross_dedup": d12_cross_dedup,
+        "t15_quality_gate": t15_quality_gate,
+        # --- verified green in CORRECTNESS_r03.json (freshest) ---
+        "j16_pagerank": j16_pagerank,
+        "t16_weighted_sample": t16_weighted_sample,
+        "d13_dedup_keep_best": d13_dedup_keep_best,
+        "d14_exact_substring_dedup": d14_exact_substring_dedup,
+        "j17_triangle_count": j17_triangle_count,
+        "d15_cross_substring_dedup": d15_cross_substring_dedup,
+        "t17_perplexity_buckets": t17_perplexity_buckets,
+        "t18_chunk_documents": t18_chunk_documents,
+        "v10_ann_recall": v10_ann_recall,
+        "w5_funnel": w5_funnel,
+        "w6_retention": w6_retention,
+        "w7_sessionize": w7_sessionize,
+        "w8_transitions": w8_transitions,
+        "m7_audio_frames": m7_audio_frames,
+        "m8_resize_features": m8_resize_features,
+        "m9_moving_average": m9_moving_average,
+        "a21_data_checks": a21_data_checks,
+        "j18_edit1_name_pairs": j18_edit1_name_pairs,
+        "v11_ivf_trained_portable": v11_ivf_trained_portable,
+        "t19_pack_portable": t19_pack_portable,
+        "t20_cross_corpus_lm": t20_cross_corpus_lm,
+        "m6_multimodal_features": m6_multimodal_features,
+        "d16_minhash_clusters": d16_minhash_clusters,
+        "v12_pq_topk": v12_pq_topk,
+        "v13_ivfpq_topk": v13_ivfpq_topk,
+        "a22_hll_cardinality": a22_hll_cardinality,
+        "a23_cms_heavy_tokens": a23_cms_heavy_tokens,
+        "a24_column_profile": a24_column_profile,
+        "t21_nb_quality_scores": t21_nb_quality_scores,
+        "a25_sample_quantiles": a25_sample_quantiles,
+        "v14_pq_knn_join": v14_pq_knn_join,
+        "t22_token_budget": t22_token_budget,
+        "t23_leakage_free_split": t23_leakage_free_split,
+        "a26_table_profile": a26_table_profile,
+        "t24_c4_line_filter": t24_c4_line_filter,
+        "j19_skew_hybrid_join": j19_skew_hybrid_join,
+        "m10_image_dup_pairs": m10_image_dup_pairs,
+        "m11_audio_dup_pairs": m11_audio_dup_pairs,
+        "j20_k_core": j20_k_core,
     }
 
 
@@ -3773,6 +3914,32 @@ def _v14_oracle() -> str:
                                     ORDER BY adist ASC, cid) AS rn
           FROM adist
         ) WHERE rn <= 5
+    """
+
+
+def _x5_oracle() -> str:
+    """Golden-map oracle for the phonetic dispatcher: the NAME SET is
+    derived from the data in SQL (so a vocabulary drift in the parquet
+    surfaces as a row-count mismatch), the VALUES come from the
+    independently computed ``_X5_GOLDEN`` constants (see its comment
+    for provenance); LEFT JOIN so an unmapped name yields NULLs — a
+    hash mismatch, not a silently dropped row."""
+    rows = ",\n            ".join(
+        "('{}', '{}', '{}')".format(
+            name.replace("'", "''"), sx, mp
+        )
+        for name, (sx, mp) in sorted(_X5_GOLDEN.items())
+    )
+    return f"""
+        WITH names AS (
+            SELECT DISTINCT p_name AS name FROM part
+            UNION
+            SELECT DISTINCT r_name AS name FROM region
+        ), golden(name, soundex, metaphone) AS (
+            VALUES {rows}
+        )
+        SELECT n.name, g.soundex, g.metaphone
+        FROM names n LEFT JOIN golden g USING (name)
     """
 
 
@@ -5033,6 +5200,22 @@ def oracle_sql() -> dict[str, str]:
         "t23_leakage_free_split": _t23_oracle(),
         "a26_table_profile": _a26_oracle(),
         "j20_k_core": _j20_oracle(),
+        "x5_phonetic_keys": _x5_oracle(),
+        "v5_ivf_trained_deep": _v11_oracle(
+            k=12, n_centroids=8, n_probe=3, iterations=3
+        ),
+        # packing-invariant oracle: the booleans are what a CORRECT
+        # packer must always produce (see t9_pack_sequences docstring);
+        # counts and total are genuine cross-engine values
+        "t9_pack_sequences": """
+            SELECT CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+                   CAST(sum(least(n_chars, 4096)) AS BIGINT) AS total_size,
+                   true AS fill_le_budget,
+                   true AS n_bins_ge_lb,
+                   true AS n_bins_le_docs
+            FROM documents
+        """,
         "m11_audio_dup_pairs": """
             WITH ids AS (
               SELECT doc_id AS id, (doc_id % 24) % 13 + 1 AS k
