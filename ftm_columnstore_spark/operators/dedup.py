@@ -1338,27 +1338,29 @@ _TOK_HEAD = "^[A-Za-z0-9]"
 
 
 def _tokenized_docs(df, text_col: str, id_col: str, order_col: str | None):
-    """(id, __ord, segs, toks): ``segs`` is the alternating
-    token/separator RUN decomposition of the ORIGINAL text
-    (``concat(segs) == text`` byte-for-byte; null text -> []), ``toks``
-    the lowercased token runs. For ASCII text ``toks`` equals
-    ``word_tokens_col``; they diverge only on exotic code points whose
-    case-fold changes alphanumeric membership (e.g. KELVIN SIGN -> k),
-    because case-folding here applies per ASCII-alnum run and can never
-    create or destroy a token boundary — which is what lets
-    :func:`_cut_dup_spans` cut spans out of the original text instead
-    of a lossily re-normalized one."""
+    """(id, __ord, text, toks): ``text`` is the ORIGINAL text (null ->
+    ''), ``toks`` the lowercased ASCII-alnum token runs. For ASCII text
+    ``toks`` equals ``word_tokens_col``; they diverge only on exotic
+    code points whose case-fold changes alphanumeric membership (e.g.
+    KELVIN SIGN -> k), because case-folding applies per ASCII-alnum run
+    and can never create or destroy a token boundary — which is what
+    lets :func:`_cut_dup_spans` cut spans out of the original text
+    instead of a lossily re-normalized one.
+
+    The full alternating run decomposition (``_SEG_RE``) is NOT
+    computed here: only documents that actually carry duplicated spans
+    pay for it (inside :func:`_cut_dup_spans`) — r03 ran the segs
+    regex corpus-wide in every consumer's lineage, which was most of
+    the d14/d15 solo regression (measured: see NOTES round 4)."""
     order = F.col(order_col if order_col else id_col)
-    segs = F.regexp_extract_all(
-        F.coalesce(F.col(text_col), F.lit("")), F.lit(_SEG_RE), F.lit(0)
-    )
+    txt = F.coalesce(F.col(text_col), F.lit(""))
     toks = F.transform(
-        F.filter(segs, lambda s: s.rlike(_TOK_HEAD)), F.lower
+        F.regexp_extract_all(txt, F.lit("[A-Za-z0-9]+"), F.lit(0)), F.lower
     )
     return df.select(
         F.col(id_col).alias("id"),
         order.alias("__ord"),
-        segs.alias("segs"),
+        txt.alias("text"),
         toks.alias("toks"),
     )
 
@@ -1424,20 +1426,24 @@ def _cut_dup_spans(docs: DataFrame, occ: DataFrame, k: int) -> DataFrame:
         .localCheckpoint(eager=True)
     )
     # untouched documents (the common case on real corpora) short-
-    # circuit: concat(segs) IS the original text byte-for-byte, so they
-    # never enter the segment explode/window below
+    # circuit: their ORIGINAL bytes pass straight through — no run
+    # decomposition, no segment explode/window
     untouched = docs.join(doc_spans, on="id", how="left_anti").select(
         "id",
         F.size("toks").alias("n_tokens"),
         F.lit(0).alias("n_removed"),
-        F.array_join("segs", "").alias("text"),
+        "text",
     )
+    # the run decomposition is computed HERE, for span-carrying docs
+    # only (concat(segs) == text byte-for-byte by construction of the
+    # alternating pattern)
     joined = docs.join(doc_spans, on="id")
+    segs = F.regexp_extract_all(F.col("text"), F.lit(_SEG_RE), F.lit(0))
     seg_rows = joined.select(
         "id",
         F.size("toks").alias("n_tokens"),
         "spans",
-        F.posexplode_outer("segs").alias("si", "seg"),
+        F.posexplode_outer(segs).alias("si", "seg"),
     )
     istok = F.col("seg").rlike(_TOK_HEAD)
     sw = Window.partitionBy("id").orderBy("si")
@@ -1552,7 +1558,13 @@ def exact_substring_dedup(
     if k < 2:
         raise ValueError(f"k must be >= 2, got {k}")
     docs = _tokenized_docs(df, text_col, id_col, keep_order_col)
-    grams = _doc_grams(docs, k)
+    # the gram relation feeds BOTH sides of the firsts join (the agg
+    # build and the occurrence probe) — persist so the explode+md5
+    # derive runs once, not twice (measured ~2s of d14's sf0.1 solo;
+    # release via unpersist_intermediates). Materializing |tokens|
+    # rows is the same working set the suffix-array formulation
+    # writes to disk, so the scale posture is unchanged.
+    grams = _doc_grams(docs, k).persist()
     # struct projected before the agg (agg-input expressions run
     # interpreted inside the aggregate — see minhash_signature)
     firsts = (
@@ -1572,7 +1584,9 @@ def exact_substring_dedup(
                 & (F.col("pos") == F.col("__first.pos"))
             )
         )
-    return _cut_dup_spans(docs, dup.select("id", "pos"), k)
+    out = _cut_dup_spans(docs, dup.select("id", "pos"), k)
+    out._cached_intermediates = [grams]
+    return out
 
 
 def corpus_gram_index(
@@ -1626,7 +1640,10 @@ def exact_substring_dedup_cross(
     if corpus_grams is None:
         corpus_grams = corpus_gram_index(corpus, text_col, id_col, k)
     docs = _tokenized_docs(batch, text_col, id_col, keep_order_col)
-    grams = _doc_grams(docs, k)
+    # persisted for the same reason as exact_substring_dedup: the
+    # batch gram relation feeds the corpus probe AND (with
+    # within_batch) both sides of the firsts join
+    grams = _doc_grams(docs, k).persist()
     # no .distinct() on the index side: corpus_gram_index is already
     # distinct, and leftsemi is set-semantics anyway — a redundant
     # distinct would re-shuffle the ENTIRE persisted index every
@@ -1635,7 +1652,9 @@ def exact_substring_dedup_cross(
         corpus_grams.select("h"), on="h", how="leftsemi"
     ).select("id", "pos")
     if not within_batch:
-        return _cut_dup_spans(docs, in_corpus, k)
+        out = _cut_dup_spans(docs, in_corpus, k)
+        out._cached_intermediates = [grams]
+        return out
     # struct projected before the agg (agg-input expressions run
     # interpreted inside the aggregate — see minhash_signature)
     firsts = (
@@ -1658,7 +1677,9 @@ def exact_substring_dedup_cross(
         )
         .select("id", "pos")
     )
-    return _cut_dup_spans(docs, in_corpus.unionAll(batch_dup).distinct(), k)
+    out = _cut_dup_spans(docs, in_corpus.unionAll(batch_dup).distinct(), k)
+    out._cached_intermediates = [grams]
+    return out
 
 
 def rewrite_cut_text(
