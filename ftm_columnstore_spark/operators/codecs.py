@@ -5,12 +5,15 @@ Real decoding without optional libraries:
 - **BMP** (24-bit uncompressed, the format every tool can write): pure
   numpy against the public BITMAPINFOHEADER layout — decode to an
   (h, w, 3) RGB array, encode back, nearest-neighbour resize.
+- **PNG** (8-bit truecolor/RGBA/greyscale, non-interlaced): stdlib
+  zlib against the RFC 2083 chunk layout, with full scanline
+  unfiltering (filters 0-4) on decode.
 - **WAV** (PCM16): stdlib ``wave`` + numpy.
 
-When Pillow is importable it is preferred for image decode (JPEG/PNG/
-anything PIL reads); otherwise only BMP payloads decode and other
-formats raise ``UnsupportedMediaError`` so callers can fall back to the
-deterministic stand-in (``fake=True``) or skip.
+When Pillow is importable it is preferred for image decode (JPEG and
+anything else PIL reads); otherwise BMP and PNG payloads decode
+natively and other formats raise ``UnsupportedMediaError`` so callers
+can fall back to the deterministic stand-in (``fake=True``) or skip.
 
 All functions are plain bytes→numpy transforms — executors call them
 inside Arrow-batched ``mapInPandas`` stages; nothing here touches Spark.
@@ -91,13 +94,135 @@ def decode_bmp(payload: bytes) -> np.ndarray:
     return (rgb[::-1] if flip else rgb).copy()
 
 
+# --- PNG (dependency-free: stdlib zlib + the public RFC 2083 layout) ---------
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(tag: bytes, body: bytes) -> bytes:
+    import zlib
+
+    return (
+        struct.pack(">I", len(body))
+        + tag
+        + body
+        + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+    )
+
+
+def encode_png(pixels: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 RGB → 8-bit truecolor PNG (filter 0 scanlines,
+    one zlib IDAT). Pure stdlib — gives the repo REAL PNG test vectors
+    and payloads in environments without Pillow."""
+    import zlib
+
+    arr = np.asarray(pixels, dtype=np.uint8)
+    if arr.ndim != 3 or arr.shape[2] != 3:
+        raise ValueError("expected (h, w, 3) RGB array")
+    h, w, _ = arr.shape
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)  # 8-bit RGB
+    raw = b"".join(b"\x00" + row.tobytes() for row in arr)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(raw, 6))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """8-bit non-interlaced truecolor/RGBA/greyscale PNG → (h, w, 3)
+    uint8 RGB, with full scanline unfiltering (filters 0-4 per the
+    spec). Palette/interlaced/16-bit variants raise
+    ``UnsupportedMediaError`` — callers fall back exactly as for exotic
+    BMPs."""
+    import zlib
+
+    if payload[: len(_PNG_SIG)] != _PNG_SIG:
+        raise UnsupportedMediaError("not a PNG payload")
+    pos, idat, meta = len(_PNG_SIG), [], None
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack_from(">I", payload, pos)
+        tag = payload[pos + 4 : pos + 8]
+        body = payload[pos + 8 : pos + 8 + length]
+        pos += 12 + length
+        if tag == b"IHDR":
+            meta = struct.unpack(">IIBBBBB", body)
+        elif tag == b"IDAT":
+            idat.append(body)
+        elif tag == b"IEND":
+            break
+    if meta is None or not idat:
+        raise UnsupportedMediaError("truncated PNG")
+    w, h, depth, color, _comp, _filt, interlace = meta
+    channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(color)
+    if depth != 8 or channels is None or interlace != 0:
+        raise UnsupportedMediaError(
+            f"unsupported PNG variant (depth={depth}, color={color}, "
+            f"interlace={interlace})"
+        )
+    raw = zlib.decompress(b"".join(idat))
+    stride = w * channels
+    if len(raw) != h * (stride + 1):
+        raise UnsupportedMediaError("PNG scanline size mismatch")
+    out = np.empty((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    for y in range(h):
+        ftype = raw[y * (stride + 1)]
+        line = np.frombuffer(
+            raw, dtype=np.uint8, count=stride, offset=y * (stride + 1) + 1
+        ).copy()
+        if ftype == 0:
+            pass
+        elif ftype == 2:  # Up
+            line += prev
+        elif ftype in (1, 3, 4):  # Sub / Average / Paeth need a scan
+            a = np.zeros(channels, dtype=np.int32)
+            for x in range(0, stride, channels):
+                b = prev[x : x + channels].astype(np.int32)
+                cur = line[x : x + channels].astype(np.int32)
+                if ftype == 1:
+                    cur = (cur + a) & 0xFF
+                elif ftype == 3:
+                    cur = (cur + ((a + b) >> 1)) & 0xFF
+                else:
+                    c = (
+                        prev[x - channels : x].astype(np.int32)
+                        if x
+                        else np.zeros(channels, dtype=np.int32)
+                    )
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = np.where(
+                        (pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c)
+                    )
+                    cur = (cur + pred) & 0xFF
+                line[x : x + channels] = cur.astype(np.uint8)
+                a = cur
+        else:
+            raise UnsupportedMediaError(f"unknown PNG filter {ftype}")
+        out[y] = line
+        prev = out[y]
+    px = out.reshape(h, w, channels)
+    if channels == 3:
+        return px.copy()
+    if channels == 4:
+        return px[:, :, :3].copy()
+    grey = px[:, :, 0]
+    return np.repeat(grey[:, :, None], 3, axis=2).copy()
+
+
 def decode_image(payload: bytes) -> np.ndarray:
-    """bytes → (h, w, 3) uint8 RGB. Pillow when available, else BMP."""
+    """bytes → (h, w, 3) uint8 RGB. Pillow when available (JPEG and
+    everything else PIL reads); the dependency-free BMP and PNG codecs
+    otherwise."""
     if has_pil():
         import PIL.Image
 
         with PIL.Image.open(io.BytesIO(payload)) as im:
             return np.asarray(im.convert("RGB"))
+    if payload[: len(_PNG_SIG)] == _PNG_SIG:
+        return decode_png(payload)
     return decode_bmp(payload)
 
 
@@ -132,7 +257,7 @@ def resize_image(
             buf = io.BytesIO()
             im.convert("RGB").resize((width, height)).save(buf, format="BMP")
             return buf.getvalue()
-    return encode_bmp(resize_nearest(decode_bmp(payload), width, height))
+    return encode_bmp(resize_nearest(decode_image(payload), width, height))
 
 
 # --- WAV ---------------------------------------------------------------------

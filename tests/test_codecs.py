@@ -160,6 +160,126 @@ def test_decode_image_pil_path_matches_bmp_codec():
     assert np.array_equal(via_pil, codecs.decode_bmp(payload))
 
 
+def test_png_roundtrip_no_dependencies():
+    """encode_png → decode_png is lossless for 8-bit RGB — REAL PNG
+    vectors with zero optional libraries (closes the r2/r3 'codec
+    environment-gated' residue: PNG now decodes natively)."""
+    import numpy as np
+
+    from ftm_columnstore_spark.operators import codecs
+
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, size=(11, 6, 3), dtype=np.uint8)
+    payload = codecs.encode_png(img)
+    assert payload[:8] == b"\x89PNG\r\n\x1a\n"
+    assert np.array_equal(codecs.decode_png(payload), img)
+    # dispatch: decode_image routes PNG payloads to the PNG codec even
+    # without Pillow
+    assert np.array_equal(codecs.decode_image(payload), img)
+
+
+def test_png_decode_unfilters_all_filter_types():
+    """decode_png inverts every spec filter (0 None, 1 Sub, 2 Up,
+    3 Average, 4 Paeth): the test FORWARD-filters scanlines per the
+    RFC and the decoder must reconstruct the original pixels."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from ftm_columnstore_spark.operators import codecs
+
+    rng = np.random.default_rng(13)
+    img = rng.integers(0, 256, size=(5, 4, 3), dtype=np.uint8)
+    h, w, ch = img.shape
+    raw = bytearray()
+    prev = np.zeros(w * ch, dtype=np.int32)
+    for y, ftype in zip(range(h), (0, 1, 2, 3, 4)):
+        line = img[y].reshape(-1).astype(np.int32)
+        out = line.copy()
+        for x in range(w * ch):
+            a = line[x - ch] if x >= ch else 0
+            b = prev[x]
+            c = prev[x - ch] if x >= ch else 0
+            if ftype == 1:
+                out[x] = (line[x] - a) & 0xFF
+            elif ftype == 2:
+                out[x] = (line[x] - b) & 0xFF
+            elif ftype == 3:
+                out[x] = (line[x] - ((a + b) >> 1)) & 0xFF
+            elif ftype == 4:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                out[x] = (line[x] - pred) & 0xFF
+        raw += bytes([ftype]) + bytes(out.astype(np.uint8))
+        prev = line
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    payload = (
+        b"\x89PNG\r\n\x1a\n"
+        + codecs._png_chunk(b"IHDR", ihdr)
+        + codecs._png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + codecs._png_chunk(b"IEND", b"")
+    )
+    assert np.array_equal(codecs.decode_png(payload), img)
+
+
+def test_png_unsupported_variants_raise():
+    import struct
+    import zlib
+
+    import numpy as np
+    import pytest as _pytest
+
+    from ftm_columnstore_spark.operators import codecs
+
+    # palette (color type 3) is out of scope → UnsupportedMediaError
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0)
+    payload = (
+        b"\x89PNG\r\n\x1a\n"
+        + codecs._png_chunk(b"IHDR", ihdr)
+        + codecs._png_chunk(b"IDAT", zlib.compress(b"\x00\x00\x00" * 2))
+        + codecs._png_chunk(b"IEND", b"")
+    )
+    with _pytest.raises(codecs.UnsupportedMediaError, match="variant"):
+        codecs.decode_png(payload)
+    with _pytest.raises(codecs.UnsupportedMediaError, match="not a PNG"):
+        codecs.decode_png(b"BMnope")
+    # RGBA and greyscale variants DO decode (alpha dropped / grey tripled)
+    rgba = np.dstack(
+        [np.full((3, 3), v, dtype=np.uint8) for v in (10, 20, 30, 255)]
+    )
+    raw = b"".join(b"\x00" + row.tobytes() for row in rgba)
+    payload = (
+        b"\x89PNG\r\n\x1a\n"
+        + codecs._png_chunk(
+            b"IHDR", struct.pack(">IIBBBBB", 3, 3, 8, 6, 0, 0, 0)
+        )
+        + codecs._png_chunk(b"IDAT", zlib.compress(raw))
+        + codecs._png_chunk(b"IEND", b"")
+    )
+    assert np.array_equal(
+        codecs.decode_png(payload), rgba[:, :, :3]
+    )
+
+
+def test_decode_image_png_via_pil_matches_own_codec():
+    """When Pillow IS importable it takes the decode path — for our
+    lossless PNGs it must agree byte-for-byte with the native codec
+    (the property that keeps multimodal entries environment-stable).
+    Skips where Pillow is absent (the native path is covered above)."""
+    import numpy as np
+
+    from ftm_columnstore_spark.operators import codecs
+
+    if not codecs.has_pil():
+        pytest.skip("Pillow not installed; native PNG path covered above")
+    rng = np.random.default_rng(17)
+    img = rng.integers(0, 256, size=(8, 5, 3), dtype=np.uint8)
+    payload = codecs.encode_png(img)
+    assert np.array_equal(codecs.decode_image(payload), img)
+
+
 def test_decode_image_dispatch_without_pil(monkeypatch):
     """With Pillow unavailable, decode_image IS the BMP codec (same
     array object semantics), and non-BMP payloads raise the documented
