@@ -1048,6 +1048,53 @@ def embedding_dup_pairs_portable(
     return out
 
 
+def embedding_clusters(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    min_cosine: float = 0.9,
+    num_planes: int = 8,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """(id, cluster_id) for EVERY input vector: embedding-cosine
+    near-dup cluster labels — the :func:`embedding_dup_pairs_portable`
+    pairs at ``cosine >= min_cosine`` form the edge set, large-star/
+    small-star connected components label members with the component
+    minimum, vectors in no pair keep their own id. The embedding
+    counterpart of :func:`minhash_clusters` — the grouping shape
+    semantic-dedup review queues and cluster-aware splits consume.
+
+    Scale: pair stage is the signature-bucketed self-join (narrow,
+    exact-integer verify); CC iterates over the PAIR graph only —
+    the embedding table never enters the loop."""
+    from ftm_columnstore_spark.operators.blocking import (
+        connected_components,
+    )
+
+    pairs = embedding_dup_pairs_portable(
+        df, vec_col, id_col, min_cosine, num_planes, scale
+    )
+    cmap = connected_components(pairs.select("left_id", "right_id"))
+    id_type = df.schema[id_col].dataType
+    out = (
+        df.select(F.col(id_col).alias("id"))
+        .join(
+            cmap.select(
+                F.col("entity_id").cast(id_type).alias("id"),
+                F.col("canonical_id").cast(id_type).alias("__cid"),
+            ),
+            on="id",
+            how="left",
+        )
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce("__cid", "id").alias("cluster_id"),
+        )
+    )
+    out._cached_intermediates = getattr(pairs, "_cached_intermediates", [])
+    return out
+
+
 def embedding_dup_pairs(
     df: DataFrame,
     vec_col: str = "embedding",

@@ -1,0 +1,129 @@
+"""Ranked text retrieval over document corpora — BM25 scoring.
+
+The reference has no retrieval surface (its `search` filter is an ILIKE
+substring scan, `ftm-columnstore` plans/query.py); this module adds the
+ranked-retrieval pass an LLM-data pipeline needs for quality probes,
+contamination triage, and RAG-style corpus slicing, expressed as plain
+aggregations so Catalyst keeps the whole plan in whole-stage codegen.
+
+Scale posture (100 TB): the corpus is scanned ONCE — per-document token
+counts AND per-query-term term frequencies ride the same groupBy(id)
+aggregation (query terms are a bounded literal set, so the tf columns
+are conditional counts, not a second explode+shuffle). Document
+frequencies and the corpus aggregates (N, avgdl) reduce that per-doc
+relation, which is |docs| rows and 2+|q| integer columns — narrow. The
+final top-k is a TakeOrderedAndProject, never a global sort.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ftm_columnstore_spark.functions.text import word_tokens_col
+
+__all__ = ["bm25_topk", "bm25_scores"]
+
+
+def _doc_term_stats(
+    df: DataFrame, terms: list[str], text_col: str, id_col: str
+) -> DataFrame:
+    """(id, dl, tf_0..tf_{n-1}) in ONE pass: explode tokens, then a
+    single groupBy(id) computing document length and one conditional
+    count per query term. Docs whose text yields zero tokens drop out
+    (dl = 0 ⇒ BM25 undefined and no term can match)."""
+    tok = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(word_tokens_col(text_col)).alias("term"),
+    )
+    aggs = [F.count(F.lit(1)).alias("dl")] + [
+        F.sum(F.when(F.col("term") == t, 1).otherwise(0)).alias(f"tf_{i}")
+        for i, t in enumerate(terms)
+    ]
+    return tok.groupBy("id").agg(*aggs)
+
+
+def bm25_scores(
+    df: DataFrame,
+    query_terms: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """BM25 (Robertson-Sparck Jones / Lucene idf form) of every matching
+    document against a bag of query terms. Output: (id, score) for docs
+    with at least one query-term occurrence; ``score`` rounded to 6 dp.
+
+    score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
+    idf(t)   = ln(1 + (N − df + 0.5) / (df + 0.5))
+
+    Determinism: tf/dl/df/N are exact integers from one aggregation
+    pass; avgdl = Σdl/N is one IEEE division; the per-document score
+    sums the per-term contributions in FIXED literal order (an
+    expression chain, not a float aggregation over rows), so the double
+    is bit-stable across partitionings and engines.
+
+    Scale: one corpus scan + one groupBy(id) shuffle (see module
+    docstring); df/N/avgdl reduce the narrow per-doc relation and come
+    back as a broadcast 1-row join — no second pass over the corpus.
+    """
+    terms = sorted(set(query_terms))
+    if not terms:
+        raise ValueError("query_terms must be non-empty")
+    per = _doc_term_stats(df, terms, text_col, id_col)
+
+    # corpus aggregates + per-term doc frequencies: one reduction of the
+    # narrow per-doc relation, 1 row total -> broadcast cross join
+    gaggs = [
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dl").alias("sum_dl"),
+    ] + [
+        F.sum((F.col(f"tf_{i}") > 0).cast("long")).alias(f"df_{i}")
+        for i in range(len(terms))
+    ]
+    g = per.agg(*gaggs)
+
+    j = per.crossJoin(F.broadcast(g))
+    avgdl = F.col("sum_dl").cast("double") / F.col("n_docs").cast("double")
+    norm = F.lit(float(k1)) * (
+        F.lit(1.0 - b) + F.lit(float(b)) * F.col("dl").cast("double") / avgdl
+    )
+
+    def contrib(i: int) -> Column:
+        tf = F.col(f"tf_{i}").cast("double")
+        idf = F.log(
+            F.lit(1.0)
+            + (F.col("n_docs").cast("double") - F.col(f"df_{i}") + F.lit(0.5))
+            / (F.col(f"df_{i}").cast("double") + F.lit(0.5))
+        )
+        return idf * tf * F.lit(float(k1 + 1.0)) / (tf + norm)
+
+    score: Column = contrib(0)
+    for i in range(1, len(terms)):
+        score = score + contrib(i)
+    matched = None
+    for i in range(len(terms)):
+        c = F.col(f"tf_{i}") > 0
+        matched = c if matched is None else (matched | c)
+    return (
+        j.filter(matched)
+        .select(F.col("id"), score.alias("__s"))
+        .select("id", F.round("__s", 6).alias("score"))
+    )
+
+
+def bm25_topk(
+    df: DataFrame,
+    query_terms: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+    top: int = 10,
+) -> DataFrame:
+    """Top-``top`` documents by BM25 (score desc, id asc — total order).
+    The limit compiles to TakeOrderedAndProject: partial top-k per
+    partition, k rows to the driver — no global sort at any scale."""
+    scored = bm25_scores(df, query_terms, text_col, id_col, k1, b)
+    return scored.orderBy(F.col("score").desc(), F.col("id")).limit(top)

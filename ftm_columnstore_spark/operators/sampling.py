@@ -111,6 +111,65 @@ def deterministic_shuffle(
     return out.sortWithinPartitions("__shuffle_key", id_col)
 
 
+def mixture_by_temperature(
+    df: DataFrame,
+    alpha: float = 0.5,
+    total: int | None = None,
+    stratum_col: str = "source",
+    id_col: str = "doc_id",
+    seed: str = "",
+) -> DataFrame:
+    """Temperature-smoothed mixture sampling (the multilingual
+    up/down-weighting of Lample-Conneau'19 / XLM-R): target share of
+    stratum s is n_s^alpha / Σ_t n_t^alpha, so alpha < 1 upsamples
+    small sources relative to their natural share. ``total`` is the
+    target output size (default: half the corpus); per-stratum keep
+    rate is clamp(total · share_s / n_s, 0, 1), decided by the same
+    md5-threshold contract as :func:`sample_mixture` — deterministic,
+    stateless, engine-portable.
+
+    The stratum counts are ONE aggregation collected to the driver —
+    bounded by the number of sources (the house bounded-collect rule),
+    never by corpus size; the keep pass is a narrow filter. alpha=0.5
+    uses sqrt (correctly-rounded IEEE, so the oracle's rates are
+    bit-identical); other alphas go through pow (documented ≤1-ulp
+    cross-engine wobble on the rate, washed out by the floor to a
+    32-bit threshold)."""
+    import math
+
+    counts = {
+        r[0]: r[1]
+        for r in df.groupBy(stratum_col)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    if not counts:
+        return df
+    n_total = sum(counts.values())
+    if total is None:
+        total = n_total // 2
+    # fixed iteration order (stratum name) so the float share sum is
+    # reproducible in the oracle
+    names = sorted(counts)
+    weights = [
+        math.sqrt(float(counts[s]))
+        if alpha == 0.5
+        else float(counts[s]) ** alpha
+        for s in names
+    ]
+    wsum = 0.0
+    for w in weights:
+        wsum += w
+    rates = {
+        s: min(1.0, max(0.0, float(total) * (w / wsum) / float(counts[s])))
+        for s, w in zip(names, weights)
+    }
+    return sample_mixture(
+        df, rates, stratum_col=stratum_col, id_col=id_col, seed=seed,
+        default_rate=0.0,
+    )
+
+
 def sample_mixture(
     df: DataFrame,
     rates: dict[str, float],

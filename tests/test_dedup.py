@@ -528,3 +528,24 @@ def test_exact_substring_dedup_cross(spark):
         exact_substring_dedup_cross(batch, corpus=corpus, corpus_grams=idx)
     with pytest.raises(ValueError):
         exact_substring_dedup_cross(batch)
+
+
+def test_embedding_clusters_labels_everyone(spark):
+    from ftm_columnstore_spark.operators.dedup import embedding_clusters
+
+    vecs = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [0.999, 0.01, 0.0, 0.0]),   # near-dup of 1
+        (3, [0.998, 0.02, 0.0, 0.0]),   # near-dup of 1 and 2
+        (4, [0.0, 1.0, 0.0, 0.0]),      # orthogonal singleton
+        (5, [0.0, 0.0, 1.0, 0.0]),      # orthogonal singleton
+    ]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    got = {
+        r["vec_id"]: r["cluster_id"]
+        for r in embedding_clusters(df, min_cosine=0.95).collect()
+    }
+    # every vector labeled; the near-dup triple shares the min id
+    assert set(got) == {1, 2, 3, 4, 5}
+    assert got[1] == got[2] == got[3] == 1
+    assert got[4] == 4 and got[5] == 5

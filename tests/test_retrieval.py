@@ -1,0 +1,102 @@
+"""BM25 ranked retrieval (operators/retrieval.py).
+
+Golden values are hand-computed from the BM25 formula on a
+known-by-construction corpus; plan shape is asserted the same way the
+other top-k operators pin TakeOrderedAndProject.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from ftm_columnstore_spark.operators.retrieval import bm25_scores, bm25_topk
+
+CORPUS = [
+    (1, "spark shuffle join join join"),
+    (2, "spark scan"),
+    (3, "filter project sort"),
+    (4, "join spark spark spark spark spark spark spark"),
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(CORPUS, ["doc_id", "text"])
+
+
+def _bm25(tf, dl, df, n, avgdl, k1=1.2, b=0.75):
+    idf = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+    return idf * tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * dl / avgdl))
+
+
+def test_bm25_golden(docs):
+    rows = {
+        r["id"]: r["score"]
+        for r in bm25_scores(docs, ["join"]).collect()
+    }
+    # N=4 docs, dl = 5,2,3,8 -> avgdl = 4.5; df(join)=2
+    avgdl = 18 / 4
+    assert set(rows) == {1, 4}
+    assert rows[1] == pytest.approx(
+        round(_bm25(3, 5, 2, 4, avgdl), 6), abs=1e-6
+    )
+    assert rows[4] == pytest.approx(
+        round(_bm25(1, 8, 2, 4, avgdl), 6), abs=1e-6
+    )
+
+
+def test_bm25_multi_term_sums_contributions(docs):
+    single = {
+        t: {r["id"]: r["score"] for r in bm25_scores(docs, [t]).collect()}
+        for t in ("spark", "join")
+    }
+    both = {
+        r["id"]: r["score"]
+        for r in bm25_scores(docs, ["spark", "join"]).collect()
+    }
+    for doc_id, score in both.items():
+        expect = single["spark"].get(doc_id, 0.0) + single["join"].get(
+            doc_id, 0.0
+        )
+        assert score == pytest.approx(expect, abs=2e-6)
+
+
+def test_bm25_only_matching_docs(docs):
+    ids = {r["id"] for r in bm25_scores(docs, ["filter"]).collect()}
+    assert ids == {3}
+
+
+def test_bm25_rare_term_beats_common_at_equal_tf(docs):
+    # 'scan' (df=1) should out-score 'spark' (df=3) for the same tf/dl
+    scores = {
+        r["id"]: r["score"]
+        for r in bm25_scores(docs, ["scan", "filter"]).collect()
+    }
+    assert 2 in scores and 3 in scores
+
+
+def test_bm25_topk_order_and_plan(docs):
+    top = bm25_topk(docs, ["spark", "join"], top=2)
+    rows = top.collect()
+    assert len(rows) == 2
+    assert rows[0]["score"] >= rows[1]["score"]
+    plan = top._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_bm25_empty_query_raises(docs):
+    with pytest.raises(ValueError):
+        bm25_scores(docs, [])
+
+
+def test_bm25_ignores_nontoken_docs(spark):
+    df = spark.createDataFrame(
+        [(1, "join join"), (2, None), (3, "   ")], ["doc_id", "text"]
+    )
+    rows = bm25_scores(df, ["join"]).collect()
+    # N counts only tokenizable docs (dl > 0): N=1, df=1
+    assert {r["id"] for r in rows} == {1}
+    expect = round(_bm25(2, 2, 1, 1, 2.0), 6)
+    assert rows[0]["score"] == pytest.approx(expect, abs=1e-6)

@@ -508,3 +508,64 @@ def test_split_by_cluster_auto_clusters(spark):
     got = {r["doc_id"]: r["split"] for r in out.collect()}
     assert len(got) == 36
     assert len({got[i] for i in range(6)}) == 1
+
+
+def test_mixture_by_temperature_alpha_smooths(spark):
+    """alpha=0.5 keeps a HIGHER fraction of the small source than of the
+    big one (temperature smoothing), and the result is deterministic."""
+    from ftm_columnstore_spark.operators.sampling import (
+        mixture_by_temperature,
+    )
+
+    rows = [(i, "big") for i in range(1600)] + [
+        (10_000 + i, "small") for i in range(100)
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "source"])
+    kept = mixture_by_temperature(
+        docs, alpha=0.5, total=400, id_col="doc_id", seed="s"
+    )
+    counts = {r["source"]: r["n"] for r in kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n")).collect()}
+    # shares: sqrt(1600)=40, sqrt(100)=10 -> big 320, small 80 of 400
+    # small keep-rate 80/100 = 0.8 >> big 320/1600 = 0.2
+    frac_small = counts["small"] / 100
+    frac_big = counts["big"] / 1600
+    assert frac_small > 3 * frac_big
+    assert abs(counts["big"] - 320) < 60 and abs(counts["small"] - 80) < 25
+    again = mixture_by_temperature(
+        docs, alpha=0.5, total=400, id_col="doc_id", seed="s"
+    )
+    assert sorted(r["doc_id"] for r in kept.collect()) == sorted(
+        r["doc_id"] for r in again.collect()
+    )
+
+
+def test_mixture_by_temperature_alpha_one_is_proportional(spark):
+    """alpha=1 degenerates to a uniform global rate (natural shares)."""
+    from ftm_columnstore_spark.operators.sampling import (
+        mixture_by_temperature,
+    )
+
+    rows = [(i, "a") for i in range(900)] + [
+        (10_000 + i, "b") for i in range(300)
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "source"])
+    kept = mixture_by_temperature(docs, alpha=1.0, total=600, seed="x")
+    counts = {r["source"]: r["n"] for r in kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n")).collect()}
+    # both sources sampled at rate 0.5
+    assert abs(counts["a"] - 450) < 70
+    assert abs(counts["b"] - 150) < 45
+
+
+def test_mixture_by_temperature_rate_clamped(spark):
+    """A tiny source whose target exceeds its size keeps everything
+    (rate clamps at 1.0) — no oversampling, no error."""
+    from ftm_columnstore_spark.operators.sampling import (
+        mixture_by_temperature,
+    )
+
+    rows = [(i, "big") for i in range(2000)] + [(9_999, "tiny")]
+    docs = spark.createDataFrame(rows, ["doc_id", "source"])
+    kept = mixture_by_temperature(docs, alpha=0.5, total=1000, seed="c")
+    assert kept.filter(F.col("source") == "tiny").count() == 1
