@@ -2959,6 +2959,50 @@ def v15_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def v16_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: BM25 top-50 (t25's query bag) ⊕ brute-cosine
+    ANN top-50 (v1's query vector), fused by reciprocal-rank (RRF,
+    k0=60 — operators/retrieval.py:rrf_fuse). Rank-based fusion never
+    compares the two systems' score scales; both inputs are bounded
+    top-k relations, so the fuse is a full-outer join over ≤50-row
+    sides. Oracle composes the t25 and v1 SQL with the same fusion."""
+    from ftm_columnstore_spark.functions.vectors import (
+        cosine_similarity_col,
+    )
+    from ftm_columnstore_spark.operators.retrieval import (
+        bm25_topk,
+        rrf_fuse,
+        with_rank,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    e = _t(spark, sf_dir, "embeddings")
+    bm = bm25_topk(d, ["hash", "join", "scan"], top=50)
+    bmr = with_rank(bm, F.col("score").desc(), F.col("id"))
+    q = e.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qv")
+    )
+    ann = (
+        e.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select(
+            F.col("vec_id").alias("id"),
+            F.round(
+                cosine_similarity_col(F.col("embedding"), F.col("qv")), 6
+            ).alias("cosine"),
+        )
+        .orderBy(F.col("cosine").desc(), F.col("id"))
+        .limit(50)
+    )
+    annr = with_rank(ann, F.col("cosine").desc(), F.col("id"))
+    fused = rrf_fuse(
+        [bmr.select("id", "rank"), annr.select("id", "rank")],
+        k0=60,
+        top=25,
+    )
+    return fused.select(F.col("id").alias("doc_id"), "rrf")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order matters: the driver's CORRECTNESS run covers the
     # first ~50 entries. Rotation discipline (VERDICT r3 item 5): the
@@ -2979,6 +3023,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t27_bpe_vocab": t27_bpe_vocab,
         "t28_temperature_mixture": t28_temperature_mixture,
         "v15_embedding_clusters": v15_embedding_clusters,
+        "v16_hybrid_rrf": v16_hybrid_rrf,
         # --- verified green in CORRECTNESS_r01.json (stalest block) ---
         "s1_scan_project": s1_scan_project,
         "f3_comparator_filters": f3_comparator_filters,
@@ -3241,6 +3286,97 @@ def _v15_oracle(min_cosine: float = 0.40, num_planes: int = 4) -> str:
         SELECT e.vec_id AS vec_id,
                CAST(coalesce(c.cid, e.vec_id) AS BIGINT) AS cluster_id
         FROM embeddings e LEFT JOIN comp c ON e.vec_id = c.id
+    """
+
+
+def _bm25_oracle(top: int = 25) -> str:
+    """DuckDB oracle for BM25 top-k over documents with the fixed query
+    bag {hash, join, scan} (mirrors operators/retrieval.py bm25_scores:
+    integer tf/dl/df/N from one aggregation, avgdl one IEEE division,
+    per-term contributions summed in sorted-term order)."""
+    return f"""
+            WITH tok AS (
+                SELECT doc_id AS id,
+                       unnest(list_filter(
+                           string_split_regex(lower(text), '[^a-z0-9]+'),
+                           x -> x <> '')) AS term
+                FROM documents WHERE text IS NOT NULL
+            ), per AS (
+                SELECT id, count(*) AS dl,
+                       sum(CASE WHEN term = 'hash' THEN 1 ELSE 0 END) AS tf0,
+                       sum(CASE WHEN term = 'join' THEN 1 ELSE 0 END) AS tf1,
+                       sum(CASE WHEN term = 'scan' THEN 1 ELSE 0 END) AS tf2
+                FROM tok GROUP BY id
+            ), g AS (
+                SELECT count(*) AS n_docs, sum(dl) AS sum_dl,
+                       sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS df0,
+                       sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1,
+                       sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS df2
+                FROM per
+            ), scored AS (
+                SELECT id,
+                       round(
+                         ln(1.0 + ((n_docs::DOUBLE - df0) + 0.5)
+                                  / (df0::DOUBLE + 0.5))
+                           * tf0::DOUBLE * 2.2
+                           / (tf0::DOUBLE + 1.2 * (0.25
+                              + 0.75 * dl::DOUBLE
+                                / (sum_dl::DOUBLE / n_docs::DOUBLE)))
+                       + ln(1.0 + ((n_docs::DOUBLE - df1) + 0.5)
+                                  / (df1::DOUBLE + 0.5))
+                           * tf1::DOUBLE * 2.2
+                           / (tf1::DOUBLE + 1.2 * (0.25
+                              + 0.75 * dl::DOUBLE
+                                / (sum_dl::DOUBLE / n_docs::DOUBLE)))
+                       + ln(1.0 + ((n_docs::DOUBLE - df2) + 0.5)
+                                  / (df2::DOUBLE + 0.5))
+                           * tf2::DOUBLE * 2.2
+                           / (tf2::DOUBLE + 1.2 * (0.25
+                              + 0.75 * dl::DOUBLE
+                                / (sum_dl::DOUBLE / n_docs::DOUBLE))),
+                       6) AS score
+                FROM per, g
+                WHERE tf0 > 0 OR tf1 > 0 OR tf2 > 0
+            )
+            SELECT id AS doc_id, score FROM scored
+            ORDER BY score DESC, id LIMIT {top}
+    """
+
+
+def _v16_oracle(n: int = 50, k0: int = 60, top: int = 25) -> str:
+    """DuckDB oracle for hybrid BM25 ⊕ dense-ANN retrieval fused with
+    reciprocal ranks (mirrors operators/retrieval.py rrf_fuse over the
+    t25 BM25 top-n and the v1 brute-cosine top-n)."""
+    return f"""
+        WITH bm AS ({_bm25_oracle(top=n)}),
+        bmr AS (
+            SELECT doc_id AS id,
+                   row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+            FROM bm
+        ),
+        ann AS (
+            SELECT e.vec_id AS id,
+                   round(list_cosine_similarity(
+                       CAST(e.embedding AS DOUBLE[]),
+                       CAST(q.embedding AS DOUBLE[])), 6) AS cosine
+            FROM embeddings e,
+                 (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+            WHERE e.vec_id != 0
+            ORDER BY cosine DESC, e.vec_id LIMIT {n}
+        ),
+        annr AS (
+            SELECT id,
+                   row_number() OVER (ORDER BY cosine DESC, id) AS rank
+            FROM ann
+        ),
+        f AS (
+            SELECT coalesce(b.id, a.id) AS doc_id,
+                   coalesce(1.0 / ({k0}.0 + b.rank), 0.0)
+                   + coalesce(1.0 / ({k0}.0 + a.rank), 0.0) AS rrf
+            FROM bmr b FULL OUTER JOIN annr a ON b.id = a.id
+        )
+        SELECT doc_id, round(rrf, 6) AS rrf FROM f
+        ORDER BY round(rrf, 6) DESC, doc_id LIMIT {top}
     """
 
 
@@ -5362,53 +5498,8 @@ def oracle_sql() -> dict[str, str]:
         "v15_embedding_clusters": _v15_oracle(min_cosine=0.40, num_planes=4),
         "t26_bpe_merges": _bpe_oracle(n_merges=12, mode="merges"),
         "t27_bpe_vocab": _bpe_oracle(n_merges=12, mode="vocab", top=50),
-        "t25_bm25_topk": """
-            WITH tok AS (
-                SELECT doc_id AS id,
-                       unnest(list_filter(
-                           string_split_regex(lower(text), '[^a-z0-9]+'),
-                           x -> x <> '')) AS term
-                FROM documents WHERE text IS NOT NULL
-            ), per AS (
-                SELECT id, count(*) AS dl,
-                       sum(CASE WHEN term = 'hash' THEN 1 ELSE 0 END) AS tf0,
-                       sum(CASE WHEN term = 'join' THEN 1 ELSE 0 END) AS tf1,
-                       sum(CASE WHEN term = 'scan' THEN 1 ELSE 0 END) AS tf2
-                FROM tok GROUP BY id
-            ), g AS (
-                SELECT count(*) AS n_docs, sum(dl) AS sum_dl,
-                       sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS df0,
-                       sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1,
-                       sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS df2
-                FROM per
-            ), scored AS (
-                SELECT id,
-                       round(
-                         ln(1.0 + ((n_docs::DOUBLE - df0) + 0.5)
-                                  / (df0::DOUBLE + 0.5))
-                           * tf0::DOUBLE * 2.2
-                           / (tf0::DOUBLE + 1.2 * (0.25
-                              + 0.75 * dl::DOUBLE
-                                / (sum_dl::DOUBLE / n_docs::DOUBLE)))
-                       + ln(1.0 + ((n_docs::DOUBLE - df1) + 0.5)
-                                  / (df1::DOUBLE + 0.5))
-                           * tf1::DOUBLE * 2.2
-                           / (tf1::DOUBLE + 1.2 * (0.25
-                              + 0.75 * dl::DOUBLE
-                                / (sum_dl::DOUBLE / n_docs::DOUBLE)))
-                       + ln(1.0 + ((n_docs::DOUBLE - df2) + 0.5)
-                                  / (df2::DOUBLE + 0.5))
-                           * tf2::DOUBLE * 2.2
-                           / (tf2::DOUBLE + 1.2 * (0.25
-                              + 0.75 * dl::DOUBLE
-                                / (sum_dl::DOUBLE / n_docs::DOUBLE))),
-                       6) AS score
-                FROM per, g
-                WHERE tf0 > 0 OR tf1 > 0 OR tf2 > 0
-            )
-            SELECT id AS doc_id, score FROM scored
-            ORDER BY score DESC, id LIMIT 25
-        """,
+        "t25_bm25_topk": _bm25_oracle(top=25),
+        "v16_hybrid_rrf": _v16_oracle(n=50, k0=60, top=25),
         "t28_temperature_mixture": """
             WITH cnts AS (
                 SELECT source, count(*) AS n FROM documents GROUP BY source

@@ -22,7 +22,7 @@ from pyspark.sql import functions as F
 
 from ftm_columnstore_spark.functions.text import word_tokens_col
 
-__all__ = ["bm25_topk", "bm25_scores"]
+__all__ = ["bm25_topk", "bm25_scores", "with_rank", "rrf_fuse"]
 
 
 def _doc_term_stats(
@@ -71,7 +71,15 @@ def bm25_scores(
     terms = sorted(set(query_terms))
     if not terms:
         raise ValueError("query_terms must be non-empty")
-    per = _doc_term_stats(df, terms, text_col, id_col)
+    # localCheckpoint: BOTH consumers (the corpus reduction g and the
+    # scoring join) read the per-doc relation — without materialization
+    # Catalyst inlines the tokenize+aggregate lineage into each side and
+    # the corpus is scanned TWICE (caught by the plan-shape test). The
+    # checkpointed relation is |docs| rows x (2+|q|) integers — noise
+    # next to the corpus at any scale; blocks release once unreferenced.
+    per = _doc_term_stats(df, terms, text_col, id_col).localCheckpoint(
+        eager=True
+    )
 
     # corpus aggregates + per-term doc frequencies: one reduction of the
     # narrow per-doc relation, 1 row total -> broadcast cross join
@@ -111,6 +119,57 @@ def bm25_scores(
         .select(F.col("id"), score.alias("__s"))
         .select("id", F.round("__s", 6).alias("score"))
     )
+
+
+def with_rank(df: DataFrame, *order: Column) -> DataFrame:
+    """Attach a 1-based ``rank`` column by a total order. BOUNDED-INPUT
+    CONTRACT: the window has no partition key, so this is a
+    single-partition sort — only ever call it on an already-bounded
+    relation (a top-k result, k rows), the same rule as the MMR
+    re-ranker and collected codebooks. Unbounded ranking belongs to
+    ``Window.partitionBy`` shapes (see w2) or top-k limits."""
+    from pyspark.sql import Window
+
+    return df.withColumn(
+        "rank", F.row_number().over(Window.orderBy(*order)).cast("long")
+    )
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    id_col: str = "id",
+    k0: int = 60,
+    top: int | None = None,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack-Clarke-Buettcher'09) of N ranked
+    lists: rrf(d) = Σ_i 1/(k0 + rank_i(d)), items absent from a list
+    contribute 0 for it. The standard hybrid-retrieval combiner (BM25 ⊕
+    dense ANN) — rank-based, so the systems' incomparable score scales
+    never meet. Input DataFrames carry (id_col, rank); output
+    (id, rrf) rounded to 6 dp, optionally top-``top`` by (rrf DESC, id).
+
+    Each ranked list is bounded (top-k) by construction, so the fuse is
+    a chain of full-outer joins over k-row relations — driver-trivial at
+    any corpus scale; the heavy lifting happened inside the per-system
+    top-k operators. Determinism: 1/(k0+rank) is one exact IEEE
+    division on integers and the fusion sum runs in fixed list order."""
+    if not rankings:
+        raise ValueError("rankings must be non-empty")
+    fused: DataFrame | None = None
+    for i, r in enumerate(rankings):
+        contrib = (
+            F.lit(1.0)
+            / (F.lit(float(k0)) + F.col("rank").cast("double"))
+        ).alias(f"__c{i}")
+        ri = r.select(F.col(id_col).alias("id"), contrib)
+        fused = ri if fused is None else fused.join(ri, on="id", how="full_outer")
+    score: Column = F.coalesce(F.col("__c0"), F.lit(0.0))
+    for i in range(1, len(rankings)):
+        score = score + F.coalesce(F.col(f"__c{i}"), F.lit(0.0))
+    out = fused.select("id", F.round(score, 6).alias("rrf"))
+    if top is not None:
+        out = out.orderBy(F.col("rrf").desc(), F.col("id")).limit(int(top))
+    return out
 
 
 def bm25_topk(

@@ -100,3 +100,71 @@ def test_bm25_ignores_nontoken_docs(spark):
     assert {r["id"] for r in rows} == {1}
     expect = round(_bm25(2, 2, 1, 1, 2.0), 6)
     assert rows[0]["score"] == pytest.approx(expect, abs=1e-6)
+
+
+def test_rrf_fuse_golden(spark):
+    from ftm_columnstore_spark.operators.retrieval import rrf_fuse
+
+    a = spark.createDataFrame([(1, 1), (2, 2), (3, 3)], ["id", "rank"])
+    b = spark.createDataFrame([(3, 1), (1, 2), (9, 3)], ["id", "rank"])
+    got = {r["id"]: r["rrf"] for r in rrf_fuse([a, b], k0=60).collect()}
+    assert got[1] == pytest.approx(round(1 / 61 + 1 / 62, 6), abs=1e-6)
+    assert got[2] == pytest.approx(round(1 / 62, 6), abs=1e-6)
+    assert got[3] == pytest.approx(round(1 / 63 + 1 / 61, 6), abs=1e-6)
+    assert got[9] == pytest.approx(round(1 / 63, 6), abs=1e-6)
+
+
+def test_rrf_fuse_topk_order(spark):
+    from ftm_columnstore_spark.operators.retrieval import rrf_fuse
+
+    a = spark.createDataFrame([(i, i) for i in range(1, 8)], ["id", "rank"])
+    b = spark.createDataFrame([(i, 8 - i) for i in range(1, 8)], ["id", "rank"])
+    rows = rrf_fuse([a, b], k0=60, top=3).collect()
+    assert len(rows) == 3
+    # rrf(i) = 1/(60+i) + 1/(68-i) is symmetric around i=4 and maximal
+    # at the extremes: ids 1 and 7 tie (tie broken by id asc), then 2
+    assert [r["id"] for r in rows] == [1, 7, 2]
+
+
+def test_with_rank_total_order(spark, docs):
+    from ftm_columnstore_spark.operators.retrieval import bm25_topk, with_rank
+    import pyspark.sql.functions as F
+
+    top = bm25_topk(docs, ["spark", "join"], top=3)
+    ranked = with_rank(top, F.col("score").desc(), F.col("id")).collect()
+    assert [r["rank"] for r in ranked] == [1, 2, 3]
+    scores = [r["score"] for r in ranked]
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_rrf_empty_raises(spark):
+    from ftm_columnstore_spark.operators.retrieval import rrf_fuse
+
+    with pytest.raises(ValueError):
+        rrf_fuse([])
+
+
+def test_bm25_single_corpus_pass(docs):
+    """Scale contract: the corpus token explode feeds ONE groupBy(id),
+    materialized once (localCheckpoint) — the final plan reads the
+    checkpointed per-doc relation on both consumer sides and contains
+    NO corpus-wide explode of its own (without the checkpoint Catalyst
+    inlined the tokenize lineage into both the corpus reduction and the
+    scoring join — a measured double scan)."""
+    import re
+
+    from ftm_columnstore_spark.operators.retrieval import _doc_term_stats
+
+    per_plan = (
+        _doc_term_stats(docs, ["join", "spark"], "text", "doc_id")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert per_plan.count("Generate explode") == 1, per_plan
+    assert len(re.findall(r"Exchange hashpartitioning", per_plan)) == 1
+
+    plan = (
+        bm25_scores(docs, ["spark", "join"])
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Generate explode") == 0, plan
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 0, plan
