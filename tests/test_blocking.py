@@ -141,13 +141,18 @@ def test_connected_components_algorithms_agree(spark):
             parent[max(ra, rb)] = min(ra, rb)
     seen = {n for ab in edges_py for n in ab}
     expected = {n: find(n) for n in seen}
-    # find() roots are component-minimum ids because unions keep the min
+    # find() roots are component-minimum ids because unions keep the min.
+    # threshold=0 forces the DISTRIBUTED paths; the default exercises the
+    # small-graph union-find fast path — all three must agree.
     for algo in ("star", "label"):
-        cmap = {
-            r["entity_id"]: r["canonical_id"]
-            for r in connected_components(edges, algorithm=algo).collect()
-        }
-        assert cmap == expected, algo
+        for thr in (0, 100_000):
+            cmap = {
+                r["entity_id"]: r["canonical_id"]
+                for r in connected_components(
+                    edges, algorithm=algo, small_graph_threshold=thr
+                ).collect()
+            }
+            assert cmap == expected, (algo, thr)
 
 
 from hypothesis import HealthCheck, given, settings
@@ -186,9 +191,14 @@ def test_connected_components_property(spark, edges_py):
     expected = {n: find(n) for ab in edges_py for n in ab}
 
     edges = spark.createDataFrame(edges_py, ["left_id", "right_id"])
+    # threshold=0 pins the DISTRIBUTED star rounds against the oracle
+    # (the default fast path IS a union-find — testing it against one
+    # would be circular; the agree test covers path equivalence)
     cmap = {
         r["entity_id"]: r["canonical_id"]
-        for r in connected_components(edges, algorithm="star").collect()
+        for r in connected_components(
+            edges, algorithm="star", small_graph_threshold=0
+        ).collect()
     }
     assert cmap == expected
 
