@@ -106,6 +106,7 @@ HEADLINE = [
     "t26_bpe_merges",
     "t28_temperature_mixture",
     "v15_embedding_clusters",
+    "v16_hybrid_rrf",
 ]
 
 

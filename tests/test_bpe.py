@@ -97,3 +97,78 @@ def test_token_counts_weighted_by_word_frequency(spark):
         for r in bpe_token_counts(df, [("a", "b")]).collect()
     }
     assert counts == {"ab": 3, "c": 1, "d": 1}
+
+
+# --- property parity vs a pure-Python reference BPE ---------------------
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+def _ref_bpe(words: list[str], n_merges: int):
+    """Reference BPE (Sennrich+'16 alg. 1): dict-of-counts, greedy
+    left-to-right merge application, (count DESC, l, r) argmax."""
+    from collections import Counter
+
+    vocab = Counter(tuple(w) for w in words)
+    merges = []
+    for _ in range(n_merges):
+        pairs = Counter()
+        for syms, cnt in vocab.items():
+            for i in range(len(syms) - 1):
+                pairs[(syms[i], syms[i + 1])] += cnt
+        if not pairs:
+            break
+        (l, r), c = min(
+            pairs.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        merges.append((l, r, c))
+        new_vocab = Counter()
+        for syms, cnt in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                    out.append(l + r)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            new_vocab[tuple(out)] += cnt
+        vocab = new_vocab
+    tokens = Counter()
+    for syms, cnt in vocab.items():
+        for s in syms:
+            tokens[s] += cnt
+    return merges, dict(tokens)
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    words=st.lists(
+        st.text(alphabet="abc", min_size=1, max_size=6),
+        min_size=1,
+        max_size=30,
+    ),
+    n_merges=st.integers(1, 5),
+)
+def test_bpe_matches_reference(spark, words, n_merges):
+    """Engine merges AND post-merge token counts equal the classic
+    in-memory BPE on arbitrary corpora — pins both the argmax
+    tie-break and the greedy left-to-right application the
+    string-replace encoding claims to implement."""
+    ref_merges, ref_tokens = _ref_bpe(words, n_merges)
+    df = spark.createDataFrame([(1, " ".join(words))], ["doc_id", "text"])
+    m = learn_bpe(df, n_merges=n_merges)
+    got_merges = [
+        (r["left_sym"], r["right_sym"], r["pair_count"])
+        for r in m.orderBy("rank").collect()
+    ]
+    assert got_merges == ref_merges
+    got_tokens = {
+        r["token"]: r["cnt"] for r in bpe_token_counts(df, m).collect()
+    }
+    assert got_tokens == ref_tokens

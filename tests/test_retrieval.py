@@ -168,3 +168,60 @@ def test_bm25_single_corpus_pass(docs):
     )
     assert plan.count("Generate explode") == 0, plan
     assert len(re.findall(r"Exchange hashpartitioning", plan)) == 0, plan
+
+
+# --- property parity vs a pure-Python reference BM25 ---------------------
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    texts=st.lists(
+        st.lists(
+            st.sampled_from("alpha beta gamma delta".split()),
+            min_size=0,
+            max_size=8,
+        ).map(" ".join),
+        min_size=1,
+        max_size=12,
+    ),
+    terms=st.lists(
+        st.sampled_from("alpha beta gamma".split()),
+        min_size=1,
+        max_size=3,
+        unique=True,
+    ),
+)
+def test_bm25_matches_reference(spark, texts, terms):
+    """Engine scores equal an in-memory BM25 on arbitrary corpora."""
+    docs_py = [(i, t) for i, t in enumerate(texts)]
+    toks = {i: t.split() for i, t in docs_py if t.split()}
+    n = len(toks)
+    if n == 0:
+        return
+    avgdl = sum(len(v) for v in toks.values()) / n
+    expect = {}
+    for i, tk in toks.items():
+        s = 0.0
+        hit = False
+        for t in sorted(set(terms)):
+            tf = tk.count(t)
+            if tf:
+                hit = True
+            df_t = sum(1 for v in toks.values() if t in v)
+            s += _bm25(tf, len(tk), df_t, n, avgdl)
+        if hit:
+            expect[i] = round(s, 6)
+    df = spark.createDataFrame(docs_py, ["doc_id", "text"])
+    got = {
+        r["id"]: r["score"] for r in bm25_scores(df, list(terms)).collect()
+    }
+    assert set(got) == set(expect)
+    for i in expect:
+        assert got[i] == pytest.approx(expect[i], abs=2e-6), (i, expect, got)
