@@ -1381,7 +1381,12 @@ def j19_skew_hybrid_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders").select(
         F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority"
     )
-    j = skew_hybrid_join(li, o, "l_orderkey", threshold=3, w=512)
+    # detect_fraction: the CMS detection runs over a 10% row sample
+    # (threshold scaled) — routing-only, so the output stays
+    # row-identical to the plain join (measured 5.6s -> 2.2s at sf0.1)
+    j = skew_hybrid_join(
+        li, o, "l_orderkey", threshold=3, w=512, detect_fraction=0.1
+    )
     return (
         j.groupBy("o_orderpriority")
         .agg(

@@ -87,6 +87,8 @@ def skew_hybrid_join(
     w: int = 4096,
     how: str = "inner",
     max_hot_keys: int = 100,
+    detect_fraction: float | None = None,
+    detect_seed: int = 42,
 ) -> DataFrame:
     """Skew-aware equi-join: DETECT the hot keys with a Count-Min pass
     (``operators.sketches.cms_heavy_hitters`` — one bounded-state scan,
@@ -108,15 +110,36 @@ def skew_hybrid_join(
     explicitly (``isNull() | ~isin(hot)``): a bare ``~isin`` evaluates
     to NULL for NULL keys and would silently drop such rows from BOTH
     branches, breaking 'left'/'left_anti' parity with the plain join.
-    ``how`` supports 'inner', 'left', 'left_semi' and 'left_anti'."""
+    ``how`` supports 'inner', 'left', 'left_semi' and 'left_anti'.
+
+    ``detect_fraction``: run the Count-Min DETECTION over a Bernoulli
+    row-sample of the left side (threshold scaled by the fraction) —
+    at 100 TB the full-scan sketch build is the dominant cost, and the
+    hot-set choice only steers ROUTING, never results: a borderline key
+    the sample misses simply takes the cold branch, so the union stays
+    row-identical to the plain join for ANY detected subset (the same
+    argument that makes max_hot_keys safe). A key holding ≥ threshold
+    rows keeps ≥ threshold·f in expectation with Chernoff-tight
+    concentration, so genuinely hot keys survive sampling whp."""
     if how not in ("inner", "left", "left_semi", "left_anti"):
         raise ValueError(f"unsupported how: {how!r}")
     from ftm_columnstore_spark.operators.sketches import cms_heavy_hitters
 
     if max_hot_keys < 1:
         raise ValueError(f"max_hot_keys must be >= 1, got {max_hot_keys}")
+    detect_src, eff_threshold = left, threshold
+    if detect_fraction is not None:
+        if not 0.0 < detect_fraction <= 1.0:
+            raise ValueError(
+                f"detect_fraction must be in (0, 1], got {detect_fraction}"
+            )
+        if detect_fraction < 1.0:
+            detect_src = left.where(
+                F.rand(detect_seed) < F.lit(detect_fraction)
+            )
+            eff_threshold = max(1, int(threshold * detect_fraction))
     hot_rows = (
-        cms_heavy_hitters(left, on, threshold, d=d, w=w)
+        cms_heavy_hitters(detect_src, on, eff_threshold, d=d, w=w)
         .orderBy(F.col("est_count").desc(), F.col(on))
         .limit(max_hot_keys)
         .collect()

@@ -271,3 +271,48 @@ def test_skew_hybrid_join_null_keys_survive(spark):
         assert got == plain, how
         if how in ("left", "left_anti"):
             assert (None, 9001) in {(g[0], g[1]) for g in got}, how
+
+
+def test_skew_hybrid_join_sampled_detection_row_identical(spark):
+    """detect_fraction changes ROUTING only: for every `how`, the
+    sampled-detection output equals the plain join exactly."""
+    from ftm_columnstore_spark.functions.skew import skew_hybrid_join
+
+    rows = [("hot", i) for i in range(400)] + [
+        (f"k{i}", i) for i in range(200)
+    ]
+    left = spark.createDataFrame(rows, "k string, lv int")
+    right = spark.createDataFrame(
+        [("hot", 1), ("k1", 2), ("k7", 3)], ["k", "rv"]
+    )
+    for how in ("inner", "left", "left_semi", "left_anti"):
+        got = sorted(
+            tuple(r)
+            for r in skew_hybrid_join(
+                left, right, "k", threshold=50, how=how,
+                detect_fraction=0.2,
+            ).collect()
+        )
+        plain = sorted(
+            tuple(r) for r in left.join(right, "k", how).collect()
+        )
+        assert got == plain, how
+
+
+def test_skew_hybrid_join_detect_fraction_validation(spark):
+    import pytest
+
+    from ftm_columnstore_spark.functions.skew import skew_hybrid_join
+
+    left = spark.createDataFrame([("a", 1)], ["k", "v"])
+    right = spark.createDataFrame([("a", 1)], ["k", "w"])
+    for bad in (0.0, -0.5, 1.5):
+        with pytest.raises(ValueError):
+            skew_hybrid_join(left, right, "k", detect_fraction=bad)
+    # 1.0 is the full-scan path — allowed
+    assert (
+        skew_hybrid_join(
+            left, right, "k", threshold=1, detect_fraction=1.0
+        ).count()
+        == 1
+    )
