@@ -79,10 +79,51 @@ def _pair_counts(vocab: DataFrame) -> DataFrame:
     )
 
 
+def _learn_bpe_driver(
+    word_counts: list, n_merges: int
+) -> list[tuple[int, str, str, int]]:
+    """Driver-side BPE over a BOUNDED collected (word, count) list —
+    the classic in-memory algorithm (Sennrich+'16 alg. 1) with the
+    same (count DESC, left, right) argmax and greedy left-to-right
+    application as the distributed rounds; the property-parity test
+    pins the two paths equal on arbitrary corpora."""
+    from collections import Counter
+
+    vocab = Counter()
+    for w, cnt in word_counts:
+        vocab[tuple(w)] += cnt
+    merges: list[tuple[int, str, str, int]] = []
+    for rank in range(int(n_merges)):
+        pairs: Counter = Counter()
+        for syms, cnt in vocab.items():
+            for i in range(len(syms) - 1):
+                pairs[(syms[i], syms[i + 1])] += cnt
+        if not pairs:
+            break
+        (l, r), c = min(
+            pairs.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        merges.append((rank, l, r, int(c)))
+        new_vocab: Counter = Counter()
+        for syms, cnt in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                    out.append(l + r)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            new_vocab[tuple(out)] += cnt
+        vocab = new_vocab
+    return merges
+
+
 def learn_bpe(
     df: DataFrame,
     text_col: str = "text",
     n_merges: int = 16,
+    small_vocab_threshold: int = 65_536,
 ) -> DataFrame:
     """Learn ``n_merges`` BPE merges over the corpus. Output:
     (rank, left_sym, right_sym, pair_count), rank 0-based in merge
@@ -95,9 +136,33 @@ def learn_bpe(
     collect (the argmax) + a literal replace projection; the vocab is
     localCheckpoint'ed each round so round k+1 scans materialized rows
     instead of replaying k replace lineages. The corpus is scanned
-    exactly once (the initial word count)."""
+    exactly once (the initial word count).
+
+    Small-vocab fast path: when the distinct-word relation holds at
+    most ``small_vocab_threshold`` rows (the explicit collect bound —
+    the house bounded-collect rule, same shape as the connected-
+    components fast path), the word counts are collected ONCE and all
+    rounds run driver-side: 2·n_merges scheduler round-trips collapse
+    into a single job. The distributed rounds are untouched above the
+    threshold and forced by ``small_vocab_threshold=0``; the
+    property-parity test pins both paths equal on arbitrary corpora."""
     spark = df.sparkSession
     vocab = _word_counts(df, text_col).localCheckpoint(eager=True)
+    if small_vocab_threshold > 0:
+        head = (
+            vocab.select(
+                F.regexp_replace("w", r"[{}]", "").alias("term"), "cnt"
+            )
+            .limit(small_vocab_threshold + 1)
+            .collect()
+        )
+        if len(head) <= small_vocab_threshold:
+            return spark.createDataFrame(
+                _learn_bpe_driver(
+                    [(r["term"], r["cnt"]) for r in head], n_merges
+                ),
+                MERGE_SCHEMA,
+            )
     merges: list[tuple[int, str, str, int]] = []
     for rank in range(int(n_merges)):
         best = (
@@ -117,7 +182,7 @@ def learn_bpe(
                 F.lit("{" + l + "}{" + r + "}"),
                 F.lit("{" + l + r + "}"),
             ),
-        ).localCheckpoint(eager=True)
+        ).localCheckpoint(eager=True)  # keeps round k+1 off k's lineage
     return spark.createDataFrame(merges, MERGE_SCHEMA)
 
 

@@ -162,7 +162,10 @@ def test_bpe_matches_reference(spark, words, n_merges):
     string-replace encoding claims to implement."""
     ref_merges, ref_tokens = _ref_bpe(words, n_merges)
     df = spark.createDataFrame([(1, " ".join(words))], ["doc_id", "text"])
-    m = learn_bpe(df, n_merges=n_merges)
+    # threshold=0 forces the DISTRIBUTED rounds — the default fast path
+    # IS the reference algorithm, so testing it here would be circular;
+    # test_fast_path_matches_distributed covers path equivalence
+    m = learn_bpe(df, n_merges=n_merges, small_vocab_threshold=0)
     got_merges = [
         (r["left_sym"], r["right_sym"], r["pair_count"])
         for r in m.orderBy("rank").collect()
@@ -172,3 +175,17 @@ def test_bpe_matches_reference(spark, words, n_merges):
         r["token"]: r["cnt"] for r in bpe_token_counts(df, m).collect()
     }
     assert got_tokens == ref_tokens
+
+
+def test_fast_path_matches_distributed(spark):
+    """The small-vocab driver fast path and the distributed rounds
+    produce identical merge tables (including early stop)."""
+    texts = [
+        (1, "lower lowest newer newest wide wider widest low new"),
+        (2, "lower lower newer low low low wide"),
+    ]
+    df = spark.createDataFrame(texts, ["doc_id", "text"])
+    fast = learn_bpe(df, n_merges=10).collect()
+    dist = learn_bpe(df, n_merges=10, small_vocab_threshold=0).collect()
+    assert [tuple(r) for r in fast] == [tuple(r) for r in dist]
+    assert len(fast) == 10
