@@ -41,6 +41,8 @@ PICKS = {
     "t20_cross_corpus_lm": "cross-corpus LM: reference counts are vocabulary-bounded relations (broadcast/hash joins), batch pays one per-doc window pass; left joins keep unseen bigrams at the smoothed floor",
     "w6_retention": "retention: two map-side-combinable aggs + one co-partitioned join; per-offset counts are conditional sums over distinct (user, day) rows — no countDistinct Expand",
     "a21_data_checks": "data checks: all column rules fold into ONE conditional aggregation over one scan; uniqueness adds one lazy count_distinct agg",
+    "t25_bm25_topk": "BM25: per-doc stats checkpointed from ONE tokenize+groupBy pass (no corpus explode survives downstream); corpus reduction broadcast back as one row; TakeOrderedAndProject top-k",
+    "v16_hybrid_rrf": "RRF fusion: both inputs are bounded top-k relations — the full-outer fuse joins <=50-row sides; the corpus-heavy work happened inside the per-system top-k plans",
 }
 
 
