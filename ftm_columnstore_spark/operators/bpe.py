@@ -32,7 +32,12 @@ from pyspark.sql import types as T
 
 from ftm_columnstore_spark.functions.text import word_tokens_col
 
-__all__ = ["learn_bpe", "apply_bpe", "bpe_token_counts"]
+__all__ = [
+    "learn_bpe",
+    "apply_bpe",
+    "bpe_token_counts",
+    "bpe_tokens_col",
+]
 
 MERGE_SCHEMA = T.StructType(
     [
@@ -239,6 +244,42 @@ def apply_bpe(
     return (
         words.join(F.broadcast(seg), on="term")
         .select("id", F.explode("toks").alias("token"))
+    )
+
+
+def bpe_tokens_col(text_col, merges: list[tuple[str, str]]):
+    """Expression-level BPE tokenization: text column → ``array<string>``
+    of subword tokens under a FIXED merge list. One codegen projection —
+    no join, no shuffle, no state — so it composes with Structured
+    Streaming (tokenize-as-you-ingest) and with any batch projection.
+
+    For BULK batch tokenization prefer :func:`apply_bpe`: it runs the
+    merge chain once per DISTINCT word (vocabulary-bounded) and joins
+    back, where this expression pays the chain per word OCCURRENCE.
+    The trade flips on streams and small batches, where the join and
+    its shuffle cost more than the redundant per-occurrence work.
+
+    ``merges`` must be the plain list form (``[(left, right), ...]`` in
+    merge order) — collect a :func:`learn_bpe` table ONCE at plan-build
+    time; a DataFrame is rejected here to keep the expression free of
+    hidden driver actions inside streaming plans."""
+    if isinstance(merges, DataFrame):
+        raise TypeError(
+            "bpe_tokens_col takes the collected merge list, not a "
+            "DataFrame — collect learn_bpe() once at plan-build time"
+        )
+    words = word_tokens_col(text_col)
+    enc = F.transform(
+        words, lambda w: F.regexp_replace(w, "(.)", "{$1}")
+    )
+    merged = F.transform(enc, lambda w: _apply_merges_col(w, list(merges)))
+    return F.flatten(
+        F.transform(
+            merged,
+            lambda w: F.split(
+                F.regexp_replace(w, r"^\{|\}$", ""), r"\}\{"
+            ),
+        )
     )
 
 

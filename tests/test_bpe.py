@@ -189,3 +189,81 @@ def test_fast_path_matches_distributed(spark):
     dist = learn_bpe(df, n_merges=10, small_vocab_threshold=0).collect()
     assert [tuple(r) for r in fast] == [tuple(r) for r in dist]
     assert len(fast) == 10
+
+
+def test_bpe_tokens_col_matches_apply(spark, tiny):
+    """The expression tokenizer equals the relational apply_bpe on the
+    same corpus (per-doc token multisets)."""
+    import pyspark.sql.functions as F
+
+    from ftm_columnstore_spark.operators.bpe import bpe_tokens_col
+
+    m = learn_bpe(tiny, n_merges=3)
+    mlist = [
+        (r["left_sym"], r["right_sym"]) for r in m.orderBy("rank").collect()
+    ]
+    via_expr = sorted(
+        r["t"]
+        for r in tiny.select(
+            F.explode(bpe_tokens_col("text", mlist)).alias("t")
+        ).collect()
+    )
+    via_apply = sorted(r["token"] for r in apply_bpe(tiny, m).collect())
+    assert via_expr == via_apply
+    with pytest.raises(TypeError):
+        bpe_tokens_col("text", m)
+
+
+def test_bpe_tokens_col_streams(spark, tmp_path):
+    """Stateless expression tokenization composes with Structured
+    Streaming: windowless token counts over a file stream equal the
+    batch counts."""
+    import json as _json
+
+    import pyspark.sql.functions as F
+
+    from ftm_columnstore_spark.operators.bpe import bpe_tokens_col
+
+    src = tmp_path / "bpe_stream"
+    src.mkdir()
+    rows = [
+        {"doc_id": 1, "text": "lower lowest newer"},
+        {"doc_id": 2, "text": "low new lower"},
+    ]
+    with open(src / "part-0.json", "w") as f:
+        for r in rows:
+            f.write(_json.dumps(r) + "\n")
+    batch_df = spark.read.schema("doc_id long, text string").json(str(src))
+    mlist = [("l", "o"), ("lo", "w"), ("n", "e")]
+    expected = {
+        r["token"]: r["n"]
+        for r in batch_df.select(
+            F.explode(bpe_tokens_col("text", mlist)).alias("token")
+        )
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    stream = spark.readStream.schema("doc_id long, text string").json(
+        str(src)
+    )
+    counts = (
+        stream.select(F.explode(bpe_tokens_col("text", mlist)).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    q = (
+        counts.writeStream.format("memory")
+        .queryName("bpe_stream_counts")
+        .outputMode("complete")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            r["token"]: r["n"]
+            for r in spark.sql("select * from bpe_stream_counts").collect()
+        }
+    finally:
+        q.stop()
+    assert got == expected and got["low"] >= 2
