@@ -3008,6 +3008,24 @@ def v16_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fused.select(F.col("id").alias("doc_id"), "rrf")
 
 
+def t29_bm25_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-query BM25 in one corpus pass (operators/retrieval.py:
+    bm25_topk_multi — the retrieval counterpart of v14's multi-query
+    ADC scan): per-doc stats for the UNION of all query bags ride one
+    tokenize+groupBy, each query then scores as a projection over the
+    checkpointed relation with its own top-k. The oracle recomputes the
+    shared pass per branch — equivalence is on VALUES, the engine pays
+    the corpus once."""
+    from ftm_columnstore_spark.operators.retrieval import bm25_topk_multi
+
+    return bm25_topk_multi(
+        _t(spark, sf_dir, "documents"),
+        {"q_exec": ["hash", "join"], "q_scan": ["scan", "table"],
+         "q_agg": ["agg", "key", "row"]},
+        top=10,
+    ).select("query_id", F.col("id").alias("doc_id"), "score")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order matters: the driver's CORRECTNESS run covers the
     # first ~50 entries. Rotation discipline (VERDICT r3 item 5): the
@@ -3029,6 +3047,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t28_temperature_mixture": t28_temperature_mixture,
         "v15_embedding_clusters": v15_embedding_clusters,
         "v16_hybrid_rrf": v16_hybrid_rrf,
+        "t29_bm25_multi": t29_bm25_multi,
         # --- verified green in CORRECTNESS_r01.json (stalest block) ---
         "s1_scan_project": s1_scan_project,
         "f3_comparator_filters": f3_comparator_filters,
@@ -3294,11 +3313,29 @@ def _v15_oracle(min_cosine: float = 0.40, num_planes: int = 4) -> str:
     """
 
 
-def _bm25_oracle(top: int = 25) -> str:
-    """DuckDB oracle for BM25 top-k over documents with the fixed query
-    bag {hash, join, scan} (mirrors operators/retrieval.py bm25_scores:
+def _bm25_scored_sql(terms: tuple[str, ...]) -> str:
+    """Shared scored-relation SQL for BM25 oracles over an arbitrary
+    sorted term bag (mirrors operators/retrieval.py bm25_scores:
     integer tf/dl/df/N from one aggregation, avgdl one IEEE division,
     per-term contributions summed in sorted-term order)."""
+    tfs = ",\n                       ".join(
+        f"sum(CASE WHEN term = '{t}' THEN 1 ELSE 0 END) AS tf{i}"
+        for i, t in enumerate(terms)
+    )
+    dfs = ",\n                       ".join(
+        f"sum(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS df{i}"
+        for i in range(len(terms))
+    )
+    contribs = "\n                       + ".join(
+        f"""ln(1.0 + ((n_docs::DOUBLE - df{i}) + 0.5)
+                                  / (df{i}::DOUBLE + 0.5))
+                           * tf{i}::DOUBLE * 2.2
+                           / (tf{i}::DOUBLE + 1.2 * (0.25
+                              + 0.75 * dl::DOUBLE
+                                / (sum_dl::DOUBLE / n_docs::DOUBLE)))"""
+        for i in range(len(terms))
+    )
+    matched = " OR ".join(f"tf{i} > 0" for i in range(len(terms)))
     return f"""
             WITH tok AS (
                 SELECT doc_id AS id,
@@ -3308,44 +3345,49 @@ def _bm25_oracle(top: int = 25) -> str:
                 FROM documents WHERE text IS NOT NULL
             ), per AS (
                 SELECT id, count(*) AS dl,
-                       sum(CASE WHEN term = 'hash' THEN 1 ELSE 0 END) AS tf0,
-                       sum(CASE WHEN term = 'join' THEN 1 ELSE 0 END) AS tf1,
-                       sum(CASE WHEN term = 'scan' THEN 1 ELSE 0 END) AS tf2
+                       {tfs}
                 FROM tok GROUP BY id
             ), g AS (
                 SELECT count(*) AS n_docs, sum(dl) AS sum_dl,
-                       sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS df0,
-                       sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1,
-                       sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS df2
+                       {dfs}
                 FROM per
             ), scored AS (
                 SELECT id,
                        round(
-                         ln(1.0 + ((n_docs::DOUBLE - df0) + 0.5)
-                                  / (df0::DOUBLE + 0.5))
-                           * tf0::DOUBLE * 2.2
-                           / (tf0::DOUBLE + 1.2 * (0.25
-                              + 0.75 * dl::DOUBLE
-                                / (sum_dl::DOUBLE / n_docs::DOUBLE)))
-                       + ln(1.0 + ((n_docs::DOUBLE - df1) + 0.5)
-                                  / (df1::DOUBLE + 0.5))
-                           * tf1::DOUBLE * 2.2
-                           / (tf1::DOUBLE + 1.2 * (0.25
-                              + 0.75 * dl::DOUBLE
-                                / (sum_dl::DOUBLE / n_docs::DOUBLE)))
-                       + ln(1.0 + ((n_docs::DOUBLE - df2) + 0.5)
-                                  / (df2::DOUBLE + 0.5))
-                           * tf2::DOUBLE * 2.2
-                           / (tf2::DOUBLE + 1.2 * (0.25
-                              + 0.75 * dl::DOUBLE
-                                / (sum_dl::DOUBLE / n_docs::DOUBLE))),
+                         {contribs},
                        6) AS score
                 FROM per, g
-                WHERE tf0 > 0 OR tf1 > 0 OR tf2 > 0
+                WHERE {matched}
             )
+    """
+
+
+def _bm25_oracle(
+    top: int = 25, terms: tuple[str, ...] = ("hash", "join", "scan")
+) -> str:
+    """DuckDB oracle for single-query BM25 top-k over documents."""
+    return f"""{_bm25_scored_sql(terms)}
             SELECT id AS doc_id, score FROM scored
             ORDER BY score DESC, id LIMIT {top}
     """
+
+
+def _bm25_multi_oracle(queries: dict, top: int = 10) -> str:
+    """DuckDB oracle for multi-query BM25: one scored-relation instance
+    per query bag (SQL recomputes the shared pass per branch; the
+    ENGINE pays it once — the equivalence is on VALUES, not cost),
+    each branch top-k'd independently, UNION ALL."""
+    branches = []
+    for qid in sorted(queries):
+        terms = tuple(sorted(set(queries[qid])))
+        branches.append(
+            f"""(
+            {_bm25_scored_sql(terms)}
+            SELECT '{qid}' AS query_id, id AS doc_id, score FROM scored
+            ORDER BY score DESC, id LIMIT {top}
+        )"""
+        )
+    return "\n        UNION ALL ".join(branches)
 
 
 def _v16_oracle(n: int = 50, k0: int = 60, top: int = 25) -> str:
@@ -5505,6 +5547,11 @@ def oracle_sql() -> dict[str, str]:
         "t27_bpe_vocab": _bpe_oracle(n_merges=12, mode="vocab", top=50),
         "t25_bm25_topk": _bm25_oracle(top=25),
         "v16_hybrid_rrf": _v16_oracle(n=50, k0=60, top=25),
+        "t29_bm25_multi": _bm25_multi_oracle(
+            {"q_exec": ["hash", "join"], "q_scan": ["scan", "table"],
+             "q_agg": ["agg", "key", "row"]},
+            top=10,
+        ),
         "t28_temperature_mixture": """
             WITH cnts AS (
                 SELECT source, count(*) AS n FROM documents GROUP BY source

@@ -107,6 +107,7 @@ HEADLINE = [
     "t28_temperature_mixture",
     "v15_embedding_clusters",
     "v16_hybrid_rrf",
+    "t29_bm25_multi",
 ]
 
 

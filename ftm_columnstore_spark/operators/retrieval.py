@@ -22,7 +22,13 @@ from pyspark.sql import functions as F
 
 from ftm_columnstore_spark.functions.text import word_tokens_col
 
-__all__ = ["bm25_topk", "bm25_scores", "with_rank", "rrf_fuse"]
+__all__ = [
+    "bm25_topk",
+    "bm25_scores",
+    "bm25_topk_multi",
+    "with_rank",
+    "rrf_fuse",
+]
 
 
 def _doc_term_stats(
@@ -119,6 +125,83 @@ def bm25_scores(
         .select(F.col("id"), score.alias("__s"))
         .select("id", F.round("__s", 6).alias("score"))
     )
+
+
+def bm25_topk_multi(
+    df: DataFrame,
+    queries: dict[str, list[str]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+    top: int = 10,
+) -> DataFrame:
+    """Multi-query BM25 in ONE corpus pass — the retrieval counterpart
+    of the PQ kNN join's one-scan design: the per-doc stats relation is
+    built once over the UNION of all query bags (still one tokenize +
+    one groupBy(id)), then each query scores as a cheap projection over
+    the checkpointed relation with its own TakeOrderedAndProject top-k.
+    Output: (query_id, id, score), per-query top-``top``.
+
+    Per-query results are IDENTICAL to :func:`bm25_topk` with that bag
+    (same fixed-order contribution sums; df/N/avgdl are corpus-global,
+    not query-dependent) — pinned by test. Scale: corpus cost is paid
+    once no matter how many queries; each branch reads |docs| narrow
+    rows."""
+    if not queries:
+        raise ValueError("queries must be non-empty")
+    all_terms = sorted({t for ts in queries.values() for t in ts})
+    if not all_terms:
+        raise ValueError("query bags must contain at least one term")
+    per = _doc_term_stats(df, all_terms, text_col, id_col).localCheckpoint(
+        eager=True
+    )
+    gaggs = [
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dl").alias("sum_dl"),
+    ] + [
+        F.sum((F.col(f"tf_{i}") > 0).cast("long")).alias(f"df_{i}")
+        for i in range(len(all_terms))
+    ]
+    j = per.crossJoin(F.broadcast(per.agg(*gaggs)))
+    avgdl = F.col("sum_dl").cast("double") / F.col("n_docs").cast("double")
+    norm = F.lit(float(k1)) * (
+        F.lit(1.0 - b) + F.lit(float(b)) * F.col("dl").cast("double") / avgdl
+    )
+
+    def contrib(i: int) -> Column:
+        tf = F.col(f"tf_{i}").cast("double")
+        idf = F.log(
+            F.lit(1.0)
+            + (F.col("n_docs").cast("double") - F.col(f"df_{i}") + F.lit(0.5))
+            / (F.col(f"df_{i}").cast("double") + F.lit(0.5))
+        )
+        return idf * tf * F.lit(float(k1 + 1.0)) / (tf + norm)
+
+    branches = []
+    for qid in sorted(queries):
+        idxs = [all_terms.index(t) for t in sorted(set(queries[qid]))]
+        score: Column | None = None
+        matched: Column | None = None
+        for i in idxs:
+            c = contrib(i)
+            score = c if score is None else score + c
+            m = F.col(f"tf_{i}") > 0
+            matched = m if matched is None else (matched | m)
+        branches.append(
+            j.filter(matched)
+            .select(
+                F.lit(qid).alias("query_id"),
+                F.col("id"),
+                F.round(score, 6).alias("score"),
+            )
+            .orderBy(F.col("score").desc(), F.col("id"))
+            .limit(int(top))
+        )
+    out = branches[0]
+    for b_ in branches[1:]:
+        out = out.unionByName(b_)
+    return out
 
 
 def with_rank(df: DataFrame, *order: Column) -> DataFrame:

@@ -225,3 +225,31 @@ def test_bm25_matches_reference(spark, texts, terms):
     assert set(got) == set(expect)
     for i in expect:
         assert got[i] == pytest.approx(expect[i], abs=2e-6), (i, expect, got)
+
+
+def test_bm25_multi_matches_single(spark, docs):
+    """Each multi-query branch equals the standalone bm25_topk for the
+    same bag — df/N/avgdl are corpus-global, so sharing the stats
+    relation across queries changes nothing."""
+    from ftm_columnstore_spark.operators.retrieval import bm25_topk_multi
+
+    queries = {"a": ["join", "spark"], "b": ["scan"], "c": ["filter", "sort"]}
+    multi = bm25_topk_multi(docs, queries, top=3).collect()
+    by_q = {}
+    for r in multi:
+        by_q.setdefault(r["query_id"], []).append((r["id"], r["score"]))
+    for qid, terms in queries.items():
+        solo = [
+            (r["id"], r["score"])
+            for r in bm25_topk(docs, terms, top=3).collect()
+        ]
+        assert sorted(by_q.get(qid, [])) == sorted(solo), qid
+
+
+def test_bm25_multi_validation(spark, docs):
+    from ftm_columnstore_spark.operators.retrieval import bm25_topk_multi
+
+    with pytest.raises(ValueError):
+        bm25_topk_multi(docs, {})
+    with pytest.raises(ValueError):
+        bm25_topk_multi(docs, {"q": []})
