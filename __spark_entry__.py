@@ -3463,11 +3463,17 @@ def _bpe_oracle(n_merges: int = 12, mode: str = "merges", top: int = 50) -> str:
             SELECT l, r, c FROM p{i} ORDER BY c DESC, l, r LIMIT 1
         )"""
         )
+        # LEFT JOIN ON TRUE, not a cross join: when merges exhaust
+        # early, b{i} is EMPTY and a cross join would empty every later
+        # vocab CTE — vocab mode would return 0 rows while the engine
+        # returns real counts for the shorter merge list
         ctes.append(
             f"""v{i + 1} AS (
-            SELECT replace(w, '{{' || b.l || '}}{{' || b.r || '}}',
-                              '{{' || b.l || b.r || '}}') AS w, cnt
-            FROM v{i}, b{i} b
+            SELECT CASE WHEN b.l IS NULL THEN w
+                   ELSE replace(w, '{{' || b.l || '}}{{' || b.r || '}}',
+                                   '{{' || b.l || b.r || '}}') END AS w,
+                   cnt
+            FROM v{i} LEFT JOIN b{i} b ON TRUE
         )"""
         )
     with_clause = "WITH " + ",\n        ".join(ctes)

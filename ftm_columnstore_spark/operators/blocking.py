@@ -179,30 +179,37 @@ def connected_components(
     near-forest graphs entity matching actually produces (diameter ≤ 3-4:
     fewer, cheaper rounds), loses badly on long chains.
 
-    Small-graph fast path: when the (distinct, self-loop-free) edge set
-    holds at most ``small_graph_threshold`` rows, the edges are
-    collected and labeled with driver-side union-find — one bounded
-    collect (the house rule: the threshold is the bound, default 100k
-    edges ≈ a few MB) replaces 5-15 shuffle rounds. This is the COMMON
-    case for near-dup pair graphs over mostly-unique corpora (measured:
-    the d16/v15/t23 entries each spent ~4-5s in star rounds over a
-    few-hundred-edge graph). The iterative path is untouched for
-    anything larger; labels are identical (component minimum) either
-    way, pinned by a both-paths test. Pass ``small_graph_threshold=0``
-    to force the distributed path."""
-    deduped = (
-        edges.select(
-            F.col("left_id").alias("src"), F.col("right_id").alias("dst")
-        )
-        .filter(F.col("src") != F.col("dst"))
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
-    if small_graph_threshold > 0:
-        head = deduped.limit(small_graph_threshold + 1).collect()
-        if len(head) <= small_graph_threshold:
-            return _cc_union_find(edges.sparkSession, head, deduped.schema)
+    Small-graph fast path (``algorithm="star"``, the default): when the
+    (distinct, self-loop-free) edge set holds at most
+    ``small_graph_threshold`` rows, the edges are collected and labeled
+    with driver-side union-find — one bounded collect (the house rule:
+    the threshold is the bound, default 100k edges ≈ a few MB) replaces
+    5-15 shuffle rounds. This is the COMMON case for near-dup pair
+    graphs over mostly-unique corpora (measured: the d16/v15/t23
+    entries each spent ~4-5s in star rounds over a few-hundred-edge
+    graph). The iterative path is untouched for anything larger;
+    labels are identical (component minimum) either way, pinned by a
+    both-paths test. Pass ``small_graph_threshold=0`` to force the
+    distributed rounds. The label path skips the probe entirely — it
+    deliberately keeps its historical output for self-loop-only nodes
+    (present under "label", absent under "star"/fast), and building
+    the deduped relation just to probe would cost large label-mode
+    graphs a full wasted distinct+checkpoint job."""
     if algorithm == "star":
+        deduped = (
+            edges.select(
+                F.col("left_id").alias("src"), F.col("right_id").alias("dst")
+            )
+            .filter(F.col("src") != F.col("dst"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        if small_graph_threshold > 0:
+            head = deduped.limit(small_graph_threshold + 1).collect()
+            if len(head) <= small_graph_threshold:
+                return _cc_union_find(
+                    edges.sparkSession, head, deduped.schema
+                )
         return _cc_star(deduped, max_iterations, pre_deduped=True)
     labels = (
         edges.select(F.col("left_id").alias("id"))

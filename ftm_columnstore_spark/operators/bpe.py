@@ -241,8 +241,14 @@ def apply_bpe(
             r"\}\{",
         ).alias("toks"),
     )
+    # plain join, NOT a forced broadcast: seg is one row per DISTINCT
+    # word — 10-100M rows at 100 TB of text (module docstring), past
+    # Spark's broadcast limit. AQE converts to broadcast at runtime
+    # whenever the vocabulary actually is small; forcing it would fail
+    # exactly the corpora the scale posture claims to survive (the same
+    # bug class as text.py's gated c2 broadcast).
     return (
-        words.join(F.broadcast(seg), on="term")
+        words.join(seg, on="term")
         .select("id", F.explode("toks").alias("token"))
     )
 

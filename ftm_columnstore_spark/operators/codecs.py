@@ -141,17 +141,24 @@ def decode_png(payload: bytes) -> np.ndarray:
     if payload[: len(_PNG_SIG)] != _PNG_SIG:
         raise UnsupportedMediaError("not a PNG payload")
     pos, idat, meta = len(_PNG_SIG), [], None
-    while pos + 8 <= len(payload):
-        (length,) = struct.unpack_from(">I", payload, pos)
-        tag = payload[pos + 4 : pos + 8]
-        body = payload[pos + 8 : pos + 8 + length]
-        pos += 12 + length
-        if tag == b"IHDR":
-            meta = struct.unpack(">IIBBBBB", body)
-        elif tag == b"IDAT":
-            idat.append(body)
-        elif tag == b"IEND":
-            break
+    # struct/zlib failures on truncated or corrupt payloads must keep
+    # the documented contract (UnsupportedMediaError) — callers catch
+    # that specific type to fall back, and a leaked struct.error inside
+    # a per-row decode fails the whole Spark task on one bad image
+    try:
+        while pos + 8 <= len(payload):
+            (length,) = struct.unpack_from(">I", payload, pos)
+            tag = payload[pos + 4 : pos + 8]
+            body = payload[pos + 8 : pos + 8 + length]
+            pos += 12 + length
+            if tag == b"IHDR":
+                meta = struct.unpack(">IIBBBBB", body)
+            elif tag == b"IDAT":
+                idat.append(body)
+            elif tag == b"IEND":
+                break
+    except struct.error as exc:
+        raise UnsupportedMediaError(f"corrupt PNG chunk layout: {exc}")
     if meta is None or not idat:
         raise UnsupportedMediaError("truncated PNG")
     w, h, depth, color, _comp, _filt, interlace = meta
@@ -161,7 +168,10 @@ def decode_png(payload: bytes) -> np.ndarray:
             f"unsupported PNG variant (depth={depth}, color={color}, "
             f"interlace={interlace})"
         )
-    raw = zlib.decompress(b"".join(idat))
+    try:
+        raw = zlib.decompress(b"".join(idat))
+    except zlib.error as exc:
+        raise UnsupportedMediaError(f"corrupt PNG IDAT stream: {exc}")
     stride = w * channels
     if len(raw) != h * (stride + 1):
         raise UnsupportedMediaError("PNG scanline size mismatch")

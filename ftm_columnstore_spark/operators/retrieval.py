@@ -49,6 +49,63 @@ def _doc_term_stats(
     return tok.groupBy("id").agg(*aggs)
 
 
+def _scored_stats_join(
+    df: DataFrame, all_terms: list[str], text_col: str, id_col: str
+) -> DataFrame:
+    """Checkpointed per-doc stats cross-joined with the 1-row corpus
+    reduction — the shared relation every BM25 scoring branch reads.
+
+    localCheckpoint: BOTH consumers (the corpus reduction and the
+    scoring branches) read the per-doc relation — without
+    materialization Catalyst inlines the tokenize+aggregate lineage
+    into each side and the corpus is scanned TWICE (caught by the
+    plan-shape test). The checkpointed relation is |docs| rows x
+    (2+|terms|) integers — noise next to the corpus at any scale."""
+    per = _doc_term_stats(df, all_terms, text_col, id_col).localCheckpoint(
+        eager=True
+    )
+    gaggs = [
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dl").alias("sum_dl"),
+    ] + [
+        F.sum((F.col(f"tf_{i}") > 0).cast("long")).alias(f"df_{i}")
+        for i in range(len(all_terms))
+    ]
+    return per.crossJoin(F.broadcast(per.agg(*gaggs)))
+
+
+def _score_and_match(
+    idxs: list[int], k1: float, b: float
+) -> tuple[Column, Column]:
+    """(score, matched) expressions over _scored_stats_join columns for
+    the term indices of one query bag — contributions summed in index
+    (= sorted-term) order, so single- and multi-query paths are
+    expression-identical by construction."""
+    avgdl = F.col("sum_dl").cast("double") / F.col("n_docs").cast("double")
+    norm = F.lit(float(k1)) * (
+        F.lit(1.0 - b) + F.lit(float(b)) * F.col("dl").cast("double") / avgdl
+    )
+
+    def contrib(i: int) -> Column:
+        tf = F.col(f"tf_{i}").cast("double")
+        idf = F.log(
+            F.lit(1.0)
+            + (F.col("n_docs").cast("double") - F.col(f"df_{i}") + F.lit(0.5))
+            / (F.col(f"df_{i}").cast("double") + F.lit(0.5))
+        )
+        return idf * tf * F.lit(float(k1 + 1.0)) / (tf + norm)
+
+    score: Column | None = None
+    matched: Column | None = None
+    for i in idxs:
+        c = contrib(i)
+        score = c if score is None else score + c
+        m = F.col(f"tf_{i}") > 0
+        matched = m if matched is None else (matched | m)
+    assert score is not None and matched is not None
+    return score, matched
+
+
 def bm25_scores(
     df: DataFrame,
     query_terms: list[str],
@@ -77,49 +134,8 @@ def bm25_scores(
     terms = sorted(set(query_terms))
     if not terms:
         raise ValueError("query_terms must be non-empty")
-    # localCheckpoint: BOTH consumers (the corpus reduction g and the
-    # scoring join) read the per-doc relation — without materialization
-    # Catalyst inlines the tokenize+aggregate lineage into each side and
-    # the corpus is scanned TWICE (caught by the plan-shape test). The
-    # checkpointed relation is |docs| rows x (2+|q|) integers — noise
-    # next to the corpus at any scale; blocks release once unreferenced.
-    per = _doc_term_stats(df, terms, text_col, id_col).localCheckpoint(
-        eager=True
-    )
-
-    # corpus aggregates + per-term doc frequencies: one reduction of the
-    # narrow per-doc relation, 1 row total -> broadcast cross join
-    gaggs = [
-        F.count(F.lit(1)).alias("n_docs"),
-        F.sum("dl").alias("sum_dl"),
-    ] + [
-        F.sum((F.col(f"tf_{i}") > 0).cast("long")).alias(f"df_{i}")
-        for i in range(len(terms))
-    ]
-    g = per.agg(*gaggs)
-
-    j = per.crossJoin(F.broadcast(g))
-    avgdl = F.col("sum_dl").cast("double") / F.col("n_docs").cast("double")
-    norm = F.lit(float(k1)) * (
-        F.lit(1.0 - b) + F.lit(float(b)) * F.col("dl").cast("double") / avgdl
-    )
-
-    def contrib(i: int) -> Column:
-        tf = F.col(f"tf_{i}").cast("double")
-        idf = F.log(
-            F.lit(1.0)
-            + (F.col("n_docs").cast("double") - F.col(f"df_{i}") + F.lit(0.5))
-            / (F.col(f"df_{i}").cast("double") + F.lit(0.5))
-        )
-        return idf * tf * F.lit(float(k1 + 1.0)) / (tf + norm)
-
-    score: Column = contrib(0)
-    for i in range(1, len(terms)):
-        score = score + contrib(i)
-    matched = None
-    for i in range(len(terms)):
-        c = F.col(f"tf_{i}") > 0
-        matched = c if matched is None else (matched | c)
+    j = _scored_stats_join(df, terms, text_col, id_col)
+    score, matched = _score_and_match(list(range(len(terms))), k1, b)
     return (
         j.filter(matched)
         .select(F.col("id"), score.alias("__s"))
@@ -150,44 +166,15 @@ def bm25_topk_multi(
     rows."""
     if not queries:
         raise ValueError("queries must be non-empty")
+    empty = sorted(q for q, ts in queries.items() if not ts)
+    if empty:
+        raise ValueError(f"query bags must be non-empty: {empty}")
     all_terms = sorted({t for ts in queries.values() for t in ts})
-    if not all_terms:
-        raise ValueError("query bags must contain at least one term")
-    per = _doc_term_stats(df, all_terms, text_col, id_col).localCheckpoint(
-        eager=True
-    )
-    gaggs = [
-        F.count(F.lit(1)).alias("n_docs"),
-        F.sum("dl").alias("sum_dl"),
-    ] + [
-        F.sum((F.col(f"tf_{i}") > 0).cast("long")).alias(f"df_{i}")
-        for i in range(len(all_terms))
-    ]
-    j = per.crossJoin(F.broadcast(per.agg(*gaggs)))
-    avgdl = F.col("sum_dl").cast("double") / F.col("n_docs").cast("double")
-    norm = F.lit(float(k1)) * (
-        F.lit(1.0 - b) + F.lit(float(b)) * F.col("dl").cast("double") / avgdl
-    )
-
-    def contrib(i: int) -> Column:
-        tf = F.col(f"tf_{i}").cast("double")
-        idf = F.log(
-            F.lit(1.0)
-            + (F.col("n_docs").cast("double") - F.col(f"df_{i}") + F.lit(0.5))
-            / (F.col(f"df_{i}").cast("double") + F.lit(0.5))
-        )
-        return idf * tf * F.lit(float(k1 + 1.0)) / (tf + norm)
-
+    j = _scored_stats_join(df, all_terms, text_col, id_col)
     branches = []
     for qid in sorted(queries):
         idxs = [all_terms.index(t) for t in sorted(set(queries[qid]))]
-        score: Column | None = None
-        matched: Column | None = None
-        for i in idxs:
-            c = contrib(i)
-            score = c if score is None else score + c
-            m = F.col(f"tf_{i}") > 0
-            matched = m if matched is None else (matched | m)
+        score, matched = _score_and_match(idxs, k1, b)
         branches.append(
             j.filter(matched)
             .select(

@@ -171,11 +171,17 @@ def _gate_c2(c2: DataFrame, vocab_size: int) -> DataFrame:
     only when provably or measurably small (vocab² bound skips the
     count job for small vocabularies); otherwise pin c2 as the BUILD
     side of a shuffled hash join — the stream side must never be the
-    corpus-sized bigram relation (the measured 119s inversion)."""
-    if (
-        vocab_size * vocab_size <= _C2_BROADCAST_ROWS
-        or c2.count() <= _C2_BROADCAST_ROWS
-    ):
+    corpus-sized bigram relation (the measured 119s inversion).
+
+    When the vocab² bound can't prove smallness, the gate must COUNT
+    c2 — and c2's lineage is the full corpus bigram aggregation, so the
+    count is materialized (localCheckpoint) before measuring: counting
+    the raw lineage would run that aggregation once for the gate and
+    AGAIN inside the join, doubling the dominant cost."""
+    if vocab_size * vocab_size <= _C2_BROADCAST_ROWS:
+        return F.broadcast(c2)
+    c2 = c2.localCheckpoint(eager=True)
+    if c2.count() <= _C2_BROADCAST_ROWS:
         return F.broadcast(c2)
     return c2.hint("shuffle_hash")
 

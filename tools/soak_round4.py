@@ -99,6 +99,19 @@ def main():
                 docs, alpha=0.5, seed="soak"
             ).count(),
         )
+        from ftm_columnstore_spark.operators.retrieval import (
+            bm25_topk_multi,
+        )
+
+        timed(
+            f"bm25_multi(3q) x{factor}",
+            lambda: bm25_topk_multi(
+                docs,
+                {"q1": ["hash", "join"], "q2": ["scan", "table"],
+                 "q3": ["agg", "key", "row"]},
+                top=10,
+            ).count(),
+        )
         if factor > 1:
             docs.unpersist()
     spark.stop()
