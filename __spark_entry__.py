@@ -4,8 +4,10 @@
 exercise (f=filters, j=joins, a=aggregations, o=ordering, u=set ops,
 w=windows, x=scalar fns, e=FtM entity engine, m=materialized stats,
 d=dedup, t=text analysis, v=vector similarity, st=streaming analogues).
-Every entry has a DuckDB oracle in ``oracle_sql()`` except the
-LSH/probabilistic ones (rows-only checks; marked NON-SQL below).
+Every entry (149 as of round 4) has a full DuckDB value-hash oracle in
+``oracle_sql()`` — the last rows-only entries were restructured in
+round 4 (x5 serializes arrays, v5 serves integer-Lloyd centroids, t9
+emits SQL-verifiable packing invariants).
 
 Conventions that keep the value-hash comparable:
 - every computed column aliased identically on both sides;
