@@ -113,7 +113,7 @@ HEADLINE = [
 
 def _new_session():
     """Fresh session per measurement BLOCK (solo vs concurrent): a
-    69-op × best-of-3 battery degrades the JVM in-session (code-cache
+    76-op best-of-N battery degrades the JVM in-session (code-cache
     and GC pressure inflate late queries 5-10x — NOTES 'bench JVM
     degradation'); a block-level restart keeps round-over-round solo
     diffs from being noise-dominated (VERDICT r3 item 7)."""
