@@ -3030,19 +3030,122 @@ def t29_bm25_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order matters: the driver's CORRECTNESS run covers the
-    # first ~50 entries. Rotation discipline (VERDICT r3 item 5): the
-    # three entries that have NEVER had a green driver row lead (x5/v5/
-    # t9 — all restructured this round to be oracle-checkable), then
-    # round-4 additions, then the LONGEST-UNCHECKED verified block (the
-    # r01 trailing block, 3 rounds stale), then r02, then the freshest
-    # (r03-verified) block last. ROUND 5: rotate again — never-checked
-    # first, newest additions next, stalest verified block after.
+    # first ~50 entries. Rotation discipline (VERDICT r4 item 1): every
+    # key's staleness = rounds since its last green driver row. This
+    # round the window holds the 52 stalest keys (10 last-green r01 +
+    # 42 last-green r02); 52 > 50, so the two md5-deterministic,
+    # pytest-pinned sampling keys sit at pos 51-52 and lead r06's
+    # window. r03- then r04-verified blocks follow (freshest last).
+    # ROUND 6: rotate again — any never-green keys first, r05 spillover
+    # (t6/t8) next, then the r03 block (it becomes stalest).
     return {
-        # --- never driver-green (restructured this round; VERDICT 1) ---
+        # --- last driver-green in r01 (4 rounds stale — lead the window) ---
+        "st2_events_latest": st2_events_latest,
+        "j5_order_priority_exists": j5_order_priority_exists,
+        "j8_nation_volume": j8_nation_volume,
+        "a11_promo_revenue": a11_promo_revenue,
+        "j9_shipping_priority": j9_shipping_priority,
+        "j10_discounted_revenue": j10_discounted_revenue,
+        "a12_forecast_revenue": a12_forecast_revenue,
+        "a13_late_shipments": a13_late_shipments,
+        "j6_top_customers": j6_top_customers,
+        "j7_big_orders": j7_big_orders,
+        # --- last driver-green in r02 (3 rounds stale) ---
+        "a10_rollup": a10_rollup,
+        "o4_deterministic_scan": o4_deterministic_scan,
+        "t4_language_id": t4_language_id,
+        "t5_quality_scores": t5_quality_scores,
+        "j11_order_count_distribution": j11_order_count_distribution,
+        "a14_small_quantity_revenue": a14_small_quantity_revenue,
+        "m4_top_supplier_revenue": m4_top_supplier_revenue,
+        "j12_supplier_counts_anti": j12_supplier_counts_anti,
+        "j13_late_sole_shippers": j13_late_sole_shippers,
+        "a15_idle_rich_customers": a15_idle_rich_customers,
+        "j14_best_supplier_per_part": j14_best_supplier_per_part,
+        "a16_part_value_share": a16_part_value_share,
+        "t7_stratified_sample": t7_stratified_sample,
+        "d8_decontamination": d8_decontamination,
+        "a17_regional_share": a17_regional_share,
+        "a18_product_profit": a18_product_profit,
+        "j15_dominant_suppliers": j15_dominant_suppliers,
+        "t10_mixture_sample": t10_mixture_sample,
+        "d3_minhash_lsh_pairs": d3_minhash_lsh_pairs,
+        "d4_simhash_pairs": d4_simhash_pairs,
+        "v3_lsh_topk": v3_lsh_topk,
+        "v4_embedding_dups": v4_embedding_dups,
+        "v8_ivf_topk_portable": v8_ivf_topk_portable,
+        "t11_bigram_lm": t11_bigram_lm,
+        "t12_tfidf_terms": t12_tfidf_terms,
+        "t13_pii_scrub": t13_pii_scrub,
+        "v6_ann_topk_numpy": v6_ann_topk_numpy,
+        "v7_knn_join_numpy": v7_knn_join_numpy,
+        "w3_asof_join": w3_asof_join,
+        "w4_band_join": w4_band_join,
+        "d9_repetition_filter": d9_repetition_filter,
+        "a19_percentiles": a19_percentiles,
+        "a20_cube": a20_cube,
+        "m5_time_rollup": m5_time_rollup,
+        "t14_winnow_fingerprints": t14_winnow_fingerprints,
+        "d10_winnow_overlap": d10_winnow_overlap,
+        "d11_line_dedup": d11_line_dedup,
+        "v9_semantic_dedup": v9_semantic_dedup,
+        "d12_cross_dedup": d12_cross_dedup,
+        "t15_quality_gate": t15_quality_gate,
+        # --- r02-green spillover at pos 51-52 (window is ~50; md5-deterministic, pytest-pinned; first in line for r06) ---
+        "t6_hash_split": t6_hash_split,
+        "t8_deterministic_shuffle": t8_deterministic_shuffle,
+        # --- verified green in CORRECTNESS_r03.json ---
+        "a4_avg_via_dsl": a4_avg_via_dsl,
+        "m2_fingerprint_freq": m2_fingerprint_freq,
+        "u3_intersect": u3_intersect,
+        "u4_except": u4_except,
+        "e6_schema_hierarchy": e6_schema_hierarchy,
+        "d6_jaccard_dedup_kept": d6_jaccard_dedup_kept,
+        "d7_connected_components": d7_connected_components,
+        "w2_rank_spenders": w2_rank_spenders,
+        "j16_pagerank": j16_pagerank,
+        "t16_weighted_sample": t16_weighted_sample,
+        "d13_dedup_keep_best": d13_dedup_keep_best,
+        "d14_exact_substring_dedup": d14_exact_substring_dedup,
+        "j17_triangle_count": j17_triangle_count,
+        "d15_cross_substring_dedup": d15_cross_substring_dedup,
+        "t17_perplexity_buckets": t17_perplexity_buckets,
+        "t18_chunk_documents": t18_chunk_documents,
+        "v10_ann_recall": v10_ann_recall,
+        "w5_funnel": w5_funnel,
+        "w6_retention": w6_retention,
+        "w7_sessionize": w7_sessionize,
+        "w8_transitions": w8_transitions,
+        "m7_audio_frames": m7_audio_frames,
+        "m8_resize_features": m8_resize_features,
+        "m9_moving_average": m9_moving_average,
+        "a21_data_checks": a21_data_checks,
+        "j18_edit1_name_pairs": j18_edit1_name_pairs,
+        "v11_ivf_trained_portable": v11_ivf_trained_portable,
+        "t19_pack_portable": t19_pack_portable,
+        "t20_cross_corpus_lm": t20_cross_corpus_lm,
+        "m6_multimodal_features": m6_multimodal_features,
+        "d16_minhash_clusters": d16_minhash_clusters,
+        "v12_pq_topk": v12_pq_topk,
+        "v13_ivfpq_topk": v13_ivfpq_topk,
+        "a22_hll_cardinality": a22_hll_cardinality,
+        "a23_cms_heavy_tokens": a23_cms_heavy_tokens,
+        "a24_column_profile": a24_column_profile,
+        "t21_nb_quality_scores": t21_nb_quality_scores,
+        "a25_sample_quantiles": a25_sample_quantiles,
+        "v14_pq_knn_join": v14_pq_knn_join,
+        "t22_token_budget": t22_token_budget,
+        "t23_leakage_free_split": t23_leakage_free_split,
+        "a26_table_profile": a26_table_profile,
+        "t24_c4_line_filter": t24_c4_line_filter,
+        "j19_skew_hybrid_join": j19_skew_hybrid_join,
+        "m10_image_dup_pairs": m10_image_dup_pairs,
+        "m11_audio_dup_pairs": m11_audio_dup_pairs,
+        "j20_k_core": j20_k_core,
+        # --- verified green in CORRECTNESS_r04.json (freshest) ---
         "x5_phonetic_keys": x5_phonetic_keys,
         "v5_ivf_trained_deep": v5_ivf_trained_deep,
         "t9_pack_sequences": t9_pack_sequences,
-        # --- round-4 additions land here (inside the driver window) ---
         "t25_bm25_topk": t25_bm25_topk,
         "t26_bpe_merges": t26_bpe_merges,
         "t27_bpe_vocab": t27_bpe_vocab,
@@ -3050,7 +3153,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "v15_embedding_clusters": v15_embedding_clusters,
         "v16_hybrid_rrf": v16_hybrid_rrf,
         "t29_bm25_multi": t29_bm25_multi,
-        # --- verified green in CORRECTNESS_r01.json (stalest block) ---
         "s1_scan_project": s1_scan_project,
         "f3_comparator_filters": f3_comparator_filters,
         "f5_prefix_filter": f5_prefix_filter,
@@ -3091,107 +3193,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t3_lang_stats": t3_lang_stats,
         "v1_ann_topk": v1_ann_topk,
         "st1_events_tumbling": st1_events_tumbling,
-        "st2_events_latest": st2_events_latest,
-        "j5_order_priority_exists": j5_order_priority_exists,
-        "j8_nation_volume": j8_nation_volume,
-        "a11_promo_revenue": a11_promo_revenue,
-        "j9_shipping_priority": j9_shipping_priority,
-        "j10_discounted_revenue": j10_discounted_revenue,
-        "a12_forecast_revenue": a12_forecast_revenue,
-        "a13_late_shipments": a13_late_shipments,
-        "j6_top_customers": j6_top_customers,
-        "j7_big_orders": j7_big_orders,
-        # --- verified green in CORRECTNESS_r02.json ---
-        "a4_avg_via_dsl": a4_avg_via_dsl,
-        "m2_fingerprint_freq": m2_fingerprint_freq,
-        "u3_intersect": u3_intersect,
-        "u4_except": u4_except,
-        "e6_schema_hierarchy": e6_schema_hierarchy,
-        "d6_jaccard_dedup_kept": d6_jaccard_dedup_kept,
-        "d7_connected_components": d7_connected_components,
-        "w2_rank_spenders": w2_rank_spenders,
-        "a10_rollup": a10_rollup,
-        "o4_deterministic_scan": o4_deterministic_scan,
-        "t4_language_id": t4_language_id,
-        "t5_quality_scores": t5_quality_scores,
-        "j11_order_count_distribution": j11_order_count_distribution,
-        "a14_small_quantity_revenue": a14_small_quantity_revenue,
-        "m4_top_supplier_revenue": m4_top_supplier_revenue,
-        "j12_supplier_counts_anti": j12_supplier_counts_anti,
-        "j13_late_sole_shippers": j13_late_sole_shippers,
-        "a15_idle_rich_customers": a15_idle_rich_customers,
-        "j14_best_supplier_per_part": j14_best_supplier_per_part,
-        "a16_part_value_share": a16_part_value_share,
-        "t6_hash_split": t6_hash_split,
-        "t7_stratified_sample": t7_stratified_sample,
-        "t8_deterministic_shuffle": t8_deterministic_shuffle,
-        "d8_decontamination": d8_decontamination,
-        "a17_regional_share": a17_regional_share,
-        "a18_product_profit": a18_product_profit,
-        "j15_dominant_suppliers": j15_dominant_suppliers,
-        "t10_mixture_sample": t10_mixture_sample,
-        "d3_minhash_lsh_pairs": d3_minhash_lsh_pairs,
-        "d4_simhash_pairs": d4_simhash_pairs,
-        "v3_lsh_topk": v3_lsh_topk,
-        "v4_embedding_dups": v4_embedding_dups,
-        "v8_ivf_topk_portable": v8_ivf_topk_portable,
-        "t11_bigram_lm": t11_bigram_lm,
-        "t12_tfidf_terms": t12_tfidf_terms,
-        "t13_pii_scrub": t13_pii_scrub,
-        "v6_ann_topk_numpy": v6_ann_topk_numpy,
-        "v7_knn_join_numpy": v7_knn_join_numpy,
-        "w3_asof_join": w3_asof_join,
-        "w4_band_join": w4_band_join,
-        "d9_repetition_filter": d9_repetition_filter,
-        "a19_percentiles": a19_percentiles,
-        "a20_cube": a20_cube,
-        "m5_time_rollup": m5_time_rollup,
-        "t14_winnow_fingerprints": t14_winnow_fingerprints,
-        "d10_winnow_overlap": d10_winnow_overlap,
-        "d11_line_dedup": d11_line_dedup,
-        "v9_semantic_dedup": v9_semantic_dedup,
-        "d12_cross_dedup": d12_cross_dedup,
-        "t15_quality_gate": t15_quality_gate,
-        # --- verified green in CORRECTNESS_r03.json (freshest) ---
-        "j16_pagerank": j16_pagerank,
-        "t16_weighted_sample": t16_weighted_sample,
-        "d13_dedup_keep_best": d13_dedup_keep_best,
-        "d14_exact_substring_dedup": d14_exact_substring_dedup,
-        "j17_triangle_count": j17_triangle_count,
-        "d15_cross_substring_dedup": d15_cross_substring_dedup,
-        "t17_perplexity_buckets": t17_perplexity_buckets,
-        "t18_chunk_documents": t18_chunk_documents,
-        "v10_ann_recall": v10_ann_recall,
-        "w5_funnel": w5_funnel,
-        "w6_retention": w6_retention,
-        "w7_sessionize": w7_sessionize,
-        "w8_transitions": w8_transitions,
-        "m7_audio_frames": m7_audio_frames,
-        "m8_resize_features": m8_resize_features,
-        "m9_moving_average": m9_moving_average,
-        "a21_data_checks": a21_data_checks,
-        "j18_edit1_name_pairs": j18_edit1_name_pairs,
-        "v11_ivf_trained_portable": v11_ivf_trained_portable,
-        "t19_pack_portable": t19_pack_portable,
-        "t20_cross_corpus_lm": t20_cross_corpus_lm,
-        "m6_multimodal_features": m6_multimodal_features,
-        "d16_minhash_clusters": d16_minhash_clusters,
-        "v12_pq_topk": v12_pq_topk,
-        "v13_ivfpq_topk": v13_ivfpq_topk,
-        "a22_hll_cardinality": a22_hll_cardinality,
-        "a23_cms_heavy_tokens": a23_cms_heavy_tokens,
-        "a24_column_profile": a24_column_profile,
-        "t21_nb_quality_scores": t21_nb_quality_scores,
-        "a25_sample_quantiles": a25_sample_quantiles,
-        "v14_pq_knn_join": v14_pq_knn_join,
-        "t22_token_budget": t22_token_budget,
-        "t23_leakage_free_split": t23_leakage_free_split,
-        "a26_table_profile": a26_table_profile,
-        "t24_c4_line_filter": t24_c4_line_filter,
-        "j19_skew_hybrid_join": j19_skew_hybrid_join,
-        "m10_image_dup_pairs": m10_image_dup_pairs,
-        "m11_audio_dup_pairs": m11_audio_dup_pairs,
-        "j20_k_core": j20_k_core,
     }
 
 
