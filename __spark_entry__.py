@@ -2985,7 +2985,9 @@ def v16_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
     e = _t(spark, sf_dir, "embeddings")
     bm = bm25_topk(d, ["hash", "join", "scan"], top=50)
-    bmr = with_rank(bm, F.col("score").desc(), F.col("id"))
+    bmr = with_rank(
+        bm, F.col("score").desc(), F.col("id"), expected_max_rows=50
+    )
     q = e.filter(F.col("vec_id") == 0).select(
         F.col("embedding").alias("qv")
     )
@@ -3001,7 +3003,9 @@ def v16_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("cosine").desc(), F.col("id"))
         .limit(50)
     )
-    annr = with_rank(ann, F.col("cosine").desc(), F.col("id"))
+    annr = with_rank(
+        ann, F.col("cosine").desc(), F.col("id"), expected_max_rows=50
+    )
     fused = rrf_fuse(
         [bmr.select("id", "rank"), annr.select("id", "rank")],
         k0=60,

@@ -212,6 +212,9 @@ def main() -> None:
     # box-level scheduling noise (measured 26.1 / 36.1 / 49.0 for
     # near-identical code); the solo block got ~2x cheaper this round,
     # so two extra passes fit the same budget and tighten the best-of.
+    # ALL samples go to the sidecar (wall_samples) so the single
+    # headline number carries its error bar (VERDICT r4 item 9).
+    wall_samples: list[float] = []
     for _ in range(5):
         spark.catalog.clearCache()
         spark._jvm.System.gc()
@@ -220,6 +223,7 @@ def main() -> None:
         with ThreadPoolExecutor(max_workers=8) as pool:
             pass_times = dict(zip(HEADLINE, pool.map(run, HEADLINE)))
         elapsed = time.perf_counter() - t0
+        wall_samples.append(round(elapsed, 3))
         if elapsed < wall:
             wall = elapsed
             concurrent = {k: round(v, 3) for k, v in pass_times.items()}
@@ -237,6 +241,7 @@ def main() -> None:
             for name in HEADLINE
         },
         "solo_samples": solo_samples,
+        "wall_samples": sorted(wall_samples),
     }
     # full per-query detail: sidecar file + its own (early) stdout line.
     # The LAST line is a SHORT summary — r03's single giant JSON line

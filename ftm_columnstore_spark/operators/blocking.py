@@ -205,12 +205,21 @@ def connected_components(
             .localCheckpoint(eager=True)
         )
         if small_graph_threshold > 0:
-            head = deduped.limit(small_graph_threshold + 1).collect()
-            if len(head) <= small_graph_threshold:
-                return _cc_union_find(
-                    edges.sparkSession, head, deduped.schema
+            # Cheap count on the already-materialized checkpoint decides
+            # the path; rows only cross to the driver once the graph is
+            # known small (a large graph pays one count job, never a
+            # 100k-row collect).
+            if deduped.count() <= small_graph_threshold:
+                out = _cc_union_find(
+                    edges.sparkSession, deduped.collect(), deduped.schema
                 )
-        return _cc_star(deduped, max_iterations, pre_deduped=True)
+                out._cached_intermediates = [deduped]
+                return out
+        out = _cc_star(deduped, max_iterations, pre_deduped=True)
+        out._cached_intermediates = getattr(
+            out, "_cached_intermediates", []
+        ) + [deduped]
+        return out
     labels = (
         edges.select(F.col("left_id").alias("id"))
         .union(edges.select("right_id"))

@@ -129,6 +129,7 @@ def learn_bpe(
     text_col: str = "text",
     n_merges: int = 16,
     small_vocab_threshold: int = 65_536,
+    vocab_cap: int | None = None,
 ) -> DataFrame:
     """Learn ``n_merges`` BPE merges over the corpus. Output:
     (rank, left_sym, right_sym, pair_count), rank 0-based in merge
@@ -150,9 +151,27 @@ def learn_bpe(
     rounds run driver-side: 2·n_merges scheduler round-trips collapse
     into a single job. The distributed rounds are untouched above the
     threshold and forced by ``small_vocab_threshold=0``; the
-    property-parity test pins both paths equal on arbitrary corpora."""
+    property-parity test pins both paths equal on arbitrary corpora.
+
+    ``vocab_cap``: truncate the training relation to the top-``cap``
+    distinct words by (count DESC, word ASC — total order). Standard
+    practice for web-scale trainings: at 100 TB the distinct-word
+    relation is 10-100M rows, so real runs (30k+ merges) otherwise pay
+    2 jobs × a full-vocabulary shuffle per merge; under Zipf the
+    dropped tail carries a vanishing share of pair mass, so the merge
+    table is near-identical while every round's relation is bounded by
+    the cap. The cut is a TakeOrderedAndProject (partial top-k per
+    partition), never a global sort, and it runs BEFORE the training
+    checkpoint so only capped rows materialize. Whenever the true
+    vocabulary fits the cap the output is exactly the uncapped one
+    (pinned by property test)."""
     spark = df.sparkSession
-    vocab = _word_counts(df, text_col).localCheckpoint(eager=True)
+    wc = _word_counts(df, text_col)
+    if vocab_cap is not None:
+        if vocab_cap <= 0:
+            raise ValueError("vocab_cap must be positive (or None)")
+        wc = wc.orderBy(F.col("cnt").desc(), "w").limit(int(vocab_cap))
+    vocab = wc.localCheckpoint(eager=True)
     if small_vocab_threshold > 0:
         head = (
             vocab.select(

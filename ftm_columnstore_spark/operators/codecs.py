@@ -158,7 +158,7 @@ def decode_png(payload: bytes) -> np.ndarray:
             elif tag == b"IEND":
                 break
     except struct.error as exc:
-        raise UnsupportedMediaError(f"corrupt PNG chunk layout: {exc}")
+        raise UnsupportedMediaError(f"corrupt PNG chunk layout: {exc}") from exc
     if meta is None or not idat:
         raise UnsupportedMediaError("truncated PNG")
     w, h, depth, color, _comp, _filt, interlace = meta
@@ -171,7 +171,7 @@ def decode_png(payload: bytes) -> np.ndarray:
     try:
         raw = zlib.decompress(b"".join(idat))
     except zlib.error as exc:
-        raise UnsupportedMediaError(f"corrupt PNG IDAT stream: {exc}")
+        raise UnsupportedMediaError(f"corrupt PNG IDAT stream: {exc}") from exc
     stride = w * channels
     if len(raw) != h * (stride + 1):
         raise UnsupportedMediaError("PNG scanline size mismatch")

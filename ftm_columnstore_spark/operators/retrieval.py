@@ -30,6 +30,29 @@ __all__ = [
     "rrf_fuse",
 ]
 
+#: Widest union-of-terms the one-pass conditional-count design accepts.
+#: Each distinct term adds one aggregate column to the groupBy(id) pass;
+#: past a few hundred the Expand/codegen stage degrades (wholestage
+#: fallback, constant-pool pressure) — the same unbounded-width class the
+#: house rule bounds everywhere else (64k BPE vocab, 100k CC edges). The
+#: threshold IS the contract; callers with more terms chunk their query
+#: bags across calls (df/N/avgdl are corpus-global, so per-query scores
+#: are unaffected by which chunk a bag lands in).
+DEFAULT_MAX_TERMS = 256
+
+
+def _check_term_width(n_terms: int, max_terms: int) -> None:
+    if n_terms > max_terms:
+        raise ValueError(
+            f"{n_terms} distinct query terms exceeds max_terms={max_terms}: "
+            "each term becomes one conditional-count column in the "
+            "single-pass groupBy(id) aggregate, and thousands of columns "
+            "break whole-stage codegen. Chunk the query bags into batches "
+            f"of <= {max_terms} distinct terms (per-query scores are "
+            "identical — df/N/avgdl are corpus-global), or pass a larger "
+            "max_terms if the width is a conscious choice."
+        )
+
 
 def _doc_term_stats(
     df: DataFrame, terms: list[str], text_col: str, id_col: str
@@ -113,6 +136,7 @@ def bm25_scores(
     id_col: str = "doc_id",
     k1: float = 1.2,
     b: float = 0.75,
+    max_terms: int = DEFAULT_MAX_TERMS,
 ) -> DataFrame:
     """BM25 (Robertson-Sparck Jones / Lucene idf form) of every matching
     document against a bag of query terms. Output: (id, score) for docs
@@ -134,6 +158,7 @@ def bm25_scores(
     terms = sorted(set(query_terms))
     if not terms:
         raise ValueError("query_terms must be non-empty")
+    _check_term_width(len(terms), max_terms)
     j = _scored_stats_join(df, terms, text_col, id_col)
     score, matched = _score_and_match(list(range(len(terms))), k1, b)
     return (
@@ -151,6 +176,7 @@ def bm25_topk_multi(
     k1: float = 1.2,
     b: float = 0.75,
     top: int = 10,
+    max_terms: int = DEFAULT_MAX_TERMS,
 ) -> DataFrame:
     """Multi-query BM25 in ONE corpus pass — the retrieval counterpart
     of the PQ kNN join's one-scan design: the per-doc stats relation is
@@ -170,10 +196,12 @@ def bm25_topk_multi(
     if empty:
         raise ValueError(f"query bags must be non-empty: {empty}")
     all_terms = sorted({t for ts in queries.values() for t in ts})
+    _check_term_width(len(all_terms), max_terms)
+    term_idx = {t: i for i, t in enumerate(all_terms)}
     j = _scored_stats_join(df, all_terms, text_col, id_col)
     branches = []
     for qid in sorted(queries):
-        idxs = [all_terms.index(t) for t in sorted(set(queries[qid]))]
+        idxs = [term_idx[t] for t in sorted(set(queries[qid]))]
         score, matched = _score_and_match(idxs, k1, b)
         branches.append(
             j.filter(matched)
@@ -191,15 +219,38 @@ def bm25_topk_multi(
     return out
 
 
-def with_rank(df: DataFrame, *order: Column) -> DataFrame:
+def with_rank(
+    df: DataFrame, *order: Column, expected_max_rows: int | None = None
+) -> DataFrame:
     """Attach a 1-based ``rank`` column by a total order. BOUNDED-INPUT
     CONTRACT: the window has no partition key, so this is a
     single-partition sort — only ever call it on an already-bounded
     relation (a top-k result, k rows), the same rule as the MMR
     re-ranker and collected codebooks. Unbounded ranking belongs to
-    ``Window.partitionBy`` shapes (see w2) or top-k limits."""
+    ``Window.partitionBy`` shapes (see w2) or top-k limits.
+
+    ``expected_max_rows`` makes the contract executable: when set, the
+    input is localCheckpointed (it is supposed to be ≤n rows — the
+    materialization is the same one computation the ranking would have
+    forced anyway, now reusable) and a free count() on the materialized
+    relation raises ValueError if it exceeds the bound. Zero extra
+    passes on the happy path; the top-k call sites (v16's ≤k-row fusion
+    inputs) pass their k so a future unbounded caller fails loudly
+    instead of single-partition-sorting a corpus."""
     from pyspark.sql import Window
 
+    if expected_max_rows is not None:
+        n = int(expected_max_rows)
+        df = df.localCheckpoint(eager=True)
+        probed = df.limit(n + 1).count()
+        if probed > n:
+            raise ValueError(
+                f"with_rank input exceeds expected_max_rows={n}: the "
+                "no-partition row_number window is a single-partition "
+                "sort, safe only on already-bounded relations (top-k "
+                "outputs). Bound the input first (limit / top-k) or use "
+                "a Window.partitionBy ranking."
+            )
     return df.withColumn(
         "rank", F.row_number().over(Window.orderBy(*order)).cast("long")
     )

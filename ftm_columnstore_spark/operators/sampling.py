@@ -118,6 +118,7 @@ def mixture_by_temperature(
     stratum_col: str = "source",
     id_col: str = "doc_id",
     seed: str = "",
+    max_strata: int = 10_000,
 ) -> DataFrame:
     """Temperature-smoothed mixture sampling (the multilingual
     up/down-weighting of Lample-Conneau'19 / XLM-R): target share of
@@ -128,23 +129,36 @@ def mixture_by_temperature(
     md5-threshold contract as :func:`sample_mixture` — deterministic,
     stateless, engine-portable.
 
-    The stratum counts are ONE aggregation collected to the driver —
-    bounded by the number of sources (the house bounded-collect rule),
-    never by corpus size; the keep pass is a narrow filter. alpha=0.5
+    The stratum counts are ONE aggregation collected to the driver,
+    bounded by ``max_strata`` (the house bounded-collect rule: the
+    threshold IS the contract — a high-cardinality stratum_col such as
+    a URL domain raises instead of collecting millions of rows); the
+    keep pass is a narrow filter. Rows whose stratum is NULL are
+    EXCLUDED from the mixture (they belong to no source, and the keep
+    pass's ``default_rate=0.0`` drops them anyway). alpha=0.5
     uses sqrt (correctly-rounded IEEE, so the oracle's rates are
     bit-identical); other alphas go through pow (documented ≤1-ulp
     cross-engine wobble on the rate, washed out by the floor to a
     32-bit threshold)."""
     import math
 
-    counts = {
-        r[0]: r[1]
-        for r in df.groupBy(stratum_col)
+    rows = (
+        df.groupBy(stratum_col)
         .agg(F.count(F.lit(1)).alias("n"))
+        .limit(int(max_strata) + 1)
         .collect()
-    }
+    )
+    if len(rows) > max_strata:
+        raise ValueError(
+            f"stratum_col={stratum_col!r} has more than "
+            f"max_strata={max_strata} distinct values: the per-stratum "
+            "count collect would no longer be driver-bounded. Use a "
+            "coarser stratum column, or raise max_strata if the "
+            "cardinality is a conscious choice."
+        )
+    counts = {r[0]: r[1] for r in rows if r[0] is not None}
     if not counts:
-        return df
+        return df.filter(F.col(stratum_col).isNotNull())
     n_total = sum(counts.values())
     if total is None:
         total = n_total // 2

@@ -267,3 +267,37 @@ def test_bpe_tokens_col_streams(spark, tmp_path):
     finally:
         q.stop()
     assert got == expected and got["low"] >= 2
+
+
+def test_vocab_cap_equals_full_when_vocab_fits(spark):
+    """When the true vocabulary fits the cap, the capped training is
+    exactly the uncapped one — on BOTH the driver fast path and the
+    distributed rounds (the cap cuts the relation before either)."""
+    texts = [
+        (1, "lower lowest newer newest wide wider widest low new"),
+        (2, "lower lower newer low low low wide"),
+    ]
+    df = spark.createDataFrame(texts, ["doc_id", "text"])
+    full = learn_bpe(df, n_merges=8).collect()
+    capped = learn_bpe(df, n_merges=8, vocab_cap=100).collect()
+    assert [tuple(r) for r in capped] == [tuple(r) for r in full]
+    capped_dist = learn_bpe(
+        df, n_merges=8, vocab_cap=100, small_vocab_threshold=0
+    ).collect()
+    assert [tuple(r) for r in capped_dist] == [tuple(r) for r in full]
+
+
+def test_vocab_cap_trains_on_top_words_only(spark):
+    """A cap below the vocabulary size trains on the top-cap words by
+    (count DESC, word ASC): the rare word's pairs vanish from the
+    merge table."""
+    # 'zq' appears once; 'ab' dominates. cap=1 keeps only 'ab'.
+    df = spark.createDataFrame(
+        [(1, "ab ab ab ab zq")], ["doc_id", "text"]
+    )
+    m = learn_bpe(df, n_merges=3, vocab_cap=1).collect()
+    assert [(r["left_sym"], r["right_sym"], r["pair_count"]) for r in m] == [
+        ("a", "b", 4)
+    ]
+    with pytest.raises(ValueError, match="vocab_cap"):
+        learn_bpe(df, vocab_cap=0)

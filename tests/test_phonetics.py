@@ -4,6 +4,7 @@ Golden anchor from the reference (tests/test_store.py:50-56):
 fingerprint("Tchibo Holding AG") == "ag holding tchibo".
 """
 
+import pytest
 from pyspark.sql import functions as F
 
 from ftm_columnstore_spark.functions.phonetics import (
@@ -87,3 +88,32 @@ def test_phonetics_dispatcher(spark):
     assert one(spark, "Schmidt", lambda c: phonetics_col(c, "metaphone2")) == ["SMT"]
     with pytest.raises(ValueError):
         phonetics_col("v", "nope")
+
+
+@pytest.mark.parametrize("sf", ["sf0.001", "sf0.01", "sf0.1"])
+def test_x5_golden_map_covers_testdata_vocabulary(spark, sf):
+    """The x5 oracle LEFT-joins the distinct part/region names to the
+    hardcoded golden map ``_X5_GOLDEN``; a regenerated testdata
+    vocabulary would otherwise surface as a NULL-hash oracle-diff
+    puzzle. This makes the failure a named assertion instead: every
+    distinct name at every driver SF must have a golden entry."""
+    import os
+
+    import __spark_entry__ as entry_mod
+    from pyspark.sql import functions as F
+
+    sf_dir = f"/root/testdata/{sf}"
+    if not os.path.isdir(sf_dir):
+        pytest.skip(f"{sf_dir} not present")
+    part = spark.read.parquet(f"{sf_dir}/part.parquet").select(
+        F.col("p_name").alias("name")
+    )
+    region = spark.read.parquet(f"{sf_dir}/region.parquet").select(
+        F.col("r_name").alias("name")
+    )
+    names = {r["name"] for r in part.unionByName(region).distinct().collect()}
+    missing = sorted(names - set(entry_mod._X5_GOLDEN))
+    assert not missing, (
+        f"_X5_GOLDEN is missing {len(missing)} names present in {sf}: "
+        f"{missing[:10]} — regenerate the golden map (see its comment)"
+    )

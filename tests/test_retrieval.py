@@ -253,3 +253,36 @@ def test_bm25_multi_validation(spark, docs):
         bm25_topk_multi(docs, {})
     with pytest.raises(ValueError):
         bm25_topk_multi(docs, {"q": []})
+
+
+def test_bm25_max_terms_guard(docs):
+    """Unbounded-width contract (house rule): each distinct term adds a
+    conditional-count column to the one-pass aggregate, so the union
+    width is bounded and the error names the chunking escape hatch."""
+    from ftm_columnstore_spark.operators.retrieval import bm25_topk_multi
+
+    many = [f"t{i}" for i in range(300)]
+    with pytest.raises(ValueError, match="max_terms"):
+        bm25_scores(docs, many)
+    with pytest.raises(ValueError, match="(?i)chunk"):
+        bm25_topk_multi(docs, {"q0": many[:150], "q1": many[150:]})
+    # explicit opt-up accepts the same width
+    assert bm25_scores(docs, ["join"] + many, max_terms=512).count() > 0
+
+
+def test_with_rank_expected_max_rows(spark, docs):
+    """Executable bounded-input contract: within the bound the ranking
+    is unchanged; past it the single-partition sort is refused."""
+    import pyspark.sql.functions as F
+
+    from ftm_columnstore_spark.operators.retrieval import bm25_topk, with_rank
+
+    top = bm25_topk(docs, ["spark", "join"], top=3)
+    ranked = with_rank(
+        top, F.col("score").desc(), F.col("id"), expected_max_rows=3
+    ).collect()
+    assert [r["rank"] for r in ranked] == [1, 2, 3]
+
+    wide = spark.range(10).select(F.col("id"))
+    with pytest.raises(ValueError, match="expected_max_rows"):
+        with_rank(wide, F.col("id"), expected_max_rows=5)

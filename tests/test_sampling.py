@@ -569,3 +569,60 @@ def test_mixture_by_temperature_rate_clamped(spark):
     docs = spark.createDataFrame(rows, ["doc_id", "source"])
     kept = mixture_by_temperature(docs, alpha=0.5, total=1000, seed="c")
     assert kept.filter(F.col("source") == "tiny").count() == 1
+
+
+def test_mixture_by_temperature_null_strata_excluded(spark):
+    """NULL strata belong to no source: they must not crash the
+    driver-side sort (None vs str TypeError pre-fix) and must be
+    dropped from the output, while non-NULL strata sample exactly as
+    they would without the NULL rows present."""
+    from ftm_columnstore_spark.operators.sampling import (
+        mixture_by_temperature,
+    )
+
+    base = [(i, "a") for i in range(400)] + [(1000 + i, "b") for i in range(100)]
+    with_nulls = base + [(5000 + i, None) for i in range(50)]
+    clean = spark.createDataFrame(base, ["doc_id", "source"])
+    dirty = spark.createDataFrame(with_nulls, ["doc_id", "source"])
+    want = sorted(
+        r["doc_id"]
+        for r in mixture_by_temperature(
+            clean, alpha=0.5, total=250, seed="n"
+        ).collect()
+    )
+    got_rows = mixture_by_temperature(
+        dirty, alpha=0.5, total=250, seed="n"
+    ).collect()
+    assert all(r["source"] is not None for r in got_rows)
+    assert sorted(r["doc_id"] for r in got_rows) == want
+
+
+def test_mixture_by_temperature_all_null_strata_empty(spark):
+    from ftm_columnstore_spark.operators.sampling import (
+        mixture_by_temperature,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, None) for i in range(20)],
+        "doc_id: long, source: string",
+    )
+    assert mixture_by_temperature(docs, alpha=0.5, seed="z").count() == 0
+
+
+def test_mixture_by_temperature_max_strata_bound(spark):
+    """The house bounded-collect rule: a high-cardinality stratum_col
+    raises instead of collecting unbounded rows to the driver."""
+    from ftm_columnstore_spark.operators.sampling import (
+        mixture_by_temperature,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"s{i}") for i in range(30)], ["doc_id", "source"]
+    )
+    with pytest.raises(ValueError, match="max_strata"):
+        mixture_by_temperature(docs, alpha=0.5, max_strata=10)
+    # at exactly the bound it runs
+    assert (
+        mixture_by_temperature(docs, alpha=0.5, max_strata=30, total=30).count()
+        > 0
+    )
