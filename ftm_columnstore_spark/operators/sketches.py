@@ -278,13 +278,26 @@ def cms_heavy_hitters(
     """Keys whose CMS estimate is ≥ ``threshold`` with their estimates —
     superset of the true heavy hitters (CMS never underestimates, so no
     false negatives; false positives bounded by the sketch width).
-    One sketch build + one distinct-key probe pass; the candidate-side
-    state is the distinct keyspace, the sketch side is ≤ d·w rows."""
+
+    The input is scanned ONCE into a (key, count) relation
+    (checkpointed — both the sketch build and the probe read it); the
+    sketch is then built WEIGHTED over distinct keys, which is
+    cell-for-cell identical to hashing every occurrence (CMS cells are
+    linear sums) while the md5 work drops from per-occurrence to
+    per-distinct-key — vocabulary-bounded under Heaps' law, the same
+    posture as the BPE trainer (measured on a23: ~1.8 → 1.1s solo at
+    sf0.1). The probe side reuses the counted relation, replacing the
+    former second scan + distinct shuffle."""
     if threshold < 1:
         raise ValueError(f"threshold must be >= 1, got {threshold}")
-    cms = cms_build(df, col, d, w)
-    keys = df.select(col).where(F.col(col).isNotNull()).distinct()
-    return cms_estimate(cms, keys, col, d, w).filter(
+    counted = (
+        df.where(F.col(col).isNotNull())
+        .groupBy(col)
+        .agg(F.count(F.lit(1)).alias("__occ"))
+        .localCheckpoint(eager=True)
+    )
+    cms = cms_build(counted, col, d, w, weight_col="__occ")
+    return cms_estimate(cms, counted.select(col), col, d, w).filter(
         F.col("est_count") >= threshold
     )
 
