@@ -3032,17 +3032,67 @@ def t29_bm25_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("query_id", F.col("id").alias("doc_id"), "score")
 
 
+def t30_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination via a portable Bloom sketch
+    (operators/sketches.py:bloom_ngram_decontaminate): every 97th
+    document plays the benchmark set; its word 3-grams collapse into an
+    8 Kbit broadcast filter and the rest of the corpus probes map-side
+    — the scale path next to d8's exact n-gram join when the bench set
+    is too large to shuffle. No false negatives (a clean doc is exactly
+    clean); hits bounded by the fp rate, which the oracle reproduces
+    bit-for-bit (same md5 bit positions)."""
+    from ftm_columnstore_spark.operators.sketches import (
+        bloom_ngram_decontaminate,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    bench = d.where(F.col("doc_id") % 97 == 0)
+    corpus = d.where(F.col("doc_id") % 97 != 0)
+    return bloom_ngram_decontaminate(
+        corpus, bench, n=3, m_bits=1 << 13, k=2
+    ).select(F.col("id").alias("doc_id"), "n_grams", "n_hits", "hit_rate")
+
+
+def t31_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility report (operators/bpe.py:bpe_fertility):
+    tokens/word and chars/token under the t26 merge table, computed on
+    the occurrence-weighted distinct-word relation — one corpus scan,
+    all-integer aggregates, two IEEE divisions. Oracle unrolls the same
+    12 merge rounds (the _bpe_oracle machinery) and reduces v12."""
+    from ftm_columnstore_spark.operators.bpe import bpe_fertility, learn_bpe
+
+    d = _t(spark, sf_dir, "documents")
+    return bpe_fertility(d, learn_bpe(d, n_merges=12))
+
+
+def t32_zipf_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus Zipf exponent via Hill's estimator over the top-500
+    token frequencies (operators/text.py:zipf_alpha) — the one-number
+    natural-language sanity check. Per-term ln rounded to 12 dp and
+    summed as DECIMAL so the float sum is partition-order-independent
+    (the _dsum rule); the top-500 cut is a TakeOrderedAndProject by
+    (cnt DESC, token)."""
+    from ftm_columnstore_spark.operators.text import zipf_alpha
+
+    return zipf_alpha(_t(spark, sf_dir, "documents"), top_n=500)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order matters: the driver's CORRECTNESS run covers the
     # first ~50 entries. Rotation discipline (VERDICT r4 item 1): every
     # key's staleness = rounds since its last green driver row. This
-    # round the window holds the 52 stalest keys (10 last-green r01 +
-    # 42 last-green r02); 52 > 50, so the two md5-deterministic,
-    # pytest-pinned sampling keys sit at pos 51-52 and lead r06's
-    # window. r03- then r04-verified blocks follow (freshest last).
-    # ROUND 6: rotate again — any never-green keys first, r05 spillover
-    # (t6/t8) next, then the r03 block (it becomes stalest).
+    # round: the 3 NEW ops lead (never checked — they must green in
+    # their first round), then the 52 stalest keys (10 last-green r01 +
+    # 42 last-green r02); 3+52 > 50, so five r02-green keys sit at pos
+    # 51-55 (v9/d12/t15 + the md5-deterministic pytest-pinned t6/t8)
+    # and lead r06's window. r03- then r04-verified blocks follow
+    # (freshest last). ROUND 6: rotate again — any never-green keys
+    # first, the pos-51+ spillover next, then the r03 block (stalest).
     return {
+        # --- NEW in round 5 (must green inside the window) ---
+        "t30_bloom_decontaminate": t30_bloom_decontaminate,
+        "t31_bpe_fertility": t31_bpe_fertility,
+        "t32_zipf_alpha": t32_zipf_alpha,
         # --- last driver-green in r01 (4 rounds stale — lead the window) ---
         "st2_events_latest": st2_events_latest,
         "j5_order_priority_exists": j5_order_priority_exists,
@@ -3491,6 +3541,20 @@ def _bpe_oracle(n_merges: int = 12, mode: str = "merges", top: int = 50) -> str:
             for i in range(n_merges)
         )
         return f"{with_clause}\n        {unions}"
+    if mode == "fertility":
+        return f"""{with_clause}
+        SELECT n_words, n_tokens, n_chars,
+               round(n_tokens::DOUBLE / n_words::DOUBLE, 6) AS fertility,
+               round(n_chars::DOUBLE / n_tokens::DOUBLE, 6)
+                   AS chars_per_token
+        FROM (
+            SELECT sum(cnt)::BIGINT AS n_words,
+                   sum(cnt * len(string_split(trim(w, '{{}}'), '}}{{')))::BIGINT
+                       AS n_tokens,
+                   sum(cnt * len(replace(replace(w, '{{', ''), '}}', '')))::BIGINT
+                       AS n_chars
+            FROM v{n_merges})
+    """
     return f"""{with_clause}
         SELECT token, cnt::BIGINT AS cnt FROM (
             SELECT token, sum(cnt) AS cnt FROM (
@@ -4566,8 +4630,97 @@ def _a23_oracle(d: int = 4, w: int = 512, threshold: int = 100) -> str:
     """
 
 
+def _t30_oracle(n: int = 3, m_bits: int = 1 << 13, k: int = 2) -> str:
+    """DuckDB oracle for Bloom n-gram decontamination — replays the
+    exact md5 bit positions (operators/sketches.py:_bloom_pos), word
+    packing (sum of distinct single-bit values = OR), and the k-probe
+    AND, so even the filter's false positives match bit-for-bit."""
+    sl = n - 1  # inclusive-slice span: tk[i:i+sl] is n elements
+    grams = (
+        f"list_transform(range(1, len(tk) - {n} + 2), "
+        f"i -> array_to_string(tk[i:i+{sl}], ' '))"
+    )
+    pos = (
+        "('0x' || substr(md5(CAST(j.range AS VARCHAR) || '|' || gram), "
+        f"1, 15))::BIGINT % {m_bits}"
+    )
+    return f"""
+        WITH toks AS (
+          SELECT doc_id AS id,
+                 list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                             x -> x <> '') AS tk
+          FROM documents WHERE text IS NOT NULL
+        ), bench_g AS (
+          SELECT DISTINCT gram FROM (
+            SELECT unnest({grams}) AS gram
+            FROM toks WHERE id % 97 = 0 AND len(tk) >= {n})
+        ), bench_pos AS (
+          SELECT DISTINCT (p // 32) AS word_idx, (p % 32) AS bit FROM (
+            SELECT {pos} AS p FROM bench_g, range({k}) j)
+        ), bloom AS (
+          SELECT word_idx, sum(1::BIGINT << CAST(bit AS INT))::BIGINT AS bits
+          FROM bench_pos GROUP BY word_idx
+        ), corpus_g AS (
+          SELECT DISTINCT id, gram FROM (
+            SELECT id, unnest({grams}) AS gram
+            FROM toks WHERE id % 97 <> 0 AND len(tk) >= {n})
+        ), gflag AS (
+          SELECT gram,
+                 min(CASE WHEN (coalesce(b.bits, 0)
+                                & (1::BIGINT << CAST(p % 32 AS INT))) <> 0
+                     THEN 1 ELSE 0 END) AS hit
+          FROM (SELECT gram, {pos} AS p
+                FROM (SELECT DISTINCT gram FROM corpus_g), range({k}) j) pr
+          LEFT JOIN bloom b ON (pr.p // 32) = b.word_idx
+          GROUP BY gram
+        ), per_doc AS (
+          SELECT id, count(*) AS n_grams, sum(g.hit) AS n_hits
+          FROM corpus_g c JOIN gflag g USING (gram) GROUP BY id
+        )
+        SELECT id AS doc_id, n_grams::BIGINT AS n_grams,
+               n_hits::BIGINT AS n_hits,
+               round(n_hits::DOUBLE / n_grams::DOUBLE, 6) AS hit_rate
+        FROM per_doc WHERE n_hits > 0
+    """
+
+
+def _t32_oracle(top_n: int = 500) -> str:
+    """DuckDB oracle for the Hill-estimator Zipf exponent — same
+    total-order top-n cut, per-term ln rounded to 12 dp and summed as
+    DECIMAL (order-independent integer arithmetic, the _dsum rule),
+    one final division rounded to 6 dp."""
+    return f"""
+        WITH tok AS (
+          SELECT unnest(list_filter(
+                     string_split_regex(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '')) AS token
+          FROM documents WHERE text IS NOT NULL
+        ), c AS (
+          SELECT token, count(*) AS cnt FROM tok GROUP BY token
+          ORDER BY cnt DESC, token LIMIT {top_n}
+        ), fm AS (SELECT min(cnt) AS f_min FROM c
+        ), t AS (
+          SELECT f_min,
+                 round(ln(cnt::DOUBLE / f_min::DOUBLE), 12)::DECIMAL(28,12)
+                     AS lt
+          FROM c, fm
+        ), a AS (
+          SELECT f_min, count(*) AS n_ranked, sum(lt) AS s
+          FROM t GROUP BY f_min
+        )
+        SELECT n_ranked::BIGINT AS n_ranked, f_min::BIGINT AS f_min,
+               CASE WHEN s > 0
+                    THEN round(1.0 + n_ranked::DOUBLE / s::DOUBLE, 6)
+               END AS alpha
+        FROM a
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     return {
+        "t30_bloom_decontaminate": _t30_oracle(n=3, m_bits=1 << 13, k=2),
+        "t31_bpe_fertility": _bpe_oracle(n_merges=12, mode="fertility"),
+        "t32_zipf_alpha": _t32_oracle(top_n=500),
         "s1_scan_project": """
             SELECT l_orderkey, l_linenumber,
                    strftime(l_shipdate, '%Y-%m-%d') AS ship_date

@@ -108,6 +108,9 @@ HEADLINE = [
     "v15_embedding_clusters",
     "v16_hybrid_rrf",
     "t29_bm25_multi",
+    "t30_bloom_decontaminate",
+    "t31_bpe_fertility",
+    "t32_zipf_alpha",
 ]
 
 

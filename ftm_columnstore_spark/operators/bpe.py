@@ -37,6 +37,7 @@ __all__ = [
     "apply_bpe",
     "bpe_token_counts",
     "bpe_tokens_col",
+    "bpe_fertility",
 ]
 
 MERGE_SCHEMA = T.StructType(
@@ -342,3 +343,58 @@ def bpe_token_counts(
     if top is not None:
         out = out.orderBy(F.col("cnt").desc(), "token").limit(int(top))
     return out
+
+
+def bpe_fertility(
+    df: DataFrame,
+    merges: DataFrame | list[tuple[str, str]],
+    text_col: str = "text",
+) -> DataFrame:
+    """Tokenizer fertility report under a learned merge table — the
+    standard tokenizer-quality numbers (tokens/word and chars/token;
+    cf. the fertility metric of Rust+'21, "How Good is Your Tokenizer?")
+    as ONE bounded row: (n_words, n_tokens, n_chars, fertility,
+    chars_per_token), ratios rounded to 6 dp.
+
+    Rides the (distinct word, count) relation exactly like
+    :func:`bpe_token_counts`: the merge chain runs once per DISTINCT
+    word, occurrence-weighted — the corpus is scanned once and every
+    aggregated quantity is an exact integer (the two ratios are single
+    IEEE divisions), so the report is engine-portable and
+    oracle-checkable."""
+    if isinstance(merges, DataFrame):
+        rows = merges.orderBy("rank").collect()
+        mlist = [(row["left_sym"], row["right_sym"]) for row in rows]
+    else:
+        mlist = list(merges)
+    wc = _word_counts(df, text_col)
+    seg = wc.select(
+        "cnt",
+        F.length(F.regexp_replace("w", r"[{}]", "")).alias("__chars"),
+        F.size(
+            F.split(
+                F.regexp_replace(
+                    _apply_merges_col(F.col("w"), mlist), r"^\{|\}$", ""
+                ),
+                r"\}\{",
+            )
+        ).alias("__toks"),
+    )
+    agg = seg.agg(
+        F.sum("cnt").alias("n_words"),
+        F.sum(F.col("cnt") * F.col("__toks")).alias("n_tokens"),
+        F.sum(F.col("cnt") * F.col("__chars")).alias("n_chars"),
+    )
+    return agg.select(
+        "n_words",
+        "n_tokens",
+        "n_chars",
+        F.round(
+            F.col("n_tokens").cast("double") / F.col("n_words").cast("double"),
+            6,
+        ).alias("fertility"),
+        F.round(
+            F.col("n_chars").cast("double") / F.col("n_tokens").cast("double"),
+            6,
+        ).alias("chars_per_token"),
+    )

@@ -448,3 +448,187 @@ def profile_columns(
         "min_value",
         "max_value",
     )
+
+
+# --- Bloom filter (portable) ---------------------------------------------
+
+#: Probe-side broadcast bound: the bloom word table is m_bits/64 rows of
+#: two longs; past this the broadcast that makes probing map-only stops
+#: being free. The threshold IS the contract (house rule) — raise it
+#: consciously or shard the key space across several filters.
+MAX_BLOOM_BITS = 1 << 28  # 256 Mbit = 8M 32-bit words ≈ 128 MB broadcast
+
+
+def _bloom_pos(col: Column, j: int, m_bits: int) -> Column:
+    """Probe-j bit position for a key: md5-60bit of ``j|key`` mod m —
+    the same salted family as the CMS cells (DuckDB mirror:
+    ``('0x'||substr(md5(j||'|'||key),1,15))::BIGINT % m``)."""
+    return F.pmod(
+        _md5_60bit(F.concat(F.lit(f"{j}|"), col.cast("string"))),
+        F.lit(m_bits),
+    )
+
+
+def _check_bloom_params(m_bits: int, k: int) -> None:
+    if m_bits < 32 or m_bits % 32 != 0:
+        raise ValueError(
+            f"m_bits must be a positive multiple of 32, got {m_bits}"
+        )
+    if m_bits > MAX_BLOOM_BITS:
+        raise ValueError(
+            f"m_bits={m_bits} exceeds MAX_BLOOM_BITS={MAX_BLOOM_BITS}: the "
+            "word table is broadcast on probe, so the bound is the "
+            "broadcast budget. Shard keys across several filters, or pass "
+            "a larger bound consciously."
+        )
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+
+
+def bloom_build(
+    df: DataFrame, col: str, m_bits: int = 1 << 16, k: int = 4
+) -> DataFrame:
+    """Bloom filter (Bloom, CACM 1970) of ``col``: ``k`` md5-salted bit
+    positions per key over an ``m_bits``-bit array, packed as 32-bit
+    words (32, not 64: engines differ on shifting into the sign bit —
+    DuckDB raises on ``1::BIGINT << 63`` — so the portable lane stays
+    below it). Returns the bounded (word_idx, bits) relation —
+    ≤ m_bits/32 rows, one distinct + one sum shuffle to build
+    regardless of input size (the OR of distinct single-bit values is
+    an exact integer sum).
+
+    No false negatives ever; false-positive rate ≈ (1−e^{−kn/m})^k.
+    Like the HLL/CMS siblings the hash family is engine-portable, so
+    the filter can be built by one engine and probed by another."""
+    _check_bloom_params(m_bits, k)
+    c = F.col(col)
+    pos = (
+        df.where(c.isNotNull())
+        .select(
+            F.explode(
+                F.array(*[_bloom_pos(c, j, m_bits) for j in range(k)])
+            ).alias("pos")
+        )
+        .select(
+            (F.col("pos") / 32).cast("long").alias("word_idx"),
+            F.pmod(F.col("pos"), F.lit(32)).alias("bit"),
+        )
+        .distinct()
+    )
+    return pos.groupBy("word_idx").agg(
+        F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), CAST(bit AS INT))")).alias(
+            "bits"
+        )
+    )
+
+
+def bloom_might_contain(
+    bloom: DataFrame,
+    keys: DataFrame,
+    col: str,
+    m_bits: int,
+    k: int = 4,
+) -> DataFrame:
+    """Membership probe for every DISTINCT key: (col, might_contain).
+    ``might_contain`` false is definitive (no false negatives); true is
+    probabilistic per the filter's fp rate. The word table (≤ m_bits/32
+    rows) is broadcast, so the probe is one map-side join + a
+    per-key AND over the k probes — no corpus-sized shuffle."""
+    _check_bloom_params(m_bits, k)
+    c = F.col(col)
+    probes = (
+        keys.where(c.isNotNull())
+        .select(c.alias("__key"))
+        .distinct()
+        .select(
+            "__key",
+            F.explode(
+                F.array(
+                    *[_bloom_pos(F.col("__key"), j, m_bits) for j in range(k)]
+                )
+            ).alias("pos"),
+        )
+        .select(
+            "__key",
+            (F.col("pos") / 32).cast("long").alias("word_idx"),
+            F.pmod(F.col("pos"), F.lit(32)).alias("bit"),
+        )
+    )
+    hit = (
+        F.coalesce(F.col("bits"), F.lit(0))
+        .bitwiseAND(F.expr("shiftleft(CAST(1 AS BIGINT), CAST(bit AS INT))"))
+        != 0
+    ).cast("int")
+    return (
+        probes.join(F.broadcast(bloom), on="word_idx", how="left")
+        .select("__key", hit.alias("__hit"))
+        .groupBy("__key")
+        .agg((F.min("__hit") == 1).alias("might_contain"))
+        .select(F.col("__key").alias(col), "might_contain")
+    )
+
+
+def bloom_ngram_decontaminate(
+    corpus: DataFrame,
+    bench: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    m_bits: int = 1 << 16,
+    k: int = 2,
+) -> DataFrame:
+    """Benchmark decontamination via a Bloom sketch of the bench set's
+    word n-grams: per corpus document, how many of its DISTINCT
+    n-grams (maybe-)appear in the benchmark. Output: (id, n_grams,
+    n_hits, hit_rate) for documents with at least one hit; hit_rate
+    rounded to 6 dp. No false negatives — a clean report is exact; hits
+    are a superset bounded by the filter's fp rate.
+
+    This is the scale path next to the exact-join decontamination
+    (``operators/sampling.py:ngram_overlap``): when the bench set is
+    too large to shuffle against the corpus, its n-grams collapse into
+    an m_bits-bit broadcast and the corpus side stays map-local —
+    probing costs one distinct over corpus n-grams (vocabulary-bounded)
+    + doc-keyed aggregation, never a bench×corpus shuffle."""
+    from ftm_columnstore_spark.functions.text import word_tokens_col
+
+    def grams(df: DataFrame, with_id: bool) -> DataFrame:
+        toks = word_tokens_col(text_col)
+        g = F.transform(
+            F.sequence(F.lit(1), F.size(toks) - n + 1),
+            lambda i: F.array_join(F.slice(toks, i, n), " "),
+        )
+        cols = ([F.col(id_col).alias("id")] if with_id else []) + [
+            F.explode(g).alias("gram")
+        ]
+        return (
+            df.where(F.col(text_col).isNotNull())
+            .where(F.size(toks) >= n)
+            .select(*cols)
+        )
+
+    bloom = bloom_build(grams(bench, with_id=False), "gram", m_bits, k)
+    doc_grams = grams(corpus, with_id=True).distinct()
+    # one probe per DISTINCT gram (vocabulary-bounded), joined back to
+    # the (id, gram) pairs — the md5 probe work never scales with
+    # per-doc repetition
+    flags = bloom_might_contain(
+        bloom, doc_grams.select("gram"), "gram", m_bits, k
+    )
+    per_doc = (
+        doc_grams.join(flags, on="gram")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(F.col("might_contain").cast("long")).alias("n_hits"),
+        )
+    )
+    return per_doc.where(F.col("n_hits") > 0).select(
+        "id",
+        "n_grams",
+        "n_hits",
+        F.round(
+            F.col("n_hits").cast("double") / F.col("n_grams").cast("double"),
+            6,
+        ).alias("hit_rate"),
+    )

@@ -911,3 +911,64 @@ def normalize_text(
 
     udf = pandas_udf(_norm, "string")
     return df.withColumn(out_col or text_col, udf(F.col(text_col)))
+
+
+def zipf_alpha(
+    df: DataFrame,
+    text_col: str = "text",
+    top_n: int = 500,
+) -> DataFrame:
+    """Zipf power-law exponent of the corpus token distribution — the
+    one-number sanity check that a scraped corpus still looks like
+    natural language (natural text sits near alpha ≈ 1; boilerplate and
+    spam skew it). Hill's estimator over the ``top_n`` most frequent
+    tokens: alpha = 1 + n / Σ ln(f_i / f_min), f_min = the n-th
+    frequency (Hill 1975; Clauset-Shalizi-Newman 2009 §3.1 treat it as
+    the discrete-power-law MLE up to the x_min convention).
+
+    Determinism/portability: frequencies are exact integers from one
+    count; the top-n cut is a TakeOrderedAndProject by the total order
+    (cnt DESC, token ASC); the only float work is one ln per ranked
+    token, ROUNDED to 12 dp and summed as DECIMAL — an exact integer
+    aggregation, so the sum is partition-order-independent (the house
+    fix for float-sum wobble, cf. _dsum) — and one final division.
+    Output: ONE row (n_ranked, f_min, alpha), alpha rounded to 6 dp;
+    alpha is NULL when every ranked frequency equals f_min (the
+    estimator's denominator is 0 — e.g. a tiny or uniform corpus)."""
+    from ftm_columnstore_spark.functions.text import word_tokens_col
+
+    if top_n < 2:
+        raise ValueError(f"top_n must be >= 2, got {top_n}")
+    counts = (
+        df.where(F.col(text_col).isNotNull())
+        .select(F.explode(word_tokens_col(text_col)).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), "token")
+        .limit(int(top_n))
+        .localCheckpoint(eager=True)  # bounded (≤ top_n rows); two consumers
+    )
+    fmin = counts.agg(F.min("cnt").alias("f_min"))
+    terms = counts.crossJoin(F.broadcast(fmin)).select(
+        "f_min",
+        F.round(
+            F.log(F.col("cnt").cast("double") / F.col("f_min").cast("double")),
+            12,
+        )
+        .cast("decimal(28,12)")
+        .alias("__lt"),
+    )
+    agg = terms.groupBy("f_min").agg(
+        F.count(F.lit(1)).alias("n_ranked"),
+        F.sum("__lt").alias("__s"),
+    )
+    alpha = F.when(
+        F.col("__s") > 0,
+        F.round(
+            F.lit(1.0)
+            + F.col("n_ranked").cast("double")
+            / F.col("__s").cast("double"),
+            6,
+        ),
+    )
+    return agg.select("n_ranked", "f_min", alpha.alias("alpha"))

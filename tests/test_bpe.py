@@ -301,3 +301,31 @@ def test_vocab_cap_trains_on_top_words_only(spark):
     ]
     with pytest.raises(ValueError, match="vocab_cap"):
         learn_bpe(df, vocab_cap=0)
+
+
+def test_bpe_fertility_golden(spark):
+    """Hand-checked fertility on a known corpus: 'aaab' x3 + 'ab' x2,
+    2 merges learned ((a,a) then (a,b)) — 'aaab' -> [aa, ab] (2 toks),
+    'ab' -> [ab] (1 tok). n_words=5, n_tokens=3*2+2*1=8, n_chars=
+    3*4+2*2=16."""
+    from ftm_columnstore_spark.operators.bpe import bpe_fertility
+
+    df = spark.createDataFrame(
+        [(1, "aaab aaab aaab ab ab")], ["doc_id", "text"]
+    )
+    m = learn_bpe(df, n_merges=2)
+    row = bpe_fertility(df, m).collect()[0]
+    assert (row["n_words"], row["n_tokens"], row["n_chars"]) == (5, 8, 16)
+    assert row["fertility"] == round(8 / 5, 6)
+    assert row["chars_per_token"] == round(16 / 8, 6)
+
+
+def test_bpe_fertility_no_merges_is_chars(spark):
+    """With an empty merge list every char is a token: fertility =
+    chars/words, chars_per_token = 1."""
+    from ftm_columnstore_spark.operators.bpe import bpe_fertility
+
+    df = spark.createDataFrame([(1, "abc de")], ["doc_id", "text"])
+    row = bpe_fertility(df, []).collect()[0]
+    assert (row["n_words"], row["n_tokens"], row["n_chars"]) == (2, 5, 5)
+    assert row["chars_per_token"] == 1.0

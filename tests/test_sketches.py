@@ -347,3 +347,94 @@ def test_profile_columns_all_null_column(spark):
         for r in profile_columns(df, ["k"], p=6).collect()
     }
     assert got["k"] == (0, 2, 0, None, None)
+
+
+# --- Bloom filter ---------------------------------------------------------
+
+
+def test_bloom_no_false_negatives_and_param_guards(spark):
+    """Every inserted key MUST probe true (no false negatives — the
+    operator's contract); unseen keys may rarely collide but the probe
+    column is definitive when false. Param guards follow the house
+    threshold rule."""
+    import pytest
+
+    from ftm_columnstore_spark.operators.sketches import (
+        MAX_BLOOM_BITS,
+        bloom_build,
+        bloom_might_contain,
+    )
+
+    keys = spark.createDataFrame(
+        [(f"key-{i}",) for i in range(200)], ["k"]
+    )
+    bloom = bloom_build(keys, "k", m_bits=1 << 12, k=3)
+    assert bloom.count() <= (1 << 12) // 32
+    got = {
+        r["k"]: r["might_contain"]
+        for r in bloom_might_contain(bloom, keys, "k", 1 << 12, 3).collect()
+    }
+    assert all(got[f"key-{i}"] for i in range(200))
+    with pytest.raises(ValueError, match="multiple of 32"):
+        bloom_build(keys, "k", m_bits=100)
+    with pytest.raises(ValueError, match="MAX_BLOOM_BITS"):
+        bloom_build(keys, "k", m_bits=MAX_BLOOM_BITS * 2)
+    with pytest.raises(ValueError, match="k must be"):
+        bloom_build(keys, "k", m_bits=64, k=0)
+
+
+def test_bloom_fp_rate_in_expected_band(spark):
+    """With n=256 keys in m=2^13 bits and k=4, fp ≈ (1-e^{-kn/m})^4
+    ≈ 0.05%; a 1000-key unseen probe must stay well under 2% — loose
+    enough to be deterministic-stable, tight enough to catch a broken
+    hash family (which degenerates toward 100%)."""
+    from ftm_columnstore_spark.operators.sketches import (
+        bloom_build,
+        bloom_might_contain,
+    )
+
+    seen = spark.createDataFrame([(f"in-{i}",) for i in range(256)], ["k"])
+    unseen = spark.createDataFrame(
+        [(f"out-{i}",) for i in range(1000)], ["k"]
+    )
+    bloom = bloom_build(seen, "k", m_bits=1 << 13, k=4)
+    fp = (
+        bloom_might_contain(bloom, unseen, "k", 1 << 13, 4)
+        .where("might_contain")
+        .count()
+    )
+    assert fp <= 20, f"false-positive count {fp} out of band"
+
+
+def test_bloom_decontaminate_exact_on_clean_docs(spark):
+    """Docs sharing no n-gram with the bench set are absent from the
+    report (no false negatives ⇒ clean is exact unless an fp fires;
+    with these sizes the fp chance is ~0 and the assert is on the doc
+    that DOES overlap)."""
+    from pyspark.sql import functions as F
+
+    from ftm_columnstore_spark.operators.sketches import (
+        bloom_ngram_decontaminate,
+    )
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "completely different words about other things entirely"),
+        ],
+        ["doc_id", "text"],
+    )
+    bench = spark.createDataFrame(
+        [(9, "story of the quick brown fox again")], ["doc_id", "text"]
+    )
+    rows = {
+        r["id"]: r
+        for r in bloom_ngram_decontaminate(
+            corpus, bench, n=3, m_bits=1 << 12, k=2
+        ).collect()
+    }
+    assert 1 in rows and rows[1]["n_hits"] >= 2  # 'the quick brown' etc.
+    assert 2 not in rows
+    assert rows[1]["hit_rate"] == round(
+        rows[1]["n_hits"] / rows[1]["n_grams"], 6
+    )

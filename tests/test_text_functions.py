@@ -570,3 +570,32 @@ def test_normalize_text_nfc_matches_duckdb(spark):
         con.execute("SELECT doc_id, nfc_normalize(text) FROM t").fetchall()
     )
     assert got == oracle
+
+
+def test_zipf_alpha_golden(spark):
+    """Hand-computed Hill estimator: frequencies 8,4,2 (top_n=3),
+    f_min=2 -> alpha = 1 + 3 / (ln4 + ln2 + ln1). Per-term rounding to
+    12 dp then a decimal sum keeps the value engine- and
+    partition-order-exact."""
+    import math
+
+    from ftm_columnstore_spark.operators.text import zipf_alpha
+
+    text = " ".join(["aa"] * 8 + ["bb"] * 4 + ["cc"] * 2 + ["dd"])
+    df = spark.createDataFrame([(1, text)], ["doc_id", "text"])
+    row = zipf_alpha(df, top_n=3).collect()[0]
+    s = round(math.log(4.0), 12) + round(math.log(2.0), 12) + 0.0
+    assert row["n_ranked"] == 3 and row["f_min"] == 2
+    assert row["alpha"] == round(1.0 + 3.0 / s, 6)
+
+
+def test_zipf_alpha_uniform_is_null(spark):
+    """All ranked frequencies equal -> denominator 0 -> alpha NULL
+    (documented), and top_n guard raises."""
+    from ftm_columnstore_spark.operators.text import zipf_alpha
+
+    df = spark.createDataFrame([(1, "x y z x y z")], ["doc_id", "text"])
+    row = zipf_alpha(df, top_n=3).collect()[0]
+    assert row["alpha"] is None and row["f_min"] == 2
+    with pytest.raises(ValueError, match="top_n"):
+        zipf_alpha(df, top_n=1)
