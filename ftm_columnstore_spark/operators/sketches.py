@@ -522,6 +522,22 @@ def bloom_build(
     )
 
 
+def bloom_merge(*blooms: DataFrame) -> DataFrame:
+    """Combine word tables built with the SAME (m_bits, k): union +
+    per-word bitwise OR — the lossless Bloom merge (the merged filter
+    equals the filter of the concatenated inputs, exactly; asserted in
+    tests). ``bit_or`` is a native aggregate in both Spark and DuckDB,
+    so merged filters stay engine-portable. This is how per-shard /
+    per-day filters roll up without re-scanning history — same
+    pattern as :func:`hll_merge` (max) and :func:`cms_merge` (sum)."""
+    if not blooms:
+        raise ValueError("bloom_merge needs at least one word table")
+    u = blooms[0]
+    for b in blooms[1:]:
+        u = u.unionByName(b)
+    return u.groupBy("word_idx").agg(F.bit_or("bits").alias("bits"))
+
+
 def bloom_might_contain(
     bloom: DataFrame,
     keys: DataFrame,

@@ -438,3 +438,28 @@ def test_bloom_decontaminate_exact_on_clean_docs(spark):
     assert rows[1]["hit_rate"] == round(
         rows[1]["n_hits"] / rows[1]["n_grams"], 6
     )
+
+
+def test_bloom_merge_lossless(spark):
+    """Merged per-shard filters equal the filter of the concatenated
+    input — bit-for-bit (the same lossless-merge contract as
+    hll_merge/cms_merge)."""
+    from ftm_columnstore_spark.operators.sketches import (
+        bloom_build,
+        bloom_merge,
+    )
+
+    a = spark.createDataFrame([(f"a-{i}",) for i in range(50)], ["k"])
+    b = spark.createDataFrame([(f"b-{i}",) for i in range(50)], ["k"])
+    merged = bloom_merge(
+        bloom_build(a, "k", m_bits=1 << 10, k=3),
+        bloom_build(b, "k", m_bits=1 << 10, k=3),
+    )
+    whole = bloom_build(a.unionByName(b), "k", m_bits=1 << 10, k=3)
+    got = {r["word_idx"]: r["bits"] for r in merged.collect()}
+    want = {r["word_idx"]: r["bits"] for r in whole.collect()}
+    assert got == want
+    import pytest
+
+    with pytest.raises(ValueError):
+        bloom_merge()
