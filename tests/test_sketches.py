@@ -463,3 +463,45 @@ def test_bloom_merge_lossless(spark):
 
     with pytest.raises(ValueError):
         bloom_merge()
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    keys=st.lists(
+        st.text(
+            alphabet=st.characters(
+                codec="utf-8", blacklist_categories=("Cs",)
+            ),
+            min_size=0,
+            max_size=20,
+        ),
+        min_size=1,
+        max_size=30,
+        unique=True,
+    )
+)
+def test_bloom_never_false_negative_property(spark, keys):
+    """For ARBITRARY unicode keys (empty string included), every
+    inserted key probes true — the no-false-negative contract is
+    structural (the k inserted bits are exactly the k probed bits),
+    so it must survive any input."""
+    from ftm_columnstore_spark.operators.sketches import (
+        bloom_build,
+        bloom_might_contain,
+    )
+
+    df = spark.createDataFrame([(k,) for k in keys], ["k"])
+    bloom = bloom_build(df, "k", m_bits=512, k=3)
+    got = {
+        r["k"]: r["might_contain"]
+        for r in bloom_might_contain(bloom, df, "k", 512, 3).collect()
+    }
+    assert all(got[k] for k in keys), [k for k in keys if not got[k]]
