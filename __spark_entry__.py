@@ -3077,15 +3077,32 @@ def t32_zipf_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
     return zipf_alpha(_t(spark, sf_dir, "documents"), top_n=500)
 
 
+def t33_quality_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quality pruning (operators/sampling.py:
+    top_fraction_by_stratum — the C4/FineWeb-style 'top X% per domain'
+    cut): keep the top 20% of each source by (n_chars DESC, doc_id) —
+    rank ties impossible, so the kept set is exact. One
+    Window.partitionBy(source) shuffle, the w2 shape; oracle replays
+    the identical percent_rank window."""
+    from ftm_columnstore_spark.operators.sampling import (
+        top_fraction_by_stratum,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    return top_fraction_by_stratum(
+        d, 0.2, score_col="n_chars", stratum_col="source", id_col="doc_id"
+    ).select("doc_id", "source", "n_chars")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order matters: the driver's CORRECTNESS run covers the
     # first ~50 entries. Rotation discipline (VERDICT r4 item 1): every
     # key's staleness = rounds since its last green driver row. This
-    # round: the 3 NEW ops lead (never checked — they must green in
+    # round: the 4 NEW ops lead (never checked — they must green in
     # their first round), then the 52 stalest keys (10 last-green r01 +
-    # 42 last-green r02); 3+52 > 50, so five r02-green keys sit at pos
-    # 51-55 (v9/d12/t15 + the md5-deterministic pytest-pinned t6/t8)
-    # and lead r06's window. r03- then r04-verified blocks follow
+    # 42 last-green r02); 4+52 > 50, so six r02-green keys sit at pos
+    # 51-56 (d11/v9/d12/t15 + the md5-deterministic pytest-pinned
+    # t6/t8) and lead r06's window. r03- then r04-verified blocks follow
     # (freshest last). ROUND 6: rotate again — any never-green keys
     # first, the pos-51+ spillover next, then the r03 block (stalest).
     return {
@@ -3093,6 +3110,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t30_bloom_decontaminate": t30_bloom_decontaminate,
         "t31_bpe_fertility": t31_bpe_fertility,
         "t32_zipf_alpha": t32_zipf_alpha,
+        "t33_quality_prune": t33_quality_prune,
         # --- last driver-green in r01 (4 rounds stale — lead the window) ---
         "st2_events_latest": st2_events_latest,
         "j5_order_priority_exists": j5_order_priority_exists,
@@ -4721,6 +4739,15 @@ def oracle_sql() -> dict[str, str]:
         "t30_bloom_decontaminate": _t30_oracle(n=3, m_bits=1 << 13, k=2),
         "t31_bpe_fertility": _bpe_oracle(n_merges=12, mode="fertility"),
         "t32_zipf_alpha": _t32_oracle(top_n=500),
+        "t33_quality_prune": """
+            SELECT doc_id, source, n_chars FROM (
+                SELECT doc_id, source, n_chars,
+                       percent_rank() OVER (
+                           PARTITION BY source
+                           ORDER BY n_chars DESC, doc_id ASC) AS pr
+                FROM documents WHERE n_chars IS NOT NULL)
+            WHERE pr <= 0.2
+        """,
         "s1_scan_project": """
             SELECT l_orderkey, l_linenumber,
                    strftime(l_shipdate, '%Y-%m-%d') AS ship_date

@@ -111,6 +111,7 @@ HEADLINE = [
     "t30_bloom_decontaminate",
     "t31_bpe_fertility",
     "t32_zipf_alpha",
+    "t33_quality_prune",
 ]
 
 

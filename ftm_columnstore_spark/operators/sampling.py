@@ -697,3 +697,41 @@ def split_by_cluster(
     return split_by_hash(
         labeled, weights, id_col="__split_key", seed=seed
     ).drop("__cluster", "__split_key")
+
+
+def top_fraction_by_stratum(
+    df: DataFrame,
+    fraction: float,
+    score_col: str,
+    stratum_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Quality pruning: keep the top ``fraction`` of each stratum by
+    ``score_col`` — the standard per-source quality cut of web-corpus
+    pipelines (a classifier scores everything, the top X% per domain
+    survives; cf. the quality-filter stage of C4/FineWeb-style
+    pipelines). Rows with a NULL score are dropped (unscorable ≠ good).
+
+    Selection is by PERCENT_RANK within the stratum over the total
+    order (score DESC, id ASC) — rank ties are impossible, so the kept
+    set is exact and engine-portable (the oracle replays the same
+    window), and the kept count per stratum is
+    ``1 + floor(fraction · (n-1))`` for non-empty strata (percent_rank
+    of the best row is 0, so at least one row always survives — the
+    conventional semantics of a "top X%" cut).
+
+    Scale: ONE shuffle keyed by the stratum, per-partition sort — the
+    same Window.partitionBy shape as w2; no driver state, no collect,
+    strata process independently so skew is bounded by the largest
+    stratum (salt upstream if one domain dominates)."""
+    if not 0.0 < fraction <= 1.0:
+        raise ValueError(f"fraction must be in (0, 1], got {fraction}")
+    w = Window.partitionBy(stratum_col).orderBy(
+        F.col(score_col).desc(), F.col(id_col).asc()
+    )
+    return (
+        df.where(F.col(score_col).isNotNull())
+        .withColumn("__pr", F.percent_rank().over(w))
+        .where(F.col("__pr") <= F.lit(float(fraction)))
+        .drop("__pr")
+    )

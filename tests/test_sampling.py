@@ -626,3 +626,44 @@ def test_mixture_by_temperature_max_strata_bound(spark):
         mixture_by_temperature(docs, alpha=0.5, max_strata=30, total=30).count()
         > 0
     )
+
+
+def test_top_fraction_by_stratum_exact_counts(spark):
+    """Per stratum: kept = 1 + floor(frac*(n-1)) (percent_rank cut over
+    a tie-free total order), highest scores first; NULL scores dropped;
+    fraction guard raises."""
+    from ftm_columnstore_spark.operators.sampling import (
+        top_fraction_by_stratum,
+    )
+
+    rows = [(i, "a", i * 10) for i in range(10)] + [
+        (100 + i, "b", i) for i in range(4)
+    ] + [(999, "c", None)]
+    df = spark.createDataFrame(rows, "doc_id: long, source: string, q: long")
+    kept = top_fraction_by_stratum(
+        df, 0.2, score_col="q", stratum_col="source"
+    ).collect()
+    by_s = {}
+    for r in kept:
+        by_s.setdefault(r["source"], []).append(r["doc_id"])
+    # a: n=10 -> pr<=0.2 keeps ranks 1..(1+floor(0.2*9)) = 2 best scores
+    assert sorted(by_s["a"]) == [8, 9]
+    # b: n=4 -> keeps 1 (pr of 2nd is 1/3 > 0.2)
+    assert by_s["b"] == [103]
+    assert "c" not in by_s  # NULL score dropped
+    import pytest
+
+    with pytest.raises(ValueError, match="fraction"):
+        top_fraction_by_stratum(df, 0.0, score_col="q")
+
+
+def test_top_fraction_full_keeps_all_scored(spark):
+    from ftm_columnstore_spark.operators.sampling import (
+        top_fraction_by_stratum,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a", 5), (2, "a", 3), (3, "b", 1)],
+        "doc_id: long, source: string, q: long",
+    )
+    assert top_fraction_by_stratum(df, 1.0, score_col="q").count() == 3
