@@ -667,3 +667,22 @@ def test_top_fraction_full_keeps_all_scored(spark):
         "doc_id: long, source: string, q: long",
     )
     assert top_fraction_by_stratum(df, 1.0, score_col="q").count() == 3
+
+
+def test_top_fraction_single_stratum_shuffle(spark):
+    """Scale contract: ONE hashpartitioning exchange (the stratum-keyed
+    window) — no global sort, no extra shuffles."""
+    import re
+
+    from ftm_columnstore_spark.operators.sampling import (
+        top_fraction_by_stratum,
+    )
+
+    df = spark.createDataFrame(
+        [(i, f"s{i % 3}", i * 7 % 11) for i in range(60)],
+        "doc_id: long, source: string, q: long",
+    )
+    out = top_fraction_by_stratum(df, 0.3, score_col="q")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1, plan
+    assert "Exchange rangepartitioning" not in plan, plan

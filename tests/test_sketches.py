@@ -505,3 +505,20 @@ def test_bloom_never_false_negative_property(spark, keys):
         for r in bloom_might_contain(bloom, df, "k", 512, 3).collect()
     }
     assert all(got[k] for k in keys), [k for k in keys if not got[k]]
+
+
+def test_bloom_probe_is_broadcast(spark):
+    """Scale contract: the probe side joins the word table as a
+    BROADCAST (map-side, no corpus-sized shuffle of the probe keys
+    against the filter)."""
+    from ftm_columnstore_spark.operators.sketches import (
+        bloom_build,
+        bloom_might_contain,
+    )
+
+    keys = spark.createDataFrame([(f"k{i}",) for i in range(100)], ["k"])
+    out = bloom_might_contain(
+        bloom_build(keys, "k", 1 << 10, 3), keys, "k", 1 << 10, 3
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan
