@@ -35,9 +35,12 @@ __all__ = [
 #: past a few hundred the Expand/codegen stage degrades (wholestage
 #: fallback, constant-pool pressure) — the same unbounded-width class the
 #: house rule bounds everywhere else (64k BPE vocab, 100k CC edges). The
-#: threshold IS the contract; callers with more terms chunk their query
-#: bags across calls (df/N/avgdl are corpus-global, so per-query scores
-#: are unaffected by which chunk a bag lands in).
+#: score expression is additionally a LEFT-FOLD chain (fixed FP order is
+#: the oracle-parity contract), so a huge bag also means a huge
+#: expression-tree depth during analysis — chunk big bags across calls
+#: rather than opting the bound up unboundedly (df/N/avgdl are
+#: corpus-global, so per-query scores are unaffected by which chunk a
+#: bag lands in).
 DEFAULT_MAX_TERMS = 256
 
 
@@ -301,9 +304,10 @@ def bm25_topk(
     k1: float = 1.2,
     b: float = 0.75,
     top: int = 10,
+    max_terms: int = DEFAULT_MAX_TERMS,
 ) -> DataFrame:
     """Top-``top`` documents by BM25 (score desc, id asc — total order).
     The limit compiles to TakeOrderedAndProject: partial top-k per
     partition, k rows to the driver — no global sort at any scale."""
-    scored = bm25_scores(df, query_terms, text_col, id_col, k1, b)
+    scored = bm25_scores(df, query_terms, text_col, id_col, k1, b, max_terms)
     return scored.orderBy(F.col("score").desc(), F.col("id")).limit(top)
