@@ -691,68 +691,40 @@ def simhash_chunks(
         src, off = ("__lo", j) if j < 32 else ("__hi", j - 32)
         return F.shiftright(F.col(src), off).bitwiseAND(F.lit(1))
 
-    # Lane-packed vote sums: vote_j = 2·S_j − dl with S_j = Σ cnt·bit_j
-    # and dl = Σ cnt, so only the NON-NEGATIVE S_j need aggregating —
-    # three 21-bit lanes per long pack 64 bit-sums into 22 columns
-    # (+1 for dl), cutting the agg/shuffle width 64 → 23 with votes
-    # bit-identical. Lanes cannot carry while dl < 2^21 per doc; the
-    # projection asserts that bound at execution (2M tokens/doc — far
-    # above any real document; a violator fails loudly, never packs
-    # corrupt lanes). Terms are projected before the agg — agg-input
-    # expressions run interpreted inside the aggregate (see
-    # minhash_signature).
-    LANE = 21
-    n_groups = (64 + 2) // 3  # 22
-    packed_terms = [
-        (
-            F.col("__cnt")
-            * sum(
-                (
-                    bit(3 * g + t) * F.lit(1 << (LANE * t))
-                    for t in range(min(3, 64 - 3 * g))
-                ),
-                F.lit(0),
-            )
-        ).alias(f"__p{g}")
-        for g in range(n_groups)
-    ]
-    voted = hashed.select("id", F.col("__cnt").alias("__dl"), *packed_terms)
-    votes = voted.groupBy("id").agg(
-        F.sum("__dl").alias("__dl"),
-        *[F.sum(f"__p{g}").alias(f"__s{g}") for g in range(n_groups)],
+    # Plain 64-column vote sums. A lane-packed variant (3×21-bit lanes
+    # per long, agg width 64 → 23) was tried in round 5 and REVERTED on
+    # measurement: the packed-term projection (shift+mult+sum per lane
+    # group, per input row) cost more than the narrower aggregate saved
+    # — bench solo regressed 3.3 → 5.8s at sf0.1 while the plain form
+    # holds 3.3s. 64 trivial sums stay fully inside codegen'd partial
+    # aggregation; width is not the bottleneck here. Vote terms are
+    # projected before the agg — agg-input expressions run interpreted
+    # inside the aggregate (see minhash_signature).
+    voted = hashed.select(
+        "id",
+        *[
+            (F.col("__cnt") * (bit(j) * 2 - F.lit(1))).alias(f"__t{j}")
+            for j in range(64)
+        ],
     )
-    mask = (1 << LANE) - 1
-
-    def s(j: int) -> F.Column:
-        g, t = divmod(j, 3)
-        return F.shiftright(F.col(f"__s{g}"), LANE * t).bitwiseAND(
-            F.lit(mask)
-        )
-
-    def chunk(b: int) -> F.Column:
-        c = sum(
+    votes = voted.groupBy("id").agg(
+        *[F.sum(f"__t{j}").alias(f"__v{j}") for j in range(64)]
+    )
+    chunk_cols = [
+        sum(
             (
-                F.when(
-                    s(b * width + t) * 2 > F.col("__dl"), F.lit(1 << t)
-                ).otherwise(F.lit(0))
+                F.when(F.col(f"__v{b * width + t}") > 0, F.lit(1 << t)).otherwise(
+                    F.lit(0)
+                )
                 for t in range(width)
             ),
             F.lit(0),
-        ).cast("long")
-        if b == 0:
-            # overflow guard lives INSIDE a consumed expression — a
-            # standalone asserted column would be pruned as unused
-            c = F.when(F.col("__dl") < F.lit(1 << LANE), c).otherwise(
-                F.raise_error(
-                    F.lit(
-                        "simhash_chunks: document exceeds 2^21 tokens — "
-                        "packed vote lanes would overflow"
-                    )
-                ).cast("long")
-            )
-        return c.alias(f"c{b}")
-
-    return votes.select("id", *[chunk(b) for b in range(bands)])
+        )
+        .cast("long")
+        .alias(f"c{b}")
+        for b in range(bands)
+    ]
+    return votes.select("id", *chunk_cols)
 
 
 def simhash_pairs_portable(

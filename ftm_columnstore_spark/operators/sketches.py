@@ -584,6 +584,92 @@ def bloom_might_contain(
     )
 
 
+def word_ngrams(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str | None = None,
+    n: int = 3,
+) -> DataFrame:
+    """Word n-grams as space-joined strings — (gram) or (id, gram) rows,
+    per-document DISTINCT. Rides the Arrow-batched ``shingle_rows``
+    pass: higher-order ``transform``/``slice``/``array_join`` lambdas
+    run on Spark's interpreted expression path, and the HOF form of
+    this derivation measured 4.0s for a 258k-gram corpus vs ~0.8s
+    batched (the same 5-6× cliff ``shingle_sets`` documents). Docs with
+    fewer than ``n`` tokens yield nothing — the input is pre-filtered
+    (cheap codegen'd size check) so shingle_rows' whole-document-
+    shingle convention for short docs never fires; at exactly ``n``
+    tokens the whole-doc shingle IS the single n-gram. Still narrow:
+    zero shuffles."""
+    from ftm_columnstore_spark.functions.text import (
+        shingle_rows,
+        word_tokens_col,
+    )
+
+    eligible = df.where(F.col(text_col).isNotNull()).where(
+        F.size(word_tokens_col(text_col)) >= n
+    )
+    if id_col:
+        return shingle_rows(eligible, text_col, id_col, n).select(
+            "id", F.col("shingle").alias("gram")
+        )
+    rows = shingle_rows(
+        eligible.withColumn("__wid", F.monotonically_increasing_id()),
+        text_col,
+        "__wid",
+        n,
+    )
+    return rows.select(F.col("shingle").alias("gram"))
+
+
+def bloom_ngram_hits(
+    corpus: DataFrame,
+    bloom: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    m_bits: int = 1 << 16,
+    k: int = 2,
+) -> DataFrame:
+    """Per-document contamination report against a PREBUILT bench-gram
+    Bloom filter (built once via :func:`bloom_build` over
+    :func:`word_ngrams` — the streaming ingest path persists it across
+    micro-batches). Output and semantics identical to
+    :func:`bloom_ngram_decontaminate`, which is this plus the build."""
+    # persist + eager materialize: BOTH the probe side and the per-doc
+    # join consume doc_grams — without it Catalyst re-runs the corpus
+    # gram pass on each side. (id, gram) is already distinct — the
+    # Arrow pass dedups within each document — so no extra shuffle
+    # here. Released via _cached_intermediates, the house contract.
+    doc_grams = word_ngrams(corpus, text_col, id_col, n).persist()
+    doc_grams.count()
+    # one probe per DISTINCT gram (vocabulary-bounded), joined back to
+    # the (id, gram) pairs — the md5 probe work never scales with
+    # per-doc repetition
+    flags = bloom_might_contain(
+        bloom, doc_grams.select("gram"), "gram", m_bits, k
+    )
+    per_doc = (
+        doc_grams.join(flags, on="gram")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(F.col("might_contain").cast("long")).alias("n_hits"),
+        )
+    )
+    out = per_doc.where(F.col("n_hits") > 0).select(
+        "id",
+        "n_grams",
+        "n_hits",
+        F.round(
+            F.col("n_hits").cast("double") / F.col("n_grams").cast("double"),
+            6,
+        ).alias("hit_rate"),
+    )
+    out._cached_intermediates = [doc_grams]
+    return out
+
+
 def bloom_ngram_decontaminate(
     corpus: DataFrame,
     bench: DataFrame,
@@ -605,46 +691,11 @@ def bloom_ngram_decontaminate(
     too large to shuffle against the corpus, its n-grams collapse into
     an m_bits-bit broadcast and the corpus side stays map-local —
     probing costs one distinct over corpus n-grams (vocabulary-bounded)
-    + doc-keyed aggregation, never a bench×corpus shuffle."""
-    from ftm_columnstore_spark.functions.text import word_tokens_col
-
-    def grams(df: DataFrame, with_id: bool) -> DataFrame:
-        toks = word_tokens_col(text_col)
-        g = F.transform(
-            F.sequence(F.lit(1), F.size(toks) - n + 1),
-            lambda i: F.array_join(F.slice(toks, i, n), " "),
-        )
-        cols = ([F.col(id_col).alias("id")] if with_id else []) + [
-            F.explode(g).alias("gram")
-        ]
-        return (
-            df.where(F.col(text_col).isNotNull())
-            .where(F.size(toks) >= n)
-            .select(*cols)
-        )
-
-    bloom = bloom_build(grams(bench, with_id=False), "gram", m_bits, k)
-    doc_grams = grams(corpus, with_id=True).distinct()
-    # one probe per DISTINCT gram (vocabulary-bounded), joined back to
-    # the (id, gram) pairs — the md5 probe work never scales with
-    # per-doc repetition
-    flags = bloom_might_contain(
-        bloom, doc_grams.select("gram"), "gram", m_bits, k
+    + doc-keyed aggregation, never a bench×corpus shuffle. Composition
+    of :func:`bloom_build` over :func:`word_ngrams` +
+    :func:`bloom_ngram_hits`; streaming ingest builds the filter once
+    and calls the hits probe per micro-batch."""
+    bloom = bloom_build(
+        word_ngrams(bench, text_col, None, n), "gram", m_bits, k
     )
-    per_doc = (
-        doc_grams.join(flags, on="gram")
-        .groupBy("id")
-        .agg(
-            F.count(F.lit(1)).alias("n_grams"),
-            F.sum(F.col("might_contain").cast("long")).alias("n_hits"),
-        )
-    )
-    return per_doc.where(F.col("n_hits") > 0).select(
-        "id",
-        "n_grams",
-        "n_hits",
-        F.round(
-            F.col("n_hits").cast("double") / F.col("n_grams").cast("double"),
-            6,
-        ).alias("hit_rate"),
-    )
+    return bloom_ngram_hits(corpus, bloom, text_col, id_col, n, m_bits, k)

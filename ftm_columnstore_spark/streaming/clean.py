@@ -39,6 +39,7 @@ def stream_clean_against_corpus(
     substring_k: int | None = 8,
     within_batch: bool = False,
     near_dedup: dict | None = None,
+    decontaminate: dict | None = None,
     available_now: bool = False,
 ) -> StreamingQuery:
     """Start the cleanup stream; returns the StreamingQuery handle.
@@ -59,7 +60,13 @@ def stream_clean_against_corpus(
     stream documents are the periodic re-index's job, same contract as
     the minhash stream); ``near_dedup`` = kwargs num_hashes /
     num_bands / shingle_k / min_jaccard_est for the corpus-index drop
-    (None → skip; unknown keys raise)."""
+    (None → skip; unknown keys raise); ``decontaminate`` = {"bench":
+    benchmark DataFrame, "n": 3, "m_bits": 1<<16, "k": 2,
+    "max_hit_rate": 0.0} — bench n-grams collapse into ONE Bloom word
+    table at stream start (persisted, broadcast per batch); documents
+    whose distinct-n-gram hit_rate exceeds ``max_hit_rate`` are dropped
+    (0.0 = any maybe-hit drops; clean verdicts are exact — the filter
+    has no false negatives)."""
     from ftm_columnstore_spark.operators.dedup import (
         _band_relation,
         corpus_gram_index,
@@ -98,6 +105,27 @@ def stream_clean_against_corpus(
         ).persist()
         grams.count()  # build the index at stream start, not first batch
         cached.append(grams)
+    bloom_words = None
+    dc_n, dc_m, dc_k, dc_max = 3, 1 << 16, 2, 0.0
+    if decontaminate is not None:
+        from ftm_columnstore_spark.operators.sketches import (
+            bloom_build,
+            word_ngrams,
+        )
+
+        dc = dict(decontaminate)
+        dc_bench = dc.pop("bench")
+        dc_n = int(dc.pop("n", dc_n))
+        dc_m = int(dc.pop("m_bits", dc_m))
+        dc_k = int(dc.pop("k", dc_k))
+        dc_max = float(dc.pop("max_hit_rate", dc_max))
+        if dc:
+            raise ValueError(f"unknown decontaminate options: {sorted(dc)}")
+        bloom_words = bloom_build(
+            word_ngrams(dc_bench, text_col, None, dc_n), "gram", dc_m, dc_k
+        ).persist()
+        bloom_words.count()  # build the filter at stream start
+        cached.append(bloom_words)
     banded = None
     nd = dict(near_dedup or {})
     allowed = {"num_hashes", "num_bands", "shingle_k", "min_jaccard_est"}
@@ -135,6 +163,21 @@ def stream_clean_against_corpus(
                 F.col("id").alias(id_col)
             )
             out = out.join(keep, on=id_col, how="left_semi")
+        if bloom_words is not None:
+            # contamination drop EARLY (map-side broadcast probe — the
+            # cheapest reference-artifact stage) so contaminated docs
+            # never reach the LM / signature passes
+            from ftm_columnstore_spark.operators.sketches import (
+                bloom_ngram_hits,
+            )
+
+            hits = bloom_ngram_hits(
+                out, bloom_words, text_col, id_col, dc_n, dc_m, dc_k
+            )
+            dirty = hits.where(F.col("hit_rate") > dc_max).select(
+                F.col("id").alias(id_col)
+            )
+            out = out.join(dirty, on=id_col, how="left_anti")
         if weights is not None:
             from ftm_columnstore_spark.operators.text import (
                 score_quality_classifier,

@@ -621,3 +621,66 @@ def test_stream_clean_classifier_stage(spark, tmp_path):
         r["doc_id"] for r in spark.read.parquet(out).collect()
     }
     assert kept == {1, 3}
+
+
+def test_stream_clean_bloom_decontaminate(spark, tmp_path):
+    """Streaming decontamination stage: the bench-gram Bloom filter is
+    built once at stream start; micro-batch docs overlapping the bench
+    set are dropped, clean docs pass — identical verdicts to the batch
+    operator (no false negatives, so the kept set is exact here)."""
+    import json
+
+    from pyspark.sql import types as T
+
+    from ftm_columnstore_spark.streaming.clean import (
+        stream_clean_against_corpus,
+    )
+
+    corpus = spark.createDataFrame(
+        [(1, "background corpus text unrelated to anything")],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(9, "the secret benchmark passage nobody should train on")],
+        "doc_id long, text string",
+    )
+    incoming = [
+        # contains a bench 3-gram -> dropped
+        {"doc_id": 200,
+         "text": "this doc leaks the secret benchmark passage verbatim"},
+        # clean -> kept
+        {"doc_id": 201,
+         "text": "a perfectly clean document about gardens and rivers"},
+    ]
+    src = tmp_path / "dc_in"
+    src.mkdir()
+    (src / "b0.json").write_text("\n".join(json.dumps(d) for d in incoming))
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    out = tmp_path / "dc_out"
+    q = stream_clean_against_corpus(
+        spark,
+        str(src),
+        corpus,
+        str(out),
+        str(tmp_path / "ckpt_dc"),
+        schema,
+        substring_k=None,
+        decontaminate={"bench": bench, "n": 3, "m_bits": 1 << 12, "k": 2},
+        available_now=True,
+    )
+    q.awaitTermination(120)
+    got = {r["doc_id"] for r in spark.read.parquet(str(out)).collect()}
+    assert got == {201}, got
+
+    import pytest
+
+    with pytest.raises(ValueError, match="decontaminate"):
+        stream_clean_against_corpus(
+            spark, str(src), corpus, str(out), str(tmp_path / "ckpt_dc2"),
+            schema, decontaminate={"bench": bench, "bogus": 1},
+        )
