@@ -329,3 +329,54 @@ def test_bpe_fertility_no_merges_is_chars(spark):
     row = bpe_fertility(df, []).collect()[0]
     assert (row["n_words"], row["n_tokens"], row["n_chars"]) == (2, 5, 5)
     assert row["chars_per_token"] == 1.0
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    words=st.lists(
+        st.text(alphabet="abc", min_size=1, max_size=6),
+        min_size=1,
+        max_size=15,
+    ),
+    n_merges=st.integers(min_value=0, max_value=6),
+)
+def test_bpe_fertility_matches_python(spark, words, n_merges):
+    """Property parity: fertility report equals a pure-Python replay
+    (reference BPE apply over the same learned merges) on arbitrary
+    corpora."""
+    from ftm_columnstore_spark.operators.bpe import bpe_fertility
+
+    df = spark.createDataFrame([(1, " ".join(words))], ["doc_id", "text"])
+    merges_df = learn_bpe(df, n_merges=n_merges)
+    mlist = [
+        (r["left_sym"], r["right_sym"])
+        for r in merges_df.orderBy("rank").collect()
+    ]
+
+    def apply_merges(w: str) -> list[str]:
+        syms = list(w)
+        for l, r in mlist:
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                    out.append(l + r)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        return syms
+
+    n_words = len(words)
+    n_tokens = sum(len(apply_merges(w)) for w in words)
+    n_chars = sum(len(w) for w in words)
+    row = bpe_fertility(df, mlist).collect()[0]
+    assert (row["n_words"], row["n_tokens"], row["n_chars"]) == (
+        n_words,
+        n_tokens,
+        n_chars,
+    )

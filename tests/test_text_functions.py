@@ -599,3 +599,43 @@ def test_zipf_alpha_uniform_is_null(spark):
     assert row["alpha"] is None and row["f_min"] == 2
     with pytest.raises(ValueError, match="top_n"):
         zipf_alpha(df, top_n=1)
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    freqs=st.lists(
+        st.integers(min_value=1, max_value=50), min_size=2, max_size=12
+    ),
+    top_n=st.integers(min_value=2, max_value=8),
+)
+def test_zipf_alpha_matches_python(spark, freqs, top_n):
+    """Property parity vs a pure-Python Hill estimator replay (same
+    top-n total order, same per-term 12 dp rounding, same decimal
+    sum) on arbitrary frequency profiles."""
+    import math
+
+    from ftm_columnstore_spark.operators.text import zipf_alpha
+
+    words = [f"w{i:02d}" for i in range(len(freqs))]
+    text = " ".join(
+        w for w, f in zip(words, freqs) for _ in range(f)
+    )
+    df = spark.createDataFrame([(1, text)], ["doc_id", "text"])
+    row = zipf_alpha(df, top_n=top_n).collect()[0]
+
+    ranked = sorted(zip(freqs, words), key=lambda t: (-t[0], t[1]))[:top_n]
+    fmin = min(f for f, _ in ranked)
+    s = sum(round(math.log(f / fmin), 12) for f, _ in ranked)
+    assert row["n_ranked"] == len(ranked) and row["f_min"] == fmin
+    if s == 0:
+        assert row["alpha"] is None
+    else:
+        assert row["alpha"] == round(1.0 + len(ranked) / s, 6)
