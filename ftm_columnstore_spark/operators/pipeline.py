@@ -33,6 +33,7 @@ def prepare_training_data(
     text_col: str = "text",
     id_col: str = "doc_id",
     quality: dict | None = None,
+    decontaminate: dict | None = None,
     classifier: dict | None = None,
     perplexity: dict | None = None,
     c4_lines: dict | None = None,
@@ -75,6 +76,14 @@ def prepare_training_data(
     ``near_dedup``: kwargs for :func:`~ftm_columnstore_spark.
     operators.dedup.minhash_dedup` (None → skip). ``splits``: weights
     for :func:`~ftm_columnstore_spark.operators.sampling.split_by_hash`.
+    ``decontaminate``: {"bench": benchmark DataFrame, "n": 3,
+    "m_bits": 1<<16, "k": 2, "max_hit_rate": 0.0} — drops documents
+    whose distinct-n-gram Bloom hit_rate against the bench set exceeds
+    the threshold (:func:`~ftm_columnstore_spark.operators.sketches.
+    bloom_ngram_decontaminate`; no false negatives, so clean docs are
+    exactly clean). Runs right after the gate — the same stage, same
+    defaults, and same placement as the streaming cleaner's
+    decontaminate, so batch backfill and ingest agree.
     """
     from ftm_columnstore_spark.operators.dedup import (
         dedup_exact,
@@ -95,6 +104,28 @@ def prepare_training_data(
             F.col("id").alias(id_col)
         )
         out = out.join(keep_ids, on=id_col, how="left_semi")
+    pipeline_cached: list = []
+    if decontaminate is not None:
+        from ftm_columnstore_spark.operators.sketches import (
+            bloom_ngram_decontaminate,
+        )
+
+        kwargs = dict(decontaminate)
+        bench = kwargs.pop("bench")
+        max_hit_rate = float(kwargs.pop("max_hit_rate", 0.0))
+        allowed = {"n", "m_bits", "k"}
+        if set(kwargs) - allowed:
+            raise ValueError(
+                f"unknown decontaminate options: {sorted(set(kwargs) - allowed)}"
+            )
+        hits = bloom_ngram_decontaminate(
+            out, bench, text_col=text_col, id_col=id_col, **kwargs
+        )
+        pipeline_cached += getattr(hits, "_cached_intermediates", [])
+        dirty = hits.where(F.col("hit_rate") > max_hit_rate).select(
+            F.col("id").alias(id_col)
+        )
+        out = out.join(dirty, on=id_col, how="left_anti")
     if classifier is not None:
         from ftm_columnstore_spark.operators.text import (
             score_quality_classifier,
@@ -166,5 +197,5 @@ def prepare_training_data(
         cached = getattr(out, "_cached_intermediates", [])
     if splits is not None:
         out = split_by_hash(out, splits, id_col=id_col, seed=seed)
-    out._cached_intermediates = cached
+    out._cached_intermediates = pipeline_cached + cached
     return out

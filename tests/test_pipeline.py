@@ -253,3 +253,43 @@ def test_pipeline_c4_lines_stage(spark):
     assert len(out) == 1
     assert out[0]["doc_id"] == 1
     assert out[0]["text"] == "A good proper sentence here."
+
+
+def test_pipeline_decontaminate_stage(spark):
+    """Batch decontamination mirrors the streaming stage: docs sharing
+    an n-gram with the bench set drop, clean docs survive untouched;
+    unknown options raise; the bench gram relation is released via the
+    caching contract."""
+    import pytest
+
+    from ftm_columnstore_spark.operators.pipeline import (
+        prepare_training_data,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "this doc leaks the secret benchmark passage verbatim"),
+            (2, "a perfectly clean document about gardens and rivers"),
+        ],
+        "doc_id: long, text: string",
+    )
+    bench = spark.createDataFrame(
+        [(9, "the secret benchmark passage nobody should train on")],
+        "doc_id: long, text: string",
+    )
+    out = prepare_training_data(
+        docs,
+        decontaminate={"bench": bench, "n": 3, "m_bits": 1 << 12, "k": 2},
+        line_dedup_sep=None,
+    )
+    assert [r["doc_id"] for r in out.collect()] == [2]
+    assert getattr(out, "_cached_intermediates", [])
+    for c in out._cached_intermediates:
+        c.unpersist()
+
+    with pytest.raises(ValueError, match="decontaminate"):
+        prepare_training_data(
+            docs,
+            decontaminate={"bench": bench, "bogus": 1},
+            line_dedup_sep=None,
+        )
