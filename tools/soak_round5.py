@@ -102,6 +102,53 @@ def main():
                 toks, "token", threshold=100 * factor, d=4, w=512
             ).count(),
         )
+        # round-5 ops: bloom n-gram decontamination (bench fixed-size,
+        # corpus grows — wall should track the single corpus gram
+        # pass), fertility (distinct-word bounded), zipf (top-n
+        # bounded), per-source quality prune (one window shuffle)
+        from ftm_columnstore_spark.operators.bpe import bpe_fertility
+        from ftm_columnstore_spark.operators.sampling import (
+            top_fraction_by_stratum,
+        )
+        from ftm_columnstore_spark.operators.sketches import (
+            bloom_ngram_decontaminate,
+        )
+        from ftm_columnstore_spark.operators.text import zipf_alpha
+
+        bench = docs.where(F.col("doc_id") % 97 == 0)
+
+        def _dec():
+            out = bloom_ngram_decontaminate(
+                docs.where(F.col("doc_id") % 97 != 0),
+                bench,
+                n=3,
+                m_bits=1 << 13,
+                k=2,
+            )
+            n = out.count()
+            for c in getattr(out, "_cached_intermediates", []):
+                c.unpersist()
+            return n
+
+        timed(f"bloom_decontaminate x{factor}", _dec)
+        merges = learn_bpe(docs, n_merges=12)
+        timed(
+            f"bpe_fertility x{factor}",
+            lambda: bpe_fertility(docs, merges).count(),
+        )
+        timed(
+            f"zipf_alpha x{factor}",
+            lambda: zipf_alpha(docs, top_n=500).count(),
+        )
+        timed(
+            f"quality_prune x{factor}",
+            lambda: top_fraction_by_stratum(
+                docs.withColumn("q", F.length("text")),
+                0.2,
+                score_col="q",
+                stratum_col="source",
+            ).count(),
+        )
         if factor > 1:
             docs.unpersist()
     spark.stop()
