@@ -3094,14 +3094,37 @@ def t33_quality_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "source", "n_chars")
 
 
+def v17_kmv_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary overlap between two corpus halves from KMV sketches
+    (operators/sketches.py:kmv_sketch/kmv_jaccard — Beyer+ SIGMOD'07):
+    each half's token set collapses to its 512 smallest md5-60bit
+    hashes (TakeOrderedAndProject over a distinct), the union's
+    k-minima estimate Jaccard / union / intersection sizes. Every
+    post-sketch relation is ≤ k rows; the oracle replays the identical
+    ORDER BY hash LIMIT k cut and estimator arithmetic."""
+    from ftm_columnstore_spark.functions.text import word_tokens_col
+    from ftm_columnstore_spark.operators.sketches import (
+        kmv_jaccard,
+        kmv_sketch,
+    )
+
+    d = _t(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    toks = d.select(
+        "doc_id", F.explode(word_tokens_col("text")).alias("token")
+    )
+    a = kmv_sketch(toks.where(F.col("doc_id") % 2 == 0), "token", k=512)
+    b = kmv_sketch(toks.where(F.col("doc_id") % 2 == 1), "token", k=512)
+    return kmv_jaccard(a, b, k=512)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order matters: the driver's CORRECTNESS run covers the
     # first ~50 entries. Rotation discipline (VERDICT r4 item 1): every
     # key's staleness = rounds since its last green driver row. This
-    # round: the 4 NEW ops lead (never checked — they must green in
+    # round: the 5 NEW ops lead (never checked — they must green in
     # their first round), then the 52 stalest keys (10 last-green r01 +
-    # 42 last-green r02); 4+52 > 50, so six r02-green keys sit at pos
-    # 51-56 (d11/v9/d12/t15 + the md5-deterministic pytest-pinned
+    # 42 last-green r02); 5+52 > 50, so seven r02-green keys sit at pos
+    # 51-57 (d10/d11/v9/d12/t15 + the md5-deterministic pytest-pinned
     # t6/t8) and lead r06's window. r03- then r04-verified blocks follow
     # (freshest last). ROUND 6: rotate again — any never-green keys
     # first, the pos-51+ spillover next, then the r03 block (stalest).
@@ -3111,6 +3134,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t31_bpe_fertility": t31_bpe_fertility,
         "t32_zipf_alpha": t32_zipf_alpha,
         "t33_quality_prune": t33_quality_prune,
+        "v17_kmv_vocab_overlap": v17_kmv_vocab_overlap,
         # --- last driver-green in r01 (4 rounds stale — lead the window) ---
         "st2_events_latest": st2_events_latest,
         "j5_order_priority_exists": j5_order_priority_exists,
@@ -4734,6 +4758,54 @@ def _t32_oracle(top_n: int = 500) -> str:
     """
 
 
+def _v17_oracle(k: int = 512) -> str:
+    """DuckDB oracle for the KMV vocabulary-overlap report — replays
+    the md5-60bit hash, the ORDER BY hv LIMIT k cuts, the union
+    k-minima, and the (k−1)·2^60/h_k estimator exactly ((k−1)·2^60 has
+    ≤10 significant bits, so the double literal is exact in both
+    engines)."""
+    scale = float((k - 1) * (1 << 60))
+    return f"""
+        WITH tok AS (
+          SELECT doc_id, unnest(list_filter(
+                     string_split_regex(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '')) AS token
+          FROM documents WHERE text IS NOT NULL
+        ), ha AS (
+          SELECT DISTINCT ('0x' || substr(md5(token), 1, 15))::BIGINT AS hv
+          FROM tok WHERE doc_id % 2 = 0 ORDER BY hv LIMIT {k}
+        ), hb AS (
+          SELECT DISTINCT ('0x' || substr(md5(token), 1, 15))::BIGINT AS hv
+          FROM tok WHERE doc_id % 2 = 1 ORDER BY hv LIMIT {k}
+        ), u AS (
+          SELECT hv, max(in_a) AS in_a, max(in_b) AS in_b FROM (
+            SELECT hv, 1 AS in_a, 0 AS in_b FROM ha
+            UNION ALL SELECT hv, 0, 1 FROM hb)
+          GROUP BY hv ORDER BY hv LIMIT {k}
+        ), agg AS (
+          SELECT count(*) AS n_union_minima,
+                 sum(CASE WHEN in_a = 1 AND in_b = 1 THEN 1 ELSE 0 END)
+                     AS n_shared,
+                 max(hv) AS hk
+          FROM u
+        )
+        SELECT n_shared::BIGINT AS n_shared,
+               n_union_minima::BIGINT AS n_union_minima,
+               round(n_shared::DOUBLE / n_union_minima::DOUBLE, 6)
+                   AS jaccard_est,
+               floor(CASE WHEN n_union_minima < {k}
+                          THEN n_union_minima::DOUBLE
+                          ELSE {scale!r} / hk::DOUBLE END + 0.5)::BIGINT
+                   AS union_est,
+               floor((n_shared::DOUBLE / n_union_minima::DOUBLE)
+                     * (CASE WHEN n_union_minima < {k}
+                             THEN n_union_minima::DOUBLE
+                             ELSE {scale!r} / hk::DOUBLE END)
+                     + 0.5)::BIGINT AS intersection_est
+        FROM agg
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "t30_bloom_decontaminate": _t30_oracle(n=3, m_bits=1 << 13, k=2),
@@ -4748,6 +4820,7 @@ def oracle_sql() -> dict[str, str]:
                 FROM documents WHERE n_chars IS NOT NULL)
             WHERE pr <= 0.2
         """,
+        "v17_kmv_vocab_overlap": _v17_oracle(k=512),
         "s1_scan_project": """
             SELECT l_orderkey, l_linenumber,
                    strftime(l_shipdate, '%Y-%m-%d') AS ship_date

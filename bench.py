@@ -112,6 +112,7 @@ HEADLINE = [
     "t31_bpe_fertility",
     "t32_zipf_alpha",
     "t33_quality_prune",
+    "v17_kmv_vocab_overlap",
 ]
 
 

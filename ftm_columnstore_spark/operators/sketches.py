@@ -699,3 +699,111 @@ def bloom_ngram_decontaminate(
         word_ngrams(bench, text_col, None, n), "gram", m_bits, k
     )
     return bloom_ngram_hits(corpus, bloom, text_col, id_col, n, m_bits, k)
+
+
+# --- KMV (k-minimum-values) sketch ---------------------------------------
+
+
+def kmv_sketch(df: DataFrame, col: str, k: int = 1024) -> DataFrame:
+    """KMV distinct-value sketch (Bar-Yossef+ RANDOM'02; Beyer+
+    SIGMOD'07): the ``k`` smallest DISTINCT md5-60bit hash values of
+    ``col``, as a bounded (hv) relation — ≤ k rows. Unlike HLL it
+    supports SET OPERATIONS: the union sketch is the k smallest of the
+    concatenated sketches, and the shared fraction of the union's
+    k-minima estimates Jaccard (:func:`kmv_jaccard`) — the
+    corpus-diagnostic "how much vocabulary do these two sources share?"
+    question answered from two k-row artifacts, no corpus join.
+
+    Deterministic end-to-end: the hash family is the repo's portable
+    md5-60bit, the k-cut is an ORDER BY hash LIMIT k
+    (TakeOrderedAndProject — partial top-k per partition), so any
+    engine reproduces the sketch bit-for-bit."""
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    c = F.col(col)
+    return (
+        df.where(c.isNotNull())
+        .select(_md5_60bit(c).alias("hv"))
+        .distinct()
+        .orderBy("hv")
+        .limit(int(k))
+    )
+
+
+def kmv_distinct_estimate(sketch: DataFrame, k: int = 1024) -> DataFrame:
+    """Distinct-count estimate from a KMV sketch: when the sketch holds
+    fewer than ``k`` values the count is EXACT (every distinct hash is
+    present); otherwise est = (k−1) / θ with θ = h_(k)/2^60 (the
+    classic KMV estimator), computed as one correctly-rounded double
+    division — (k−1)·2^60 and h_(k) are both exactly representable —
+    and rounded to a bigint. Output: ONE row (n_distinct_est)."""
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    agg = sketch.agg(
+        F.count(F.lit(1)).alias("__n"), F.max("hv").alias("__hk")
+    )
+    est = F.when(F.col("__n") < k, F.col("__n").cast("double")).otherwise(
+        F.lit(float((k - 1) * (1 << _HASH_BITS)))
+        / F.col("__hk").cast("double")
+    )
+    return agg.select(
+        F.floor(est + F.lit(0.5)).cast("long").alias("n_distinct_est")
+    )
+
+
+def kmv_jaccard(
+    a: DataFrame, b: DataFrame, k: int = 1024
+) -> DataFrame:
+    """Jaccard similarity + overlap estimates of two DISTINCT-value
+    sets from their KMV sketches (Beyer+ SIGMOD'07 §4): take the union
+    sketch U = k smallest of A ∪ B (when the union holds fewer than k
+    hashes the result is EXACT — the sketches ARE the sets); the
+    fraction of U's minima present in BOTH sketches estimates J, and
+    J × |A ∪ B|-estimate gives the intersection size. Output: ONE row
+    (n_shared, n_union_minima, jaccard_est, union_est,
+    intersection_est) — jaccard_est = n_shared/n_union_minima is one
+    exact IEEE division rounded to 6 dp.
+
+    Every relation in sight is ≤ k rows, so the joins are trivial at
+    any corpus scale — the heavy lifting happened in the two sketch
+    builds (one scan each, ever)."""
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    ua = a.select(F.col("hv"), F.lit(1).alias("__a"))
+    ub = b.select(F.col("hv"), F.lit(1).alias("__b"))
+    both = (
+        ua.join(ub, on="hv", how="full_outer")
+        .select(
+            "hv",
+            (F.coalesce(F.col("__a"), F.lit(0)) == 1).alias("in_a"),
+            (F.coalesce(F.col("__b"), F.lit(0)) == 1).alias("in_b"),
+        )
+        .orderBy("hv")
+        .limit(int(k))
+    )
+    agg = both.agg(
+        F.count(F.lit(1)).alias("n_union_minima"),
+        F.sum((F.col("in_a") & F.col("in_b")).cast("long")).alias(
+            "n_shared"
+        ),
+        F.max("hv").alias("__hk"),
+    )
+    union_est = F.when(
+        F.col("n_union_minima") < k,
+        F.col("n_union_minima").cast("double"),
+    ).otherwise(
+        F.lit(float((k - 1) * (1 << _HASH_BITS)))
+        / F.col("__hk").cast("double")
+    )
+    j = F.col("n_shared").cast("double") / F.col(
+        "n_union_minima"
+    ).cast("double")
+    return agg.select(
+        "n_shared",
+        "n_union_minima",
+        F.round(j, 6).alias("jaccard_est"),
+        F.floor(union_est + F.lit(0.5)).cast("long").alias("union_est"),
+        F.floor(j * union_est + F.lit(0.5))
+        .cast("long")
+        .alias("intersection_est"),
+    )

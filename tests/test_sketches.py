@@ -522,3 +522,77 @@ def test_bloom_probe_is_broadcast(spark):
     )
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan, plan
+
+
+# --- KMV sketch -----------------------------------------------------------
+
+
+def test_kmv_exact_below_k(spark):
+    """With fewer than k distinct values the sketch IS the hash set:
+    distinct estimate and Jaccard report are exact."""
+    from ftm_columnstore_spark.operators.sketches import (
+        kmv_distinct_estimate,
+        kmv_jaccard,
+        kmv_sketch,
+    )
+
+    a_vals = [f"a{i}" for i in range(30)] + ["shared1", "shared2"]
+    b_vals = [f"b{i}" for i in range(10)] + ["shared1", "shared2"]
+    a = kmv_sketch(
+        spark.createDataFrame([(v,) for v in a_vals * 3], ["v"]), "v", k=256
+    )
+    b = kmv_sketch(
+        spark.createDataFrame([(v,) for v in b_vals], ["v"]), "v", k=256
+    )
+    assert kmv_distinct_estimate(a, 256).collect()[0][
+        "n_distinct_est"
+    ] == len(set(a_vals))
+    row = kmv_jaccard(a, b, 256).collect()[0]
+    union = len(set(a_vals) | set(b_vals))
+    assert row["n_union_minima"] == union
+    assert row["n_shared"] == 2
+    assert row["union_est"] == union
+    assert row["intersection_est"] == 2
+    assert row["jaccard_est"] == round(2 / union, 6)
+
+
+def test_kmv_estimates_in_band(spark):
+    """Saturated regime: k=128 over 2000 distinct values — the KMV
+    estimator's relative error is ~1/sqrt(k-2) ≈ 9%; assert a loose
+    deterministic band (same seedless md5 every run, so the numbers
+    are fixed — the band catches estimator regressions, not noise)."""
+    from ftm_columnstore_spark.operators.sketches import (
+        kmv_distinct_estimate,
+        kmv_jaccard,
+        kmv_sketch,
+    )
+
+    vals = [(f"v{i}",) for i in range(2000)]
+    df = spark.createDataFrame(vals, ["v"])
+    sk = kmv_sketch(df, "v", k=128)
+    assert sk.count() == 128
+    est = kmv_distinct_estimate(sk, 128).collect()[0]["n_distinct_est"]
+    assert 1400 <= est <= 2600, est
+    # A = first 1500, B = last 1500 -> true J = 1000/2000 = 0.5
+    a = kmv_sketch(
+        spark.createDataFrame(vals[:1500], ["v"]), "v", k=128
+    )
+    b = kmv_sketch(
+        spark.createDataFrame(vals[500:], ["v"]), "v", k=128
+    )
+    row = kmv_jaccard(a, b, 128).collect()[0]
+    assert 0.3 <= row["jaccard_est"] <= 0.7, row
+    assert 1400 <= row["union_est"] <= 2600, row
+    # determinism: a second run is bit-identical
+    again = kmv_jaccard(a, b, 128).collect()[0]
+    assert row.asDict() == again.asDict()
+
+
+def test_kmv_param_guard(spark):
+    import pytest
+
+    from ftm_columnstore_spark.operators.sketches import kmv_sketch
+
+    df = spark.createDataFrame([("x",)], ["v"])
+    with pytest.raises(ValueError, match="k must be"):
+        kmv_sketch(df, "v", k=1)
