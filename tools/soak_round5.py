@@ -149,6 +149,24 @@ def main():
                 stratum_col="source",
             ).count(),
         )
+        from ftm_columnstore_spark.operators.sketches import (
+            kmv_jaccard,
+            kmv_sketch,
+        )
+
+        def _kmv():
+            toks = docs.where(F.col("text").isNotNull()).select(
+                "doc_id", F.explode(word_tokens_col("text")).alias("token")
+            )
+            a = kmv_sketch(
+                toks.where(F.col("doc_id") % 2 == 0), "token", k=512
+            )
+            b = kmv_sketch(
+                toks.where(F.col("doc_id") % 2 == 1), "token", k=512
+            )
+            return kmv_jaccard(a, b, k=512).count()
+
+        timed(f"kmv_vocab_overlap x{factor}", _kmv)
         if factor > 1:
             docs.unpersist()
     spark.stop()
