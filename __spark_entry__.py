@@ -3117,80 +3117,115 @@ def v17_kmv_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmv_jaccard(a, b, k=512)
 
 
+def a27_log2_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile read-off from the mergeable log2 histogram
+    (operators/sketches.py:log2_histogram/log2_histogram_quantile —
+    the integer-exact DDSketch-gamma=2 of Masson+ VLDB'19): per-lang
+    n_chars histograms (bucket = bit length via length(bin(x)), no
+    float log), then p50/p90/p99 buckets with exact power-of-two value
+    bounds. The sketch is ≤66 rows per lang, so the cumsum window and
+    probs cross-join are trivial; the one real job is the build scan.
+    Oracle replays bucket, cumsum and the cum/n >= p pick rule."""
+    from ftm_columnstore_spark.operators.sketches import (
+        log2_histogram,
+        log2_histogram_quantile,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    hist = log2_histogram(d, "n_chars", group_by=["lang"])
+    return log2_histogram_quantile(
+        hist, [0.5, 0.9, 0.99], group_by=["lang"]
+    )
+
+
+def a28_moments_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean/variance/skewness per source from the exact power-sum
+    moments sketch (operators/sketches.py:moments_sketch/moments_stats
+    — the integer spine of Gan+ VLDB'18): one map-side-combinable
+    aggregation carries (count, Σx, Σx², Σx³) as DECIMAL(38,0); stats
+    are derived with exact decimal products and only final
+    correctly-rounded divisions + one sqrt, rounded 6 dp. Oracle
+    mirrors with HUGEINT power sums and identical double tail."""
+    from ftm_columnstore_spark.operators.sketches import (
+        moments_sketch,
+        moments_stats,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    return moments_stats(
+        moments_sketch(d, "n_chars", group_by=["source"])
+    ).orderBy("source")
+
+
+def t34_phrase_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact consecutive-phrase search via a positional inverted index
+    (operators/retrieval.py:positional_index/phrase_match — Manning+
+    IIR §2.4; the indexed sibling of the reference's ILIKE substring
+    scan): docs containing "hash value table", matched by chaining
+    narrow equi-joins on (id, pos+i) over term-filtered postings.
+    Integers end-to-end; oracle replays the zipped-unnest positional
+    index and the same join chain."""
+    from ftm_columnstore_spark.operators.retrieval import phrase_match
+
+    d = _t(spark, sf_dir, "documents")
+    return phrase_match(d, "hash value table")
+
+
+def t35_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyword extraction (operators/text.py:rake_keywords —
+    Rose+ 2010), engine-parallel: phrases = stopword-delimited token
+    runs (running stopword count per doc = phrase id), word score =
+    degree/freq over doc-keyed aggregations, phrase score = Σ ratios
+    (rounded 12 dp, summed as DECIMAL — the _dsum rule), top-2 phrases
+    per doc by (score desc, phrase, phrase_id). Stopwords here are the
+    corpus's own function words ('a', 'the'). Every shuffle key
+    carries doc_id, so nothing exceeds per-doc fan-out at any corpus
+    size."""
+    from ftm_columnstore_spark.operators.text import rake_keywords
+
+    d = _t(spark, sf_dir, "documents")
+    return rake_keywords(d, ["a", "the"], top_k=2)
+
+
+def d17_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment dedup (operators/dedup.py:
+    containment_pairs — Broder SEQUENCES'97's other estimator):
+    directed pairs where ≥60% of the left doc's 3-word shingles occur
+    in the right doc — the quote/boilerplate/subset case resemblance
+    misses. Exact integer threshold (overlap ≥ τ·|S(A)| in DECIMAL);
+    max_df=64 bounds the shingle-join expansion (boilerplate guard —
+    sizes still counted pre-cut so containment stays honest). Oracle
+    replays shingling, the df cut, and the decimal threshold."""
+    from ftm_columnstore_spark.operators.dedup import containment_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    return containment_pairs(
+        d, shingle_k=3, min_containment=0.6, max_df=64
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order matters: the driver's CORRECTNESS run covers the
     # first ~50 entries. Rotation discipline (VERDICT r4 item 1): every
     # key's staleness = rounds since its last green driver row. This
     # round: the 5 NEW ops lead (never checked — they must green in
-    # their first round), then the 52 stalest keys (10 last-green r01 +
-    # 42 last-green r02); 5+52 > 50, so seven r02-green keys sit at pos
-    # 51-57 (d10/d11/v9/d12/t15 + the md5-deterministic pytest-pinned
-    # t6/t8) and lead r06's window. r03- then r04-verified blocks follow
-    # (freshest last). ROUND 6: rotate again — any never-green keys
-    # first, the pos-51+ spillover next, then the r03 block (stalest).
+    # their first round), then t6/t8 (r02-green, missed the r05 window
+    # at pos 51-52), then the r03-verified block (stalest, 47 keys) —
+    # 5+2+47 = 54, so the last four r03 keys (j19/m10/m11/j20) sit at
+    # pos 51-54 and lead r07's window. r04- then r05-verified blocks
+    # follow (freshest last). ROUND 7: rotate again — never-green keys
+    # first, the pos-51+ spillover next, then the r04 block.
     return {
-        # --- NEW in round 5 (must green inside the window) ---
-        "t30_bloom_decontaminate": t30_bloom_decontaminate,
-        "t31_bpe_fertility": t31_bpe_fertility,
-        "t32_zipf_alpha": t32_zipf_alpha,
-        "t33_quality_prune": t33_quality_prune,
-        "v17_kmv_vocab_overlap": v17_kmv_vocab_overlap,
-        # --- last driver-green in r01 (4 rounds stale — lead the window) ---
-        "st2_events_latest": st2_events_latest,
-        "j5_order_priority_exists": j5_order_priority_exists,
-        "j8_nation_volume": j8_nation_volume,
-        "a11_promo_revenue": a11_promo_revenue,
-        "j9_shipping_priority": j9_shipping_priority,
-        "j10_discounted_revenue": j10_discounted_revenue,
-        "a12_forecast_revenue": a12_forecast_revenue,
-        "a13_late_shipments": a13_late_shipments,
-        "j6_top_customers": j6_top_customers,
-        "j7_big_orders": j7_big_orders,
-        # --- last driver-green in r02 (3 rounds stale) ---
-        "a10_rollup": a10_rollup,
-        "o4_deterministic_scan": o4_deterministic_scan,
-        "t4_language_id": t4_language_id,
-        "t5_quality_scores": t5_quality_scores,
-        "j11_order_count_distribution": j11_order_count_distribution,
-        "a14_small_quantity_revenue": a14_small_quantity_revenue,
-        "m4_top_supplier_revenue": m4_top_supplier_revenue,
-        "j12_supplier_counts_anti": j12_supplier_counts_anti,
-        "j13_late_sole_shippers": j13_late_sole_shippers,
-        "a15_idle_rich_customers": a15_idle_rich_customers,
-        "j14_best_supplier_per_part": j14_best_supplier_per_part,
-        "a16_part_value_share": a16_part_value_share,
-        "t7_stratified_sample": t7_stratified_sample,
-        "d8_decontamination": d8_decontamination,
-        "a17_regional_share": a17_regional_share,
-        "a18_product_profit": a18_product_profit,
-        "j15_dominant_suppliers": j15_dominant_suppliers,
-        "t10_mixture_sample": t10_mixture_sample,
-        "d3_minhash_lsh_pairs": d3_minhash_lsh_pairs,
-        "d4_simhash_pairs": d4_simhash_pairs,
-        "v3_lsh_topk": v3_lsh_topk,
-        "v4_embedding_dups": v4_embedding_dups,
-        "v8_ivf_topk_portable": v8_ivf_topk_portable,
-        "t11_bigram_lm": t11_bigram_lm,
-        "t12_tfidf_terms": t12_tfidf_terms,
-        "t13_pii_scrub": t13_pii_scrub,
-        "v6_ann_topk_numpy": v6_ann_topk_numpy,
-        "v7_knn_join_numpy": v7_knn_join_numpy,
-        "w3_asof_join": w3_asof_join,
-        "w4_band_join": w4_band_join,
-        "d9_repetition_filter": d9_repetition_filter,
-        "a19_percentiles": a19_percentiles,
-        "a20_cube": a20_cube,
-        "m5_time_rollup": m5_time_rollup,
-        "t14_winnow_fingerprints": t14_winnow_fingerprints,
-        "d10_winnow_overlap": d10_winnow_overlap,
-        "d11_line_dedup": d11_line_dedup,
-        "v9_semantic_dedup": v9_semantic_dedup,
-        "d12_cross_dedup": d12_cross_dedup,
-        "t15_quality_gate": t15_quality_gate,
-        # --- r02-green spillover at pos 51-52 (window is ~50; md5-deterministic, pytest-pinned; first in line for r06) ---
+        # --- NEW in round 6 (must green inside the window) ---
+        "a27_log2_histogram": a27_log2_histogram,
+        "a28_moments_profile": a28_moments_profile,
+        "t34_phrase_match": t34_phrase_match,
+        "t35_rake_keywords": t35_rake_keywords,
+        "d17_containment_pairs": d17_containment_pairs,
+        # --- r02-green spillover that missed the r05 window (pos 51-52 last round) ---
         "t6_hash_split": t6_hash_split,
         "t8_deterministic_shuffle": t8_deterministic_shuffle,
-        # --- verified green in CORRECTNESS_r03.json ---
+        # --- last driver-green in r03 (stalest full block; tail past pos 50 leads r07) ---
         "a4_avg_via_dsl": a4_avg_via_dsl,
         "m2_fingerprint_freq": m2_fingerprint_freq,
         "u3_intersect": u3_intersect,
@@ -3238,7 +3273,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "m10_image_dup_pairs": m10_image_dup_pairs,
         "m11_audio_dup_pairs": m11_audio_dup_pairs,
         "j20_k_core": j20_k_core,
-        # --- verified green in CORRECTNESS_r04.json (freshest) ---
+        # --- last driver-green in r04 ---
         "x5_phonetic_keys": x5_phonetic_keys,
         "v5_ivf_trained_deep": v5_ivf_trained_deep,
         "t9_pack_sequences": t9_pack_sequences,
@@ -3289,6 +3324,62 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t3_lang_stats": t3_lang_stats,
         "v1_ann_topk": v1_ann_topk,
         "st1_events_tumbling": st1_events_tumbling,
+        # --- green in the r05 window (freshest) ---
+        "t30_bloom_decontaminate": t30_bloom_decontaminate,
+        "t31_bpe_fertility": t31_bpe_fertility,
+        "t32_zipf_alpha": t32_zipf_alpha,
+        "t33_quality_prune": t33_quality_prune,
+        "v17_kmv_vocab_overlap": v17_kmv_vocab_overlap,
+        "st2_events_latest": st2_events_latest,
+        "j5_order_priority_exists": j5_order_priority_exists,
+        "j8_nation_volume": j8_nation_volume,
+        "a11_promo_revenue": a11_promo_revenue,
+        "j9_shipping_priority": j9_shipping_priority,
+        "j10_discounted_revenue": j10_discounted_revenue,
+        "a12_forecast_revenue": a12_forecast_revenue,
+        "a13_late_shipments": a13_late_shipments,
+        "j6_top_customers": j6_top_customers,
+        "j7_big_orders": j7_big_orders,
+        "a10_rollup": a10_rollup,
+        "o4_deterministic_scan": o4_deterministic_scan,
+        "t4_language_id": t4_language_id,
+        "t5_quality_scores": t5_quality_scores,
+        "j11_order_count_distribution": j11_order_count_distribution,
+        "a14_small_quantity_revenue": a14_small_quantity_revenue,
+        "m4_top_supplier_revenue": m4_top_supplier_revenue,
+        "j12_supplier_counts_anti": j12_supplier_counts_anti,
+        "j13_late_sole_shippers": j13_late_sole_shippers,
+        "a15_idle_rich_customers": a15_idle_rich_customers,
+        "j14_best_supplier_per_part": j14_best_supplier_per_part,
+        "a16_part_value_share": a16_part_value_share,
+        "t7_stratified_sample": t7_stratified_sample,
+        "d8_decontamination": d8_decontamination,
+        "a17_regional_share": a17_regional_share,
+        "a18_product_profit": a18_product_profit,
+        "j15_dominant_suppliers": j15_dominant_suppliers,
+        "t10_mixture_sample": t10_mixture_sample,
+        "d3_minhash_lsh_pairs": d3_minhash_lsh_pairs,
+        "d4_simhash_pairs": d4_simhash_pairs,
+        "v3_lsh_topk": v3_lsh_topk,
+        "v4_embedding_dups": v4_embedding_dups,
+        "v8_ivf_topk_portable": v8_ivf_topk_portable,
+        "t11_bigram_lm": t11_bigram_lm,
+        "t12_tfidf_terms": t12_tfidf_terms,
+        "t13_pii_scrub": t13_pii_scrub,
+        "v6_ann_topk_numpy": v6_ann_topk_numpy,
+        "v7_knn_join_numpy": v7_knn_join_numpy,
+        "w3_asof_join": w3_asof_join,
+        "w4_band_join": w4_band_join,
+        "d9_repetition_filter": d9_repetition_filter,
+        "a19_percentiles": a19_percentiles,
+        "a20_cube": a20_cube,
+        "m5_time_rollup": m5_time_rollup,
+        "t14_winnow_fingerprints": t14_winnow_fingerprints,
+        "d10_winnow_overlap": d10_winnow_overlap,
+        "d11_line_dedup": d11_line_dedup,
+        "v9_semantic_dedup": v9_semantic_dedup,
+        "d12_cross_dedup": d12_cross_dedup,
+        "t15_quality_gate": t15_quality_gate,
     }
 
 
@@ -4808,6 +4899,173 @@ def _v17_oracle(k: int = 512) -> str:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "a27_log2_histogram": """
+            WITH h AS (
+              SELECT lang,
+                     CASE WHEN n_chars < 0 THEN -1
+                          WHEN n_chars = 0 THEN 0
+                          ELSE length(bin(n_chars)) END AS bucket,
+                     count(*) AS cnt
+              FROM documents WHERE n_chars IS NOT NULL
+              GROUP BY 1, 2
+            ), c AS (
+              SELECT lang, bucket,
+                     sum(cnt) OVER (PARTITION BY lang
+                                    ORDER BY bucket) AS cum,
+                     sum(cnt) OVER (PARTITION BY lang) AS n
+              FROM h
+            ), p AS (SELECT unnest([0.5, 0.9, 0.99]) AS prob)
+            SELECT lang, prob,
+                   bucket::INTEGER AS bucket,
+                   CASE WHEN bucket <= 0 THEN 0
+                        ELSE (1::BIGINT << (bucket - 1)) END::BIGINT AS lo,
+                   CASE WHEN bucket <= 0 THEN 0
+                        ELSE (1::BIGINT << bucket) - 1 END::BIGINT AS hi
+            FROM (
+              SELECT lang, prob, min(bucket) AS bucket
+              FROM c, p
+              WHERE cum::DOUBLE / n::DOUBLE >= prob
+              GROUP BY lang, prob)
+        """,
+        "a28_moments_profile": """
+            WITH s AS (
+              SELECT source,
+                     count(*)::HUGEINT AS m0,
+                     sum(n_chars::HUGEINT) AS m1,
+                     sum(n_chars::HUGEINT * n_chars) AS m2,
+                     sum(n_chars::HUGEINT * n_chars * n_chars) AS m3
+              FROM documents WHERE n_chars IS NOT NULL
+              GROUP BY source
+            )
+            SELECT source, m0::BIGINT AS m0,
+                   round(m1::DOUBLE / m0::DOUBLE, 6) AS mean,
+                   round((m0 * m2 - m1 * m1)::DOUBLE
+                         / (m0 * m0)::DOUBLE, 6) AS variance,
+                   CASE WHEN (m0 * m2 - m1 * m1) > 0 THEN
+                     round((m0 * m0 * m3 - 3 * m0 * m1 * m2
+                            + 2 * m1 * m1 * m1)::DOUBLE
+                           / ((m0 * m0 * m0)::DOUBLE
+                              * sqrt((m0 * m2 - m1 * m1)::DOUBLE
+                                     / (m0 * m0)::DOUBLE)
+                              * sqrt((m0 * m2 - m1 * m1)::DOUBLE
+                                     / (m0 * m0)::DOUBLE)
+                              * sqrt((m0 * m2 - m1 * m1)::DOUBLE
+                                     / (m0 * m0)::DOUBLE)), 6)
+                   END AS skewness
+            FROM s ORDER BY source
+        """,
+        "t34_phrase_match": """
+            WITH lt AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(text),
+                                 '[^a-z0-9]+'), x -> x <> '') AS toks
+              FROM documents WHERE text IS NOT NULL
+            ), tok AS (
+              SELECT doc_id, unnest(toks) AS term,
+                     unnest(range(0, len(toks))) AS pos
+              FROM lt
+            ),
+            m0 AS (SELECT doc_id, pos AS start FROM tok
+                   WHERE term = 'hash'),
+            m1 AS (SELECT doc_id, pos - 1 AS start FROM tok
+                   WHERE term = 'value'),
+            m2 AS (SELECT doc_id, pos - 2 AS start FROM tok
+                   WHERE term = 'table')
+            SELECT m0.doc_id AS id, count(*)::BIGINT AS n_matches,
+                   min(m0.start)::INTEGER AS first_pos
+            FROM m0
+            JOIN m1 ON m0.doc_id = m1.doc_id AND m0.start = m1.start
+            JOIN m2 ON m0.doc_id = m2.doc_id AND m0.start = m2.start
+            GROUP BY 1
+        """,
+        "t35_rake_keywords": """
+            WITH lt AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(text),
+                                 '[^a-z0-9]+'), x -> x <> '') AS toks
+              FROM documents WHERE text IS NOT NULL
+            ), tok AS (
+              SELECT doc_id, unnest(toks) AS term,
+                     unnest(range(0, len(toks))) AS pos
+              FROM lt
+            ), mk AS (
+              SELECT doc_id, term, pos,
+                     CASE WHEN term IN ('a', 'the') THEN 1 ELSE 0 END
+                         AS is_stop
+              FROM tok
+            ), ph AS (
+              SELECT doc_id, term, pos, is_stop,
+                     sum(is_stop) OVER (PARTITION BY doc_id
+                                        ORDER BY pos) AS phrase_id
+              FROM mk
+            ), words AS (
+              SELECT doc_id, phrase_id, pos, term FROM ph
+              WHERE is_stop = 0
+            ), plen AS (
+              SELECT doc_id, phrase_id, count(*) AS plen
+              FROM words GROUP BY 1, 2
+            ), wstats AS (
+              SELECT w.doc_id, w.term,
+                     round(sum(p.plen)::DOUBLE / count(*)::DOUBLE,
+                           12)::DECIMAL(32,12) AS ratio
+              FROM words w
+              JOIN plen p ON w.doc_id = p.doc_id
+                         AND w.phrase_id = p.phrase_id
+              GROUP BY 1, 2
+            ), scored AS (
+              SELECT w.doc_id, w.phrase_id,
+                     round(sum(s.ratio)::DOUBLE, 6) AS score,
+                     count(*)::BIGINT AS n_words,
+                     string_agg(w.term, ' ' ORDER BY w.pos) AS phrase
+              FROM words w
+              JOIN wstats s ON w.doc_id = s.doc_id AND w.term = s.term
+              GROUP BY 1, 2
+            )
+            SELECT doc_id AS id, phrase, score, n_words FROM (
+              SELECT doc_id, phrase, score, n_words,
+                     row_number() OVER (
+                         PARTITION BY doc_id
+                         ORDER BY score DESC, phrase, phrase_id) AS rn
+              FROM scored)
+            WHERE rn <= 2
+        """,
+        "d17_containment_pairs": """
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(text),
+                                 '[^a-z0-9]+'), x -> x != '') AS t
+              FROM documents
+            ), sh AS (
+              SELECT doc_id,
+                     CASE WHEN len(t) <= 3 THEN [array_to_string(t, ' ')]
+                          ELSE list_distinct([array_to_string(t[i:i+2], ' ')
+                               for i in generate_series(1, len(t) - 2)])
+                     END AS s
+              FROM toks WHERE len(t) > 0
+            ), inv AS (
+              SELECT doc_id, len(s) AS setsize, unnest(s) AS shingle
+              FROM sh
+            ), fr AS (
+              SELECT shingle, count(*) AS df FROM inv GROUP BY 1
+            ), cut AS (
+              SELECT i.doc_id, i.setsize, i.shingle
+              FROM inv i JOIN fr USING (shingle) WHERE fr.df <= 64
+            ), pairs AS (
+              SELECT l.doc_id AS left_id, r.doc_id AS right_id,
+                     l.setsize AS left_size,
+                     count(*)::BIGINT AS overlap
+              FROM cut l JOIN cut r
+                ON l.shingle = r.shingle AND l.doc_id <> r.doc_id
+              GROUP BY 1, 2, 3
+            )
+            SELECT left_id, right_id, overlap,
+                   left_size::BIGINT AS left_size,
+                   round(overlap::DOUBLE / left_size::DOUBLE, 6)
+                       AS containment
+            FROM pairs
+            WHERE overlap::DECIMAL(20,6)
+                  >= left_size::DECIMAL(20,6) * 0.6::DECIMAL(10,6)
+        """,
         "t30_bloom_decontaminate": _t30_oracle(n=3, m_bits=1 << 13, k=2),
         "t31_bpe_fertility": _bpe_oracle(n_merges=12, mode="fertility"),
         "t32_zipf_alpha": _t32_oracle(top_n=500),

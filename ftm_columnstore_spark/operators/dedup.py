@@ -1766,3 +1766,102 @@ def rewrite_cut_text(
         ),
         on=id_col,
     )
+
+
+def containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 3,
+    min_containment: float = 0.8,
+    max_df: int | None = None,
+) -> DataFrame:
+    """ASYMMETRIC near-duplicate detection: directed pairs where the
+    left doc's shingle set is ≥ ``min_containment`` contained in the
+    right doc's — C(A,B) = |S(A) ∩ S(B)| / |S(A)| (Broder, "On the
+    resemblance and containment of documents", SEQUENCES'97 — the
+    *other* estimator in the paper everyone cites for resemblance).
+    Catches what Jaccard structurally misses: a short doc quoted
+    wholesale inside a much longer one has tiny resemblance but
+    containment ≈ 1 — the quote/boilerplate/subset case an LLM-data
+    pipeline dedups by keeping the superset doc.
+
+    Plan: one shingle pass (Arrow-batched, zero shuffles) → tall
+    (id, shingle) relation → self-join on shingle → pair groupBy counts
+    the overlap → join per-doc set sizes → exact integer threshold
+    ``overlap ≥ ceil(τ·|S(A)|)`` (no float comparison; the reported
+    containment is one correctly-rounded division, 6 dp).
+
+    Containment admits NO prefix filter (the contained side's rarest
+    shingles need not appear in any fixed prefix of the container), so
+    the expansion bound at 100 TB is ``max_df``: shingles occurring in
+    more than ``max_df`` docs are dropped from the join (boilerplate
+    guard — a shingle in 10k docs contributes 10k² pair rows and zero
+    dedup signal). Dropping frequent shingles only LOWERS measured
+    containment, so the guard admits false negatives on boilerplate-only
+    overlap, never false positives; max_df=None keeps the join exact
+    and is for bounded corpora only. Sizes are counted BEFORE the df
+    cut (containment stays relative to the true set size).
+
+    Output: (left_id, right_id, overlap, left_size, containment) —
+    directed, both directions reported when both clear their own
+    threshold."""
+    if not (0.0 < min_containment <= 1.0):
+        raise ValueError(
+            f"min_containment must be in (0, 1], got {min_containment}"
+        )
+    from ftm_columnstore_spark.functions.text import shingle_rows
+
+    tall = shingle_rows(df, text_col, id_col, shingle_k).select(
+        "id", "shingle"
+    )
+    sizes = tall.groupBy("id").agg(F.count(F.lit(1)).alias("set_size"))
+    joinable = tall
+    if max_df is not None:
+        if max_df < 2:
+            raise ValueError(f"max_df must be >= 2, got {max_df}")
+        freq = tall.groupBy("shingle").agg(
+            F.count(F.lit(1)).alias("__df")
+        )
+        joinable = (
+            tall.join(freq, on="shingle")
+            .where(F.col("__df") <= max_df)
+            .select("id", "shingle")
+        )
+    left = joinable.select(
+        F.col("id").alias("left_id"), "shingle"
+    )
+    right = joinable.select(
+        F.col("id").alias("right_id"), "shingle"
+    )
+    overlaps = (
+        left.join(right, on="shingle")
+        .where(F.col("left_id") != F.col("right_id"))
+        .groupBy("left_id", "right_id")
+        .agg(F.count(F.lit(1)).alias("overlap"))
+    )
+    out = overlaps.join(
+        sizes.select(
+            F.col("id").alias("left_id"),
+            F.col("set_size").alias("left_size"),
+        ),
+        on="left_id",
+    ).where(
+        # overlap ≥ ceil(τ·size) without floats: overlap·1 ≥ τ·size
+        # ⇔ overlap ≥ size·τ; with τ as an exact decimal literal the
+        # product is exact and the comparison integer-safe.
+        F.col("overlap").cast("decimal(20,6)")
+        >= F.col("left_size").cast("decimal(20,6)")
+        * F.lit(min_containment).cast("decimal(10,6)")
+    )
+    return out.select(
+        "left_id",
+        "right_id",
+        "overlap",
+        "left_size",
+        F.round(
+            F.col("overlap").cast("double")
+            / F.col("left_size").cast("double"),
+            6,
+        ).alias("containment"),
+    )

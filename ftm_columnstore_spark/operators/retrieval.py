@@ -28,6 +28,8 @@ __all__ = [
     "bm25_topk_multi",
     "with_rank",
     "rrf_fuse",
+    "positional_index",
+    "phrase_match",
 ]
 
 #: Widest union-of-terms the one-pass conditional-count design accepts.
@@ -311,3 +313,90 @@ def bm25_topk(
     partition, k rows to the driver — no global sort at any scale."""
     scored = bm25_scores(df, query_terms, text_col, id_col, k1, b, max_terms)
     return scored.orderBy(F.col("score").desc(), F.col("id")).limit(top)
+
+
+# ---------------------------------------------------------------------------
+# positional index + exact phrase match
+# ---------------------------------------------------------------------------
+
+#: Longest phrase the chained-join matcher accepts: each extra term is
+#: one more narrow join; past this the plan depth (and the analysis
+#: cost) grows without retrieval benefit — split longer phrases into
+#: overlapping windows and intersect doc ids instead.
+MAX_PHRASE_TERMS = 16
+
+
+def positional_index(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Positional inverted index: one row per token OCCURRENCE with its
+    0-based position — (id, pos, term). The classic IR artifact phrase
+    and proximity queries run against (Manning, Raghavan & Schütze,
+    "Introduction to Information Retrieval" §2.4); the reference's
+    search is a substring ILIKE scan (ftm-columnstore plans/query.py),
+    this is the indexed sibling.
+
+    100 TB shape: a single posexplode projection — map-only, no
+    shuffle; writers typically persist it partitioned/bucketed by term
+    so phrase joins co-locate. Tokenization is the repo-wide
+    word_tokens_col (lowercase alphanumeric runs)."""
+    return df.where(F.col(text_col).isNotNull()).select(
+        F.col(id_col).alias("id"),
+        F.posexplode(word_tokens_col(text_col)).alias("pos", "term"),
+    )
+
+
+def phrase_match(
+    df: DataFrame,
+    phrase: str | list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    index: DataFrame | None = None,
+) -> DataFrame:
+    """Exact consecutive-phrase match via the positional index: doc ids
+    containing the phrase's tokens at consecutive positions, with the
+    match count and first match position per doc.
+
+    Plan: filter the index to the phrase's terms (one narrow relation
+    per term — predicate pushdown prunes a term-partitioned index to
+    just those buckets), then chain equi-joins on (id, pos+i). The
+    joined relation never exceeds the rarest term's postings list; at
+    corpus scale that is the whole point of anchoring on positions
+    instead of re-scanning text with a substring LIKE. Join order runs
+    left-to-right; AQE broadcasts the small side per join at runtime
+    (rare terms → tiny relations), so no manual rarest-first
+    reordering is needed for correctness or, with AQE, for speed.
+
+    Output: (id, n_matches, first_pos) — all integers, one row per
+    matching doc."""
+    terms = (
+        [t for t in phrase.lower().split() if t]
+        if isinstance(phrase, str)
+        else [str(t).lower() for t in phrase]
+    )
+    if not terms:
+        raise ValueError("phrase must contain at least one token")
+    if len(terms) > MAX_PHRASE_TERMS:
+        raise ValueError(
+            f"phrase has {len(terms)} tokens > MAX_PHRASE_TERMS="
+            f"{MAX_PHRASE_TERMS}: chain-join depth would grow without "
+            "retrieval benefit. Split into overlapping sub-phrases and "
+            "intersect the matched ids."
+        )
+    idx = (
+        index
+        if index is not None
+        else positional_index(df, id_col=id_col, text_col=text_col)
+    )
+    matched = idx.where(F.col("term") == terms[0]).select(
+        "id", F.col("pos").alias("start")
+    )
+    for i, t in enumerate(terms[1:], start=1):
+        nxt = idx.where(F.col("term") == t).select(
+            "id", (F.col("pos") - i).alias("start")
+        )
+        matched = matched.join(nxt, on=["id", "start"], how="inner")
+    return matched.groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_matches"),
+        F.min("start").alias("first_pos"),
+    )

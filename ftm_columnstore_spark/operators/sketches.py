@@ -807,3 +807,252 @@ def kmv_jaccard(
         .cast("long")
         .alias("intersection_est"),
     )
+
+
+# ---------------------------------------------------------------------------
+# log2 histogram: a mergeable quantile sketch with EXACT bucket math
+# ---------------------------------------------------------------------------
+
+
+def log2_bucket(col: Column | str) -> Column:
+    """Exact log2 bucket of a non-negative integer: 0 for 0, else
+    floor(log2(x)) + 1 = the value's bit length, computed as
+    ``length(bin(x))`` — pure string/integer ops, no floating-point
+    log, so every engine agrees at every power-of-two boundary (the
+    place float log2 is famously one ulp off). Negative values map to
+    bucket -1 (callers decide whether that is an error).
+
+    DuckDB mirror: ``CASE WHEN x < 0 THEN -1 WHEN x = 0 THEN 0
+    ELSE length(bin(x)) END`` (both engines print minimal binary
+    digits for non-negative integers)."""
+    c = F.col(col) if isinstance(col, str) else col
+    b = c.cast("long")
+    return (
+        F.when(b < 0, F.lit(-1))
+        .when(b == 0, F.lit(0))
+        .otherwise(F.length(F.bin(b)))
+        .cast("int")
+    )
+
+
+def log2_histogram(
+    df: DataFrame, col: str, group_by: list[str] | None = None
+) -> DataFrame:
+    """Mergeable log-scale histogram (the integer-exact cousin of
+    DDSketch with gamma=2 — Masson, Rim & Lee, VLDB'19): one hash
+    aggregation over ≤ 66 buckets per group, so the sketch is
+    map-side-combinable, losslessly mergeable (counts add), and
+    byte-identical in any engine — the bucket function is string
+    length of the binary representation, not a float log.
+
+    Relative error of any quantile read off the sketch is bounded by
+    the bucket width (value within [2^(b-1), 2^b-1] — a factor of 2);
+    tighter needs more buckets, which this deliberately does not do:
+    the point is a ~66-row artifact per group that survives merging
+    across 100k partitions/days/sources without renormalization.
+
+    100 TB shape: groupBy(group_by + bucket).count() — partial
+    aggregation does almost all the work map-side (the reduce keyspace
+    is |groups| × 66). NULLs are dropped (they carry no magnitude).
+
+    Output: group_by columns + (bucket int, cnt long)."""
+    keys = list(group_by or [])
+    return (
+        df.where(F.col(col).isNotNull())
+        .groupBy(*keys, log2_bucket(col).alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def log2_histogram_merge(
+    *hists: DataFrame, group_by: list[str] | None = None
+) -> DataFrame:
+    """Lossless merge of log2 histograms: counts add per (group,
+    bucket). Merging N sketches then reading a quantile is EXACTLY the
+    sketch of the concatenated input — the property that makes the
+    per-shard/per-day artifacts composable."""
+    if not hists:
+        raise ValueError("need at least one histogram")
+    keys = list(group_by or [])
+    out = hists[0]
+    for h in hists[1:]:
+        out = out.unionByName(h)
+    return out.groupBy(*keys, "bucket").agg(
+        F.sum("cnt").alias("cnt")
+    )
+
+
+def log2_histogram_quantile(
+    hist: DataFrame,
+    probs: list[float],
+    group_by: list[str] | None = None,
+) -> DataFrame:
+    """Quantile read-off from a log2 histogram: per group and
+    probability p, the smallest bucket whose cumulative count covers p
+    (rule: min bucket with cum/n >= p; both sides of the comparison
+    are correctly-rounded doubles of exact integers, so every IEEE
+    engine picks the same bucket). Returns the bucket plus its EXACT
+    value bounds lo = 2^(b-1), hi = 2^b - 1 (b=0 -> [0,0]).
+
+    The histogram is ≤ 66 rows per group, so the window cumsum and the
+    probs cross-join are driver-trivial at any corpus scale — the cost
+    lives in the one build scan.
+
+    Output: group_by + (prob double, bucket int, lo long, hi long)."""
+    if not probs:
+        raise ValueError("probs must be non-empty")
+    for p in probs:
+        if not (0.0 < p <= 1.0):
+            raise ValueError(f"prob out of (0, 1]: {p}")
+    keys = list(group_by or [])
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(*keys).orderBy("bucket")
+        if keys
+        else Window.partitionBy().orderBy("bucket")
+    )
+    # cum/cnt windows run over the ≤66-bucket relation per group —
+    # the no-partition variant (ungrouped sketch) is bounded by
+    # construction, honoring the with_rank house contract.
+    cum = hist.select(
+        *keys,
+        "bucket",
+        F.sum("cnt").over(w).alias("cum"),
+        F.sum("cnt")
+        .over(
+            Window.partitionBy(*keys)
+            if keys
+            else Window.partitionBy()
+        )
+        .alias("n"),
+    )
+    pl = F.explode(
+        F.array(*[F.lit(float(p)) for p in probs])
+    ).alias("prob")
+    hit = (
+        cum.select(*keys, "bucket", "cum", "n", pl)
+        .where(
+            F.col("cum").cast("double") / F.col("n").cast("double")
+            >= F.col("prob")
+        )
+        .groupBy(*keys, "prob")
+        .agg(F.min("bucket").alias("bucket"))
+    )
+    # SQL-expression shifts: the pyspark shiftleft() wrapper takes a
+    # literal int shift amount, not a Column
+    lo = F.when(F.col("bucket") <= 0, F.lit(0)).otherwise(
+        F.expr("shiftleft(CAST(1 AS BIGINT), bucket - 1)")
+    )
+    hi = F.when(F.col("bucket") <= 0, F.lit(0)).otherwise(
+        F.expr("shiftleft(CAST(1 AS BIGINT), bucket)") - 1
+    )
+    return hit.select(
+        *keys,
+        "prob",
+        "bucket",
+        lo.cast("long").alias("lo"),
+        hi.cast("long").alias("hi"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# moments sketch: exact integer power sums, mergeable by addition
+# ---------------------------------------------------------------------------
+
+#: decimal type wide enough that power sums never overflow at 100 TB
+#: (38 digits; int64 inputs cubed are ≤ 57 digits ONLY for pathological
+#: full-range values — callers with >12-digit inputs should pre-scale)
+_MOM_DEC = "decimal(38,0)"
+
+
+def moments_sketch(
+    df: DataFrame, col: str, group_by: list[str] | None = None
+) -> DataFrame:
+    """Power-sum moments sketch over an integer column (the exact
+    spine of the Moments sketch of Gan, Ding, Tai, Sharan & Bailis,
+    VLDB'18): per group, (m0=count, m1=Σx, m2=Σx², m3=Σx³) with the
+    sums carried as DECIMAL(38,0) — EXACT integers, so merging is
+    plain addition and every engine reproduces the sketch
+    bit-for-bit. Mean/variance/skew derive from the moments at read
+    time (:func:`moments_stats`); the sketch itself never touches a
+    float.
+
+    100 TB shape: one map-side-combinable aggregation; state is 4
+    numbers per group. NULLs dropped.
+
+    Output: group_by + (m0 long, m1, m2, m3 decimal(38,0))."""
+    keys = list(group_by or [])
+    x = F.col(col).cast(_MOM_DEC)
+    return (
+        df.where(F.col(col).isNotNull())
+        .groupBy(*keys)
+        .agg(
+            F.count(F.lit(1)).alias("m0"),
+            F.sum(x).cast(_MOM_DEC).alias("m1"),
+            F.sum(x * F.col(col).cast("long")).cast(_MOM_DEC).alias("m2"),
+            F.sum(
+                x
+                * F.col(col).cast("long")
+                * F.col(col).cast("long")
+            )
+            .cast(_MOM_DEC)
+            .alias("m3"),
+        )
+    )
+
+
+def moments_merge(
+    *sketches: DataFrame, group_by: list[str] | None = None
+) -> DataFrame:
+    """Lossless moments merge: component-wise sum per group — the
+    merged sketch equals the sketch of the concatenated input
+    exactly (integer addition is associative; no renormalization)."""
+    if not sketches:
+        raise ValueError("need at least one sketch")
+    keys = list(group_by or [])
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return out.groupBy(*keys).agg(
+        F.sum("m0").alias("m0"),
+        F.sum("m1").cast(_MOM_DEC).alias("m1"),
+        F.sum("m2").cast(_MOM_DEC).alias("m2"),
+        F.sum("m3").cast(_MOM_DEC).alias("m3"),
+    )
+
+
+def moments_stats(sketch: DataFrame) -> DataFrame:
+    """Mean / variance / skewness read-off from a moments sketch.
+    Every product and difference is computed in DECIMAL (exact); the
+    ONLY floats are the final correctly-rounded divisions and one
+    sqrt, then rounding to 6 dp — the established cross-engine-safe
+    tail (the _dsum rule). Population variance:
+    var = (m0·m2 − m1²) / m0²; skew = (m0²·m3 − 3·m0·m1·m2 + 2·m1³)
+    / (m0³·sd³).
+
+    Output: group keys + m0 + (mean, variance, skewness) doubles
+    rounded to 6 dp (skewness NULL when variance is 0)."""
+    keys = [c for c in sketch.columns if c not in ("m0", "m1", "m2", "m3")]
+    m0 = F.col("m0").cast(_MOM_DEC)
+    m1, m2, m3 = F.col("m1"), F.col("m2"), F.col("m3")
+    var_num = (m0 * m2 - m1 * m1).cast("double")
+    den = (m0 * m0).cast("double")
+    var = var_num / den
+    mean = m1.cast("double") / m0.cast("double")
+    skew_num = (
+        m0 * m0 * m3 - F.lit(3).cast(_MOM_DEC) * m0 * m1 * m2
+        + F.lit(2).cast(_MOM_DEC) * m1 * m1 * m1
+    ).cast("double")
+    sd = F.sqrt(var)
+    skew = F.when(
+        var_num > 0,
+        skew_num / ((m0 * m0 * m0).cast("double") * sd * sd * sd),
+    )
+    return sketch.select(
+        *keys,
+        "m0",
+        F.round(mean, 6).alias("mean"),
+        F.round(var, 6).alias("variance"),
+        F.round(skew, 6).alias("skewness"),
+    )

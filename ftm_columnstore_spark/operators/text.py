@@ -972,3 +972,110 @@ def zipf_alpha(
         ),
     )
     return agg.select("n_ranked", "f_min", alpha.alias("alpha"))
+
+
+def rake_keywords(
+    df: DataFrame,
+    stopwords: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top_k: int = 3,
+) -> DataFrame:
+    """RAKE keyword extraction (Rose, Engel, Cramer & Cowley, "Automatic
+    Keyword Extraction from Individual Documents", 2010): candidate
+    phrases are maximal runs of non-stopword tokens; each word scores
+    degree/frequency (degree = summed length of the phrases its
+    occurrences sit in), and a phrase scores the sum of its words'
+    ratios. The reference has no keyword surface; this is the
+    unsupervised topic-probe an LLM-data pipeline runs per document.
+
+    Engine-parallel formulation (no per-doc Python): tokens get
+    positions via posexplode; phrase ids are a running count of
+    stopwords per doc (one window keyed by doc id — bounded by doc
+    length, never corpus-wide); word freq/degree and phrase scores are
+    keyed aggregations on (id, term) / (id, phrase_id). Each word
+    ratio is rounded to 12 dp and summed as DECIMAL (the _dsum rule)
+    so partial-aggregation order can't flip the 6-dp final rounding
+    against another engine.
+
+    100 TB shape: every shuffle key contains the doc id, so
+    parallelism scales with the corpus and no relation exceeds
+    tokens-per-doc fan-out; top-k per doc is one more doc-keyed
+    window. Stopwords are a bounded literal set compiled into the
+    plan.
+
+    Output: (id, phrase, score, n_words) — top_k rows per doc, ordered
+    within doc by (score desc, phrase, phrase_id)."""
+    if not stopwords:
+        raise ValueError("stopwords must be non-empty — without them "
+                         "every document is one giant candidate phrase")
+    if top_k < 1:
+        raise ValueError(f"top_k must be >= 1, got {top_k}")
+    stops = sorted({s.lower() for s in stopwords})
+    from pyspark.sql import Window
+
+    from ftm_columnstore_spark.functions.text import word_tokens_col
+
+    toks = df.where(F.col(text_col).isNotNull()).select(
+        F.col(id_col).alias("id"),
+        F.posexplode(word_tokens_col(text_col)).alias("pos", "term"),
+    )
+    toks = toks.withColumn(
+        "is_stop", F.col("term").isin(stops).cast("int")
+    )
+    w_doc = Window.partitionBy("id").orderBy("pos")
+    marked = toks.withColumn(
+        "phrase_id", F.sum("is_stop").over(w_doc)
+    )
+    words = marked.where(F.col("is_stop") == 0).select(
+        "id", "phrase_id", "pos", "term"
+    )
+    plen = words.groupBy("id", "phrase_id").agg(
+        F.count(F.lit(1)).alias("plen")
+    )
+    # degree(w) = sum of containing-phrase lengths over w's occurrences;
+    # freq(w) = occurrence count — both keyed by (id, term)
+    wstats = (
+        words.join(plen, on=["id", "phrase_id"])
+        .groupBy("id", "term")
+        .agg(
+            F.count(F.lit(1)).alias("freq"),
+            F.sum("plen").alias("degree"),
+        )
+        .select(
+            "id",
+            "term",
+            F.round(
+                F.col("degree").cast("double")
+                / F.col("freq").cast("double"),
+                12,
+            )
+            .cast("decimal(32,12)")
+            .alias("ratio"),
+        )
+    )
+    scored = (
+        words.join(wstats, on=["id", "term"])
+        .groupBy("id", "phrase_id")
+        .agg(
+            F.round(F.sum("ratio").cast("double"), 6).alias("score"),
+            F.count(F.lit(1)).alias("n_words"),
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("pos", "term"))
+                    ),
+                    lambda s: s["term"],
+                ),
+            ).alias("phrase"),
+        )
+    )
+    w_rank = Window.partitionBy("id").orderBy(
+        F.col("score").desc(), F.col("phrase"), F.col("phrase_id")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w_rank))
+        .where(F.col("rn") <= top_k)
+        .select("id", "phrase", "score", "n_words")
+    )

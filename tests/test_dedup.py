@@ -549,3 +549,71 @@ def test_embedding_clusters_labels_everyone(spark):
     assert set(got) == {1, 2, 3, 4, 5}
     assert got[1] == got[2] == got[3] == 1
     assert got[4] == 4 and got[5] == 5
+
+
+# ---------------------------------------------------------------------------
+# asymmetric containment pairs
+# ---------------------------------------------------------------------------
+
+
+def test_containment_pairs_directed(spark):
+    from ftm_columnstore_spark.operators.dedup import containment_pairs
+
+    df = spark.createDataFrame(
+        [
+            (1, "p q r s"),            # shingles {p q r, q r s} (size 2)
+            (2, "p q r s t u"),        # superset doc (size 4)
+            (3, "z z z"),              # short doc -> whole-doc shingle
+        ],
+        "doc_id long, text string",
+    )
+    rows = containment_pairs(
+        df, shingle_k=3, min_containment=0.8
+    ).collect()
+    got = {
+        (r["left_id"], r["right_id"]): (
+            r["overlap"],
+            r["left_size"],
+            r["containment"],
+        )
+        for r in rows
+    }
+    # doc 1 fully contained in doc 2; reverse is only 0.5
+    assert got == {(1, 2): (2, 2, 1.0)}
+    both = containment_pairs(
+        df, shingle_k=3, min_containment=0.5
+    ).collect()
+    dirs = {(r["left_id"], r["right_id"]): r["containment"] for r in both}
+    assert dirs == {(1, 2): 1.0, (2, 1): 0.5}
+
+
+def test_containment_pairs_max_df_guard(spark):
+    from ftm_columnstore_spark.operators.dedup import containment_pairs
+
+    # one boilerplate shingle shared by all docs; max_df=2 drops it,
+    # so no pair survives — but left_size still counts the full set
+    df = spark.createDataFrame(
+        [(i, "common boiler plate") for i in range(1, 5)],
+        "doc_id long, text string",
+    )
+    assert (
+        containment_pairs(
+            df, shingle_k=3, min_containment=0.5, max_df=2
+        ).count()
+        == 0
+    )
+    # without the guard all 12 directed pairs match exactly
+    assert (
+        containment_pairs(df, shingle_k=3, min_containment=0.5).count()
+        == 12
+    )
+
+
+def test_containment_pairs_validation(spark):
+    from ftm_columnstore_spark.operators.dedup import containment_pairs
+
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="min_containment"):
+        containment_pairs(df, min_containment=0.0)
+    with pytest.raises(ValueError, match="max_df"):
+        containment_pairs(df, max_df=1)

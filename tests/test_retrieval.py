@@ -292,3 +292,77 @@ def test_with_rank_expected_max_rows(spark, docs):
     wide = spark.range(10).select(F.col("id"))
     with pytest.raises(ValueError, match="expected_max_rows"):
         with_rank(wide, F.col("id"), expected_max_rows=5)
+
+
+# ---------------------------------------------------------------------------
+# positional index + phrase match
+# ---------------------------------------------------------------------------
+
+
+def test_positional_index_positions(spark):
+    from ftm_columnstore_spark.operators.retrieval import positional_index
+
+    df = spark.createDataFrame(
+        [(1, "Alpha beta GAMMA alpha")], "doc_id long, text string"
+    )
+    rows = sorted(
+        (r["pos"], r["term"])
+        for r in positional_index(df).collect()
+    )
+    assert rows == [(0, "alpha"), (1, "beta"), (2, "gamma"), (3, "alpha")]
+
+
+def test_phrase_match_counts_and_positions(spark):
+    from ftm_columnstore_spark.operators.retrieval import phrase_match
+
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox saw the quick brown dog"),
+            (2, "quick brown"),
+            (3, "brown quick"),
+            (4, "the quick, brown fox"),  # punctuation splits but keeps order
+            (5, None),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["id"]: (r["n_matches"], r["first_pos"])
+        for r in phrase_match(df, "quick brown").collect()
+    }
+    assert got == {1: (2, 1), 2: (1, 0), 4: (1, 1)}
+
+
+def test_phrase_match_single_term_and_validation(spark):
+    from ftm_columnstore_spark.operators.retrieval import (
+        MAX_PHRASE_TERMS,
+        phrase_match,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a b a"), (2, "b")], "doc_id long, text string"
+    )
+    got = {
+        r["id"]: r["n_matches"]
+        for r in phrase_match(df, "a").collect()
+    }
+    assert got == {1: 2}
+    import pytest
+
+    with pytest.raises(ValueError, match="at least one token"):
+        phrase_match(df, "   ")
+    with pytest.raises(ValueError, match="MAX_PHRASE_TERMS"):
+        phrase_match(df, ["w"] * (MAX_PHRASE_TERMS + 1))
+
+
+def test_phrase_match_accepts_prebuilt_index(spark):
+    from ftm_columnstore_spark.operators.retrieval import (
+        phrase_match,
+        positional_index,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "x y z x y")], "doc_id long, text string"
+    )
+    idx = positional_index(df)
+    got = phrase_match(df, "x y", index=idx).collect()
+    assert [(r["id"], r["n_matches"]) for r in got] == [(1, 2)]

@@ -596,3 +596,145 @@ def test_kmv_param_guard(spark):
     df = spark.createDataFrame([("x",)], ["v"])
     with pytest.raises(ValueError, match="k must be"):
         kmv_sketch(df, "v", k=1)
+
+
+# ---------------------------------------------------------------------------
+# log2 histogram + moments sketch
+# ---------------------------------------------------------------------------
+
+
+def _log2_bucket_py(x: int) -> int:
+    if x < 0:
+        return -1
+    return x.bit_length()  # 0 -> 0, else floor(log2)+1
+
+
+def test_log2_histogram_matches_bit_length(spark):
+    from ftm_columnstore_spark.operators.sketches import log2_histogram
+
+    vals = [0, 1, 2, 3, 4, 7, 8, 255, 256, 1023, 1024, 10**12, -5]
+    df = spark.createDataFrame([(v,) for v in vals], "x long")
+    got = {
+        (r["bucket"]): r["cnt"]
+        for r in log2_histogram(df, "x").collect()
+    }
+    want = {}
+    for v in vals:
+        b = _log2_bucket_py(v)
+        want[b] = want.get(b, 0) + 1
+    assert got == want
+    # power-of-two boundaries land in distinct buckets (the case float
+    # log2 gets wrong by one ulp)
+    assert _log2_bucket_py(1024) == 11 and _log2_bucket_py(1023) == 10
+
+
+def test_log2_histogram_merge_equals_whole(spark):
+    from ftm_columnstore_spark.operators.sketches import (
+        log2_histogram,
+        log2_histogram_merge,
+    )
+
+    vals = list(range(0, 300)) + [2**40, 2**40 + 5]
+    df = spark.createDataFrame([(v,) for v in vals], "x long")
+    whole = {
+        r["bucket"]: r["cnt"] for r in log2_histogram(df, "x").collect()
+    }
+    a = log2_histogram(df.where(F.col("x") % 2 == 0), "x")
+    b = log2_histogram(df.where(F.col("x") % 2 == 1), "x")
+    merged = {
+        r["bucket"]: r["cnt"]
+        for r in log2_histogram_merge(a, b).collect()
+    }
+    assert merged == whole
+
+
+def test_log2_histogram_quantile_rule(spark):
+    from ftm_columnstore_spark.operators.sketches import (
+        log2_histogram,
+        log2_histogram_quantile,
+    )
+
+    # 10 values in bucket 1 (value 1), 80 in bucket 4 (8..15), 10 in
+    # bucket 7 (64..127): p50/p90 in bucket 4, p0.95 in bucket 7
+    vals = [1] * 10 + [9] * 80 + [100] * 10
+    df = spark.createDataFrame([(v,) for v in vals], "x long")
+    hist = log2_histogram(df, "x")
+    rows = {
+        r["prob"]: (r["bucket"], r["lo"], r["hi"])
+        for r in log2_histogram_quantile(
+            hist, [0.1, 0.5, 0.9, 0.95]
+        ).collect()
+    }
+    assert rows[0.1] == (1, 1, 1)
+    assert rows[0.5] == (4, 8, 15)
+    assert rows[0.9] == (4, 8, 15)
+    assert rows[0.95] == (7, 64, 127)
+
+
+def test_log2_histogram_quantile_validates(spark):
+    from ftm_columnstore_spark.operators.sketches import (
+        log2_histogram,
+        log2_histogram_quantile,
+    )
+
+    df = spark.createDataFrame([(1,)], "x long")
+    hist = log2_histogram(df, "x")
+    with pytest.raises(ValueError, match="non-empty"):
+        log2_histogram_quantile(hist, [])
+    with pytest.raises(ValueError, match="out of"):
+        log2_histogram_quantile(hist, [1.5])
+
+
+def test_moments_sketch_exact_and_mergeable(spark):
+    from ftm_columnstore_spark.operators.sketches import (
+        moments_merge,
+        moments_sketch,
+        moments_stats,
+    )
+
+    vals = [3, 1, 4, 1, 5, 9, 2, 6, 5, 3, 5]
+    df = spark.createDataFrame([(v,) for v in vals], "x long")
+    row = moments_sketch(df, "x").collect()[0]
+    assert row["m0"] == len(vals)
+    assert int(row["m1"]) == sum(vals)
+    assert int(row["m2"]) == sum(v * v for v in vals)
+    assert int(row["m3"]) == sum(v**3 for v in vals)
+
+    a = moments_sketch(df.limit(5), "x")
+    b = moments_sketch(df.subtract(df.limit(5)), "x")
+    # merge parity on the aggregate moments (split by distinct rows,
+    # so compare against the distinct-set sketch)
+    dd = df.distinct()
+    m = moments_merge(
+        moments_sketch(dd.where(F.col("x") <= 3), "x"),
+        moments_sketch(dd.where(F.col("x") > 3), "x"),
+    ).collect()[0]
+    w = moments_sketch(dd, "x").collect()[0]
+    assert (m["m0"], int(m["m1"]), int(m["m2"]), int(m["m3"])) == (
+        w["m0"],
+        int(w["m1"]),
+        int(w["m2"]),
+        int(w["m3"]),
+    )
+
+    stats = moments_stats(moments_sketch(df, "x")).collect()[0]
+    n = len(vals)
+    mean = sum(vals) / n
+    var = sum((v - mean) ** 2 for v in vals) / n
+    sd = var**0.5
+    skew = sum((v - mean) ** 3 for v in vals) / n / sd**3
+    assert stats["mean"] == pytest.approx(mean, abs=1e-6)
+    assert stats["variance"] == pytest.approx(var, abs=1e-6)
+    assert stats["skewness"] == pytest.approx(skew, abs=1e-5)
+
+
+def test_moments_stats_zero_variance_skew_null(spark):
+    from ftm_columnstore_spark.operators.sketches import (
+        moments_sketch,
+        moments_stats,
+    )
+
+    df = spark.createDataFrame([(7,), (7,), (7,)], "x long")
+    row = moments_stats(moments_sketch(df, "x")).collect()[0]
+    assert row["variance"] == 0.0
+    assert row["skewness"] is None

@@ -639,3 +639,45 @@ def test_zipf_alpha_matches_python(spark, freqs, top_n):
         assert row["alpha"] is None
     else:
         assert row["alpha"] == round(1.0 + len(ranked) / s, 6)
+
+
+# ---------------------------------------------------------------------------
+# RAKE keyword extraction
+# ---------------------------------------------------------------------------
+
+
+def test_rake_keywords_hand_computed(spark):
+    from ftm_columnstore_spark.operators.text import rake_keywords
+
+    df = spark.createDataFrame(
+        [(1, "slow table scan and the fast hash join beat a slow table")],
+        "doc_id long, text string",
+    )
+    rows = rake_keywords(df, ["and", "the", "a"], top_k=2).collect()
+    got = [(r["phrase"], r["score"], r["n_words"]) for r in rows]
+    # degrees: slow/table 5 (phrases of len 3 and 2), scan 3,
+    # fast/hash/join/beat 4; freqs: slow/table 2, rest 1
+    # scores: "fast hash join beat" = 4*4 = 16,
+    #         "slow table scan" = 2.5 + 2.5 + 3 = 8, "slow table" = 5
+    assert got == [
+        ("fast hash join beat", 16.0, 4),
+        ("slow table scan", 8.0, 3),
+    ]
+
+
+def test_rake_keywords_stopword_only_and_validation(spark):
+    import pytest
+
+    from ftm_columnstore_spark.operators.text import rake_keywords
+
+    df = spark.createDataFrame(
+        [(1, "the the a"), (2, None), (3, "alpha beta")],
+        "doc_id long, text string",
+    )
+    rows = rake_keywords(df, ["the", "a"], top_k=1).collect()
+    # doc 1 has no non-stopword tokens, doc 2 no text -> only doc 3
+    assert [(r["id"], r["phrase"]) for r in rows] == [(3, "alpha beta")]
+    with pytest.raises(ValueError, match="stopwords"):
+        rake_keywords(df, [])
+    with pytest.raises(ValueError, match="top_k"):
+        rake_keywords(df, ["the"], top_k=0)
