@@ -113,6 +113,11 @@ HEADLINE = [
     "t32_zipf_alpha",
     "t33_quality_prune",
     "v17_kmv_vocab_overlap",
+    "a27_log2_histogram",
+    "a28_moments_profile",
+    "t34_phrase_match",
+    "t35_rake_keywords",
+    "d17_containment_pairs",
 ]
 
 

@@ -1810,16 +1810,22 @@ def containment_pairs(
         raise ValueError(
             f"min_containment must be in (0, 1], got {min_containment}"
         )
+    if max_df is not None and max_df < 2:
+        raise ValueError(f"max_df must be >= 2, got {max_df}")
     from ftm_columnstore_spark.functions.text import shingle_rows
 
-    tall = shingle_rows(df, text_col, id_col, shingle_k).select(
-        "id", "shingle"
+    # persist: the tall shingle relation feeds sizes, the df guard and
+    # both self-join sides — without it the Arrow shingling pass runs
+    # up to four times (the d14 rebuilt-relation lesson)
+    tall = (
+        shingle_rows(df, text_col, id_col, shingle_k)
+        .select("id", "shingle")
+        .persist()
     )
+    cached = [tall]
     sizes = tall.groupBy("id").agg(F.count(F.lit(1)).alias("set_size"))
     joinable = tall
     if max_df is not None:
-        if max_df < 2:
-            raise ValueError(f"max_df must be >= 2, got {max_df}")
         freq = tall.groupBy("shingle").agg(
             F.count(F.lit(1)).alias("__df")
         )
@@ -1827,7 +1833,9 @@ def containment_pairs(
             tall.join(freq, on="shingle")
             .where(F.col("__df") <= max_df)
             .select("id", "shingle")
+            .persist()
         )
+        cached.append(joinable)
     left = joinable.select(
         F.col("id").alias("left_id"), "shingle"
     )
@@ -1854,7 +1862,7 @@ def containment_pairs(
         >= F.col("left_size").cast("decimal(20,6)")
         * F.lit(min_containment).cast("decimal(10,6)")
     )
-    return out.select(
+    result = out.select(
         "left_id",
         "right_id",
         "overlap",
@@ -1865,3 +1873,5 @@ def containment_pairs(
             6,
         ).alias("containment"),
     )
+    result._cached_intermediates = cached
+    return result

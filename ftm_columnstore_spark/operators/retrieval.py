@@ -388,11 +388,20 @@ def phrase_match(
         if index is not None
         else positional_index(df, id_col=id_col, text_col=text_col)
     )
-    matched = idx.where(F.col("term") == terms[0]).select(
+    # Materialize the phrase-term postings ONCE: without this each
+    # per-term join side recomputes the whole index subtree (an
+    # ad-hoc index = one corpus scan+explode PER TERM — the d14
+    # rebuilt-relation lesson). The filtered relation is 3 narrow
+    # integer/string columns bounded by the phrase terms' postings,
+    # the smallest artifact in sight.
+    postings = idx.where(F.col("term").isin(terms)).localCheckpoint(
+        eager=True
+    )
+    matched = postings.where(F.col("term") == terms[0]).select(
         "id", F.col("pos").alias("start")
     )
     for i, t in enumerate(terms[1:], start=1):
-        nxt = idx.where(F.col("term") == t).select(
+        nxt = postings.where(F.col("term") == t).select(
             "id", (F.col("pos") - i).alias("start")
         )
         matched = matched.join(nxt, on=["id", "start"], how="inner")

@@ -1027,8 +1027,13 @@ def rake_keywords(
     marked = toks.withColumn(
         "phrase_id", F.sum("is_stop").over(w_doc)
     )
-    words = marked.where(F.col("is_stop") == 0).select(
-        "id", "phrase_id", "pos", "term"
+    # persist: three consumers (phrase lengths, the degree/freq join,
+    # the phrase-score join) would otherwise each re-run the tokenize +
+    # phrase-id window pass (the d14 rebuilt-relation lesson)
+    words = (
+        marked.where(F.col("is_stop") == 0)
+        .select("id", "phrase_id", "pos", "term")
+        .persist()
     )
     plen = words.groupBy("id", "phrase_id").agg(
         F.count(F.lit(1)).alias("plen")
@@ -1074,8 +1079,10 @@ def rake_keywords(
     w_rank = Window.partitionBy("id").orderBy(
         F.col("score").desc(), F.col("phrase"), F.col("phrase_id")
     )
-    return (
+    out = (
         scored.withColumn("rn", F.row_number().over(w_rank))
         .where(F.col("rn") <= top_k)
         .select("id", "phrase", "score", "n_words")
     )
+    out._cached_intermediates = [words]
+    return out

@@ -43,6 +43,11 @@ PICKS = {
     "a21_data_checks": "data checks: all column rules fold into ONE conditional aggregation over one scan; uniqueness adds one lazy count_distinct agg",
     "t25_bm25_topk": "BM25: per-doc stats checkpointed from ONE tokenize+groupBy pass (no corpus explode survives downstream); corpus reduction broadcast back as one row; TakeOrderedAndProject top-k",
     "v16_hybrid_rrf": "RRF fusion: both inputs are bounded top-k relations — the full-outer fuse joins <=50-row sides; the corpus-heavy work happened inside the per-system top-k plans",
+    "a27_log2_histogram": "log2 histogram: ONE scan -> partial+final hash agg; both quantile windows share one Exchange+Sort on lang; the min-bucket groupBy reuses the lang partitioning (no third exchange) — everything after the build runs on the <=66-row sketch",
+    "a28_moments_profile": "moments sketch: one map-side-combinable HashAggregate carrying 4 decimal power sums; stats are a pure projection — 2 exchanges total (agg + output order)",
+    "t34_phrase_match": "phrase match: the term-filtered postings are localCheckpointed ONCE (one corpus scan+explode ever); per-term join sides are RDD scans of that checkpoint; chained joins AQE-broadcast the rare-term sides",
+    "t35_rake_keywords": "RAKE: the tokenize + phrase-id window pass is persisted (InMemoryTableScan at all three consumers); every Exchange keys on doc id — freq/degree, phrase score, and top-k are per-doc work at any corpus size",
+    "d17_containment_pairs": "containment: the Arrow shingle pass is persisted (sizes, df guard and both join sides read cache, not re-shingle); pair groupBy keys on (left,right); the df guard join bounds expansion before the self-join",
 }
 
 
