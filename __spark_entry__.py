@@ -3204,6 +3204,19 @@ def d17_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def t36_proximity_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered proximity (SLOP) search (operators/retrieval.py:
+    proximity_match — IIR §2.4.2): docs with hash→value→table in order,
+    each gap ≤ 2 intervening tokens. Same one-materialization postings
+    plan as t34, but the chain joins carry a range residual per gap and
+    matches count DISTINCT start positions (path multiplicity collapsed
+    per hop). Oracle replays the chain with per-hop SELECT DISTINCT."""
+    from ftm_columnstore_spark.operators.retrieval import proximity_match
+
+    d = _t(spark, sf_dir, "documents")
+    return proximity_match(d, "hash value table", max_slop=2)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order matters: the driver's CORRECTNESS run covers the
     # first ~50 entries. Rotation discipline (VERDICT r4 item 1): every
@@ -3222,6 +3235,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t34_phrase_match": t34_phrase_match,
         "t35_rake_keywords": t35_rake_keywords,
         "d17_containment_pairs": d17_containment_pairs,
+        "t36_proximity_match": t36_proximity_match,
         # --- r02-green spillover that missed the r05 window (pos 51-52 last round) ---
         "t6_hash_split": t6_hash_split,
         "t8_deterministic_shuffle": t8_deterministic_shuffle,
@@ -5028,6 +5042,35 @@ def oracle_sql() -> dict[str, str]:
                          ORDER BY score DESC, phrase, phrase_id) AS rn
               FROM scored)
             WHERE rn <= 2
+        """,
+        "t36_proximity_match": """
+            WITH lt AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(text),
+                                 '[^a-z0-9]+'), x -> x <> '') AS toks
+              FROM documents WHERE text IS NOT NULL
+            ), tok AS (
+              SELECT doc_id, unnest(toks) AS term,
+                     unnest(range(0, len(toks))) AS pos
+              FROM lt
+            ), c0 AS (
+              SELECT doc_id, pos AS start, pos AS prev FROM tok
+              WHERE term = 'hash'
+            ), c1 AS (
+              SELECT DISTINCT c0.doc_id, c0.start, t.pos AS prev
+              FROM c0 JOIN tok t
+                ON t.doc_id = c0.doc_id AND t.term = 'value'
+               AND t.pos > c0.prev AND t.pos <= c0.prev + 3
+            ), c2 AS (
+              SELECT DISTINCT c1.doc_id, c1.start, t.pos AS prev
+              FROM c1 JOIN tok t
+                ON t.doc_id = c1.doc_id AND t.term = 'table'
+               AND t.pos > c1.prev AND t.pos <= c1.prev + 3
+            )
+            SELECT doc_id AS id,
+                   count(DISTINCT start)::BIGINT AS n_matches,
+                   min(start)::INTEGER AS first_pos
+            FROM c2 GROUP BY 1
         """,
         "d17_containment_pairs": """
             WITH toks AS (

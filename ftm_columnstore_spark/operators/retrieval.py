@@ -30,6 +30,7 @@ __all__ = [
     "rrf_fuse",
     "positional_index",
     "phrase_match",
+    "proximity_match",
 ]
 
 #: Widest union-of-terms the one-pass conditional-count design accepts.
@@ -407,5 +408,78 @@ def phrase_match(
         matched = matched.join(nxt, on=["id", "start"], how="inner")
     return matched.groupBy("id").agg(
         F.count(F.lit(1)).alias("n_matches"),
+        F.min("start").alias("first_pos"),
+    )
+
+
+def proximity_match(
+    df: DataFrame,
+    terms: list[str] | str,
+    max_slop: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    index: DataFrame | None = None,
+) -> DataFrame:
+    """Ordered proximity search (the SLOP query — Manning+ IIR §2.4.2):
+    docs containing ``terms`` in order with each consecutive gap at
+    most ``max_slop`` intervening tokens. ``max_slop=0`` degenerates to
+    exact phrase match; larger slops catch "hash ... value ... table"
+    separated by modifiers.
+
+    Same plan family as :func:`phrase_match` — the term-filtered
+    postings are materialized once, then chained joins on the doc id
+    carry a RANGE predicate per gap (prev_pos < pos ≤ prev_pos + 1 +
+    max_slop). The joins stay keyed on id; the range is a residual
+    filter, so the pair expansion per doc is bounded by the per-doc
+    postings of the two terms — never cross-document. A start position
+    may admit several completions; matches are counted as DISTINCT
+    start positions (deterministic, order-free).
+
+    Output: (id, n_matches, first_pos) — n_matches = distinct start
+    positions that begin an in-order, slop-bounded chain."""
+    tl = (
+        [t for t in terms.lower().split() if t]
+        if isinstance(terms, str)
+        else [str(t).lower() for t in terms]
+    )
+    if not tl:
+        raise ValueError("terms must contain at least one token")
+    if len(tl) > MAX_PHRASE_TERMS:
+        raise ValueError(
+            f"{len(tl)} terms > MAX_PHRASE_TERMS={MAX_PHRASE_TERMS}: "
+            "split the query and intersect matched ids."
+        )
+    if max_slop < 0:
+        raise ValueError(f"max_slop must be >= 0, got {max_slop}")
+    idx = (
+        index
+        if index is not None
+        else positional_index(df, id_col=id_col, text_col=text_col)
+    )
+    postings = idx.where(F.col("term").isin(tl)).localCheckpoint(
+        eager=True
+    )
+    cur = postings.where(F.col("term") == tl[0]).select(
+        "id", F.col("pos").alias("start"), F.col("pos").alias("prev")
+    )
+    for t in tl[1:]:
+        nxt = postings.where(F.col("term") == t).select(
+            F.col("id").alias("__rid"), F.col("pos").alias("__p")
+        )
+        cur = (
+            cur.join(
+                nxt,
+                (F.col("id") == F.col("__rid"))
+                & (F.col("__p") > F.col("prev"))
+                & (F.col("__p") <= F.col("prev") + 1 + max_slop),
+            )
+            .select("id", "start", F.col("__p").alias("prev"))
+            # several mid-chain paths can reach the same (start, prev);
+            # collapsing keeps the chain relation minimal and makes the
+            # final distinct-start count correct by construction
+            .distinct()
+        )
+    return cur.groupBy("id").agg(
+        F.count_distinct(F.col("start")).alias("n_matches"),
         F.min("start").alias("first_pos"),
     )

@@ -366,3 +366,52 @@ def test_phrase_match_accepts_prebuilt_index(spark):
     idx = positional_index(df)
     got = phrase_match(df, "x y", index=idx).collect()
     assert [(r["id"], r["n_matches"]) for r in got] == [(1, 2)]
+
+
+def test_proximity_match_slop_semantics(spark):
+    from ftm_columnstore_spark.operators.retrieval import proximity_match
+
+    df = spark.createDataFrame(
+        [
+            (1, "hash big value"),        # gap 1 between hash and value
+            (2, "hash value"),            # gap 0
+            (3, "value hash"),            # wrong order
+            (4, "hash x y z value"),      # gap 3 — beyond slop 2
+            (5, "hash big value hash value"),  # two starts
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["id"]: (r["n_matches"], r["first_pos"])
+        for r in proximity_match(df, "hash value", max_slop=2).collect()
+    }
+    assert got == {1: (1, 0), 2: (1, 0), 5: (2, 0)}
+    # slop 0 == exact phrase
+    got0 = {
+        r["id"]: r["n_matches"]
+        for r in proximity_match(df, "hash value", max_slop=0).collect()
+    }
+    assert got0 == {2: 1, 5: 1}
+
+
+def test_proximity_match_distinct_starts_not_paths(spark):
+    from ftm_columnstore_spark.operators.retrieval import proximity_match
+
+    # "a b b c": start a(0) reaches c via b(1) AND b(2) — still ONE match
+    df = spark.createDataFrame(
+        [(1, "a b b c")], "doc_id long, text string"
+    )
+    got = proximity_match(df, ["a", "b", "c"], max_slop=2).collect()
+    assert [(r["id"], r["n_matches"]) for r in got] == [(1, 1)]
+
+
+def test_proximity_match_validation(spark):
+    import pytest
+
+    from ftm_columnstore_spark.operators.retrieval import proximity_match
+
+    df = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="max_slop"):
+        proximity_match(df, "a b", max_slop=-1)
+    with pytest.raises(ValueError, match="at least one"):
+        proximity_match(df, [])
