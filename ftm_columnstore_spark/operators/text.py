@@ -974,12 +974,118 @@ def zipf_alpha(
     return agg.select("n_ranked", "f_min", alpha.alias("alpha"))
 
 
+def _rake_doc(
+    text: str, stops: set[str], top_k: int
+) -> list[tuple[str, float, int]]:
+    """Pure-Python per-document RAKE, arithmetic-identical to the
+    relational path: ratio = HALF_UP(degree/freq, 12dp) summed as exact
+    Decimal, score = HALF_UP(sum-as-double, 6dp) — the same BigDecimal
+    tail Spark's round() applies (Double.toString and repr() both emit
+    the shortest round-trip decimal, so the 12dp quantize sees the same
+    digits). Pinned equal to the relational path by
+    tests/test_text_functions.py::test_rake_arrow_matches_relational."""
+    import re as _re
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from ftm_columnstore_spark.functions.text import NON_ALNUM
+
+    q12 = Decimal("1e-12")
+    q6 = Decimal("1e-6")
+    toks = [t for t in _re.split(NON_ALNUM, text.lower()) if t]
+    phrases: list[list[str]] = []
+    cur: list[str] = []
+    for t in toks:
+        if t in stops:
+            if cur:
+                phrases.append(cur)
+                cur = []
+        else:
+            cur.append(t)
+    if cur:
+        phrases.append(cur)
+    if not phrases:
+        return []
+    freq: dict[str, int] = {}
+    degree: dict[str, int] = {}
+    for p in phrases:
+        for w in p:
+            freq[w] = freq.get(w, 0) + 1
+            degree[w] = degree.get(w, 0) + len(p)
+    ratio = {
+        w: Decimal(repr(degree[w] / freq[w])).quantize(
+            q12, rounding=ROUND_HALF_UP
+        )
+        for w in freq
+    }
+    out = []
+    for pid, p in enumerate(phrases):
+        s = sum((ratio[w] for w in p), Decimal(0))
+        score = float(
+            Decimal(repr(float(s))).quantize(q6, rounding=ROUND_HALF_UP)
+        )
+        out.append((" ".join(p), score, len(p), pid))
+    out.sort(key=lambda r: (-r[1], r[0], r[3]))
+    return [(ph, sc, nw) for ph, sc, nw, _ in out[:top_k]]
+
+
+def _rake_arrow(
+    df: DataFrame,
+    stops: list[str],
+    id_col: str,
+    text_col: str,
+    top_k: int,
+) -> DataFrame:
+    """One narrow Arrow pass: RAKE is per-document, so the corpus never
+    shuffles — the scale path (see rake_keywords docstring)."""
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    id_type = df.schema[id_col].dataType
+    schema = StructType(
+        [
+            StructField("id", id_type),
+            StructField("phrase", StringType()),
+            StructField("score", DoubleType()),
+            StructField("n_words", LongType()),
+        ]
+    )
+    stop_set = set(stops)
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            ids, phs, scs, nws = [], [], [], []
+            for i, txt in zip(pdf["id"], pdf["text"]):
+                if txt is None or (isinstance(txt, float)):
+                    continue
+                for ph, sc, nw in _rake_doc(txt, stop_set, top_k):
+                    ids.append(i)
+                    phs.append(ph)
+                    scs.append(sc)
+                    nws.append(nw)
+            yield pd.DataFrame(
+                {"id": ids, "phrase": phs, "score": scs, "n_words": nws}
+            )
+
+    src = df.where(F.col(text_col).isNotNull()).select(
+        F.col(id_col).alias("id"), F.col(text_col).alias("text")
+    )
+    return src.mapInPandas(gen, schema)
+
+
 def rake_keywords(
     df: DataFrame,
     stopwords: list[str],
     id_col: str = "doc_id",
     text_col: str = "text",
     top_k: int = 3,
+    use_arrow: bool = True,
 ) -> DataFrame:
     """RAKE keyword extraction (Rose, Engel, Cramer & Cowley, "Automatic
     Keyword Extraction from Individual Documents", 2010): candidate
@@ -989,20 +1095,25 @@ def rake_keywords(
     ratios. The reference has no keyword surface; this is the
     unsupervised topic-probe an LLM-data pipeline runs per document.
 
-    Engine-parallel formulation (no per-doc Python): tokens get
-    positions via posexplode; phrase ids are a running count of
-    stopwords per doc (one window keyed by doc id — bounded by doc
-    length, never corpus-wide); word freq/degree and phrase scores are
-    keyed aggregations on (id, term) / (id, phrase_id). Each word
-    ratio is rounded to 12 dp and summed as DECIMAL (the _dsum rule)
-    so partial-aggregation order can't flip the 6-dp final rounding
-    against another engine.
+    Two executions, pinned equal by test:
 
-    100 TB shape: every shuffle key contains the doc id, so
-    parallelism scales with the corpus and no relation exceeds
-    tokens-per-doc fan-out; top-k per doc is one more doc-keyed
-    window. Stopwords are a bounded literal set compiled into the
-    plan.
+    - ``use_arrow=True`` (default, the SCALE path): RAKE is strictly
+      per-document, so one narrow Arrow ``mapInPandas`` pass computes
+      each doc's phrases/scores/top-k with ZERO shuffles — the
+      shingle_sets measured-exception rule (per-doc text work in
+      batched Python beats exploding the corpus into a 5x-larger
+      token relation and shuffling it three times; measured 254s ->
+      ~15s at a 500k-doc soak, NOTES round 6).
+    - ``use_arrow=False`` (the executable cross-engine SPEC, what the
+      t35 oracle replays in DuckDB): tokens get positions via
+      posexplode; phrase ids are a running count of stopwords per doc
+      (one window keyed by doc id); word freq/degree and phrase scores
+      are keyed aggregations on (id, term) / (id, phrase_id). Each
+      word ratio is rounded to 12 dp and summed as DECIMAL (the _dsum
+      rule) so partial-aggregation order can't flip the 6-dp final
+      rounding against another engine. Every shuffle key contains the
+      doc id, so nothing exceeds per-doc fan-out — correct but pays
+      three occurrence-relation shuffles the Arrow path doesn't.
 
     Output: (id, phrase, score, n_words) — top_k rows per doc, ordered
     within doc by (score desc, phrase, phrase_id)."""
@@ -1012,6 +1123,8 @@ def rake_keywords(
     if top_k < 1:
         raise ValueError(f"top_k must be >= 1, got {top_k}")
     stops = sorted({s.lower() for s in stopwords})
+    if use_arrow:
+        return _rake_arrow(df, stops, id_col, text_col, top_k)
     from pyspark.sql import Window
 
     from ftm_columnstore_spark.functions.text import word_tokens_col

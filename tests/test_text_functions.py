@@ -681,3 +681,54 @@ def test_rake_keywords_stopword_only_and_validation(spark):
         rake_keywords(df, [])
     with pytest.raises(ValueError, match="top_k"):
         rake_keywords(df, ["the"], top_k=0)
+
+
+def test_rake_arrow_matches_relational(spark):
+    """The Arrow scale path and the relational cross-engine spec must
+    agree EXACTLY (same phrases, same 6-dp scores, same top-k cut) —
+    the BPE fast-path precedent: the fast path is pinned to the
+    executable spec on corpora with ties, repeats and stopword runs."""
+    from ftm_columnstore_spark.operators.text import rake_keywords
+
+    docs = [
+        (1, "slow table scan and the fast hash join beat a slow table"),
+        (2, "the the a"),
+        (3, "alpha beta alpha the alpha beta"),
+        (4, None),
+        (5, "x"),
+        (6, "a b c a b c a b c"),  # tie-heavy: identical phrases repeat
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    for k in (1, 2, 5):
+        arrow = sorted(
+            (r["id"], r["phrase"], r["score"], r["n_words"])
+            for r in rake_keywords(
+                df, ["and", "the", "a"], top_k=k, use_arrow=True
+            ).collect()
+        )
+        rel = sorted(
+            (r["id"], r["phrase"], r["score"], r["n_words"])
+            for r in rake_keywords(
+                df, ["and", "the", "a"], top_k=k, use_arrow=False
+            ).collect()
+        )
+        assert arrow == rel, f"top_k={k}: {arrow} != {rel}"
+
+
+def test_rake_arrow_matches_relational_testdata(spark):
+    from ftm_columnstore_spark.operators.text import rake_keywords
+
+    df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    arrow = sorted(
+        tuple(r)
+        for r in rake_keywords(
+            df, ["a", "the"], top_k=2, use_arrow=True
+        ).collect()
+    )
+    rel = sorted(
+        tuple(r)
+        for r in rake_keywords(
+            df, ["a", "the"], top_k=2, use_arrow=False
+        ).collect()
+    )
+    assert arrow == rel
