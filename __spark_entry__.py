@@ -3218,6 +3218,26 @@ def t36_proximity_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     return proximity_match(d, "hash value table", max_slop=2)
 
 
+def v18_vocab_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric KL vocabulary divergence between the even/odd corpus
+    halves (operators/text.py:vocab_divergence — Jeffreys divergence,
+    add-1 smoothing over the union vocabulary): the distributional
+    companion to v17's KMV set overlap — names WHICH tokens drift.
+    One union groupBy(token) is the only corpus-sized shuffle; totals
+    broadcast back as one row; top-20 by the strict (contrib desc,
+    token) order. Per-token ln rounded 12 dp (the t32 rule). Oracle
+    replays counts, smoothing and the contribution formula."""
+    from ftm_columnstore_spark.operators.text import vocab_divergence
+
+    d = _t(spark, sf_dir, "documents")
+    return vocab_divergence(
+        d.where(F.col("doc_id") % 2 == 0),
+        d.where(F.col("doc_id") % 2 == 1),
+        top_n=20,
+        alpha=1.0,
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order matters: the driver's CORRECTNESS run covers the
     # first ~50 entries. Rotation discipline (VERDICT r4 item 1): every
@@ -3237,6 +3257,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t35_rake_keywords": t35_rake_keywords,
         "d17_containment_pairs": d17_containment_pairs,
         "t36_proximity_match": t36_proximity_match,
+        "v18_vocab_divergence": v18_vocab_divergence,
         # --- r02-green spillover that missed the r05 window (pos 51-52 last round) ---
         "t6_hash_split": t6_hash_split,
         "t8_deterministic_shuffle": t8_deterministic_shuffle,
@@ -5043,6 +5064,34 @@ def oracle_sql() -> dict[str, str]:
                          ORDER BY score DESC, phrase, phrase_id) AS rn
               FROM scored)
             WHERE rn <= 2
+        """,
+        "v18_vocab_divergence": """
+            WITH tok AS (
+              SELECT doc_id % 2 AS side,
+                     unnest(list_filter(string_split_regex(lower(text),
+                            '[^a-z0-9]+'), x -> x <> '')) AS token
+              FROM documents WHERE text IS NOT NULL
+            ), c AS (
+              SELECT token,
+                     sum(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS cnt_a,
+                     sum(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS cnt_b
+              FROM tok GROUP BY 1
+            ), t AS (
+              SELECT sum(cnt_a) AS n_a, sum(cnt_b) AS n_b,
+                     count(*) AS v
+              FROM c
+            ), pq AS (
+              SELECT token, cnt_a, cnt_b,
+                     (cnt_a::DOUBLE + 1.0)
+                       / (n_a::DOUBLE + 1.0 * v::DOUBLE) AS p,
+                     (cnt_b::DOUBLE + 1.0)
+                       / (n_b::DOUBLE + 1.0 * v::DOUBLE) AS q
+              FROM c, t
+            )
+            SELECT token, cnt_a::BIGINT AS cnt_a, cnt_b::BIGINT AS cnt_b,
+                   round(p * ln(p / q) + q * ln(q / p), 12) AS contrib
+            FROM pq
+            ORDER BY contrib DESC, token LIMIT 20
         """,
         "t36_proximity_match": """
             WITH lt AS (

@@ -118,6 +118,8 @@ HEADLINE = [
     "t34_phrase_match",
     "t35_rake_keywords",
     "d17_containment_pairs",
+    "t36_proximity_match",
+    "v18_vocab_divergence",
 ]
 
 

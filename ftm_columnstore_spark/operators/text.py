@@ -1199,3 +1199,78 @@ def rake_keywords(
     )
     out._cached_intermediates = [words]
     return out
+
+
+def vocab_divergence(
+    a: DataFrame,
+    b: DataFrame,
+    text_col: str = "text",
+    top_n: int = 20,
+    alpha: float = 1.0,
+) -> DataFrame:
+    """Per-token contributions to the symmetric KL divergence between
+    two corpora's smoothed unigram distributions (Jeffreys divergence;
+    Kullback-Leibler 1951) — the corpus diagnostic that names WHICH
+    vocabulary drifts between two sources/snapshots, not just how much
+    (KMV overlap, v17, answers the set question; this answers the
+    distributional one).
+
+    contrib(t) = p·ln(p/q) + q·ln(q/p), with add-alpha smoothing
+    p = (cnt_a+α)/(N_a+α·V) over the UNION vocabulary V, so unseen
+    tokens are finite and every token contributes symmetrically.
+
+    Plan: both corpora tokenize into one union relation tagged by
+    side; ONE groupBy(token) with conditional counts is the only
+    corpus-sized shuffle; totals reduce the vocabulary relation and
+    broadcast back as one row; top_n is a TakeOrderedAndProject by the
+    strict total order (contrib desc, token). Determinism: counts are
+    exact integers, p/q are single IEEE divisions, the one ln per
+    token is rounded to 12 dp (libm wobble ~1e-16 relative dies well
+    below that — the t32/zipf rule).
+
+    Output: (token, cnt_a, cnt_b, contrib) — top_n rows."""
+    from ftm_columnstore_spark.functions.text import word_tokens_col
+
+    if top_n < 1:
+        raise ValueError(f"top_n must be >= 1, got {top_n}")
+    if alpha <= 0:
+        raise ValueError(f"alpha must be > 0, got {alpha}")
+
+    def toks(df: DataFrame, side: int) -> DataFrame:
+        return df.where(F.col(text_col).isNotNull()).select(
+            F.explode(word_tokens_col(text_col)).alias("token"),
+            F.lit(side).alias("side"),
+        )
+
+    c = (
+        toks(a, 0)
+        .unionByName(toks(b, 1))
+        .groupBy("token")
+        .agg(
+            F.sum(F.when(F.col("side") == 0, 1).otherwise(0)).alias(
+                "cnt_a"
+            ),
+            F.sum(F.when(F.col("side") == 1, 1).otherwise(0)).alias(
+                "cnt_b"
+            ),
+        )
+    )
+    totals = c.agg(
+        F.sum("cnt_a").alias("n_a"),
+        F.sum("cnt_b").alias("n_b"),
+        F.count(F.lit(1)).alias("v"),
+    )
+    al = F.lit(float(alpha))
+    j = c.crossJoin(F.broadcast(totals))
+    p = (F.col("cnt_a").cast("double") + al) / (
+        F.col("n_a").cast("double") + al * F.col("v").cast("double")
+    )
+    q = (F.col("cnt_b").cast("double") + al) / (
+        F.col("n_b").cast("double") + al * F.col("v").cast("double")
+    )
+    contrib = F.round(p * F.log(p / q) + q * F.log(q / p), 12)
+    return (
+        j.select("token", "cnt_a", "cnt_b", contrib.alias("contrib"))
+        .orderBy(F.col("contrib").desc(), "token")
+        .limit(int(top_n))
+    )

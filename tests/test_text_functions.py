@@ -732,3 +732,42 @@ def test_rake_arrow_matches_relational_testdata(spark):
         ).collect()
     )
     assert arrow == rel
+
+
+def test_vocab_divergence_hand_computed(spark):
+    import math
+
+    from ftm_columnstore_spark.operators.text import vocab_divergence
+
+    a = spark.createDataFrame(
+        [(1, "x x y")], "doc_id long, text string"
+    )
+    b = spark.createDataFrame(
+        [(2, "y z")], "doc_id long, text string"
+    )
+    rows = vocab_divergence(a, b, top_n=10, alpha=1.0).collect()
+    got = {r["token"]: (r["cnt_a"], r["cnt_b"], r["contrib"]) for r in rows}
+    # V=3, N_a=3 (x x y), N_b=2 (y z): p_t=(cnt_a+1)/6, q_t=(cnt_b+1)/5
+    def contrib(ca, cb):
+        p = (ca + 1.0) / (3 + 3.0)
+        q = (cb + 1.0) / (2 + 3.0)
+        return round(p * math.log(p / q) + q * math.log(q / p), 12)
+
+    assert got["x"] == (2, 0, contrib(2, 0))
+    assert got["y"] == (1, 1, contrib(1, 1))
+    assert got["z"] == (0, 1, contrib(0, 1))
+    # identical corpora diverge nowhere
+    same = vocab_divergence(a, a, top_n=10).collect()
+    assert all(r["contrib"] == 0.0 for r in same)
+
+
+def test_vocab_divergence_validation(spark):
+    import pytest
+
+    from ftm_columnstore_spark.operators.text import vocab_divergence
+
+    df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="top_n"):
+        vocab_divergence(df, df, top_n=0)
+    with pytest.raises(ValueError, match="alpha"):
+        vocab_divergence(df, df, alpha=0.0)
