@@ -46,7 +46,7 @@ PICKS = {
     "a27_log2_histogram": "log2 histogram: ONE scan -> partial+final hash agg; both quantile windows share one Exchange+Sort on lang; the min-bucket groupBy reuses the lang partitioning (no third exchange) — everything after the build runs on the <=66-row sketch",
     "a28_moments_profile": "moments sketch: one map-side-combinable HashAggregate carrying 4 decimal power sums; stats are a pure projection — 2 exchanges total (agg + output order)",
     "t34_phrase_match": "phrase match: the term-filtered postings are localCheckpointed ONCE (one corpus scan+explode ever); per-term join sides are RDD scans of that checkpoint; chained joins AQE-broadcast the rare-term sides",
-    "t35_rake_keywords": "RAKE: the tokenize + phrase-id window pass is persisted (InMemoryTableScan at all three consumers); every Exchange keys on doc id — freq/degree, phrase score, and top-k are per-doc work at any corpus size",
+    "t35_rake_keywords": "RAKE (Arrow scale path): ONE narrow mapInPandas pass, ZERO exchanges at any corpus size — RAKE is per-document; the relational spec (use_arrow=False) keys every exchange on doc id and is what the oracle replays",
     "d17_containment_pairs": "containment: the Arrow shingle pass is persisted (sizes, df guard and both join sides read cache, not re-shingle); pair groupBy keys on (left,right); the df guard join bounds expansion before the self-join",
     "t36_proximity_match": "proximity: same one-materialization postings as t34; chain joins keyed on id with the slop range as residual filter; per-hop distinct collapses path multiplicity before the next join",
     "v18_vocab_divergence": "vocab divergence: one union groupBy(token) is the only corpus-sized shuffle; totals broadcast back as one row; top-20 is a TakeOrderedAndProject",
