@@ -811,3 +811,95 @@ def test_cms_matches_duckdb_replay(spark, vals):
         """).fetchall()
     )
     assert got == oracle
+
+
+@given(
+    st.lists(
+        st.integers(min_value=-(2**40), max_value=2**62),
+        min_size=1,
+        max_size=40,
+    )
+)
+@SETTINGS
+def test_log2_bucket_match_duckdb(spark, vals):
+    """a27's oracle contract: Spark's length(bin(x)) bucket and the
+    DuckDB CASE/bin replay agree on arbitrary longs, including 0,
+    negatives, and exact powers of two (where float log2 is one ulp
+    off in at least one engine)."""
+    from ftm_columnstore_spark.operators.sketches import log2_histogram
+
+    # force the boundary cases into every example
+    vals = list(vals) + [0, 1, 2, 1023, 1024, 2**40 - 1, 2**40]
+    df = spark.createDataFrame([(v,) for v in vals], "x long")
+    got = {
+        r["bucket"]: r["cnt"] for r in log2_histogram(df, "x").collect()
+    }
+    con = duckdb.connect()
+    con.register("t", pd.DataFrame({"x": pd.Series(vals, dtype="int64")}))
+    want = {
+        int(b): int(c)
+        for b, c in con.sql(
+            """
+            SELECT CASE WHEN x < 0 THEN -1 WHEN x = 0 THEN 0
+                        ELSE length(bin(x)) END AS bucket,
+                   count(*) AS cnt
+            FROM t GROUP BY 1
+            """
+        ).fetchall()
+    }
+    assert got == want
+
+
+@given(
+    st.lists(
+        st.integers(min_value=0, max_value=10**6),
+        min_size=2,
+        max_size=30,
+    )
+)
+@SETTINGS
+def test_moments_stats_match_duckdb(spark, vals):
+    """a28's oracle contract: the decimal power-sum tail and the
+    HUGEINT replay produce identical 6-dp stats on arbitrary inputs."""
+    from ftm_columnstore_spark.operators.sketches import (
+        moments_sketch,
+        moments_stats,
+    )
+
+    df = spark.createDataFrame([(v,) for v in vals], "x long")
+    got = moments_stats(moments_sketch(df, "x")).collect()[0]
+    con = duckdb.connect()
+    con.register("t", pd.DataFrame({"x": pd.Series(vals, dtype="int64")}))
+    want = con.sql(
+        """
+        WITH s AS (
+          SELECT count(*)::HUGEINT AS m0, sum(x::HUGEINT) AS m1,
+                 sum(x::HUGEINT * x) AS m2,
+                 sum(x::HUGEINT * x * x) AS m3
+          FROM t)
+        SELECT m0::BIGINT,
+               round(m1::DOUBLE / m0::DOUBLE, 6),
+               round((m0 * m2 - m1 * m1)::DOUBLE / (m0 * m0)::DOUBLE, 6),
+               CASE WHEN (m0 * m2 - m1 * m1) > 0 THEN
+                 round((m0 * m0 * m3 - 3 * m0 * m1 * m2
+                        + 2 * m1 * m1 * m1)::DOUBLE
+                       / ((m0 * m0 * m0)::DOUBLE
+                          * sqrt((m0 * m2 - m1 * m1)::DOUBLE
+                                 / (m0 * m0)::DOUBLE)
+                          * sqrt((m0 * m2 - m1 * m1)::DOUBLE
+                                 / (m0 * m0)::DOUBLE)
+                          * sqrt((m0 * m2 - m1 * m1)::DOUBLE
+                                 / (m0 * m0)::DOUBLE)), 6)
+               END
+        FROM s
+        """
+    ).fetchall()[0]
+    assert (got["m0"], got["mean"], got["variance"]) == (
+        want[0],
+        want[1],
+        want[2],
+    )
+    if want[3] is None:
+        assert got["skewness"] is None
+    else:
+        assert got["skewness"] == want[3]
