@@ -3238,6 +3238,28 @@ def v18_vocab_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def st5_windowed_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming analogue: distinct users per hour from per-window
+    HyperLogLog register state (streaming/windows.py:
+    windowed_hll_registers — ONE streaming-legal aggregation, ≤2^p
+    rows of state per window, watermark-evictable; the estimate is the
+    batch read-off hll_estimate_from_windowed_registers, since
+    Structured Streaming forbids chaining the second agg). The same
+    plan runs here as a batch agg (the st1 pattern); the true
+    streaming form runs under readStream in test_streaming. Oracle
+    replays the a22 integer register math grouped by the hour."""
+    from ftm_columnstore_spark.streaming.windows import (
+        hll_estimate_from_windowed_registers,
+        windowed_hll_registers,
+    )
+
+    e = _events(spark, sf_dir)
+    regs = windowed_hll_registers(
+        e, "user_id", "1 hour", p=8, watermark=None
+    )
+    return hll_estimate_from_windowed_registers(regs, p=8)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order matters: the driver's CORRECTNESS run covers the
     # first ~50 entries. Rotation discipline (VERDICT r4 item 1): every
@@ -3258,6 +3280,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d17_containment_pairs": d17_containment_pairs,
         "t36_proximity_match": t36_proximity_match,
         "v18_vocab_divergence": v18_vocab_divergence,
+        "st5_windowed_hll": st5_windowed_hll,
         # --- r02-green spillover that missed the r05 window (pos 51-52 last round) ---
         "t6_hash_split": t6_hash_split,
         "t8_deterministic_shuffle": t8_deterministic_shuffle,
@@ -4464,6 +4487,50 @@ def _a22_oracle(p: int = 8) -> str:
     """
 
 
+def _st5_oracle(p: int = 8) -> str:
+    """Windowed-HLL replay: the _a22_oracle register math with the
+    hour-truncated event time as the group (F.window 1-hour starts =
+    date_trunc('hour'), both epoch-aligned)."""
+    m = 1 << p
+    maxbits = 60 - p
+    sp = maxbits + 1
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    alpha_num = alpha * m * m * float(1 << sp)
+    return f"""
+        WITH h AS (
+          SELECT strftime(date_trunc('hour', ts),
+                          '%Y-%m-%d %H:%M:%S') AS g,
+                 ('0x'||substr(md5(CAST(user_id AS VARCHAR)),1,15))::BIGINT
+                     AS h
+          FROM events WHERE user_id IS NOT NULL
+        ), reg AS (
+          SELECT g, h % {m} AS idx, h // {m} AS w FROM h
+        ), rk AS (
+          SELECT g, idx,
+                 CASE WHEN w > 0 THEN {maxbits} - length(bin(w)) + 1
+                      ELSE {maxbits + 1} END AS rho
+          FROM reg
+        ), regs AS (
+          SELECT g, idx, max(rho) AS rho FROM rk GROUP BY g, idx
+        ), agg AS (
+          SELECT g, sum(1::BIGINT << ({sp} - rho)) AS s, count(*) AS n
+          FROM regs GROUP BY g
+        ), est AS (
+          SELECT g,
+                 {alpha_num!r} / CAST(s + ({m} - n) * (1::BIGINT << {sp})
+                                      AS DOUBLE) AS raw,
+                 CAST({m} - n AS DOUBLE) AS v
+          FROM agg
+        )
+        SELECT g AS window_start,
+               CAST(floor(CASE WHEN raw <= {2.5 * m!r} AND v > 0
+                               THEN {float(m)!r} * ln({float(m)!r} / v)
+                               ELSE raw END + 0.5) AS BIGINT)
+               AS n_distinct_est
+        FROM est
+    """
+
+
 def _v14_oracle() -> str:
     """Multi-query PQ-ADC replay: v12's fixed-codebook encode/ADC math
     with the query SIDE as a relation (vec_id 1-3), per-query
@@ -5065,6 +5132,7 @@ def oracle_sql() -> dict[str, str]:
               FROM scored)
             WHERE rn <= 2
         """,
+        "st5_windowed_hll": _st5_oracle(p=8),
         "v18_vocab_divergence": """
             WITH tok AS (
               SELECT doc_id % 2 AS side,

@@ -120,6 +120,7 @@ HEADLINE = [
     "d17_containment_pairs",
     "t36_proximity_match",
     "v18_vocab_divergence",
+    "st5_windowed_hll",
 ]
 
 

@@ -134,3 +134,65 @@ def session_window_agg(
         *key_cols,
         "n_events",
     )
+
+
+def windowed_hll_registers(
+    events: DataFrame,
+    col: str = "user_id",
+    window_duration: str = "1 hour",
+    ts_col: str = "ts",
+    p: int = 8,
+    watermark: str | None = "1 hour",
+) -> DataFrame:
+    """Per-window HyperLogLog register state — streaming distinct
+    counting with BOUNDED state (≤ 2^p rows per window), the classic
+    "distinct users per hour over an unbounded stream" problem exact
+    counting can't survive (its state is the user space).
+
+    ONE streaming aggregation (max per register is monotone, so
+    update/complete modes are both sound, and the watermark evicts
+    closed windows) — Structured Streaming forbids chaining the
+    estimate aggregation onto the same query, so this emits the
+    REGISTER relation; read the estimate off the materialized state
+    with :func:`hll_estimate_from_windowed_registers` (batch, or
+    inside foreachBatch). The split is the point at scale: the
+    register relation is the mergeable artifact you persist per
+    window/shard/day and re-estimate from without rescanning history
+    (operators/sketches.py:hll_merge).
+
+    On a batch frame the identical plan runs as a normal agg.
+
+    Output: (window_start string, reg_idx, reg_rho)."""
+    from ftm_columnstore_spark.operators.sketches import hll_registers
+
+    df = _with_watermark(events, ts_col, watermark)
+    win = df.withColumn(
+        "__win", F.window(F.col(ts_col), window_duration)
+    )
+    regs = hll_registers(win, col, p=p, group_by=["__win"])
+    return regs.select(
+        F.date_format(F.col("__win.start"), "yyyy-MM-dd HH:mm:ss").alias(
+            "window_start"
+        ),
+        "reg_idx",
+        "reg_rho",
+    )
+
+
+def hll_estimate_from_windowed_registers(
+    regs: DataFrame, p: int = 8
+) -> DataFrame:
+    """Batch read-off for :func:`windowed_hll_registers` output:
+    (window_start, n_distinct_est). Registers from several runs /
+    shards merge losslessly first (max per (window, idx) — exactly
+    what a groupBy does here if the input is a union)."""
+    from ftm_columnstore_spark.operators.sketches import (
+        hll_estimate_from_registers,
+    )
+
+    merged = regs.groupBy("window_start", "reg_idx").agg(
+        F.max("reg_rho").alias("reg_rho")
+    )
+    return hll_estimate_from_registers(
+        merged, p=p, group_by=["window_start"]
+    )

@@ -684,3 +684,58 @@ def test_stream_clean_bloom_decontaminate(spark, tmp_path):
             spark, str(src), corpus, str(out), str(tmp_path / "ckpt_dc2"),
             schema, decontaminate={"bench": bench, "bogus": 1},
         )
+
+
+def test_windowed_hll_stream_matches_batch(spark, tmp_path):
+    """Per-window HLL registers as a REAL stream (file source, update
+    mode): the materialized register state read off with the batch
+    estimator equals the batch-mode estimate AND the exact distinct
+    count at this cardinality (p=8 registers, 6 users)."""
+    import json as _json
+
+    from ftm_columnstore_spark.streaming.windows import (
+        hll_estimate_from_windowed_registers,
+        windowed_hll_registers,
+    )
+
+    src = tmp_path / "hll_ev"
+    src.mkdir()
+    rows = [
+        {"event_id": i, "ts": f"2024-01-01T10:{i:02d}:00.000Z",
+         "user_id": 100 + (i % 6), "event_type": "click", "value": 1.0}
+        for i in range(20)
+    ] + [
+        {"event_id": 100, "ts": "2024-01-01T11:05:00.000Z",
+         "user_id": 999, "event_type": "click", "value": 1.0}
+    ]
+    (src / "p1.json").write_text("\n".join(_json.dumps(r) for r in rows))
+    schema = (
+        "event_id LONG, ts TIMESTAMP, user_id LONG, "
+        "event_type STRING, value DOUBLE"
+    )
+    stream = spark.readStream.schema(schema).json(str(src))
+    regs = windowed_hll_registers(stream, "user_id", "1 hour", p=8)
+    q = (
+        regs.writeStream.format("memory")
+        .queryName("hll_regs")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    streamed = hll_estimate_from_windowed_registers(
+        spark.table("hll_regs"), p=8
+    ).collect()
+    batch = spark.read.schema(schema).json(str(src))
+    expect = {
+        r["window_start"]: r["n_distinct_est"]
+        for r in hll_estimate_from_windowed_registers(
+            windowed_hll_registers(batch, "user_id", "1 hour", p=8),
+            p=8,
+        ).collect()
+    }
+    got = {r["window_start"]: r["n_distinct_est"] for r in streamed}
+    assert got == expect
+    # linear-counting regime at this cardinality -> estimates exact
+    assert got["2024-01-01 10:00:00"] == 6
+    assert got["2024-01-01 11:00:00"] == 1

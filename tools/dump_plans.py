@@ -50,6 +50,7 @@ PICKS = {
     "d17_containment_pairs": "containment: the Arrow shingle pass is persisted (sizes, df guard and both join sides read cache, not re-shingle); pair groupBy keys on (left,right); the df guard join bounds expansion before the self-join",
     "t36_proximity_match": "proximity: same one-materialization postings as t34; chain joins keyed on id with the slop range as residual filter; per-hop distinct collapses path multiplicity before the next join",
     "v18_vocab_divergence": "vocab divergence: one union groupBy(token) is the only corpus-sized shuffle; totals broadcast back as one row; top-20 is a TakeOrderedAndProject",
+    "st5_windowed_hll": "windowed HLL: register build is ONE partial+final agg keyed (window, reg_idx) — streaming-legal, <=2^p state rows per window; the estimate agg runs on the <=256-row-per-window register relation",
 }
 
 
