@@ -3260,6 +3260,32 @@ def st5_windowed_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hll_estimate_from_windowed_registers(regs, p=8)
 
 
+def w9_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap join (operators/temporal.py:
+    interval_overlap_join): per-user overlapping 10-minute activity
+    spans between click and purchase events — the SPAN counterpart of
+    w4's point band join. Bucketized range join: spans replicate into
+    600s buckets, equi-join on (user, bucket), overlap as residual,
+    pair emitted only from the overlap's first bucket (exactly-once,
+    no distinct pass). Oracle is the naive range-predicate join."""
+    from ftm_columnstore_spark.operators.temporal import (
+        interval_overlap_join,
+    )
+
+    e = _events(spark, sf_dir)
+    span = lambda t: (  # noqa: E731
+        e.where(F.col("event_type") == t).select(
+            F.col("event_id").alias("id"),
+            "user_id",
+            F.unix_timestamp("ts").alias("start"),
+            (F.unix_timestamp("ts") + 600).alias("end"),
+        )
+    )
+    return interval_overlap_join(
+        span("click"), span("purchase"), key="user_id", bucket_width=600
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order matters: the driver's CORRECTNESS run covers the
     # first ~50 entries. Rotation discipline (VERDICT r4 item 1): every
@@ -3281,6 +3307,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t36_proximity_match": t36_proximity_match,
         "v18_vocab_divergence": v18_vocab_divergence,
         "st5_windowed_hll": st5_windowed_hll,
+        "w9_interval_overlap": w9_interval_overlap,
         # --- r02-green spillover that missed the r05 window (pos 51-52 last round) ---
         "t6_hash_split": t6_hash_split,
         "t8_deterministic_shuffle": t8_deterministic_shuffle,
@@ -5133,6 +5160,21 @@ def oracle_sql() -> dict[str, str]:
             WHERE rn <= 2
         """,
         "st5_windowed_hll": _st5_oracle(p=8),
+        "w9_interval_overlap": """
+            WITH sp AS (
+              SELECT event_id AS id, user_id, event_type,
+                     floor(epoch(ts))::BIGINT AS s,
+                     floor(epoch(ts))::BIGINT + 600 AS e
+              FROM events
+            )
+            SELECT l.id AS left_id, r.id AS right_id, l.user_id,
+                   greatest(l.s, r.s)::BIGINT AS overlap_start,
+                   least(l.e, r.e)::BIGINT AS overlap_end
+            FROM sp l JOIN sp r
+              ON l.user_id = r.user_id
+             AND l.s < r.e AND r.s < l.e
+            WHERE l.event_type = 'click' AND r.event_type = 'purchase'
+        """,
         "v18_vocab_divergence": """
             WITH tok AS (
               SELECT doc_id % 2 AS side,

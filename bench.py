@@ -121,6 +121,7 @@ HEADLINE = [
     "t36_proximity_match",
     "v18_vocab_divergence",
     "st5_windowed_hll",
+    "w9_interval_overlap",
 ]
 
 

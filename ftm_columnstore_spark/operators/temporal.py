@@ -349,3 +349,115 @@ def transitions(
         "n",
         F.round(F.col("n") / F.col("__total"), 6).alias("p"),
     )
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    id_col: str = "id",
+    start_col: str = "start",
+    end_col: str = "end",
+    key: str | None = None,
+    bucket_width: int = 3600,
+    check_spans: bool = True,
+    max_buckets_per_interval: int = 64,
+) -> DataFrame:
+    """Interval OVERLAP join: pairs (l, r) whose half-open integer
+    spans [start, end) intersect — the span counterpart of
+    :func:`band_join` (which pairs POINTS within a distance). The
+    classic use: overlapping sessions/visits/claims, span-dedup audit
+    joins.
+
+    Scale plan (the standard bucketized range join): every interval
+    replicates into the ``bucket_width``-sized buckets it touches
+    (``sequence(start DIV W, (end-1) DIV W)`` + explode), the join is
+    a plain shuffled equi-join on (key, bucket), and the overlap
+    predicate runs as a residual filter — pair expansion is bucket-
+    local, never |L|x|R|. Each overlapping pair is emitted EXACTLY
+    once, with no distinct pass: only the bucket containing
+    ``greatest(l.start, r.start)`` (the overlap's first instant)
+    reports the pair — every other shared bucket drops it in the
+    residual.
+
+    Replication is bounded by span length / W. ``check_spans`` spends
+    one cheap max() job per input to REFUSE intervals touching more
+    than ``max_buckets_per_interval`` buckets (the house bounded-
+    expansion rule: a degenerate month-long interval at W=60s would
+    fan out 43k rows); pick ``bucket_width`` near the typical span.
+
+    Output: (left_id, right_id[, key], overlap_start, overlap_end) —
+    all integers, overlap_end exclusive."""
+    if bucket_width < 1:
+        raise ValueError(f"bucket_width must be >= 1, got {bucket_width}")
+    if max_buckets_per_interval < 1:
+        raise ValueError(
+            f"max_buckets_per_interval must be >= 1, got "
+            f"{max_buckets_per_interval}"
+        )
+    w = int(bucket_width)
+
+    def prep(df: DataFrame, side: str) -> DataFrame:
+        cols = [
+            F.col(id_col).alias(f"{side}_id"),
+            F.col(start_col).cast("long").alias(f"{side}_start"),
+            F.col(end_col).cast("long").alias(f"{side}_end"),
+        ]
+        if key is not None:
+            cols.append(F.col(key).alias("__k"))
+        out = df.select(*cols).where(
+            F.col(f"{side}_end") > F.col(f"{side}_start")
+        )
+        if check_spans:
+            worst = out.agg(
+                F.max(
+                    F.expr(
+                        f"({side}_end - 1) DIV {w} - {side}_start DIV {w}"
+                    )
+                ).alias("b")
+            ).collect()[0]["b"]
+            if worst is not None and worst + 1 > max_buckets_per_interval:
+                raise ValueError(
+                    f"{side} side has an interval touching {worst + 1} "
+                    f"buckets > max_buckets_per_interval="
+                    f"{max_buckets_per_interval}: raise bucket_width "
+                    "toward the typical span (or the cap, if the fan-out "
+                    "is a conscious choice)."
+                )
+        return out.withColumn(
+            "__b",
+            F.explode(
+                F.sequence(
+                    F.expr(f"{side}_start DIV {w}"),
+                    F.expr(f"({side}_end - 1) DIV {w}"),
+                )
+            ),
+        )
+
+    lk = prep(left, "left")
+    rk = prep(right, "right")
+    on = ["__k", "__b"] if key is not None else ["__b"]
+    first = F.greatest(F.col("left_start"), F.col("right_start"))
+    joined = (
+        lk.join(rk, on=on)
+        .where(
+            (F.col("left_start") < F.col("right_end"))
+            & (F.col("right_start") < F.col("left_end"))
+            # emit from the overlap's first bucket only (exactly-once);
+            # integer DIV, not float floor-divide (epochs are exact longs)
+            & (
+                F.col("__b")
+                == F.expr(f"greatest(left_start, right_start) DIV {w}")
+            )
+        )
+    )
+    out_cols = [
+        "left_id",
+        "right_id",
+        first.alias("overlap_start"),
+        F.least(F.col("left_end"), F.col("right_end")).alias(
+            "overlap_end"
+        ),
+    ]
+    if key is not None:
+        out_cols.insert(2, F.col("__k").alias(key))
+    return joined.select(*out_cols)

@@ -149,3 +149,78 @@ def test_band_join_timestamps(spark):
         lower=-300, upper=0, right_cols=["rid"],
     )
     assert sorted(r.rid_right for r in out.collect()) == [21, 22]
+
+
+# ---------------------------------------------------------------------------
+# interval overlap join
+# ---------------------------------------------------------------------------
+
+
+def test_interval_overlap_join_exactly_once(spark):
+    from ftm_columnstore_spark.operators.temporal import (
+        interval_overlap_join,
+    )
+
+    left = spark.createDataFrame(
+        [(1, 0, 100), (2, 50, 60), (3, 200, 210)],
+        "id long, start long, end long",
+    )
+    right = spark.createDataFrame(
+        [(10, 90, 150), (11, 55, 58), (12, 300, 310)],
+        "id long, start long, end long",
+    )
+    # bucket width 10: interval 1 spans 10 buckets — pairs with BOTH
+    # 10 (shares buckets 9..9) and 11 (bucket 5), each exactly once
+    rows = interval_overlap_join(
+        left, right, bucket_width=10
+    ).collect()
+    got = {
+        (r["left_id"], r["right_id"]): (
+            r["overlap_start"],
+            r["overlap_end"],
+        )
+        for r in rows
+    }
+    assert got == {(1, 10): (90, 100), (1, 11): (55, 58), (2, 11): (55, 58)}
+    assert len(rows) == 3  # exactly-once: no duplicate bucket emissions
+
+
+def test_interval_overlap_join_keyed_and_touching(spark):
+    from ftm_columnstore_spark.operators.temporal import (
+        interval_overlap_join,
+    )
+
+    left = spark.createDataFrame(
+        [(1, "u1", 0, 10), (2, "u2", 0, 10)],
+        "id long, user string, start long, end long",
+    )
+    right = spark.createDataFrame(
+        [(10, "u1", 5, 15), (11, "u2", 10, 20)],
+        "id long, user string, start long, end long",
+    )
+    rows = interval_overlap_join(
+        left, right, key="user", bucket_width=8
+    ).collect()
+    # u1 overlaps [5,10); u2's spans only TOUCH at 10 (half-open: no)
+    assert [(r["left_id"], r["right_id"], r["user"]) for r in rows] == [
+        (1, 10, "u1")
+    ]
+
+
+def test_interval_overlap_join_span_guard(spark):
+    import pytest
+
+    from ftm_columnstore_spark.operators.temporal import (
+        interval_overlap_join,
+    )
+
+    left = spark.createDataFrame(
+        [(1, 0, 100_000)], "id long, start long, end long"
+    )
+    with pytest.raises(ValueError, match="max_buckets_per_interval"):
+        interval_overlap_join(left, left, bucket_width=10)
+    # empty/inverted intervals drop silently
+    bad = spark.createDataFrame(
+        [(1, 10, 10), (2, 20, 5)], "id long, start long, end long"
+    )
+    assert interval_overlap_join(bad, bad, bucket_width=10).count() == 0

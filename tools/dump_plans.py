@@ -51,6 +51,7 @@ PICKS = {
     "t36_proximity_match": "proximity: same one-materialization postings as t34; chain joins keyed on id with the slop range as residual filter; per-hop distinct collapses path multiplicity before the next join",
     "v18_vocab_divergence": "vocab divergence: one union groupBy(token) is the only corpus-sized shuffle; totals broadcast back as one row; top-20 is a TakeOrderedAndProject",
     "st5_windowed_hll": "windowed HLL: register build is ONE partial+final agg keyed (window, reg_idx) — streaming-legal, <=2^p state rows per window; the estimate agg runs on the <=256-row-per-window register relation",
+    "w9_interval_overlap": "interval overlap: bucketized range join — explode into span buckets, shuffled equi-join on (user, bucket), overlap + first-bucket residual gives exactly-once pairs with NO distinct pass",
 }
 
 
