@@ -3286,6 +3286,20 @@ def w9_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def t37_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document 3-gram novelty against the whole corpus
+    (operators/text.py:ngram_novelty): fraction of a doc's distinct
+    3-grams with corpus df == 1 — the cheap pre-dedup triage (high
+    novelty = original text; near-copies and boilerplate score ~0).
+    One persisted Arrow shingle pass; gram df is a map-side-combinable
+    groupBy(shingle); novelty is the keyed join-back. Oracle replays
+    the d5-style shingle SQL + df counts."""
+    from ftm_columnstore_spark.operators.text import ngram_novelty
+
+    d = _t(spark, sf_dir, "documents")
+    return ngram_novelty(d, n=3)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order matters: the driver's CORRECTNESS run covers the
     # first ~50 entries. Rotation discipline (VERDICT r4 item 1): every
@@ -3308,6 +3322,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "v18_vocab_divergence": v18_vocab_divergence,
         "st5_windowed_hll": st5_windowed_hll,
         "w9_interval_overlap": w9_interval_overlap,
+        "t37_ngram_novelty": t37_ngram_novelty,
         # --- r02-green spillover that missed the r05 window (pos 51-52 last round) ---
         "t6_hash_split": t6_hash_split,
         "t8_deterministic_shuffle": t8_deterministic_shuffle,
@@ -5160,6 +5175,33 @@ def oracle_sql() -> dict[str, str]:
             WHERE rn <= 2
         """,
         "st5_windowed_hll": _st5_oracle(p=8),
+        "t37_ngram_novelty": """
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                                 x -> x != '') AS t
+              FROM documents
+            ), sh AS (
+              SELECT doc_id,
+                     CASE WHEN len(t) <= 3 THEN [array_to_string(t, ' ')]
+                          ELSE list_distinct([array_to_string(t[i:i+2], ' ')
+                               for i in generate_series(1, len(t) - 2)])
+                     END AS s
+              FROM toks WHERE len(t) > 0
+            ), inv AS (
+              SELECT doc_id, unnest(s) AS shingle FROM sh
+            ), fr AS (
+              SELECT shingle, count(*) AS df FROM inv GROUP BY 1
+            )
+            SELECT i.doc_id AS id,
+                   count(*)::BIGINT AS n_grams,
+                   sum(CASE WHEN fr.df = 1 THEN 1 ELSE 0 END)::BIGINT
+                       AS n_novel,
+                   round(sum(CASE WHEN fr.df = 1 THEN 1 ELSE 0 END)::DOUBLE
+                         / count(*)::DOUBLE, 6) AS novelty
+            FROM inv i JOIN fr USING (shingle)
+            GROUP BY 1
+        """,
         "w9_interval_overlap": """
             WITH sp AS (
               SELECT event_id AS id, user_id, event_type,

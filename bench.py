@@ -122,6 +122,7 @@ HEADLINE = [
     "v18_vocab_divergence",
     "st5_windowed_hll",
     "w9_interval_overlap",
+    "t37_ngram_novelty",
 ]
 
 

@@ -1274,3 +1274,57 @@ def vocab_divergence(
         .orderBy(F.col("contrib").desc(), "token")
         .limit(int(top_n))
     )
+
+
+def ngram_novelty(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> DataFrame:
+    """Per-document n-gram novelty: the fraction of a doc's DISTINCT
+    word n-grams that appear in NO other document (corpus df == 1) —
+    high novelty marks original content, low novelty marks boilerplate
+    and near-copies BEFORE any pairwise dedup runs (the cheap triage
+    that decides whether d3/d5/d17 are worth their joins). Complements
+    d9 (within-doc repetition) and d8 (containment vs a benchmark):
+    this one is against the corpus itself.
+
+    Plan: one Arrow shingling pass persisted (two consumers — the
+    gram-frequency aggregation and the join back), gram df = one
+    map-side-combinable groupBy(shingle), novelty = per-doc agg over
+    the join — every shuffle keyed by gram or doc id, linear at any
+    corpus size.
+
+    Output: (id, n_grams, n_novel, novelty) — novelty = n_novel /
+    n_grams, one correctly-rounded division, 6 dp."""
+    from ftm_columnstore_spark.functions.text import shingle_rows
+
+    tall = (
+        shingle_rows(df, text_col, id_col, n)
+        .select("id", "shingle")
+        .persist()
+    )
+    freq = tall.groupBy("shingle").agg(
+        F.count(F.lit(1)).alias("__df")
+    )
+    out = (
+        tall.join(freq, on="shingle")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum((F.col("__df") == 1).cast("long")).alias("n_novel"),
+        )
+        .select(
+            "id",
+            "n_grams",
+            "n_novel",
+            F.round(
+                F.col("n_novel").cast("double")
+                / F.col("n_grams").cast("double"),
+                6,
+            ).alias("novelty"),
+        )
+    )
+    out._cached_intermediates = [tall]
+    return out

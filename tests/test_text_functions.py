@@ -771,3 +771,26 @@ def test_vocab_divergence_validation(spark):
         vocab_divergence(df, df, top_n=0)
     with pytest.raises(ValueError, match="alpha"):
         vocab_divergence(df, df, alpha=0.0)
+
+
+def test_ngram_novelty_hand_computed(spark):
+    from ftm_columnstore_spark.operators.text import ngram_novelty
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d"),       # grams: "a b c", "b c d"
+            (2, "a b c x"),       # grams: "a b c", "b c x"
+            (3, "z z z q q"),     # grams: "z z z", "z z q", "z q q"
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["id"]: (r["n_grams"], r["n_novel"], r["novelty"])
+        for r in ngram_novelty(df, n=3).collect()
+    }
+    # "a b c" is shared (df=2); everything else unique
+    assert got == {
+        1: (2, 1, 0.5),
+        2: (2, 1, 0.5),
+        3: (3, 3, 1.0),
+    }

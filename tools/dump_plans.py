@@ -52,6 +52,7 @@ PICKS = {
     "v18_vocab_divergence": "vocab divergence: one union groupBy(token) is the only corpus-sized shuffle; totals broadcast back as one row; top-20 is a TakeOrderedAndProject",
     "st5_windowed_hll": "windowed HLL: register build is ONE partial+final agg keyed (window, reg_idx) — streaming-legal, <=2^p state rows per window; the estimate agg runs on the <=256-row-per-window register relation",
     "w9_interval_overlap": "interval overlap: bucketized range join — explode into span buckets, shuffled equi-join on (user, bucket), overlap + first-bucket residual gives exactly-once pairs with NO distinct pass",
+    "t37_ngram_novelty": "n-gram novelty: persisted Arrow shingle pass (both consumers read cache); gram df is map-side-combinable; novelty = keyed join-back + per-doc agg — every shuffle keyed by gram or doc id",
 }
 
 
