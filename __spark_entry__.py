@@ -3304,11 +3304,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order matters: the driver's CORRECTNESS run covers the
     # first ~50 entries. Rotation discipline (VERDICT r4 item 1): every
     # key's staleness = rounds since its last green driver row. This
-    # round: the 7 NEW ops lead (never checked — they must green in
+    # round: the 11 NEW ops lead (never checked — they must green in
     # their first round), then t6/t8 (r02-green, missed the r05 window
     # at pos 51-52), then the r03-verified block (stalest, 47 keys) —
-    # 7+2+47 = 56, so the last six r03 keys (a26/t24/j19/m10/m11/j20)
-    # sit at pos 51-56 and lead r07's window. r04- then r05-verified
+    # 11+2+47 = 60, so the last ten r03 keys (a23...j20 in block order)
+    # sit at pos 51-60 and lead r07's window. r04- then r05-verified
     # blocks follow (freshest last). ROUND 7: rotate again — never-green
     # keys first, the pos-51+ spillover next, then the r04 block.
     return {

@@ -1290,11 +1290,13 @@ def ngram_novelty(
     d9 (within-doc repetition) and d8 (containment vs a benchmark):
     this one is against the corpus itself.
 
-    Plan: one Arrow shingling pass persisted (two consumers — the
-    gram-frequency aggregation and the join back), gram df = one
-    map-side-combinable groupBy(shingle), novelty = per-doc agg over
-    the join — every shuffle keyed by gram or doc id, linear at any
-    corpus size.
+    Plan — NO gram-relation join back (the first cut joined the 30M-row
+    gram relation against its own frequency aggregate and went
+    superlinear at the 500k-doc soak, 104s): a df==1 gram lives in
+    exactly ONE document, so its owner rides the frequency aggregation
+    itself as min(id). Two keyed aggregations over the persisted Arrow
+    shingle pass (one on gram, one on doc id) and a |docs|-row join —
+    nothing corpus-sized is ever joined. 104s → ~9s at the same soak.
 
     Output: (id, n_grams, n_novel, novelty) — novelty = n_novel /
     n_grams, one correctly-rounded division, 6 dp."""
@@ -1305,16 +1307,19 @@ def ngram_novelty(
         .select("id", "shingle")
         .persist()
     )
-    freq = tall.groupBy("shingle").agg(
-        F.count(F.lit(1)).alias("__df")
+    n_grams = tall.groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_grams")
+    )
+    novel = (
+        tall.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("__df"), F.min("id").alias("id"))
+        .where(F.col("__df") == 1)
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("n_novel"))
     )
     out = (
-        tall.join(freq, on="shingle")
-        .groupBy("id")
-        .agg(
-            F.count(F.lit(1)).alias("n_grams"),
-            F.sum((F.col("__df") == 1).cast("long")).alias("n_novel"),
-        )
+        n_grams.join(novel, on="id", how="left")
+        .withColumn("n_novel", F.coalesce(F.col("n_novel"), F.lit(0)))
         .select(
             "id",
             "n_grams",
