@@ -1826,15 +1826,20 @@ def containment_pairs(
     sizes = tall.groupBy("id").agg(F.count(F.lit(1)).alias("set_size"))
     joinable = tall
     if max_df is not None:
-        freq = tall.groupBy("shingle").agg(
-            F.count(F.lit(1)).alias("__df")
+        # guard as an ANTI-join against only the HOT shingles (df >
+        # max_df) — in natural corpora that set is tiny (boilerplate),
+        # so AQE broadcasts it and the guard is a map-side filter; the
+        # first cut inner-joined the full |vocab| frequency relation
+        # (a corpus-sized SMJ before the guard even applied). No
+        # forced broadcast: on adversarial inputs where most shingles
+        # are hot, AQE keeps it a shuffled join (the apply_bpe lesson).
+        hot = (
+            tall.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .where(F.col("__df") > max_df)
+            .select("shingle")
         )
-        joinable = (
-            tall.join(freq, on="shingle")
-            .where(F.col("__df") <= max_df)
-            .select("id", "shingle")
-            .persist()
-        )
+        joinable = tall.join(hot, on="shingle", how="left_anti").persist()
         cached.append(joinable)
     left = joinable.select(
         F.col("id").alias("left_id"), "shingle"
