@@ -3300,6 +3300,30 @@ def t37_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_novelty(d, n=3)
 
 
+def d18_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dup-cluster size distribution — the dedup observability number
+    ("is my corpus 2x-duplicated or 1000x-boilerplate?"): d16's
+    near-dup cluster labels → per-cluster sizes → the a27 log2
+    histogram (operators/sketches.py:log2_histogram). Composition of
+    two oracle-checked operators; everything past the cluster pass is
+    a |clusters|-row aggregation. Oracle composes the d16 recursive-CTE
+    cluster replay with the bin()-length bucket SQL."""
+    from ftm_columnstore_spark.operators.dedup import minhash_clusters
+    from ftm_columnstore_spark.operators.sketches import log2_histogram
+
+    clusters = minhash_clusters(
+        _t(spark, sf_dir, "documents"),
+        num_hashes=32,
+        num_bands=8,
+        threshold=0.5,
+        shingle_k=3,
+    )
+    sizes = clusters.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("size")
+    )
+    return log2_histogram(sizes, "size")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order matters: the driver's CORRECTNESS run covers the
     # first ~50 entries. Rotation discipline (VERDICT r4 item 1): every
@@ -3323,6 +3347,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "st5_windowed_hll": st5_windowed_hll,
         "w9_interval_overlap": w9_interval_overlap,
         "t37_ngram_novelty": t37_ngram_novelty,
+        "d18_cluster_size_histogram": d18_cluster_size_histogram,
         # --- r02-green spillover that missed the r05 window (pos 51-52 last round) ---
         "t6_hash_split": t6_hash_split,
         "t8_deterministic_shuffle": t8_deterministic_shuffle,
@@ -5175,6 +5200,17 @@ def oracle_sql() -> dict[str, str]:
             WHERE rn <= 2
         """,
         "st5_windowed_hll": _st5_oracle(p=8),
+        "d18_cluster_size_histogram": f"""
+            WITH clusters AS ({{D16}}),
+            sizes AS (
+              SELECT cluster_id, count(*) AS size
+              FROM clusters GROUP BY 1
+            )
+            SELECT CASE WHEN size < 0 THEN -1 WHEN size = 0 THEN 0
+                        ELSE length(bin(size)) END::INTEGER AS bucket,
+                   count(*) AS cnt
+            FROM sizes GROUP BY 1
+        """.replace("{D16}", _d16_oracle()),
         "t37_ngram_novelty": """
             WITH toks AS (
               SELECT doc_id,

@@ -123,6 +123,7 @@ HEADLINE = [
     "st5_windowed_hll",
     "w9_interval_overlap",
     "t37_ngram_novelty",
+    "d18_cluster_size_histogram",
 ]
 
 
