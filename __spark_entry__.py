@@ -3324,6 +3324,36 @@ def d18_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return log2_histogram(sizes, "size")
 
 
+def t38_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PMI-ranked adjacent-word collocations (operators/text.py:
+    pmi_collocations — Church & Hanks 1990): which bigrams are phrases,
+    not chance. One tokenize pass feeds unigram counts (explode) and
+    bigram counts (in-array adjacent-pair transform, no self-join);
+    the min_count floor runs BEFORE the marginal joins so they see
+    only surviving pairs; totals broadcast as one row; top-n is a
+    TakeOrderedAndProject by (pmi DESC, w1, w2). Oracle replays the
+    identical integer counts + one 12-dp-rounded ln per pair."""
+    from ftm_columnstore_spark.operators.text import pmi_collocations
+
+    return pmi_collocations(
+        _t(spark, sf_dir, "documents"), min_count=3, top_n=25
+    )
+
+
+def t39_idf_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document rare-word density (operators/text.py:idf_rarity):
+    occurrence-weighted mean token IDF — jargon-dense docs score high,
+    stopword soup scores ~0; the corpus-statistical quality signal
+    next to t21 (supervised NB) and t37 (n-gram novelty). Document
+    frequency is a distinct+groupBy(token); the vocabulary-sized IDF
+    relation joins back hash-keyed on token (NOT broadcast — web-scale
+    vocabularies are billions of rows). Per-token ln rounded 12 dp,
+    per-doc DECIMAL sum (the _dsum rule), one final 6-dp division."""
+    from ftm_columnstore_spark.operators.text import idf_rarity
+
+    return idf_rarity(_t(spark, sf_dir, "documents"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order matters: the driver's CORRECTNESS run covers the
     # first ~50 entries. Rotation discipline (VERDICT r4 item 1): every
@@ -3336,6 +3366,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # blocks follow (freshest last). ROUND 7: rotate again — never-green
     # keys first, the pos-51+ spillover next, then the r04 block.
     return {
+        # --- NEW in round 7 (never checked; must green in their first round) ---
+        "t38_pmi_collocations": t38_pmi_collocations,
+        "t39_idf_rarity": t39_idf_rarity,
         # --- NEW in round 6 (must green inside the window) ---
         "a27_log2_histogram": a27_log2_histogram,
         "a28_moments_profile": a28_moments_profile,
@@ -5069,6 +5102,54 @@ def _v17_oracle(k: int = 512) -> str:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "t38_pmi_collocations": """
+            WITH d AS (
+              SELECT list_filter(string_split_regex(lower(text),
+                         '[^a-z0-9]+'), x -> x <> '') AS l
+              FROM documents WHERE text IS NOT NULL
+            ), uni AS (
+              SELECT token, count(*) AS cnt_t
+              FROM (SELECT unnest(l) AS token FROM d) GROUP BY token
+            ), big AS (
+              SELECT w1, w2, count(*) AS cnt FROM (
+                SELECT l[i] AS w1, l[i + 1] AS w2
+                FROM d, unnest(range(1, len(l))) AS t(i)
+              ) GROUP BY w1, w2 HAVING count(*) >= 3
+            ), tot AS (
+              SELECT (SELECT sum(cnt_t) FROM uni) AS n_uni,
+                     (SELECT sum(cnt) FROM big) AS n_big
+            )
+            SELECT w1, w2, cnt,
+                   round(ln(cnt::DOUBLE * n_uni::DOUBLE * n_uni::DOUBLE
+                            / (n_big::DOUBLE * c1.cnt_t::DOUBLE
+                               * c2.cnt_t::DOUBLE)), 12) AS pmi
+            FROM big
+            JOIN uni c1 ON big.w1 = c1.token
+            JOIN uni c2 ON big.w2 = c2.token, tot
+            ORDER BY pmi DESC, w1, w2 LIMIT 25
+        """,
+        "t39_idf_rarity": """
+            WITH tall AS (
+              SELECT doc_id AS id, unnest(list_filter(
+                         string_split_regex(lower(text), '[^a-z0-9]+'),
+                         x -> x <> '')) AS token
+              FROM documents WHERE text IS NOT NULL
+            ), nd AS (
+              SELECT count(DISTINCT doc_id) AS n_docs
+              FROM documents WHERE text IS NOT NULL
+            ), idf AS (
+              SELECT token,
+                     round(ln(n_docs::DOUBLE
+                              / count(DISTINCT id)::DOUBLE),
+                           12)::DECIMAL(28,12) AS i
+              FROM tall, nd GROUP BY token, n_docs
+            )
+            SELECT id, count(*) AS n_tokens,
+                   round(sum(i)::DOUBLE / count(*)::DOUBLE, 6)
+                       AS idf_rarity
+            FROM tall JOIN idf USING (token)
+            GROUP BY id
+        """,
         "a27_log2_histogram": """
             WITH h AS (
               SELECT lang,

@@ -124,6 +124,8 @@ HEADLINE = [
     "w9_interval_overlap",
     "t37_ngram_novelty",
     "d18_cluster_size_histogram",
+    "t38_pmi_collocations",
+    "t39_idf_rarity",
 ]
 
 

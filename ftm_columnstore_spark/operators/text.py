@@ -1333,3 +1333,165 @@ def ngram_novelty(
     )
     out._cached_intermediates = [tall]
     return out
+
+
+def pmi_collocations(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_count: int = 5,
+    top_n: int = 20,
+) -> DataFrame:
+    """Top collocations (adjacent word pairs) ranked by pointwise
+    mutual information (Church & Hanks 1990) — the classic "which
+    bigrams are phrases, not chance" signal used to build tokenizer
+    merge seeds and phrase tables.
+
+    pmi(x,y) = ln( p(x,y) / (p(x)·p(y)) )
+             = ln( c_xy · N_uni² / (N_big · c_x · c_y) )
+    with counts over the whole corpus and a ``min_count`` floor on
+    c_xy (PMI is notoriously noisy on rare pairs; the floor is the
+    standard fix and it also bounds the marginal join to surviving
+    pairs only).
+
+    Plan: ONE tokenize pass feeds both relations — unigram counts via
+    explode+groupBy(token), bigram counts via an in-array adjacent-pair
+    transform (no self-join; the pair is built inside the row). The
+    min_count filter runs BEFORE the marginal joins, so at web scale
+    the two keyed joins see only the surviving-pair relation, not the
+    corpus. Totals reduce the count relations and ride a broadcast
+    1-row crossJoin. top_n is a TakeOrderedAndProject over the strict
+    total order (pmi DESC, w1, w2). Determinism: all counts are exact
+    integers; the single ln per surviving pair is rounded to 12 dp
+    (the t32/zipf libm rule).
+
+    Output: (w1, w2, cnt, pmi) — top_n rows."""
+    if min_count < 1:
+        raise ValueError(f"min_count must be >= 1, got {min_count}")
+    if top_n < 1:
+        raise ValueError(f"top_n must be >= 1, got {top_n}")
+    toks = df.where(F.col(text_col).isNotNull()).select(
+        word_tokens_col(text_col).alias("__t")
+    )
+    uni = (
+        toks.select(F.explode("__t").alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt_t"))
+    )
+    # Adjacent pairs built inside the row: element i pairs with i+1.
+    pairs_col = F.when(
+        F.size("__t") >= 2,
+        F.transform(
+            F.slice(F.col("__t"), 1, F.size("__t") - 1),
+            lambda x, i: F.struct(
+                x.alias("w1"),
+                F.element_at(F.col("__t"), i + 2).alias("w2"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    big = (
+        toks.select(F.explode(pairs_col).alias("p"))
+        .select("p.w1", "p.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .where(F.col("cnt") >= int(min_count))
+    )
+    totals = uni.agg(F.sum("cnt_t").alias("n_uni")).crossJoin(
+        big.agg(F.sum("cnt").alias("n_big"))
+    )
+    u1 = uni.select(F.col("token").alias("w1"), F.col("cnt_t").alias("c1"))
+    u2 = uni.select(F.col("token").alias("w2"), F.col("cnt_t").alias("c2"))
+    j = (
+        big.join(u1, on="w1")
+        .join(u2, on="w2")
+        .crossJoin(F.broadcast(totals))
+    )
+    ratio = (
+        F.col("cnt").cast("double")
+        * F.col("n_uni").cast("double")
+        * F.col("n_uni").cast("double")
+    ) / (
+        F.col("n_big").cast("double")
+        * F.col("c1").cast("double")
+        * F.col("c2").cast("double")
+    )
+    return (
+        j.select(
+            "w1", "w2", "cnt", F.round(F.log(ratio), 12).alias("pmi")
+        )
+        .orderBy(F.col("pmi").desc(), "w1", "w2")
+        .limit(int(top_n))
+    )
+
+
+def idf_rarity(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document rare-word density: the occurrence-weighted mean
+    IDF of a document's tokens (idf = ln(N/df), document frequency) —
+    high scores mark jargon-dense / entity-rich text, scores near
+    ln(N/N)=0 mark stopword soup; the quality signal that complements
+    t21's NB classifier (supervised) and t37's novelty (n-gram level)
+    with a corpus-statistical one.
+
+    Plan: one tokenize pass → tall (id, token); document frequency is
+    a distinct+groupBy(token) (map-side combinable); the IDF relation
+    (vocabulary-sized, NOT broadcast — 100 TB vocabularies are
+    billions of rows) joins back to the tall relation hash-keyed on
+    token. Stopword keys are hot in that join; if a corpus is
+    pathological, route through functions/skew.py:skew_hybrid_join —
+    the default hash join is fine under Zipf because hot keys are few
+    and AQE splits oversized partitions. Determinism: per-token
+    ln(N/df) rounded to 12 dp, per-doc sum as DECIMAL(28,12)
+    (partition-order-independent), one final division rounded 6 dp.
+
+    Output: (id, n_tokens, idf_rarity)."""
+    tall = (
+        df.where(F.col(text_col).isNotNull())
+        .select(
+            F.col(id_col).alias("id"),
+            F.explode(word_tokens_col(text_col)).alias("token"),
+        )
+        .persist()
+    )
+    n_docs = df.where(F.col(text_col).isNotNull()).select(
+        F.countDistinct(id_col).alias("n_docs")
+    )
+    dfreq = (
+        tall.select("id", "token")
+        .distinct()
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("__df"))
+    )
+    idf = dfreq.crossJoin(F.broadcast(n_docs)).select(
+        "token",
+        F.round(
+            F.log(
+                F.col("n_docs").cast("double") / F.col("__df").cast("double")
+            ),
+            12,
+        )
+        .cast("decimal(28,12)")
+        .alias("__idf"),
+    )
+    out = (
+        tall.join(idf, on="token")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("__idf").alias("__s"),
+        )
+        .select(
+            "id",
+            "n_tokens",
+            F.round(
+                F.col("__s").cast("double")
+                / F.col("n_tokens").cast("double"),
+                6,
+            ).alias("idf_rarity"),
+        )
+    )
+    out._cached_intermediates = [tall]
+    return out

@@ -794,3 +794,101 @@ def test_ngram_novelty_hand_computed(spark):
         2: (2, 1, 0.5),
         3: (3, 3, 1.0),
     }
+
+
+def test_pmi_collocations_hand_computed(spark):
+    import math
+
+    from ftm_columnstore_spark.operators.text import pmi_collocations
+
+    # corpus: "a b a b" and "a b c" -> bigrams: (a,b)x3, (b,a)x1, (b,c)x1
+    # unigrams: a=3, b=3, c=1; N_uni=7, N_big(min_count=2)=3
+    df = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b c")], "doc_id long, text string"
+    )
+    rows = pmi_collocations(df, min_count=2, top_n=10).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["w1"], r["w2"], r["cnt"]) == ("a", "b", 3)
+    assert r["pmi"] == round(math.log(3 * 49 / (3 * 3 * 3)), 12)
+
+
+def test_pmi_collocations_min_count_and_order(spark):
+    from ftm_columnstore_spark.operators.text import pmi_collocations
+
+    df = spark.createDataFrame(
+        [(1, "x y x y q r"), (2, "q r s t")], "doc_id long, text string"
+    )
+    rows = pmi_collocations(df, min_count=2, top_n=10).collect()
+    got = [(r["w1"], r["w2"], r["cnt"]) for r in rows]
+    # surviving pairs: (x,y) cnt=2, (q,r) cnt=2; rarer marginals rank higher
+    assert set(got) == {("x", "y", 2), ("q", "r", 2)}
+    pmis = [r["pmi"] for r in rows]
+    assert pmis == sorted(pmis, reverse=True)
+
+
+def test_pmi_collocations_single_token_docs_ignored(spark):
+    from ftm_columnstore_spark.operators.text import pmi_collocations
+
+    df = spark.createDataFrame(
+        [(1, "solo"), (2, None), (3, "a b"), (4, "a b")],
+        "doc_id long, text string",
+    )
+    rows = pmi_collocations(df, min_count=2, top_n=5).collect()
+    assert [(r["w1"], r["w2"], r["cnt"]) for r in rows] == [("a", "b", 2)]
+
+
+def test_pmi_collocations_validation(spark):
+    import pytest
+
+    from ftm_columnstore_spark.operators.text import pmi_collocations
+
+    df = spark.createDataFrame([(1, "x y")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="min_count"):
+        pmi_collocations(df, min_count=0)
+    with pytest.raises(ValueError, match="top_n"):
+        pmi_collocations(df, top_n=0)
+
+
+def test_idf_rarity_hand_computed(spark):
+    import math
+    from decimal import Decimal
+
+    from ftm_columnstore_spark.operators.text import idf_rarity
+
+    # N=3 docs. df: a=3, b=2, z=1.
+    df = spark.createDataFrame(
+        [(1, "a b"), (2, "a b z z"), (3, "a")],
+        "doc_id long, text string",
+    )
+    got = {
+        r["id"]: (r["n_tokens"], r["idf_rarity"])
+        for r in idf_rarity(df).collect()
+    }
+    idf = {
+        "a": Decimal(str(round(math.log(3 / 3), 12))),
+        "b": Decimal(str(round(math.log(3 / 2), 12))),
+        "z": Decimal(str(round(math.log(3 / 1), 12))),
+    }
+
+    def mean(toks):
+        return round(float(sum(idf[t] for t in toks)) / len(toks), 6)
+
+    assert got == {
+        1: (2, mean("ab")),
+        2: (4, mean("abzz")),
+        3: (1, mean("a")),
+    }
+
+
+def test_idf_rarity_null_text_skipped(spark):
+    from ftm_columnstore_spark.operators.text import idf_rarity
+
+    df = spark.createDataFrame(
+        [(1, "only doc"), (2, None)], "doc_id long, text string"
+    )
+    rows = idf_rarity(df).collect()
+    # single non-null doc: every token has df=1=N -> idf 0
+    assert [(r["id"], r["n_tokens"], r["idf_rarity"]) for r in rows] == [
+        (1, 2, 0.0)
+    ]
