@@ -3354,6 +3354,21 @@ def t39_idf_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return idf_rarity(_t(spark, sf_dir, "documents"))
 
 
+def j21_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic label-propagation communities (operators/graph.py:
+    label_propagation — Raghavan et al. 2007, min-label tie-break) over
+    the part co-purchase graph of one order month: the frequency-based
+    community split that CC (d7) can't give on a connected graph. Three
+    synchronous rounds, one shuffle pair per round, integer votes
+    throughout; the oracle unrolls the identical three rounds as
+    chained CTEs with a row_number argmax (the j16 discipline)."""
+    from ftm_columnstore_spark.operators.graph import label_propagation
+
+    return label_propagation(
+        _copurchase_edges(spark, sf_dir), iterations=3
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order matters: the driver's CORRECTNESS run covers the
     # first ~50 entries. Rotation discipline (VERDICT r4 item 1): every
@@ -3369,6 +3384,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- NEW in round 7 (never checked; must green in their first round) ---
         "t38_pmi_collocations": t38_pmi_collocations,
         "t39_idf_rarity": t39_idf_rarity,
+        "j21_label_propagation": j21_label_propagation,
         # --- NEW in round 6 (must green inside the window) ---
         "a27_log2_histogram": a27_log2_histogram,
         "a28_moments_profile": a28_moments_profile,
@@ -4337,6 +4353,52 @@ def _j16_oracle(iterations: int = 3, damping: float = 0.85) -> str:
     """
 
 
+def _j21_oracle(iterations: int = 3) -> str:
+    """DuckDB oracle for fixed-round deterministic label propagation
+    (mirrors operators/graph.py:label_propagation over the j17/j20
+    co-purchase edges): rounds unrolled as chained CTEs; the per-node
+    argmax replays min(struct(-cnt, label)) as a row_number over
+    (cnt DESC, label)."""
+    its = []
+    prev = "l0"
+    for i in range(1, iterations + 1):
+        its.append(f"""v{i} AS (
+            SELECT eu.src AS id, l.label, count(*) AS cnt
+            FROM eu JOIN {prev} l ON eu.dst = l.id GROUP BY 1, 2
+        ), b{i} AS (
+            SELECT id, label AS new FROM (
+                SELECT id, label,
+                       row_number() OVER (PARTITION BY id
+                                          ORDER BY cnt DESC, label) AS rn
+                FROM v{i}) WHERE rn = 1
+        ), l{i} AS (
+            SELECT p.id, coalesce(b.new, p.label) AS label
+            FROM {prev} p LEFT JOIN b{i} b USING (id)
+        )""")
+        prev = f"l{i}"
+    chain = ",\n        ".join(its)
+    return f"""
+        WITH items AS (
+            SELECT DISTINCT o.o_orderkey AS ok, l.l_partkey AS p
+            FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+            WHERE o.o_orderdate BETWEEN DATE '1995-03-01'
+                                    AND DATE '1995-03-31'
+        ), e AS (
+            SELECT DISTINCT a.p AS src, b.p AS dst
+            FROM items a JOIN items b ON a.ok = b.ok AND a.p < b.p
+        ), eu AS (
+            SELECT DISTINCT src, dst FROM (
+                SELECT src, dst FROM e
+                UNION ALL SELECT dst, src FROM e)
+            WHERE src <> dst
+        ), l0 AS (
+            SELECT DISTINCT src AS id, src AS label FROM eu
+        ),
+        {chain}
+        SELECT id, label FROM {prev}
+    """
+
+
 def _v9_oracle(
     n_centroids: int = 16,
     threshold: float = 0.3,
@@ -5102,6 +5164,7 @@ def _v17_oracle(k: int = 512) -> str:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "j21_label_propagation": _j21_oracle(iterations=3),
         "t38_pmi_collocations": """
             WITH d AS (
               SELECT list_filter(string_split_regex(lower(text),

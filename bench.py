@@ -126,6 +126,7 @@ HEADLINE = [
     "d18_cluster_size_histogram",
     "t38_pmi_collocations",
     "t39_idf_rarity",
+    "j21_label_propagation",
 ]
 
 

@@ -198,6 +198,83 @@ def pagerank(
     return ranks
 
 
+def label_propagation(
+    edges: DataFrame,
+    iterations: int = 3,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Fixed-round synchronous label propagation (Raghavan et al. 2007)
+    over an undirected simple graph — community detection for "which
+    entities trade in the same cluster", the frequency-based complement
+    of connected components (CC merges everything reachable; LPA splits
+    a connected graph into densely-linked communities).
+
+    Semantics: every node starts labeled with its own id; each round,
+    every node SIMULTANEOUSLY adopts the most frequent label among its
+    neighbors, ties broken by the smallest label (the deterministic
+    variant — classic LPA breaks ties randomly, which would be neither
+    reproducible nor oracle-checkable). Isolated nodes (none here by
+    construction; edges define the node set) and nodes whose neighbor
+    votes are empty keep their label. Fixed ``iterations`` rather than
+    convergence keeps rounds deterministic and lets a SQL oracle unroll
+    them (the pagerank/j16 discipline); synchronous LPA can oscillate
+    on bipartite-ish structures, so callers pick small odd/even round
+    counts to compare — the operator never hides that behind a hidden
+    stopping rule.
+
+    Scale shape: the input is symmetrized and deduplicated once
+    (multi-edges would double-count votes), checkpointed, and reused
+    every round. A round is ONE shuffle pair: join labels to edges on
+    the neighbor side, groupBy(node, label) count (map-side
+    combinable), then per-node argmax via min(struct(-cnt, label)) —
+    an aggregation, NOT a row_number window, so no per-node sort.
+    Per-round ``localCheckpoint(eager=True)`` cuts lineage (the
+    pagerank pattern). All arithmetic is integer counts — bit-exact
+    everywhere.
+
+    Returns (id, label) for every node appearing as src or dst."""
+    if iterations < 1:
+        raise ValueError(f"iterations must be >= 1, got {iterations}")
+    src, dst = F.col(src_col), F.col(dst_col)
+    e = edges.select(src.alias("src"), dst.alias("dst"))
+    eu = (
+        e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        eu.select(F.col("src").alias("id")).distinct().withColumn(
+            "label", F.col("id")
+        )
+    )
+    for _ in range(iterations):
+        votes = (
+            eu.join(labels, eu.dst == labels.id)
+            .groupBy(eu.src, F.col("label"))
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .groupBy("src")
+            .agg(
+                F.min(
+                    F.struct(
+                        (-F.col("cnt")).alias("nc"),
+                        F.col("label").alias("l"),
+                    )
+                ).alias("best")
+            )
+            .select(F.col("src").alias("id"), F.col("best.l").alias("new"))
+        )
+        labels = (
+            labels.join(votes, on="id", how="left")
+            .select(
+                "id", F.coalesce("new", "label").alias("label")
+            )
+            .localCheckpoint(eager=True)
+        )
+    return labels
+
+
 def triangle_count(
     edges: DataFrame, src_col: str = "src", dst_col: str = "dst"
 ) -> DataFrame:

@@ -169,3 +169,43 @@ def test_k_core_known_graph(spark):
 
     with _pytest.raises(ValueError, match="k must"):
         k_core(df, 0)
+
+
+def test_label_propagation_two_communities(spark):
+    from ftm_columnstore_spark.operators.graph import label_propagation
+
+    # two triangles joined by one bridge edge: LPA splits them, CC wouldn't
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (4, 5), (4, 6), (5, 6), (3, 4)],
+        "src long, dst long",
+    )
+    got = {
+        r["id"]: r["label"]
+        for r in label_propagation(edges, iterations=3).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 3, 5: 3, 6: 3}
+
+
+def test_label_propagation_multi_edges_and_self_loops(spark):
+    from ftm_columnstore_spark.operators.graph import label_propagation
+
+    # duplicate + reversed edges collapse to one vote; self-loop dropped
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 1), (1, 2), (2, 2)], "src long, dst long"
+    )
+    got = {
+        r["id"]: r["label"]
+        for r in label_propagation(edges, iterations=2).collect()
+    }
+    # round 1: 1<-label(2)=2, 2<-label(1)=1; round 2: swap back
+    assert got == {1: 1, 2: 2}
+
+
+def test_label_propagation_validation(spark):
+    import pytest
+
+    from ftm_columnstore_spark.operators.graph import label_propagation
+
+    edges = spark.createDataFrame([(1, 2)], "src long, dst long")
+    with pytest.raises(ValueError, match="iterations"):
+        label_propagation(edges, iterations=0)
