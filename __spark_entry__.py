@@ -3369,6 +3369,43 @@ def j21_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def st6_windowed_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming hot-key tracking: per-hour heavy event types from
+    Count-Min cell state (streaming/windows.py:windowed_cms_counts —
+    ONE streaming-legal additive aggregation, ≤ d·w rows of state per
+    window, watermark-evictable; the frequency counterpart of st5's
+    windowed HLL). The heavy-hitter read-off
+    (cms_heavy_hitters_from_windowed) is the batch pass Structured
+    Streaming's one-aggregation rule forbids chaining — candidates
+    probe their window's cells, est = min over d rows, CMS never
+    underestimates. Same plan runs here as a batch agg (the st1
+    pattern); the true readStream form runs in test_streaming. Oracle
+    replays the a23 integer md5 cell math grouped by the hour."""
+    from ftm_columnstore_spark.streaming.windows import (
+        cms_heavy_hitters_from_windowed,
+        windowed_cms_counts,
+    )
+
+    e = _events(spark, sf_dir)
+    cms = windowed_cms_counts(
+        e, "event_type", "1 hour", d=4, w=256, watermark=None
+    )
+    keys = (
+        e.where(F.col("event_type").isNotNull())
+        .select(
+            F.date_format(
+                F.window(F.col("ts"), "1 hour").start,
+                "yyyy-MM-dd HH:mm:ss",
+            ).alias("window_start"),
+            "event_type",
+        )
+        .distinct()
+    )
+    return cms_heavy_hitters_from_windowed(
+        cms, keys, "event_type", threshold=5, d=4, w=256
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order matters: the driver's CORRECTNESS run covers the
     # first ~50 entries. Rotation discipline (VERDICT r4 item 1): every
@@ -3385,6 +3422,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t38_pmi_collocations": t38_pmi_collocations,
         "t39_idf_rarity": t39_idf_rarity,
         "j21_label_propagation": j21_label_propagation,
+        "st6_windowed_cms": st6_windowed_cms,
         # --- NEW in round 6 (must green inside the window) ---
         "a27_log2_histogram": a27_log2_histogram,
         "a28_moments_profile": a28_moments_profile,
@@ -4399,6 +4437,43 @@ def _j21_oracle(iterations: int = 3) -> str:
     """
 
 
+def _st6_oracle(d: int = 4, w: int = 256, threshold: int = 5) -> str:
+    """Windowed-CMS replay: the _a23_oracle cell math with the
+    hour-truncated event time as an extra group key (F.window 1-hour
+    starts = date_trunc('hour'), both epoch-aligned — the st5 rule)."""
+    return f"""
+        WITH ev AS (
+          SELECT strftime(date_trunc('hour', ts),
+                          '%Y-%m-%d %H:%M:%S') AS g, event_type
+          FROM events WHERE event_type IS NOT NULL
+        ), cells AS (
+          SELECT g, j.range AS j,
+                 ('0x'||substr(md5(CAST(j.range AS VARCHAR)||'|'
+                                   ||event_type), 1,15))::BIGINT % {w}
+                     AS cell
+          FROM ev, range({d}) j
+        ), cms AS (
+          SELECT g, j, cell, count(*) AS cnt FROM cells GROUP BY g, j, cell
+        ), keys AS (
+          SELECT DISTINCT g, event_type FROM ev
+        ), probes AS (
+          SELECT g, event_type, j.range AS j,
+                 ('0x'||substr(md5(CAST(j.range AS VARCHAR)||'|'
+                                   ||event_type), 1,15))::BIGINT % {w}
+                     AS cell
+          FROM keys, range({d}) j
+        ), est AS (
+          SELECT p.g, p.event_type,
+                 min(coalesce(cms.cnt, 0)) AS est_count
+          FROM probes p LEFT JOIN cms
+            ON p.g = cms.g AND p.j = cms.j AND p.cell = cms.cell
+          GROUP BY p.g, p.event_type
+        )
+        SELECT g AS window_start, event_type, est_count
+        FROM est WHERE est_count >= {threshold}
+    """
+
+
 def _v9_oracle(
     n_centroids: int = 16,
     threshold: float = 0.3,
@@ -5165,6 +5240,7 @@ def _v17_oracle(k: int = 512) -> str:
 def oracle_sql() -> dict[str, str]:
     return {
         "j21_label_propagation": _j21_oracle(iterations=3),
+        "st6_windowed_cms": _st6_oracle(d=4, w=256, threshold=5),
         "t38_pmi_collocations": """
             WITH d AS (
               SELECT list_filter(string_split_regex(lower(text),

@@ -127,6 +127,7 @@ HEADLINE = [
     "t38_pmi_collocations",
     "t39_idf_rarity",
     "j21_label_propagation",
+    "st6_windowed_cms",
 ]
 
 

@@ -196,3 +196,122 @@ def hll_estimate_from_windowed_registers(
     return hll_estimate_from_registers(
         merged, p=p, group_by=["window_start"]
     )
+
+
+def windowed_cms_counts(
+    events: DataFrame,
+    col: str = "user_id",
+    window_duration: str = "1 hour",
+    ts_col: str = "ts",
+    d: int = 4,
+    w: int = 1024,
+    watermark: str | None = "1 hour",
+) -> DataFrame:
+    """Per-window Count-Min cell counts — streaming frequency tracking
+    with BOUNDED state (≤ d·w rows per window, vs the key space for an
+    exact per-key count): the "which keys are hot this hour" problem
+    over an unbounded stream, CMS counterpart of
+    :func:`windowed_hll_registers` (distinct) built on the same a23
+    sketch machinery (operators/sketches.py:cms_build cell layout, so
+    batch and windowed sketches with the same (d, w) merge cell-for-
+    cell via cms_merge after a window_start tag).
+
+    ONE streaming aggregation (cell counts are additive — update mode
+    emits monotone partials, the watermark evicts closed windows).
+    Chaining the heavy-hitter read-off onto the same query would be a
+    second aggregation, which Structured Streaming forbids — emit the
+    CELL relation, persist it per window/shard, and read estimates off
+    with :func:`cms_heavy_hitters_from_windowed` (batch or
+    foreachBatch). On a batch frame the identical plan runs as a
+    normal agg.
+
+    Output: (window_start string, j, cell, cnt)."""
+    from ftm_columnstore_spark.operators.sketches import _cms_cell
+
+    if d < 1 or w < 1:
+        raise ValueError(f"d and w must be >= 1, got d={d}, w={w}")
+    df = _with_watermark(events, ts_col, watermark)
+    c = F.col(col)
+    win = df.where(c.isNotNull()).select(
+        F.window(F.col(ts_col), window_duration).alias("__win"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("j"),
+                        _cms_cell(c, j, w).alias("cell"),
+                    )
+                    for j in range(d)
+                ]
+            )
+        ).alias("e"),
+    )
+    return (
+        win.groupBy(
+            F.date_format(F.col("__win.start"), "yyyy-MM-dd HH:mm:ss").alias(
+                "window_start"
+            ),
+            F.col("e.j").alias("j"),
+            F.col("e.cell").alias("cell"),
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def cms_heavy_hitters_from_windowed(
+    cms: DataFrame,
+    keys: DataFrame,
+    col: str,
+    threshold: int,
+    d: int = 4,
+    w: int = 1024,
+) -> DataFrame:
+    """Batch read-off for :func:`windowed_cms_counts` output: probe
+    candidate ``keys`` (window_start, col) against their window's
+    cells; est = min over the d probed rows (never under the true
+    count — Cormode-Muthukrishnan); keep keys with est ≥ threshold (a
+    superset of the true per-window heavy hitters, no false
+    negatives). Cell relations from several runs/shards merge first
+    (per-cell sum — counts are linear, exactly what the groupBy here
+    does on a unioned input).
+
+    The probe join is keyed on (window_start, j, cell) — the sketch
+    side is ≤ d·w rows PER WINDOW, so for a bounded window count it
+    broadcasts; candidate keys stream through map-side.
+
+    Output: (window_start, col, est_count) filtered to est ≥
+    threshold."""
+    from ftm_columnstore_spark.operators.sketches import _cms_cell
+
+    if threshold < 1:
+        raise ValueError(f"threshold must be >= 1, got {threshold}")
+    merged = cms.groupBy("window_start", "j", "cell").agg(
+        F.sum("cnt").alias("cnt")
+    )
+    c = F.col(col)
+    probes = keys.where(c.isNotNull()).select(
+        "window_start",
+        c,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("j"),
+                        _cms_cell(c, j, w).alias("cell"),
+                    )
+                    for j in range(d)
+                ]
+            )
+        ).alias("e"),
+    ).select(
+        "window_start", col, F.col("e.j").alias("j"),
+        F.col("e.cell").alias("cell"),
+    )
+    return (
+        probes.join(
+            F.broadcast(merged), on=["window_start", "j", "cell"], how="left"
+        )
+        .groupBy("window_start", col)
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est_count"))
+        .filter(F.col("est_count") >= threshold)
+    )

@@ -739,3 +739,145 @@ def test_windowed_hll_stream_matches_batch(spark, tmp_path):
     # linear-counting regime at this cardinality -> estimates exact
     assert got["2024-01-01 10:00:00"] == 6
     assert got["2024-01-01 11:00:00"] == 1
+
+
+def test_windowed_cms_stream_matches_batch_and_exact(spark, tmp_path):
+    """Per-window CMS cells as a REAL stream (file source, complete
+    mode): the materialized cell state read off with the batch
+    heavy-hitter probe equals the batch-mode result AND the exact
+    per-window counts (w=256 >> 3 keys, so no cell collisions)."""
+    import json as _json
+
+    from ftm_columnstore_spark.streaming.windows import (
+        cms_heavy_hitters_from_windowed,
+        windowed_cms_counts,
+    )
+
+    src = tmp_path / "cms_ev"
+    src.mkdir()
+    # hour 10: click x5, view x3, buy x1; hour 11: view x4
+    rows = (
+        [{"event_id": i, "ts": f"2024-01-01T10:{i:02d}:00.000Z",
+          "user_id": 1, "event_type": "click", "value": 1.0}
+         for i in range(5)]
+        + [{"event_id": 10 + i, "ts": f"2024-01-01T10:{30 + i:02d}:00.000Z",
+            "user_id": 1, "event_type": "view", "value": 1.0}
+           for i in range(3)]
+        + [{"event_id": 20, "ts": "2024-01-01T10:45:00.000Z",
+            "user_id": 1, "event_type": "buy", "value": 1.0}]
+        + [{"event_id": 30 + i, "ts": f"2024-01-01T11:{i:02d}:00.000Z",
+            "user_id": 1, "event_type": "view", "value": 1.0}
+           for i in range(4)]
+    )
+    (src / "p1.json").write_text("\n".join(_json.dumps(r) for r in rows))
+    schema = (
+        "event_id LONG, ts TIMESTAMP, user_id LONG, "
+        "event_type STRING, value DOUBLE"
+    )
+    stream = spark.readStream.schema(schema).json(str(src))
+    cells = windowed_cms_counts(
+        stream, "event_type", "1 hour", d=4, w=256
+    )
+    q = (
+        cells.writeStream.format("memory")
+        .queryName("cms_cells")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    batch = spark.read.schema(schema).json(str(src))
+    keys = batch.selectExpr(
+        "date_format(window(ts, '1 hour').start, "
+        "'yyyy-MM-dd HH:mm:ss') AS window_start",
+        "event_type",
+    ).distinct()
+    streamed = {
+        (r["window_start"], r["event_type"]): r["est_count"]
+        for r in cms_heavy_hitters_from_windowed(
+            spark.table("cms_cells"), keys, "event_type",
+            threshold=3, d=4, w=256,
+        ).collect()
+    }
+    batched = {
+        (r["window_start"], r["event_type"]): r["est_count"]
+        for r in cms_heavy_hitters_from_windowed(
+            windowed_cms_counts(
+                batch, "event_type", "1 hour", d=4, w=256, watermark=None
+            ),
+            keys, "event_type", threshold=3, d=4, w=256,
+        ).collect()
+    }
+    assert streamed == batched
+    assert streamed == {
+        ("2024-01-01 10:00:00", "click"): 5,
+        ("2024-01-01 10:00:00", "view"): 3,
+        ("2024-01-01 11:00:00", "view"): 4,
+    }
+
+
+def test_windowed_cms_merge_across_shards(spark):
+    """Cell relations from two shards merge losslessly: probing the
+    merged state equals probing the single-pass state on the union."""
+    from ftm_columnstore_spark.streaming.windows import (
+        cms_heavy_hitters_from_windowed,
+        windowed_cms_counts,
+    )
+
+    schema = "ts TIMESTAMP, event_type STRING"
+    a = spark.createDataFrame(
+        [("2024-01-01 10:01:00", "x")] * 3 + [("2024-01-01 10:02:00", "y")],
+        "ts STRING, event_type STRING",
+    ).selectExpr("CAST(ts AS TIMESTAMP) ts", "event_type")
+    b = spark.createDataFrame(
+        [("2024-01-01 10:03:00", "x")] * 2,
+        "ts STRING, event_type STRING",
+    ).selectExpr("CAST(ts AS TIMESTAMP) ts", "event_type")
+    del schema
+    ca = windowed_cms_counts(a, "event_type", "1 hour", d=2, w=64,
+                             watermark=None)
+    cb = windowed_cms_counts(b, "event_type", "1 hour", d=2, w=64,
+                             watermark=None)
+    u = windowed_cms_counts(a.unionByName(b), "event_type", "1 hour",
+                            d=2, w=64, watermark=None)
+    keys = spark.createDataFrame(
+        [("2024-01-01 10:00:00", "x"), ("2024-01-01 10:00:00", "y")],
+        "window_start STRING, event_type STRING",
+    )
+    merged = {
+        (r["window_start"], r["event_type"]): r["est_count"]
+        for r in cms_heavy_hitters_from_windowed(
+            ca.unionByName(cb), keys, "event_type", threshold=1, d=2, w=64
+        ).collect()
+    }
+    single = {
+        (r["window_start"], r["event_type"]): r["est_count"]
+        for r in cms_heavy_hitters_from_windowed(
+            u, keys, "event_type", threshold=1, d=2, w=64
+        ).collect()
+    }
+    assert merged == single == {
+        ("2024-01-01 10:00:00", "x"): 5,
+        ("2024-01-01 10:00:00", "y"): 1,
+    }
+
+
+def test_windowed_cms_validation(spark):
+    import pytest
+
+    from ftm_columnstore_spark.streaming.windows import (
+        cms_heavy_hitters_from_windowed,
+        windowed_cms_counts,
+    )
+
+    df = spark.createDataFrame(
+        [("2024-01-01 10:00:00", "x")], "ts STRING, event_type STRING"
+    ).selectExpr("CAST(ts AS TIMESTAMP) ts", "event_type")
+    with pytest.raises(ValueError, match="d and w"):
+        windowed_cms_counts(df, "event_type", d=0, watermark=None)
+    cells = windowed_cms_counts(df, "event_type", watermark=None)
+    with pytest.raises(ValueError, match="threshold"):
+        cms_heavy_hitters_from_windowed(
+            cells, df.selectExpr("'w' window_start", "event_type"),
+            "event_type", threshold=0,
+        )
