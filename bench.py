@@ -128,6 +128,7 @@ HEADLINE = [
     "t39_idf_rarity",
     "j21_label_propagation",
     "st6_windowed_cms",
+    "d19_tfidf_cosine_pairs",
 ]
 
 

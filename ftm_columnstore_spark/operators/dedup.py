@@ -1880,3 +1880,132 @@ def containment_pairs(
     )
     result._cached_intermediates = cached
     return result
+
+
+def tfidf_cosine_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    n: int = 1,
+    max_df: int = 1000,
+) -> DataFrame:
+    """Sparse TF-IDF cosine similarity join — every document pair whose
+    IDF-weighted term vectors have cosine ≥ ``threshold`` (Salton's
+    vector-space model over an inverted index; the weighting-aware
+    complement of d5's set Jaccard and d17's containment: two docs
+    sharing RARE vocabulary score far above two sharing stopwords, so
+    topical near-dups surface even when token overlap is modest).
+
+    Term space: ``n=1`` uses word unigrams with tf = occurrence counts;
+    ``n>=2`` uses distinct word n-gram shingles with tf = 1 (set
+    semantics — the SpotSigs/near-dup form, sharper on adversarial
+    small-vocab corpora where every unigram is hot). Terms with
+    document frequency > ``max_df`` are removed from the vector space
+    BEFORE vectorization (stopword cut — standard in sparse-cosine
+    joins, and the 100 TB expansion bound: a term in k docs emits k²
+    pair contributions, so max_df² bounds the per-term join fanout;
+    there is no prefix filter for dot products the way there is for
+    Jaccard overlap). Norms are computed in the PRUNED space, so
+    cosines are exact in that space, never estimates.
+
+    Plan: ONE term pass (tokenize / Arrow shingle) persisted; document
+    frequency + the hot-term cut reduce it; idf joins back keyed on
+    term; per-doc norms are one keyed aggregation; the pair join is
+    posting-list self-join on term with id_a < id_b, then ONE pair
+    aggregation. Determinism (the _dsum rule): idf = ln(N/df) rounded
+    12 dp; per-term norm and dot contributions rounded 12 dp and summed
+    as DECIMAL(38,12) (partition-order-independent); the final cosine
+    is one IEEE division + sqrt per pair, rounded 6 dp.
+
+    Output: (id_a, id_b, cos) — undirected, id_a < id_b."""
+    if not (0.0 < threshold <= 1.0):
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    if max_df < 2:
+        raise ValueError(f"max_df must be >= 2, got {max_df}")
+    from ftm_columnstore_spark.functions.text import (
+        shingle_rows,
+        word_tokens_col,
+    )
+
+    if n == 1:
+        terms = (
+            df.where(F.col(text_col).isNotNull())
+            .select(
+                F.col(id_col).alias("id"),
+                F.explode(word_tokens_col(text_col)).alias("term"),
+            )
+            .groupBy("id", "term")
+            .agg(F.count(F.lit(1)).alias("tf"))
+        )
+    else:
+        terms = shingle_rows(df, text_col, id_col, n).select(
+            "id", F.col("shingle").alias("term"), F.lit(1).alias("tf")
+        )
+    terms = terms.persist()
+    cached = [terms]
+    n_docs = terms.select(F.countDistinct("id").alias("n_docs"))
+    dfreq = terms.groupBy("term").agg(F.count(F.lit(1)).alias("__df"))
+    idf = (
+        dfreq.where(F.col("__df") <= max_df)
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "term",
+            F.round(
+                F.log(
+                    F.col("n_docs").cast("double")
+                    / F.col("__df").cast("double")
+                ),
+                12,
+            ).alias("idf"),
+        )
+    )
+    # weighted postings over the pruned space, persisted: feeds the
+    # norm aggregation AND both sides of the pair join
+    w = (
+        terms.join(idf, on="term")
+        .select(
+            "id",
+            "term",
+            (F.col("tf").cast("double") * F.col("idf")).alias("w"),
+        )
+        .persist()
+    )
+    cached.append(w)
+    norms = (
+        w.groupBy("id")
+        .agg(
+            F.sum(
+                F.round(F.col("w") * F.col("w"), 12).cast("decimal(38,12)")
+            ).alias("nsq")
+        )
+        .where(F.col("nsq") > 0)
+        .select("id", F.sqrt(F.col("nsq").cast("double")).alias("norm"))
+    )
+    u = w.join(norms, on="id").select(
+        "term", "id", (F.col("w") / F.col("norm")).alias("u")
+    )
+    pa = u.select(F.col("id").alias("id_a"), "term", F.col("u").alias("ua"))
+    pb = u.select(F.col("id").alias("id_b"), "term", F.col("u").alias("ub"))
+    out = (
+        pa.join(pb, on="term")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(
+            F.sum(
+                F.round(F.col("ua") * F.col("ub"), 12).cast(
+                    "decimal(38,12)"
+                )
+            ).alias("__dot")
+        )
+        .select(
+            "id_a",
+            "id_b",
+            F.round(F.col("__dot").cast("double"), 6).alias("cos"),
+        )
+        .where(F.col("cos") >= threshold)
+    )
+    out._cached_intermediates = cached
+    return out

@@ -617,3 +617,84 @@ def test_containment_pairs_validation(spark):
         containment_pairs(df, min_containment=0.0)
     with pytest.raises(ValueError, match="max_df"):
         containment_pairs(df, max_df=1)
+
+
+def test_tfidf_cosine_pairs_hand_computed(spark):
+    import math
+
+    from ftm_columnstore_spark.operators.dedup import tfidf_cosine_pairs
+
+    df = spark.createDataFrame(
+        [
+            (1, "apple banana apple"),
+            (2, "apple banana cherry"),
+            (3, "dog dog dog"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = tfidf_cosine_pairs(df, threshold=0.4, n=1).collect()
+    assert [(r["id_a"], r["id_b"]) for r in rows] == [(1, 2)]
+    i, c = math.log(3 / 2), math.log(3)
+    n1 = math.sqrt(4 * i * i + i * i)
+    n2 = math.sqrt(2 * i * i + c * c)
+    expect = round(3 * i * i / (n1 * n2), 6)
+    assert abs(rows[0]["cos"] - expect) < 1e-5
+
+
+def test_tfidf_cosine_pairs_identical_docs_score_one(spark):
+    from ftm_columnstore_spark.operators.dedup import tfidf_cosine_pairs
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "alpha beta gamma"), (3, "zzz qqq")],
+        "doc_id long, text string",
+    )
+    rows = tfidf_cosine_pairs(df, threshold=0.99, n=1).collect()
+    assert [(r["id_a"], r["id_b"], r["cos"]) for r in rows] == [(1, 2, 1.0)]
+
+
+def test_tfidf_cosine_pairs_max_df_prunes_stopwords(spark):
+    from ftm_columnstore_spark.operators.dedup import tfidf_cosine_pairs
+
+    # "the" appears in all 4 docs; with max_df=3 it leaves the space,
+    # so docs sharing ONLY "the" never pair
+    df = spark.createDataFrame(
+        [
+            (1, "the apple pie"),
+            (2, "the apple pie"),
+            (3, "the submarine"),
+            (4, "the volcano"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = tfidf_cosine_pairs(df, threshold=0.01, n=1, max_df=3).collect()
+    assert [(r["id_a"], r["id_b"], r["cos"]) for r in rows] == [(1, 2, 1.0)]
+
+
+def test_tfidf_cosine_pairs_shingle_mode(spark):
+    from ftm_columnstore_spark.operators.dedup import tfidf_cosine_pairs
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d e"),
+            (2, "a b c d x"),
+            (3, "p q r s t"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = tfidf_cosine_pairs(df, threshold=0.1, n=2).collect()
+    assert [(r["id_a"], r["id_b"]) for r in rows] == [(1, 2)]
+    assert 0 < rows[0]["cos"] < 1
+
+
+def test_tfidf_cosine_pairs_validation(spark):
+    import pytest
+
+    from ftm_columnstore_spark.operators.dedup import tfidf_cosine_pairs
+
+    df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="threshold"):
+        tfidf_cosine_pairs(df, threshold=0.0)
+    with pytest.raises(ValueError, match="n must"):
+        tfidf_cosine_pairs(df, n=0)
+    with pytest.raises(ValueError, match="max_df"):
+        tfidf_cosine_pairs(df, max_df=1)
