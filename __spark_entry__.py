@@ -3422,6 +3422,25 @@ def d19_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def a29_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample KS drift statistic (operators/sketches.py:ks_drift)
+    between English and non-English document length distributions —
+    the one-number "did this slice's distribution move" check used to
+    gate corpus refreshes. Cumulative counts ride a distributed prefix
+    sum in VALUE order (the take_budget shape with range buckets — no
+    single-partition global window); the sup is a
+    TakeOrderedAndProject by (diff DESC, value). Oracle replays the
+    step-function CDFs with one SQL window cumsum."""
+    from ftm_columnstore_spark.operators.sketches import ks_drift
+
+    d = _t(spark, sf_dir, "documents")
+    return ks_drift(
+        d.where(F.col("lang") == "en"),
+        d.where(F.col("lang") != "en"),
+        "n_chars",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order matters: the driver's CORRECTNESS run covers the
     # first ~50 entries. Rotation discipline (VERDICT r4 item 1): every
@@ -3440,6 +3459,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "j21_label_propagation": j21_label_propagation,
         "st6_windowed_cms": st6_windowed_cms,
         "d19_tfidf_cosine_pairs": d19_tfidf_cosine_pairs,
+        "a29_ks_drift": a29_ks_drift,
         # --- NEW in round 6 (must green inside the window) ---
         "a27_log2_histogram": a27_log2_histogram,
         "a28_moments_profile": a28_moments_profile,
@@ -5258,6 +5278,34 @@ def oracle_sql() -> dict[str, str]:
     return {
         "j21_label_propagation": _j21_oracle(iterations=3),
         "st6_windowed_cms": _st6_oracle(d=4, w=256, threshold=5),
+        "a29_ks_drift": """
+            WITH u AS (
+              SELECT n_chars AS v,
+                     CASE WHEN lang = 'en' THEN 0 ELSE 1 END AS side
+              FROM documents
+              WHERE n_chars IS NOT NULL AND lang IS NOT NULL
+            ), counts AS (
+              SELECT v,
+                     sum(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS ca,
+                     sum(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS cb
+              FROM u GROUP BY v
+            ), tot AS (
+              SELECT sum(ca) AS na, sum(cb) AS nb FROM counts
+            ), cum AS (
+              SELECT v,
+                     sum(ca) OVER (ORDER BY v) AS cuma,
+                     sum(cb) OVER (ORDER BY v) AS cumb
+              FROM counts
+            ), diffs AS (
+              SELECT v, abs(cuma::DOUBLE / na::DOUBLE
+                            - cumb::DOUBLE / nb::DOUBLE) AS d
+              FROM cum, tot
+            )
+            SELECT round(d, 6) AS d_stat, v AS at_value,
+                   (SELECT na FROM tot)::BIGINT AS n_a,
+                   (SELECT nb FROM tot)::BIGINT AS n_b
+            FROM diffs ORDER BY d DESC, v LIMIT 1
+        """,
         "d19_tfidf_cosine_pairs": """
             WITH toks AS (
               SELECT doc_id,

@@ -129,6 +129,7 @@ HEADLINE = [
     "j21_label_propagation",
     "st6_windowed_cms",
     "d19_tfidf_cosine_pairs",
+    "a29_ks_drift",
 ]
 
 

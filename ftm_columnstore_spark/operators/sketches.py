@@ -1056,3 +1056,111 @@ def moments_stats(sketch: DataFrame) -> DataFrame:
         F.round(var, 6).alias("variance"),
         F.round(skew, 6).alias("skewness"),
     )
+
+
+def ks_drift(
+    a: DataFrame,
+    b: DataFrame,
+    col: str,
+    n_buckets: int = 256,
+) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov statistic between the
+    distributions of ``col`` in two relations — the one-number drift
+    check between corpus snapshots / sources ("did this source's
+    length distribution move?"), D = sup_x |F_a(x) − F_b(x)|,
+    evaluated at every distinct value (sufficient: empirical CDFs are
+    step functions that only move there).
+
+    Plan: both sides tag-union into ONE scan; per-distinct-value
+    conditional counts are the only corpus-sized shuffle (map-side
+    combinable). The cumulative counts are a DISTRIBUTED PREFIX SUM in
+    VALUE order (the take_budget shape, but bucketed by value range,
+    not hash): one cheap min/max agg fixes the range, values land in
+    ``n_buckets`` equal-width range buckets, per-bucket subtotals (≤
+    n_buckets rows) become driver-side offsets broadcast back, and
+    each bucket cumsums in parallel (window PARTITIONED by bucket) —
+    no single-partition global window ever sees the value relation.
+    Caveat: equal-width buckets skew when the value distribution is
+    extremely concentrated; raise ``n_buckets`` or pre-transform — the
+    window cost is per-bucket, correctness is unaffected.
+
+    Determinism: counts are exact integers; F_a/F_b are one IEEE
+    division each from identical integers; |diff| and the (diff DESC,
+    value) TakeOrderedAndProject are exact; the reported statistic is
+    rounded 6 dp at the end only.
+
+    Output: ONE row (d_stat, at_value, n_a, n_b) — at_value is the
+    smallest value attaining the sup."""
+    if not 1 <= n_buckets <= 65536:
+        raise ValueError(f"n_buckets must be in [1, 65536], got {n_buckets}")
+    from pyspark.sql import Window
+
+    c = F.col(col)
+    tagged = (
+        a.where(c.isNotNull()).select(c.alias("v"), F.lit(0).alias("side"))
+    ).unionByName(
+        b.where(c.isNotNull()).select(c.alias("v"), F.lit(1).alias("side"))
+    )
+    counts = tagged.groupBy("v").agg(
+        F.sum(F.when(F.col("side") == 0, 1).otherwise(0)).alias("ca"),
+        F.sum(F.when(F.col("side") == 1, 1).otherwise(0)).alias("cb"),
+    )
+    lo, hi = counts.agg(F.min("v"), F.max("v")).first()
+    if lo is None:
+        raise ValueError(f"ks_drift: no non-null values in column {col!r}")
+    span = (hi - lo) or 1
+    base = counts.withColumn(
+        "__b",
+        F.least(
+            F.floor(
+                (F.col("v") - F.lit(lo))
+                / F.lit(span)
+                * F.lit(n_buckets)
+            ).cast("int"),
+            F.lit(n_buckets - 1),
+        ),
+    )
+    subs = (
+        base.groupBy("__b")
+        .agg(F.sum("ca").alias("sa"), F.sum("cb").alias("sb"))
+        .collect()
+    )
+    offs, acc_a, acc_b, tot_a, tot_b = {}, 0, 0, 0, 0
+    for r in sorted(subs, key=lambda r: r["__b"]):
+        offs[r["__b"]] = (acc_a, acc_b)
+        acc_a += r["sa"]
+        acc_b += r["sb"]
+    tot_a, tot_b = acc_a, acc_b
+    if tot_a == 0 or tot_b == 0:
+        raise ValueError(
+            f"ks_drift: one side has no non-null values in {col!r}"
+        )
+    spark = a.sparkSession
+    off_df = spark.createDataFrame(
+        [(b_, oa, ob) for b_, (oa, ob) in offs.items()],
+        "__b int, __oa bigint, __ob bigint",
+    )
+    w = (
+        Window.partitionBy("__b")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = (
+        base.join(F.broadcast(off_df), on="__b")
+        .withColumn("__cuma", F.sum("ca").over(w) + F.col("__oa"))
+        .withColumn("__cumb", F.sum("cb").over(w) + F.col("__ob"))
+        .select(
+            "v",
+            F.abs(
+                F.col("__cuma").cast("double") / F.lit(float(tot_a))
+                - F.col("__cumb").cast("double") / F.lit(float(tot_b))
+            ).alias("__diff"),
+        )
+    )
+    best = cum.orderBy(F.col("__diff").desc(), "v").limit(1)
+    return best.select(
+        F.round(F.col("__diff"), 6).alias("d_stat"),
+        F.col("v").alias("at_value"),
+        F.lit(tot_a).cast("long").alias("n_a"),
+        F.lit(tot_b).cast("long").alias("n_b"),
+    )

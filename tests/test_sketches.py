@@ -738,3 +738,59 @@ def test_moments_stats_zero_variance_skew_null(spark):
     row = moments_stats(moments_sketch(df, "x")).collect()[0]
     assert row["variance"] == 0.0
     assert row["skewness"] is None
+
+
+def test_ks_drift_hand_computed(spark):
+    from ftm_columnstore_spark.operators.sketches import ks_drift
+
+    a = spark.createDataFrame([(1,), (2,), (3,)], "v long")
+    b = spark.createDataFrame([(3,), (4,)], "v long")
+    r = ks_drift(a, b, "v").first()
+    # F_a = {1:1/3, 2:2/3, 3:1, 4:1}; F_b = {1:0, 2:0, 3:1/2, 4:1}
+    assert (r["d_stat"], r["at_value"], r["n_a"], r["n_b"]) == (
+        0.666667, 2, 3, 2,
+    )
+
+
+def test_ks_drift_identical_distributions(spark):
+    from ftm_columnstore_spark.operators.sketches import ks_drift
+
+    a = spark.createDataFrame([(i % 7,) for i in range(50)], "v long")
+    r = ks_drift(a, a, "v").first()
+    assert r["d_stat"] == 0.0 and r["at_value"] == 0
+
+
+def test_ks_drift_matches_scipy_style_reference(spark):
+    """Cross-check against a pure-Python CDF replay on random-ish data,
+    across a bucket count that forces multi-bucket prefix sums."""
+    from ftm_columnstore_spark.operators.sketches import ks_drift
+
+    xs = [((i * 37) % 101) for i in range(80)]
+    ys = [((i * 53) % 89) + 10 for i in range(60)]
+    a = spark.createDataFrame([(v,) for v in xs], "v long")
+    b = spark.createDataFrame([(v,) for v in ys], "v long")
+    r = ks_drift(a, b, "v", n_buckets=8).first()
+    values = sorted(set(xs) | set(ys))
+    def cdf(data, x):
+        return sum(1 for d in data if d <= x) / len(data)
+    diffs = [(abs(cdf(xs, v) - cdf(ys, v)), v) for v in values]
+    dmax = max(d for d, _ in diffs)
+    at = min(v for d, v in diffs if d == dmax)
+    assert r["d_stat"] == round(dmax, 6)
+    assert r["at_value"] == at
+    assert (r["n_a"], r["n_b"]) == (80, 60)
+
+
+def test_ks_drift_validation(spark):
+    import pytest
+
+    from ftm_columnstore_spark.operators.sketches import ks_drift
+
+    a = spark.createDataFrame([(1,)], "v long")
+    empty = spark.createDataFrame([], "v long")
+    with pytest.raises(ValueError, match="n_buckets"):
+        ks_drift(a, a, "v", n_buckets=0)
+    with pytest.raises(ValueError, match="no non-null"):
+        ks_drift(empty, empty, "v")
+    with pytest.raises(ValueError, match="one side"):
+        ks_drift(a, empty, "v")
