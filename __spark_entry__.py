@@ -3441,6 +3441,21 @@ def a29_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def a30_correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlations over lineitem's four price
+    columns in ONE map-side aggregation pass (operators/sketches.py:
+    correlation_matrix — the a24 stacked-scan discipline applied to
+    C(4,2)·6 accumulators). Pairwise-complete sums, 12-dp-rounded
+    DECIMAL accumulation (_dsum rule), one final IEEE expression per
+    pair. Oracle replays each pair's sums with identical rounding."""
+    from ftm_columnstore_spark.operators.sketches import correlation_matrix
+
+    return correlation_matrix(
+        _t(spark, sf_dir, "lineitem"),
+        ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order matters: the driver's CORRECTNESS run covers the
     # first ~50 entries. Rotation discipline (VERDICT r4 item 1): every
@@ -3460,6 +3475,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "st6_windowed_cms": st6_windowed_cms,
         "d19_tfidf_cosine_pairs": d19_tfidf_cosine_pairs,
         "a29_ks_drift": a29_ks_drift,
+        "a30_correlation_matrix": a30_correlation_matrix,
         # --- NEW in round 6 (must green inside the window) ---
         "a27_log2_histogram": a27_log2_histogram,
         "a28_moments_profile": a28_moments_profile,
@@ -4511,6 +4527,37 @@ def _st6_oracle(d: int = 4, w: int = 256, threshold: int = 5) -> str:
     """
 
 
+def _a30_oracle(cols: list[str] | None = None) -> str:
+    """DuckDB oracle for the one-pass correlation matrix (mirrors
+    operators/sketches.py:correlation_matrix over lineitem): per pair,
+    pairwise-complete 12-dp-rounded DECIMAL sums and the identical
+    final Pearson expression — one UNION ALL branch per pair
+    (equivalence is on VALUES; the engine pays one scan, the oracle
+    pays C(n,2))."""
+    cols = cols or ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    branches = []
+    for i in range(len(cols)):
+        for j in range(i + 1, len(cols)):
+            x, y = cols[i], cols[j]
+            branches.append(f"""
+            SELECT '{x}' AS col_x, '{y}' AS col_y, nn::BIGINT AS n,
+                   round((nn::DOUBLE * sxy - sx * sy)
+                         / nullif(sqrt((nn::DOUBLE * sxx - sx * sx)
+                                       * (nn::DOUBLE * syy - sy * sy)),
+                                  0), 6) AS corr
+            FROM (
+              SELECT count(*) AS nn,
+                     sum(round(x, 12)::DECIMAL(38,12))::DOUBLE AS sx,
+                     sum(round(y, 12)::DECIMAL(38,12))::DOUBLE AS sy,
+                     sum(round(x * x, 12)::DECIMAL(38,12))::DOUBLE AS sxx,
+                     sum(round(y * y, 12)::DECIMAL(38,12))::DOUBLE AS syy,
+                     sum(round(x * y, 12)::DECIMAL(38,12))::DOUBLE AS sxy
+              FROM (SELECT {x}::DOUBLE AS x, {y}::DOUBLE AS y
+                    FROM lineitem
+                    WHERE {x} IS NOT NULL AND {y} IS NOT NULL))""")
+    return " UNION ALL ".join(branches)
+
+
 def _v9_oracle(
     n_centroids: int = 16,
     threshold: float = 0.3,
@@ -5278,6 +5325,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "j21_label_propagation": _j21_oracle(iterations=3),
         "st6_windowed_cms": _st6_oracle(d=4, w=256, threshold=5),
+        "a30_correlation_matrix": _a30_oracle(),
         "a29_ks_drift": """
             WITH u AS (
               SELECT n_chars AS v,

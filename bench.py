@@ -130,6 +130,7 @@ HEADLINE = [
     "st6_windowed_cms",
     "d19_tfidf_cosine_pairs",
     "a29_ks_drift",
+    "a30_correlation_matrix",
 ]
 
 

@@ -1164,3 +1164,86 @@ def ks_drift(
         F.lit(tot_a).cast("long").alias("n_a"),
         F.lit(tot_b).cast("long").alias("n_b"),
     )
+
+
+def correlation_matrix(
+    df: DataFrame,
+    cols: list[str],
+    max_cols: int = 16,
+) -> DataFrame:
+    """Pairwise Pearson correlations across numeric columns in ONE
+    map-side aggregation pass — the profiler's "which signals move
+    together" view (quality scores vs lengths vs token counts) next to
+    a24/a26's per-column profiles.
+
+    Each unordered pair accumulates pairwise-complete sums (n, Σx, Σy,
+    Σx², Σy², Σxy over rows where BOTH sides are non-null — the
+    standard pairwise-deletion convention, so one sparse column does
+    not null out the whole matrix). All six accumulators are
+    12-dp-rounded DECIMAL(38,12) sums (the _dsum rule: per-row doubles
+    are identical cross-engine, decimal addition is associative, so
+    the sums are partition-order-independent and SQL-replayable);
+    r = (nΣxy − ΣxΣy) / √((nΣx²−(Σx)²)(nΣy²−(Σy)²)) is one final
+    IEEE expression per pair, rounded 6 dp, NULL on zero variance.
+
+    ``max_cols`` bounds the stacked-aggregate width (the house
+    threshold rule — C(16,2)·6 = 720 agg expressions is the codegen
+    comfort ceiling; wider matrices should run as column batches).
+
+    Output: (col_x, col_y, n, corr) for every pair col_x < col_y (in
+    the order given), n = pairwise-complete row count."""
+    if len(cols) < 2:
+        raise ValueError(f"need at least 2 columns, got {len(cols)}")
+    if len(cols) > max_cols:
+        raise ValueError(
+            f"{len(cols)} columns exceeds max_cols={max_cols}; "
+            "run column batches instead"
+        )
+    pairs = [
+        (cols[i], cols[j])
+        for i in range(len(cols))
+        for j in range(i + 1, len(cols))
+    ]
+
+    def dsum(expr):
+        return F.sum(F.round(expr, 12).cast("decimal(38,12)"))
+
+    aggs = []
+    for x, y in pairs:
+        cx, cy = F.col(x).cast("double"), F.col(y).cast("double")
+        both = cx.isNotNull() & cy.isNotNull()
+        vx, vy = F.when(both, cx), F.when(both, cy)
+        tag = f"{x}__{y}"
+        aggs += [
+            F.count(F.when(both, F.lit(1))).alias(f"n_{tag}"),
+            dsum(vx).alias(f"sx_{tag}"),
+            dsum(vy).alias(f"sy_{tag}"),
+            dsum(vx * vx).alias(f"sxx_{tag}"),
+            dsum(vy * vy).alias(f"syy_{tag}"),
+            dsum(vx * vy).alias(f"sxy_{tag}"),
+        ]
+    wide = df.agg(*aggs)
+    # unpivot the single wide row into (col_x, col_y, n, corr)
+    parts = []
+    for x, y in pairs:
+        tag = f"{x}__{y}"
+        n = F.col(f"n_{tag}").cast("double")
+        sx = F.col(f"sx_{tag}").cast("double")
+        sy = F.col(f"sy_{tag}").cast("double")
+        sxx = F.col(f"sxx_{tag}").cast("double")
+        syy = F.col(f"syy_{tag}").cast("double")
+        sxy = F.col(f"sxy_{tag}").cast("double")
+        denom = F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+        parts.append(
+            F.struct(
+                F.lit(x).alias("col_x"),
+                F.lit(y).alias("col_y"),
+                F.col(f"n_{tag}").cast("long").alias("n"),
+                F.round(
+                    (n * sxy - sx * sy) / F.nullif(denom, F.lit(0.0)), 6
+                ).alias("corr"),
+            )
+        )
+    return wide.select(
+        F.explode(F.array(*parts)).alias("p")
+    ).select("p.col_x", "p.col_y", "p.n", "p.corr")

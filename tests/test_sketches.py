@@ -794,3 +794,61 @@ def test_ks_drift_validation(spark):
         ks_drift(empty, empty, "v")
     with pytest.raises(ValueError, match="one side"):
         ks_drift(a, empty, "v")
+
+
+def test_correlation_matrix_matches_numpy(spark):
+    import numpy as np
+
+    from ftm_columnstore_spark.operators.sketches import correlation_matrix
+
+    xs = [float((i * 7) % 13) for i in range(40)]
+    ys = [2.5 * v + 1.0 + ((i * 3) % 5) for i, v in enumerate(xs)]
+    zs = [float((i * 11) % 17) for i in range(40)]
+    df = spark.createDataFrame(
+        list(zip(xs, ys, zs)), "x double, y double, z double"
+    )
+    got = {
+        (r["col_x"], r["col_y"]): (r["n"], r["corr"])
+        for r in correlation_matrix(df, ["x", "y", "z"]).collect()
+    }
+    for (cx, cy), (n, corr) in got.items():
+        a = {"x": xs, "y": ys, "z": zs}[cx]
+        b = {"x": xs, "y": ys, "z": zs}[cy]
+        assert n == 40
+        assert abs(corr - float(np.corrcoef(a, b)[0, 1])) < 1e-6
+    assert set(got) == {("x", "y"), ("x", "z"), ("y", "z")}
+
+
+def test_correlation_matrix_pairwise_deletion_and_zero_variance(spark):
+    from ftm_columnstore_spark.operators.sketches import correlation_matrix
+
+    df = spark.createDataFrame(
+        [
+            (1.0, 2.0, 5.0),
+            (2.0, None, 5.0),
+            (3.0, 6.0, 5.0),
+            (None, 8.0, 5.0),
+        ],
+        "x double, y double, c double",
+    )
+    got = {
+        (r["col_x"], r["col_y"]): (r["n"], r["corr"])
+        for r in correlation_matrix(df, ["x", "y", "c"]).collect()
+    }
+    # x/y complete on rows 1 and 3 only -> perfect line -> corr 1
+    assert got[("x", "y")] == (2, 1.0)
+    # constant column -> zero variance -> NULL
+    assert got[("x", "c")][1] is None
+    assert got[("y", "c")][1] is None
+
+
+def test_correlation_matrix_validation(spark):
+    import pytest
+
+    from ftm_columnstore_spark.operators.sketches import correlation_matrix
+
+    df = spark.createDataFrame([(1.0, 2.0)], "x double, y double")
+    with pytest.raises(ValueError, match="at least 2"):
+        correlation_matrix(df, ["x"])
+    with pytest.raises(ValueError, match="max_cols"):
+        correlation_matrix(df, ["x", "y"], max_cols=1)
