@@ -3456,6 +3456,24 @@ def a30_correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def t40_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-k weighted sampling without replacement (operators/
+    sampling.py:weighted_reservoir_sample — Efraimidis-Spirakis A-ES):
+    100 documents, inclusion ∝ n_chars, decided by md5-uniform rank
+    keys compared in log space — the exact-size counterpart of t16's
+    Bernoulli weighted sample. Top-k is a TakeOrderedAndProject; the
+    oracle replays the identical hash, ln rounding and (key DESC, id)
+    cut."""
+    from ftm_columnstore_spark.operators.sampling import (
+        weighted_reservoir_sample,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    return weighted_reservoir_sample(d, "n_chars", k=100).select(
+        "doc_id", "n_chars", "sample_key"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order matters: the driver's CORRECTNESS run covers the
     # first ~50 entries. Rotation discipline (VERDICT r4 item 1): every
@@ -3476,6 +3494,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d19_tfidf_cosine_pairs": d19_tfidf_cosine_pairs,
         "a29_ks_drift": a29_ks_drift,
         "a30_correlation_matrix": a30_correlation_matrix,
+        "t40_weighted_reservoir": t40_weighted_reservoir,
         # --- NEW in round 6 (must green inside the window) ---
         "a27_log2_histogram": a27_log2_histogram,
         "a28_moments_profile": a28_moments_profile,
@@ -5326,6 +5345,18 @@ def oracle_sql() -> dict[str, str]:
         "j21_label_propagation": _j21_oracle(iterations=3),
         "st6_windowed_cms": _st6_oracle(d=4, w=256, threshold=5),
         "a30_correlation_matrix": _a30_oracle(),
+        "t40_weighted_reservoir": """
+            WITH keyed AS (
+              SELECT doc_id, n_chars,
+                     round(ln((('0x'||substr(md5(doc_id::VARCHAR),1,8))
+                               ::BIGINT + 0.5) / 4294967296.0), 12)
+                         / n_chars::DOUBLE AS sk
+              FROM documents
+              WHERE n_chars IS NOT NULL AND n_chars > 0
+            )
+            SELECT doc_id, n_chars, round(sk, 6) AS sample_key
+            FROM keyed ORDER BY sk DESC, doc_id LIMIT 100
+        """,
         "a29_ks_drift": """
             WITH u AS (
               SELECT n_chars AS v,

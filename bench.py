@@ -131,6 +131,7 @@ HEADLINE = [
     "d19_tfidf_cosine_pairs",
     "a29_ks_drift",
     "a30_correlation_matrix",
+    "t40_weighted_reservoir",
 ]
 
 

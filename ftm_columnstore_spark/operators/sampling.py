@@ -735,3 +735,53 @@ def top_fraction_by_stratum(
         .where(F.col("__pr") <= F.lit(float(fraction)))
         .drop("__pr")
     )
+
+
+def weighted_reservoir_sample(
+    df: DataFrame,
+    weight_col: str,
+    k: int,
+    id_col: str = "doc_id",
+    seed: str = "",
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement — exactly
+    ``k`` rows, inclusion probability proportional to weight
+    (Efraimidis & Spirakis 2006, algorithm A-ES): every row draws the
+    rank key u^(1/w) from a uniform u and the top-k keys win. The
+    exact-k counterpart of :func:`weighted_sample` (Bernoulli, random
+    size): "give me exactly 100k docs, quality-weighted".
+
+    Determinism: u is the md5-uniform of (id, seed) — the
+    split_by_hash contract, no RNG state, retry-stable. The key is
+    compared in log space (ln(u)/w is a strictly monotone transform of
+    u^(1/w) for w > 0 — both sides of any comparison flip sign
+    together), with ln(u) rounded to 12 dp (the t32 libm rule) and ONE
+    IEEE division per row; ties break by id. u is offset to
+    (u+0.5)/2³² so ln never sees 0. Rows with NULL or non-positive
+    weight are excluded (they have zero inclusion probability in the
+    A-ES model).
+
+    Scale shape: one narrow map computes keys; the top-k is a
+    TakeOrderedAndProject (per-partition heap + driver merge of k·P
+    candidates) — no global sort, no window. k rows land on the
+    driver-side merge, so k is the bound (the house rule: the
+    threshold IS the contract).
+
+    Output: the sampled rows, original columns plus ``sample_key``
+    (rounded 6 dp) for audit."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    u = (
+        F.conv(hash_key_col(id_col, seed), 16, 10).cast("double")
+        + F.lit(0.5)
+    ) / F.lit(float(2**32))
+    w = F.col(weight_col).cast("double")
+    key = F.round(F.log(u), 12) / w
+    return (
+        df.where(w.isNotNull() & (w > 0))
+        .withColumn("__sk", key)
+        .orderBy(F.col("__sk").desc(), F.col(id_col))
+        .limit(int(k))
+        .withColumn("sample_key", F.round(F.col("__sk"), 6))
+        .drop("__sk")
+    )

@@ -686,3 +686,81 @@ def test_top_fraction_single_stratum_shuffle(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1, plan
     assert "Exchange rangepartitioning" not in plan, plan
+
+
+def test_weighted_reservoir_exact_k_and_determinism(spark):
+    from ftm_columnstore_spark.operators.sampling import (
+        weighted_reservoir_sample,
+    )
+
+    df = spark.createDataFrame(
+        [(i, float(1 + i % 10)) for i in range(200)], "doc_id long, w double"
+    )
+    s1 = weighted_reservoir_sample(df, "w", k=25)
+    s2 = weighted_reservoir_sample(df, "w", k=25)
+    r1 = sorted(r["doc_id"] for r in s1.collect())
+    r2 = sorted(r["doc_id"] for r in s2.collect())
+    assert len(r1) == 25 and r1 == r2
+    # different seed -> (almost surely) different sample
+    s3 = weighted_reservoir_sample(df, "w", k=25, seed="other")
+    assert sorted(r["doc_id"] for r in s3.collect()) != r1
+
+
+def test_weighted_reservoir_matches_python_replay(spark):
+    import hashlib
+    import math
+
+    from ftm_columnstore_spark.operators.sampling import (
+        weighted_reservoir_sample,
+    )
+
+    rows = [(i, float(1 + (i * 7) % 5)) for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id long, w double")
+    got = [
+        r["doc_id"]
+        for r in weighted_reservoir_sample(df, "w", k=10).collect()
+    ]
+
+    def key(i, w):
+        h = hashlib.md5(str(i).encode()).hexdigest()[:8]
+        u = (int(h, 16) + 0.5) / 2**32
+        return round(math.log(u), 12) / w
+
+    expect = [
+        i for i, w in sorted(rows, key=lambda t: (-key(*t), t[0]))[:10]
+    ]
+    assert got == expect
+
+
+def test_weighted_reservoir_weight_biases_inclusion(spark):
+    from ftm_columnstore_spark.operators.sampling import (
+        weighted_reservoir_sample,
+    )
+
+    # half the ids carry 100x weight -> they should dominate the sample
+    df = spark.createDataFrame(
+        [(i, 100.0 if i % 2 == 0 else 1.0) for i in range(1000)],
+        "doc_id long, w double",
+    )
+    heavy = sum(
+        1
+        for r in weighted_reservoir_sample(df, "w", k=100).collect()
+        if r["doc_id"] % 2 == 0
+    )
+    assert heavy >= 90
+
+
+def test_weighted_reservoir_excludes_nonpositive_and_validates(spark):
+    import pytest
+
+    from ftm_columnstore_spark.operators.sampling import (
+        weighted_reservoir_sample,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 1.0), (2, 0.0), (3, -5.0), (4, None)], "doc_id long, w double"
+    )
+    rows = weighted_reservoir_sample(df, "w", k=10).collect()
+    assert [r["doc_id"] for r in rows] == [1]
+    with pytest.raises(ValueError, match="k must"):
+        weighted_reservoir_sample(df, "w", k=0)
