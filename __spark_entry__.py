@@ -3474,6 +3474,29 @@ def t40_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def j22_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood blocking (operators/blocking.py:
+    sorted_neighborhood_pairs — Hernandez-Stolfo SNM) over part-name
+    fingerprints: window-4 candidate pairs in sort-key order, the
+    linear-candidate complement of J4's equality blocking. Global rank
+    comes from the prefix-bucketed distributed rank (no global sort);
+    the oracle replays one row_number() over the full order."""
+    from ftm_columnstore_spark.functions.text import word_tokens_col
+    from ftm_columnstore_spark.operators.blocking import (
+        sorted_neighborhood_pairs,
+    )
+
+    p = _t(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("entity_id"),
+        F.array_join(
+            F.array_sort(F.array_distinct(word_tokens_col("p_name"))), " "
+        ).alias("fp"),
+    )
+    return sorted_neighborhood_pairs(
+        p, "fp", id_col="entity_id", window=4, prefix_len=2
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order matters: the driver's CORRECTNESS run covers the
     # first ~50 entries. Rotation discipline (VERDICT r4 item 1): every
@@ -3495,6 +3518,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a29_ks_drift": a29_ks_drift,
         "a30_correlation_matrix": a30_correlation_matrix,
         "t40_weighted_reservoir": t40_weighted_reservoir,
+        "j22_sorted_neighborhood": j22_sorted_neighborhood,
         # --- NEW in round 6 (must green inside the window) ---
         "a27_log2_histogram": a27_log2_histogram,
         "a28_moments_profile": a28_moments_profile,
@@ -5345,6 +5369,24 @@ def oracle_sql() -> dict[str, str]:
         "j21_label_propagation": _j21_oracle(iterations=3),
         "st6_windowed_cms": _st6_oracle(d=4, w=256, threshold=5),
         "a30_correlation_matrix": _a30_oracle(),
+        "j22_sorted_neighborhood": """
+            WITH keyed AS (
+              SELECT p_partkey AS id,
+                     array_to_string(list_sort(list_distinct(list_filter(
+                         string_split_regex(lower(p_name), '[^a-z0-9]+'),
+                         x -> x <> ''))), ' ') AS key
+              FROM part WHERE p_name IS NOT NULL
+            ), ranked AS (
+              SELECT id, key,
+                     row_number() OVER (ORDER BY key, id) AS rank
+              FROM keyed
+            )
+            SELECT l.id AS left_id, r.id AS right_id,
+                   l.key AS left_key, r.key AS right_key,
+                   (r.rank - l.rank)::INTEGER AS rank_distance
+            FROM ranked l JOIN ranked r
+              ON r.rank - l.rank BETWEEN 1 AND 3
+        """,
         "t40_weighted_reservoir": """
             WITH keyed AS (
               SELECT doc_id, n_chars,

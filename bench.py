@@ -132,6 +132,7 @@ HEADLINE = [
     "a29_ks_drift",
     "a30_correlation_matrix",
     "t40_weighted_reservoir",
+    "j22_sorted_neighborhood",
 ]
 
 

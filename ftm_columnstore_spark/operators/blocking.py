@@ -442,3 +442,95 @@ def edit1_pairs(
         .where(F.col("dist") <= 1)
         .distinct()
     )
+
+
+def sorted_neighborhood_pairs(
+    df: DataFrame,
+    key_col: str,
+    id_col: str = "entity_id",
+    window: int = 5,
+    prefix_len: int = 2,
+    max_buckets: int = 65536,
+) -> DataFrame:
+    """Sorted-neighborhood blocking (Hernandez & Stolfo SIGMOD'95):
+    order records by a sort key and emit every pair within a sliding
+    window of ``window`` positions — the classic entity-resolution
+    complement of equality blocking (J4/D2: exact fingerprint buckets
+    miss near-misses that SORT adjacently, e.g. typos in the last
+    token; SNM catches anything the key ordering brings together).
+    Candidate count is exactly (n − w/2)·(w−1)ish — linear in n,
+    never quadratic.
+
+    Scale shape — the global sort RANK without a global sort: the sort
+    key's ``prefix_len``-char prefix partitions the lexicographic
+    order into contiguous buckets (string order is prefix-consistent),
+    per-bucket counts (≤ ``max_buckets`` rows, the bounded collect)
+    become driver-side rank offsets broadcast back, and each bucket
+    ranks in parallel (window PARTITIONED by bucket — the take_budget
+    prefix-sum shape in rank space). Window pairs are then rank
+    arithmetic: each row emits deltas 1..w−1 and joins on the target
+    rank — boundary pairs across buckets fall out of GLOBAL rank
+    values, no boundary replication. Skewed prefixes concentrate
+    ranking work; raise ``prefix_len`` (the knob, documented) — pair
+    emission re-distributes on rank either way.
+
+    Output: (left_id, right_id, left_key, right_key, rank_distance),
+    left rank < right rank."""
+    if window < 2:
+        raise ValueError(f"window must be >= 2, got {window}")
+    if prefix_len < 1:
+        raise ValueError(f"prefix_len must be >= 1, got {prefix_len}")
+    from pyspark.sql import Window as W
+
+    base = df.where(F.col(key_col).isNotNull()).select(
+        F.col(id_col).alias("id"), F.col(key_col).alias("key")
+    )
+    bucketed = base.withColumn(
+        "__b", F.substring(F.col("key"), 1, prefix_len)
+    )
+    counts = (
+        bucketed.groupBy("__b")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .limit(max_buckets + 1)
+        .collect()
+    )
+    if len(counts) > max_buckets:
+        raise ValueError(
+            f"more than {max_buckets} key prefixes at prefix_len="
+            f"{prefix_len}; shorten the prefix or raise max_buckets"
+        )
+    offs, acc = {}, 0
+    for r in sorted(counts, key=lambda r: r["__b"]):
+        offs[r["__b"]] = acc
+        acc += r["__n"]
+    spark = df.sparkSession
+    off_df = spark.createDataFrame(
+        [(b, o) for b, o in offs.items()], "__b string, __off bigint"
+    )
+    w = W.partitionBy("__b").orderBy("key", "id")
+    ranked = (
+        bucketed.join(F.broadcast(off_df), on="__b")
+        .withColumn(
+            "rank", F.row_number().over(w) + F.col("__off")
+        )
+        .select("id", "key", "rank")
+        .localCheckpoint(eager=True)
+    )
+    targets = ranked.select(
+        F.col("id").alias("left_id"),
+        F.col("key").alias("left_key"),
+        F.col("rank").alias("__lrank"),
+        F.explode(
+            F.sequence(F.lit(1), F.lit(window - 1))
+        ).alias("__delta"),
+    ).withColumn("rank", F.col("__lrank") + F.col("__delta"))
+    return (
+        targets.join(ranked, on="rank")
+        .select(
+            "left_id",
+            F.col("id").alias("right_id"),
+            "left_key",
+            F.col("key").alias("right_key"),
+            F.col("__delta").alias("rank_distance"),
+        )
+    )

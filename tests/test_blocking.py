@@ -226,3 +226,64 @@ def test_edit1_pairs(spark):
     assert (1, 3) in pairs and (1, 4) in pairs
     assert (1, 5) not in pairs and (1, 7) not in pairs
     assert all(l != 6 and r != 6 for l, r in pairs)
+
+
+def test_sorted_neighborhood_hand_computed(spark):
+    from ftm_columnstore_spark.operators.blocking import (
+        sorted_neighborhood_pairs,
+    )
+
+    # sort order: aa(1) < ab(2) < ba(3) < bb(4); window 3 pairs each row
+    # with the next 2 ranks — including ACROSS the a/b prefix boundary
+    df = spark.createDataFrame(
+        [(1, "aa"), (2, "ab"), (3, "ba"), (4, "bb")],
+        "entity_id long, k string",
+    )
+    got = sorted(
+        (r["left_id"], r["right_id"], r["rank_distance"])
+        for r in sorted_neighborhood_pairs(
+            df, "k", window=3, prefix_len=1
+        ).collect()
+    )
+    assert got == [
+        (1, 2, 1), (1, 3, 2), (2, 3, 1), (2, 4, 2), (3, 4, 1),
+    ]
+
+
+def test_sorted_neighborhood_matches_single_bucket(spark):
+    from ftm_columnstore_spark.operators.blocking import (
+        sorted_neighborhood_pairs,
+    )
+
+    rows = [(i, f"k{(i * 37) % 100:03d}") for i in range(80)]
+    df = spark.createDataFrame(rows, "entity_id long, k string")
+    multi = sorted(
+        (r["left_id"], r["right_id"])
+        for r in sorted_neighborhood_pairs(
+            df, "k", window=4, prefix_len=2
+        ).collect()
+    )
+    # pure-python replay of the global sliding window
+    order = [i for i, k in sorted(rows, key=lambda t: (t[1], t[0]))]
+    expect = sorted(
+        (order[i], order[j])
+        for i in range(len(order))
+        for j in range(i + 1, min(i + 4, len(order)))
+    )
+    assert multi == expect
+
+
+def test_sorted_neighborhood_validation(spark):
+    import pytest
+
+    from ftm_columnstore_spark.operators.blocking import (
+        sorted_neighborhood_pairs,
+    )
+
+    df = spark.createDataFrame([(1, "x")], "entity_id long, k string")
+    with pytest.raises(ValueError, match="window"):
+        sorted_neighborhood_pairs(df, "k", window=1)
+    with pytest.raises(ValueError, match="prefix_len"):
+        sorted_neighborhood_pairs(df, "k", prefix_len=0)
+    with pytest.raises(ValueError, match="prefixes"):
+        sorted_neighborhood_pairs(df, "k", max_buckets=0)
