@@ -1101,10 +1101,14 @@ def ks_drift(
     ).unionByName(
         b.where(c.isNotNull()).select(c.alias("v"), F.lit(1).alias("side"))
     )
+    # persist: the distinct-value relation (never corpus-sized) feeds
+    # THREE consumers — the min/max range agg, the per-bucket subtotal
+    # collect and the final cumsum; without it the corpus-sized
+    # conditional-count shuffle re-executes for each
     counts = tagged.groupBy("v").agg(
         F.sum(F.when(F.col("side") == 0, 1).otherwise(0)).alias("ca"),
         F.sum(F.when(F.col("side") == 1, 1).otherwise(0)).alias("cb"),
-    )
+    ).persist()
     lo, hi = counts.agg(F.min("v"), F.max("v")).first()
     if lo is None:
         raise ValueError(f"ks_drift: no non-null values in column {col!r}")
@@ -1158,12 +1162,14 @@ def ks_drift(
         )
     )
     best = cum.orderBy(F.col("__diff").desc(), "v").limit(1)
-    return best.select(
+    out = best.select(
         F.round(F.col("__diff"), 6).alias("d_stat"),
         F.col("v").alias("at_value"),
         F.lit(tot_a).cast("long").alias("n_a"),
         F.lit(tot_b).cast("long").alias("n_b"),
     )
+    out._cached_intermediates = [counts]
+    return out
 
 
 def correlation_matrix(

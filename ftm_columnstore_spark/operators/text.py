@@ -1373,10 +1373,16 @@ def pmi_collocations(
     toks = df.where(F.col(text_col).isNotNull()).select(
         word_tokens_col(text_col).alias("__t")
     )
+    # persist both count relations: without it the unigram aggregation
+    # re-tokenizes the corpus for EACH consumer (totals + two marginal
+    # join sides — 5 corpus scans at explain, the d14 rebuilt-relation
+    # lesson); both are vocabulary-/surviving-pair-bounded, never
+    # corpus-sized
     uni = (
         toks.select(F.explode("__t").alias("token"))
         .groupBy("token")
         .agg(F.count(F.lit(1)).alias("cnt_t"))
+        .persist()
     )
     # Adjacent pairs built inside the row: element i pairs with i+1.
     pairs_col = F.when(
@@ -1395,6 +1401,7 @@ def pmi_collocations(
         .groupBy("w1", "w2")
         .agg(F.count(F.lit(1)).alias("cnt"))
         .where(F.col("cnt") >= int(min_count))
+        .persist()
     )
     totals = uni.agg(F.sum("cnt_t").alias("n_uni")).crossJoin(
         big.agg(F.sum("cnt").alias("n_big"))
@@ -1415,13 +1422,15 @@ def pmi_collocations(
         * F.col("c1").cast("double")
         * F.col("c2").cast("double")
     )
-    return (
+    out = (
         j.select(
             "w1", "w2", "cnt", F.round(F.log(ratio), 12).alias("pmi")
         )
         .orderBy(F.col("pmi").desc(), "w1", "w2")
         .limit(int(top_n))
     )
+    out._cached_intermediates = [uni, big]
+    return out
 
 
 def idf_rarity(
