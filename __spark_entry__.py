@@ -3497,6 +3497,41 @@ def j22_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def t41_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document character-distribution Shannon entropy
+    (operators/text.py:char_entropy) — the sub-token gibberish /
+    base64-blob / repetition detector next to d9's token-level stats.
+    Two keyed aggregations over the (id, char) relation; per-char ln
+    through the 12-dp rule, per-doc DECIMAL sum, one read-off
+    expression. Oracle replays the identical char split and
+    arithmetic."""
+    from ftm_columnstore_spark.operators.text import char_entropy
+
+    return char_entropy(_t(spark, sf_dir, "documents"))
+
+
+def u5_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus snapshot diff (operators/aggregations.py:snapshot_diff):
+    per-status counts between two deterministic snapshot views of the
+    documents table (drop-every-19th as "old", drop-every-17th with
+    every-7th text revised as "new") — added/removed/changed/unchanged
+    from (id, md5 digest) relations and ONE full-outer join; nothing
+    wider than the digest ever shuffles. The oracle compares text with
+    null-safe equality — digest equality iff text equality (md5
+    collision-free at any real corpus size)."""
+    from ftm_columnstore_spark.operators.aggregations import snapshot_diff
+
+    d = _t(spark, sf_dir, "documents")
+    old = d.where(F.col("doc_id") % 19 != 18)
+    new = d.where(F.col("doc_id") % 17 != 16).withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 7 == 0, F.concat(F.col("text"), F.lit(" v2"))
+        ).otherwise(F.col("text")),
+    )
+    return snapshot_diff(old, new, "doc_id", ["text"])
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order matters: the driver's CORRECTNESS run covers the
     # first ~50 entries. Rotation discipline (VERDICT r4 item 1): every
@@ -3519,6 +3554,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a30_correlation_matrix": a30_correlation_matrix,
         "t40_weighted_reservoir": t40_weighted_reservoir,
         "j22_sorted_neighborhood": j22_sorted_neighborhood,
+        "t41_char_entropy": t41_char_entropy,
+        "u5_snapshot_diff": u5_snapshot_diff,
         # --- NEW in round 6 (must green inside the window) ---
         "a27_log2_histogram": a27_log2_histogram,
         "a28_moments_profile": a28_moments_profile,
@@ -5369,6 +5406,43 @@ def oracle_sql() -> dict[str, str]:
         "j21_label_propagation": _j21_oracle(iterations=3),
         "st6_windowed_cms": _st6_oracle(d=4, w=256, threshold=5),
         "a30_correlation_matrix": _a30_oracle(),
+        "u5_snapshot_diff": """
+            WITH old AS (
+              SELECT doc_id AS id, text FROM documents
+              WHERE doc_id % 19 <> 18
+            ), new AS (
+              SELECT doc_id AS id,
+                     CASE WHEN doc_id % 7 = 0 THEN text || ' v2'
+                          ELSE text END AS text
+              FROM documents WHERE doc_id % 17 <> 16
+            ), j AS (
+              SELECT o.id AS oid, n.id AS nid, o.text AS ot, n.text AS nt
+              FROM old o FULL OUTER JOIN new n ON o.id = n.id
+            )
+            SELECT status, count(*)::BIGINT AS n FROM (
+              SELECT CASE WHEN oid IS NULL THEN 'added'
+                          WHEN nid IS NULL THEN 'removed'
+                          WHEN ot IS NOT DISTINCT FROM nt THEN 'unchanged'
+                          ELSE 'changed' END AS status
+              FROM j) GROUP BY status
+        """,
+        "t41_char_entropy": """
+            WITH tall AS (
+              SELECT doc_id AS id, unnest(string_split(text, '')) AS ch
+              FROM documents WHERE text IS NOT NULL
+            ), c AS (
+              SELECT id, ch, count(*) AS c FROM tall GROUP BY id, ch
+            ), p AS (
+              SELECT id, sum(c) AS n,
+                     sum(round(-(c::DOUBLE) * ln(c::DOUBLE), 12)
+                         ::DECIMAL(38,12)) AS s
+              FROM c GROUP BY id
+            )
+            SELECT id, n::BIGINT AS n_chars_counted,
+                   round(round(ln(n::DOUBLE), 12)
+                         + s::DOUBLE / n::DOUBLE, 6) AS entropy
+            FROM p
+        """,
         "j22_sorted_neighborhood": """
             WITH keyed AS (
               SELECT p_partkey AS id,

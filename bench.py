@@ -133,6 +133,8 @@ HEADLINE = [
     "a30_correlation_matrix",
     "t40_weighted_reservoir",
     "j22_sorted_neighborhood",
+    "t41_char_entropy",
+    "u5_snapshot_diff",
 ]
 
 

@@ -78,3 +78,58 @@ def stats(
         "schemata": schemata,
         "countries": countries,
     }
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str,
+    content_cols: list[str],
+) -> DataFrame:
+    """Corpus snapshot diff — the data-ops report for "what changed
+    between yesterday's corpus and today's": per-status row counts for
+    added (id only in new), removed (id only in old), changed (same id,
+    different content digest) and unchanged. The count-level complement
+    of u3/u4's row-level INTERSECT/EXCEPT.
+
+    The content digest is md5 over the ``content_cols`` joined with a
+    0x1f unit separator, NULLs encoded as a sentinel so ("a", NULL) and
+    (NULL, "a") differ — engine-portable, so any other md5-capable
+    system reproduces the verdicts. Plan: each side reduces to
+    (id, digest) — column-pruned scans — then ONE full-outer hash join
+    on id and a 4-row aggregation. Nothing wider than (id, 32-char
+    digest) ever shuffles, which at 100 TB is the difference between
+    diffing metadata and re-shipping the corpus.
+
+    Output: (status, n) — only statuses that occur."""
+    if not content_cols:
+        raise ValueError("content_cols must be non-empty")
+
+    def digested(df: DataFrame, tag: str) -> DataFrame:
+        h = F.md5(
+            F.concat_ws(
+                "\x1f",
+                *[
+                    F.coalesce(F.col(c).cast("string"), F.lit("\x00null"))
+                    for c in content_cols
+                ],
+            )
+        )
+        return df.select(
+            F.col(id_col).alias("id"), h.alias(f"h_{tag}")
+        )
+
+    j = digested(old, "old").join(
+        digested(new, "new"), on="id", how="full_outer"
+    )
+    status = (
+        F.when(F.col("h_old").isNull(), F.lit("added"))
+        .when(F.col("h_new").isNull(), F.lit("removed"))
+        .when(F.col("h_old") == F.col("h_new"), F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+    )
+    return (
+        j.select(status.alias("status"))
+        .groupBy("status")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )

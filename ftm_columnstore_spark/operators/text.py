@@ -1504,3 +1504,56 @@ def idf_rarity(
     )
     out._cached_intermediates = [tall]
     return out
+
+
+def char_entropy(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document Shannon entropy of the character distribution (in
+    nats) — the cheap gibberish detector: natural language sits ~2.8-3.2
+    nats, base64/hex blobs push toward ln(alphabet) with a flat
+    histogram, and single-char repetition floors near 0. Complements
+    d9's token-level repetition stats with a sub-token signal (a doc of
+    'aaaa…' separated by spaces fools token filters, not this).
+
+    Plan: explode to (id, char) — linear in corpus BYTES, the one
+    unavoidable relation — then two keyed aggregations: per-(id, char)
+    counts (map-side combinable; per-doc alphabet is ≤ a few hundred
+    rows after the first combine) and the per-id entropy reduce.
+    Determinism: counts are exact integers, p = c/n is one IEEE
+    division, the per-char ln is rounded 12 dp (the t32 libm rule) and
+    the per-doc sum runs in DECIMAL(38,12); final entropy rounded 6 dp.
+
+    Output: (id, n_chars_counted, entropy)."""
+    tall = (
+        df.where(F.col(text_col).isNotNull())
+        .select(
+            F.col(id_col).alias("id"),
+            F.explode(F.split(F.col(text_col), "")).alias("ch"),
+        )
+        .groupBy("id", "ch")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    per_doc = tall.groupBy("id").agg(
+        F.sum("c").alias("n"),
+        F.sum(
+            F.round(
+                -(F.col("c").cast("double"))
+                * F.log(F.col("c").cast("double")),
+                12,
+            ).cast("decimal(38,12)")
+        ).alias("__s"),
+    )
+    # H = -Σ (c/n)·ln(c/n) = ln(n) + (Σ -c·ln c)/n — one ln per doc
+    # plus one per distinct char, all through the 12-dp rule
+    return per_doc.select(
+        "id",
+        F.col("n").alias("n_chars_counted"),
+        F.round(
+            F.round(F.log(F.col("n").cast("double")), 12)
+            + F.col("__s").cast("double") / F.col("n").cast("double"),
+            6,
+        ).alias("entropy"),
+    )

@@ -82,3 +82,43 @@ def test_dataset_stats_approx_close_to_exact(statements):
         assert a_stmts == e_stmts              # statement count stays exact
         # p=12 → ~1.6% σ; tiny groups hit linear counting (near-exact)
         assert abs(a_ents - e_ents) <= max(2, 0.1 * e_ents), k
+
+
+def test_snapshot_diff_hand_computed(spark):
+    from ftm_columnstore_spark.operators.aggregations import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c"), (4, None)],
+        "id long, text string",
+    )
+    new = spark.createDataFrame(
+        [(2, "b"), (3, "C"), (4, None), (5, "e")],
+        "id long, text string",
+    )
+    got = {
+        r["status"]: r["n"]
+        for r in snapshot_diff(old, new, "id", ["text"]).collect()
+    }
+    assert got == {"added": 1, "removed": 1, "changed": 1, "unchanged": 2}
+
+
+def test_snapshot_diff_null_vs_literal_differs(spark):
+    from ftm_columnstore_spark.operators.aggregations import snapshot_diff
+
+    old = spark.createDataFrame([(1, None, "x")], "id long, a string, b string")
+    new = spark.createDataFrame([(1, "x", None)], "id long, a string, b string")
+    got = {
+        r["status"]: r["n"]
+        for r in snapshot_diff(old, new, "id", ["a", "b"]).collect()
+    }
+    assert got == {"changed": 1}
+
+
+def test_snapshot_diff_validation(spark):
+    import pytest
+
+    from ftm_columnstore_spark.operators.aggregations import snapshot_diff
+
+    df = spark.createDataFrame([(1, "x")], "id long, text string")
+    with pytest.raises(ValueError, match="content_cols"):
+        snapshot_diff(df, df, "id", [])

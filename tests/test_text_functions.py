@@ -892,3 +892,47 @@ def test_idf_rarity_null_text_skipped(spark):
     assert [(r["id"], r["n_tokens"], r["idf_rarity"]) for r in rows] == [
         (1, 2, 0.0)
     ]
+
+
+def test_char_entropy_hand_computed(spark):
+    import math
+    from decimal import Decimal
+
+    from ftm_columnstore_spark.operators.text import char_entropy
+
+    df = spark.createDataFrame(
+        [(1, "aaaa"), (2, "abab"), (3, "abcd"), (4, None)],
+        "doc_id long, text string",
+    )
+    got = {
+        r["id"]: (r["n_chars_counted"], r["entropy"])
+        for r in char_entropy(df).collect()
+    }
+
+    def h(counts):
+        n = sum(counts)
+        s = sum(Decimal(str(round(-c * math.log(c), 12))) for c in counts)
+        return round(round(math.log(n), 12) + float(s) / n, 6)
+
+    assert got == {
+        1: (4, h([4])),          # 0.0
+        2: (4, h([2, 2])),       # ln 2
+        3: (4, h([1, 1, 1, 1])), # ln 4
+    }
+    assert got[1][1] == 0.0
+    assert abs(got[2][1] - math.log(2)) < 1e-6
+    assert abs(got[3][1] - math.log(4)) < 1e-6
+
+
+def test_char_entropy_orders_quality(spark):
+    from ftm_columnstore_spark.operators.text import char_entropy
+
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "xxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxx"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["id"]: r["entropy"] for r in char_entropy(df).collect()}
+    assert got[2] == 0.0 < got[1]
