@@ -3532,6 +3532,21 @@ def u5_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return snapshot_diff(old, new, "doc_id", ["text"])
 
 
+def v19_truncated_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-compression eval (operators/similarity.py:
+    truncated_recall): recall@20 of exact cosine top-k on the first 16
+    of 64 dims vs the full-dimension exact top-k — the Matryoshka
+    "how many dims can we store" measurement, sibling of v10 (which
+    grades a probe path; this grades the representation). Both sides
+    ride knn_join's broadcast-query + one-corpus-stream plan; the
+    oracle replays both rankings with QUALIFY row_number."""
+    from ftm_columnstore_spark.operators.similarity import truncated_recall
+
+    return truncated_recall(
+        _t(spark, sf_dir, "embeddings"), [0, 1, 2], dims=16, k=20
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order matters: the driver's CORRECTNESS run covers the
     # first ~50 entries. Rotation discipline (VERDICT r4 item 1): every
@@ -3556,6 +3571,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "j22_sorted_neighborhood": j22_sorted_neighborhood,
         "t41_char_entropy": t41_char_entropy,
         "u5_snapshot_diff": u5_snapshot_diff,
+        "v19_truncated_recall": v19_truncated_recall,
         # --- NEW in round 6 (must green inside the window) ---
         "a27_log2_histogram": a27_log2_histogram,
         "a28_moments_profile": a28_moments_profile,
@@ -5406,6 +5422,42 @@ def oracle_sql() -> dict[str, str]:
         "j21_label_propagation": _j21_oracle(iterations=3),
         "st6_windowed_cms": _st6_oracle(d=4, w=256, threshold=5),
         "a30_correlation_matrix": _a30_oracle(),
+        "v19_truncated_recall": """
+            WITH q AS (
+              SELECT vec_id AS qid, embedding FROM embeddings
+              WHERE vec_id IN (0, 1, 2)
+            ), c AS (
+              SELECT vec_id AS cid, embedding FROM embeddings
+              WHERE vec_id NOT IN (0, 1, 2)
+            ), full_k AS (
+              SELECT qid, cid FROM (
+                SELECT q.qid, c.cid,
+                       round(list_cosine_similarity(
+                           CAST(q.embedding AS DOUBLE[]),
+                           CAST(c.embedding AS DOUBLE[])), 6) AS cos
+                FROM q, c)
+              QUALIFY row_number() OVER (
+                  PARTITION BY qid ORDER BY cos DESC, cid) <= 20
+            ), trunc_k AS (
+              SELECT qid, cid FROM (
+                SELECT q.qid, c.cid,
+                       round(list_cosine_similarity(
+                           CAST(q.embedding[1:16] AS DOUBLE[]),
+                           CAST(c.embedding[1:16] AS DOUBLE[])), 6) AS cos
+                FROM q, c)
+              QUALIFY row_number() OVER (
+                  PARTITION BY qid ORDER BY cos DESC, cid) <= 20
+            ), hits AS (
+              SELECT f.qid, count(*) AS n
+              FROM full_k f JOIN trunc_k t USING (qid, cid)
+              GROUP BY f.qid
+            )
+            SELECT qid, 20::BIGINT AS k,
+                   coalesce(h.n, 0)::BIGINT AS n_hits,
+                   round(coalesce(h.n, 0) / 20.0, 6) AS recall
+            FROM (SELECT DISTINCT qid FROM full_k) f
+            LEFT JOIN hits h USING (qid)
+        """,
         "u5_snapshot_diff": """
             WITH old AS (
               SELECT doc_id AS id, text FROM documents

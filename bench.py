@@ -135,6 +135,7 @@ HEADLINE = [
     "j22_sorted_neighborhood",
     "t41_char_entropy",
     "u5_snapshot_diff",
+    "v19_truncated_recall",
 ]
 
 

@@ -1720,3 +1720,65 @@ def mmr_rerank(
         sel_vecs.append(cand.pop(best_id))
         selected.append((best_id, rel[best_id], best_score))
     return selected
+
+
+def truncated_recall(
+    embeddings: DataFrame,
+    query_ids: list,
+    dims: int,
+    k: int = 20,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Dimension-truncation quality report: recall@k of exact cosine
+    top-k computed on the FIRST ``dims`` components against the
+    full-dimension exact top-k — the measurement behind "can we store
+    16 of 64 dims" embedding-compression decisions (the Matryoshka
+    question), sibling of v10's index-recall report (which evaluates a
+    probe path; this evaluates the representation itself).
+
+    Both sides reuse :func:`knn_join` (bounded query batch broadcast,
+    corpus streamed once per side; truncation is a zero-copy
+    ``slice``), so both rankings carry the same determinism contract
+    (cosine rounded 6 dp, ties by candidate id). Queries are excluded
+    from their own candidate lists. Output: (qid, k, n_hits, recall)
+    per query — recall = |topk_trunc ∩ topk_full| / k."""
+    if dims < 1:
+        raise ValueError(f"dims must be >= 1, got {dims}")
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if not query_ids:
+        raise ValueError("query_ids must be non-empty")
+    q = embeddings.where(F.col(id_col).isin(list(query_ids)))
+    c = embeddings.where(~F.col(id_col).isin(list(query_ids)))
+    full = knn_join(q, c, k=k, left_vec=vec_col, right_vec=vec_col,
+                    left_id=id_col, right_id=id_col)
+    qt = q.select(
+        F.col(id_col).alias(id_col),
+        F.slice(F.col(vec_col), 1, dims).alias(vec_col),
+    )
+    ct = c.select(
+        F.col(id_col).alias(id_col),
+        F.slice(F.col(vec_col), 1, dims).alias(vec_col),
+    )
+    trunc = knn_join(qt, ct, k=k, left_vec=vec_col, right_vec=vec_col,
+                     left_id=id_col, right_id=id_col)
+    hits = (
+        full.select("qid", "cid")
+        .join(trunc.select("qid", "cid"), on=["qid", "cid"])
+        .groupBy("qid")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    # left join from the query list keeps zero-hit queries visible
+    qs = full.select("qid").distinct()
+    return (
+        qs.join(hits, on="qid", how="left")
+        .select(
+            "qid",
+            F.lit(int(k)).cast("long").alias("k"),
+            F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
+            F.round(
+                F.coalesce("n_hits", F.lit(0)).cast("double") / float(k), 6
+            ).alias("recall"),
+        )
+    )

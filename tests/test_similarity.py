@@ -908,3 +908,36 @@ def test_mmr_deterministic_and_validated(vectors):
         mmr_rerank(cand, q, k=0)
     empty = cand.filter(F.col("vec_id") < 0)
     assert mmr_rerank(empty, q, k=5) == []
+
+
+def test_truncated_recall_full_dims_is_perfect(spark):
+    from ftm_columnstore_spark.operators.similarity import truncated_recall
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    rows = truncated_recall(e, [0, 1], dims=64, k=10).collect()
+    assert {r["qid"] for r in rows} == {0, 1}
+    assert all(r["recall"] == 1.0 and r["n_hits"] == 10 for r in rows)
+
+
+def test_truncated_recall_degrades_below_one(spark):
+    from ftm_columnstore_spark.operators.similarity import truncated_recall
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    rows = truncated_recall(e, [0, 1, 2], dims=4, k=10).collect()
+    assert len(rows) == 3
+    assert all(0.0 <= r["recall"] <= 1.0 for r in rows)
+    assert any(r["recall"] < 1.0 for r in rows)
+
+
+def test_truncated_recall_validation(spark):
+    import pytest
+
+    from ftm_columnstore_spark.operators.similarity import truncated_recall
+
+    e = spark.createDataFrame([(0, [1.0, 2.0])], "vec_id long, embedding array<float>")
+    with pytest.raises(ValueError, match="dims"):
+        truncated_recall(e, [0], dims=0)
+    with pytest.raises(ValueError, match="k must"):
+        truncated_recall(e, [0], dims=1, k=0)
+    with pytest.raises(ValueError, match="query_ids"):
+        truncated_recall(e, [], dims=1)
