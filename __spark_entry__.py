@@ -3551,13 +3551,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order matters: the driver's CORRECTNESS run covers the
     # first ~50 entries. Rotation discipline (VERDICT r4 item 1): every
     # key's staleness = rounds since its last green driver row. This
-    # round: the 11 NEW ops lead (never checked — they must green in
-    # their first round), then t6/t8 (r02-green, missed the r05 window
-    # at pos 51-52), then the r03-verified block (stalest, 47 keys) —
-    # 11+2+47 = 60, so the last ten r03 keys (a23...j20 in block order)
-    # sit at pos 51-60 and lead r07's window. r04- then r05-verified
-    # blocks follow (freshest last). ROUND 7: rotate again — never-green
-    # keys first, the pos-51+ spillover next, then the r04 block.
+    # round: 12 brand-new ops lead (t38/t39/j21/st6/d19/a29/a30/t40/
+    # j22/t41/u5/v19 — never driver-checked), then the 11 ops new last
+    # round (also never driver-checked: no driver run happened between
+    # these two build rounds), then t6/t8 (r02-green), then the
+    # r03-verified block. 12+11+2 = 25, so ~25 r03 keys fit the window;
+    # the r03 tail (v12... onward) sits past pos 50 and leads the NEXT
+    # round's window. NEXT ROUND: never-green keys first (if any),
+    # then the r03 tail past pos 50, then the r04 block.
     return {
         # --- NEW in round 7 (never checked; must green in their first round) ---
         "t38_pmi_collocations": t38_pmi_collocations,
