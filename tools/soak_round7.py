@@ -179,19 +179,24 @@ def main():
             ).count()
 
         timed(f"windowed_cms+readoff x{factor}", _st6)
-        # user_id pairs within same hour+type form the LPA edge source;
-        # replicas are disjoint (shifted user ids) so communities scale
+        # user_id pairs within same (hour, type, user-hash cell) form
+        # the LPA edge source; the cell key keeps PER-BUCKET user count
+        # roughly constant as replication grows, so EDGES scale
+        # linearly with events — the operator under test is LPA, not a
+        # quadratic pair generator (first cut omitted the cell and the
+        # x10 edge build alone was 100x)
         ue = (
             ev.select(
                 F.window("ts", "1 hour").start.alias("h"),
                 "event_type",
                 "user_id",
+                F.pmod(F.col("user_id"), F.lit(15 * factor)).alias("cell"),
             )
             .distinct()
         )
         edges = (
             ue.alias("a")
-            .join(ue.alias("b"), on=["h", "event_type"])
+            .join(ue.alias("b"), on=["h", "event_type", "cell"])
             .where(F.col("a.user_id") < F.col("b.user_id"))
             .select(
                 F.col("a.user_id").alias("src"),
