@@ -3453,6 +3453,7 @@ def a30_correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return correlation_matrix(
         _t(spark, sf_dir, "lineitem"),
         ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        quant=100.0,
     )
 
 
@@ -4624,13 +4625,15 @@ def _st6_oracle(d: int = 4, w: int = 256, threshold: int = 5) -> str:
     """
 
 
-def _a30_oracle(cols: list[str] | None = None) -> str:
+def _a30_oracle(cols: list[str] | None = None, quant: float = 100.0) -> str:
     """DuckDB oracle for the one-pass correlation matrix (mirrors
-    operators/sketches.py:correlation_matrix over lineitem): per pair,
-    pairwise-complete 12-dp-rounded DECIMAL sums and the identical
-    final Pearson expression — one UNION ALL branch per pair
-    (equivalence is on VALUES; the engine pays one scan, the oracle
-    pays C(n,2))."""
+    operators/sketches.py:correlation_matrix over lineitem): identical
+    integer quantization q = floor(x·quant + 0.5), pairwise-complete
+    sums as HUGEINT (integer addition is associative, so the oracle
+    needs no bucket replay — any summation order gives the engine's
+    exact totals), identical final Pearson expression — one UNION ALL
+    branch per pair (equivalence is on VALUES; the engine pays one
+    scan, the oracle C(n,2))."""
     cols = cols or ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
     branches = []
     for i in range(len(cols)):
@@ -4638,18 +4641,22 @@ def _a30_oracle(cols: list[str] | None = None) -> str:
             x, y = cols[i], cols[j]
             branches.append(f"""
             SELECT '{x}' AS col_x, '{y}' AS col_y, nn::BIGINT AS n,
-                   round((nn::DOUBLE * sxy - sx * sy)
-                         / nullif(sqrt((nn::DOUBLE * sxx - sx * sx)
-                                       * (nn::DOUBLE * syy - sy * sy)),
+                   round((nn::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+                         / nullif(sqrt((nn::DOUBLE * sxx::DOUBLE
+                                        - sx::DOUBLE * sx::DOUBLE)
+                                       * (nn::DOUBLE * syy::DOUBLE
+                                          - sy::DOUBLE * sy::DOUBLE)),
                                   0), 6) AS corr
             FROM (
               SELECT count(*) AS nn,
-                     sum(round(x, 12)::DECIMAL(38,12))::DOUBLE AS sx,
-                     sum(round(y, 12)::DECIMAL(38,12))::DOUBLE AS sy,
-                     sum(round(x * x, 12)::DECIMAL(38,12))::DOUBLE AS sxx,
-                     sum(round(y * y, 12)::DECIMAL(38,12))::DOUBLE AS syy,
-                     sum(round(x * y, 12)::DECIMAL(38,12))::DOUBLE AS sxy
-              FROM (SELECT {x}::DOUBLE AS x, {y}::DOUBLE AS y
+                     sum(qx)::HUGEINT AS sx, sum(qy)::HUGEINT AS sy,
+                     sum(qx * qx)::HUGEINT AS sxx,
+                     sum(qy * qy)::HUGEINT AS syy,
+                     sum(qx * qy)::HUGEINT AS sxy
+              FROM (SELECT floor({x}::DOUBLE * {quant!r} + 0.5)::HUGEINT
+                               AS qx,
+                           floor({y}::DOUBLE * {quant!r} + 0.5)::HUGEINT
+                               AS qy
                     FROM lineitem
                     WHERE {x} IS NOT NULL AND {y} IS NOT NULL))""")
     return " UNION ALL ".join(branches)
