@@ -3548,6 +3548,22 @@ def v19_truncated_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def w10_ohlc_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC candlestick rollup (operators/temporal.py:ohlc_rollup):
+    per (event_type, hour) open/high/low/close/count over the events
+    stream — open/close are argmin/argmax BY TIME via min/max(struct)
+    in ONE map-side-combinable aggregation (no window, no sort; ties
+    broken by event_id so simultaneous events can't lottery the open).
+    Oracle replays with arg_min/arg_max over the (ts, event_id) pair."""
+    from ftm_columnstore_spark.operators.temporal import ohlc_rollup
+
+    return ohlc_rollup(
+        _events(spark, sf_dir),
+        key_col="event_type",
+        tiebreak_col="event_id",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order matters: the driver's CORRECTNESS run covers the
     # first ~50 entries. Rotation discipline (VERDICT r4 item 1): every
@@ -3574,6 +3590,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t41_char_entropy": t41_char_entropy,
         "u5_snapshot_diff": u5_snapshot_diff,
         "v19_truncated_recall": v19_truncated_recall,
+        "w10_ohlc_rollup": w10_ohlc_rollup,
         # --- NEW in round 6 (must green inside the window) ---
         "a27_log2_histogram": a27_log2_histogram,
         "a28_moments_profile": a28_moments_profile,
@@ -5430,6 +5447,31 @@ def oracle_sql() -> dict[str, str]:
         "j21_label_propagation": _j21_oracle(iterations=3),
         "st6_windowed_cms": _st6_oracle(d=4, w=256, threshold=5),
         "a30_correlation_matrix": _a30_oracle(),
+        "w10_ohlc_rollup": """
+            WITH base AS (
+              SELECT event_type AS key,
+                     strftime(date_trunc('hour', ts),
+                              '%Y-%m-%d %H:%M:%S') AS window_start,
+                     ts, value, event_id
+              FROM events
+              WHERE value IS NOT NULL AND ts IS NOT NULL
+            ), ranked AS (
+              SELECT key, window_start, value,
+                     row_number() OVER (PARTITION BY key, window_start
+                                        ORDER BY ts, event_id) AS rf,
+                     row_number() OVER (PARTITION BY key, window_start
+                                        ORDER BY ts DESC, event_id DESC)
+                         AS rl
+              FROM base
+            )
+            SELECT key, window_start,
+                   max(CASE WHEN rf = 1 THEN value END) AS open,
+                   max(value) AS high,
+                   min(value) AS low,
+                   max(CASE WHEN rl = 1 THEN value END) AS close,
+                   count(*)::BIGINT AS n
+            FROM ranked GROUP BY 1, 2
+        """,
         "v19_truncated_recall": """
             WITH q AS (
               SELECT vec_id AS qid, embedding FROM embeddings

@@ -136,6 +136,7 @@ HEADLINE = [
     "t41_char_entropy",
     "u5_snapshot_diff",
     "v19_truncated_recall",
+    "w10_ohlc_rollup",
 ]
 
 

@@ -461,3 +461,54 @@ def interval_overlap_join(
     if key is not None:
         out_cols.insert(2, F.col("__k").alias(key))
     return joined.select(*out_cols)
+
+
+def ohlc_rollup(
+    events: DataFrame,
+    value_col: str = "value",
+    ts_col: str = "ts",
+    key_col: str | None = None,
+    window_duration: str = "1 hour",
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """OHLC (open/high/low/close) bar rollup — the canonical
+    time-series downsample ("candlesticks"): per window (and optional
+    key), the first, max, min and last value plus the row count.
+
+    Open/close are argmin/argmax BY TIME, expressed as ONE
+    map-side-combinable aggregation via min(struct(ts, tiebreak,
+    value)) / max(struct(...)) — no window function, no sort, one
+    shuffle keyed by (key, window) at any scale. Simultaneous events
+    need a total order or open/close would be partition-order lottery:
+    ``tiebreak_col`` (e.g. the event id) breaks ts ties; when omitted,
+    the VALUE itself is the tiebreak (documented: open = smallest
+    value among earliest-ts rows — deterministic, engine-replayable).
+
+    Output: (window_start [, key], open, high, low, close, n)."""
+    v = F.col(value_col)
+    base = events.where(
+        v.isNotNull() & F.col(ts_col).isNotNull()
+    ).select(
+        *( [F.col(key_col).alias("key")] if key_col else [] ),
+        F.date_format(
+            F.window(F.col(ts_col), window_duration).start,
+            "yyyy-MM-dd HH:mm:ss",
+        ).alias("window_start"),
+        F.col(ts_col).alias("__ts"),
+        v.alias("__v"),
+        (
+            F.col(tiebreak_col) if tiebreak_col else v
+        ).alias("__tb"),
+    )
+    keys = (["key"] if key_col else []) + ["window_start"]
+    edge = F.struct(
+        F.col("__ts").alias("t"), F.col("__tb").alias("b"),
+        F.col("__v").alias("v"),
+    )
+    return base.groupBy(*keys).agg(
+        F.min(edge).getField("v").alias("open"),
+        F.max("__v").alias("high"),
+        F.min("__v").alias("low"),
+        F.max(edge).getField("v").alias("close"),
+        F.count(F.lit(1)).alias("n"),
+    )

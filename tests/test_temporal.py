@@ -224,3 +224,54 @@ def test_interval_overlap_join_span_guard(spark):
         [(1, 10, 10), (2, 20, 5)], "id long, start long, end long"
     )
     assert interval_overlap_join(bad, bad, bucket_width=10).count() == 0
+
+
+def test_ohlc_rollup_hand_computed(spark):
+    from ftm_columnstore_spark.operators.temporal import ohlc_rollup
+
+    rows = [
+        ("2024-01-01 10:05:00", 3.0, 1),
+        ("2024-01-01 10:10:00", 9.0, 2),
+        ("2024-01-01 10:20:00", 1.0, 3),
+        ("2024-01-01 10:55:00", 5.0, 4),
+        ("2024-01-01 11:05:00", 7.0, 5),
+    ]
+    df = spark.createDataFrame(
+        rows, "ts string, value double, event_id long"
+    ).selectExpr("CAST(ts AS TIMESTAMP) ts", "value", "event_id")
+    got = {
+        r["window_start"]: (r["open"], r["high"], r["low"], r["close"], r["n"])
+        for r in ohlc_rollup(df, tiebreak_col="event_id").collect()
+    }
+    assert got == {
+        "2024-01-01 10:00:00": (3.0, 9.0, 1.0, 5.0, 4),
+        "2024-01-01 11:00:00": (7.0, 7.0, 7.0, 7.0, 1),
+    }
+
+
+def test_ohlc_rollup_tie_semantics_and_keys(spark):
+    from ftm_columnstore_spark.operators.temporal import ohlc_rollup
+
+    # two simultaneous opens: tiebreak by event_id -> open = id 1's 8.0;
+    # without tiebreak_col the value itself breaks the tie -> open 2.0
+    rows = [
+        ("a", "2024-01-01 10:00:00", 8.0, 1),
+        ("a", "2024-01-01 10:00:00", 2.0, 2),
+        ("a", "2024-01-01 10:30:00", 5.0, 3),
+        ("b", "2024-01-01 10:10:00", 4.0, 4),
+    ]
+    df = spark.createDataFrame(
+        rows, "k string, ts string, value double, event_id long"
+    ).selectExpr("k", "CAST(ts AS TIMESTAMP) ts", "value", "event_id")
+    by_id = {
+        r["key"]: (r["open"], r["close"])
+        for r in ohlc_rollup(
+            df, key_col="k", tiebreak_col="event_id"
+        ).collect()
+    }
+    assert by_id == {"a": (8.0, 5.0), "b": (4.0, 4.0)}
+    by_val = {
+        r["key"]: (r["open"], r["close"])
+        for r in ohlc_rollup(df, key_col="k").collect()
+    }
+    assert by_val == {"a": (2.0, 5.0), "b": (4.0, 4.0)}
