@@ -3564,6 +3564,16 @@ def w10_ohlc_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def t42_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch-Kincaid grade-level readability per document
+    (operators/text.py:readability_scores) — the band-pass quality
+    gate. ONE narrow projection: zero shuffles, zero Python, regexes
+    replayed verbatim by the oracle."""
+    from ftm_columnstore_spark.operators.text import readability_scores
+
+    return readability_scores(_t(spark, sf_dir, "documents"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order matters: the driver's CORRECTNESS run covers the
     # first ~50 entries. Rotation discipline (VERDICT r4 item 1): every
@@ -3591,6 +3601,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "u5_snapshot_diff": u5_snapshot_diff,
         "v19_truncated_recall": v19_truncated_recall,
         "w10_ohlc_rollup": w10_ohlc_rollup,
+        "t42_readability": t42_readability,
         # --- NEW in round 6 (must green inside the window) ---
         "a27_log2_histogram": a27_log2_histogram,
         "a28_moments_profile": a28_moments_profile,
@@ -5447,6 +5458,25 @@ def oracle_sql() -> dict[str, str]:
         "j21_label_propagation": _j21_oracle(iterations=3),
         "st6_windowed_cms": _st6_oracle(d=4, w=256, threshold=5),
         "a30_correlation_matrix": _a30_oracle(),
+        "t42_readability": """
+            WITH base AS (
+              SELECT doc_id AS id,
+                     len(list_filter(string_split_regex(lower(text),
+                         '[^a-z0-9]+'), x -> x <> '')) AS n_words,
+                     greatest(len(regexp_extract_all(text, '[.!?]+')), 1)
+                         AS n_sentences,
+                     len(regexp_extract_all(lower(text), '[aeiouy]+'))
+                         AS n_syllables
+              FROM documents WHERE text IS NOT NULL
+            )
+            SELECT id, n_words::INTEGER AS n_words,
+                   n_sentences::INTEGER AS n_sentences,
+                   n_syllables::INTEGER AS n_syllables,
+                   round(0.39 * (n_words::DOUBLE / n_sentences::DOUBLE)
+                         + 11.8 * (n_syllables::DOUBLE / n_words::DOUBLE)
+                         - 15.59, 6) AS fk_grade
+            FROM base WHERE n_words > 0
+        """,
         "w10_ohlc_rollup": """
             WITH base AS (
               SELECT event_type AS key,

@@ -137,6 +137,7 @@ HEADLINE = [
     "u5_snapshot_diff",
     "v19_truncated_recall",
     "w10_ohlc_rollup",
+    "t42_readability",
 ]
 
 

@@ -1557,3 +1557,66 @@ def char_entropy(
             6,
         ).alias("entropy"),
     )
+
+
+def readability_scores(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Flesch-Kincaid grade-level readability per document — the
+    classic "is this text for humans" quality gate (too low = baby
+    talk / keyword stuffing, too high = OCR garbage / legalese;
+    training-data pipelines band-pass on it).
+
+    grade = 0.39·(words/sentences) + 11.8·(syllables/words) − 15.59
+    (Kincaid et al. 1975), with the standard cheap heuristics:
+    sentences = runs of [.!?] (floored at 1 — headline-style text is
+    one sentence), syllables = vowel-group runs [aeiouy]+ over the
+    lowercased text (counted text-wide, so all-consonant tokens
+    contribute 0 rather than the per-word floor of 1 — a documented
+    simplification that keeps the whole operator ONE narrow projection:
+    pure column expressions, zero shuffles, zero Python, identical
+    regexes replayable in any engine). Tokenless docs are dropped.
+
+    Output: (id, n_words, n_sentences, n_syllables, fk_grade)."""
+    from ftm_columnstore_spark.functions.text import word_tokens_col
+
+    words = F.size(word_tokens_col(text_col))
+    sentences = F.greatest(
+        F.size(F.regexp_extract_all(F.col(text_col), F.lit("[.!?]+"), 0)),
+        F.lit(1),
+    )
+    syllables = F.size(
+        F.regexp_extract_all(F.lower(F.col(text_col)), F.lit("[aeiouy]+"), 0)
+    )
+    return (
+        df.where(F.col(text_col).isNotNull())
+        .select(
+            F.col(id_col).alias("id"),
+            words.alias("n_words"),
+            sentences.alias("n_sentences"),
+            syllables.alias("n_syllables"),
+        )
+        .where(F.col("n_words") > 0)
+        .select(
+            "id",
+            "n_words",
+            "n_sentences",
+            "n_syllables",
+            F.round(
+                F.lit(0.39)
+                * (
+                    F.col("n_words").cast("double")
+                    / F.col("n_sentences").cast("double")
+                )
+                + F.lit(11.8)
+                * (
+                    F.col("n_syllables").cast("double")
+                    / F.col("n_words").cast("double")
+                )
+                - F.lit(15.59),
+                6,
+            ).alias("fk_grade"),
+        )
+    )

@@ -936,3 +936,41 @@ def test_char_entropy_orders_quality(spark):
     )
     got = {r["id"]: r["entropy"] for r in char_entropy(df).collect()}
     assert got[2] == 0.0 < got[1]
+
+
+def test_readability_hand_computed(spark):
+    from ftm_columnstore_spark.operators.text import readability_scores
+
+    df = spark.createDataFrame(
+        [
+            (1, "The cat sat. The dog ran!"),   # 6 words, 2 sentences
+            (2, "zzz qqq"),                      # no vowels, no periods
+            (3, None),
+            (4, ""),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["id"]: (
+            r["n_words"], r["n_sentences"], r["n_syllables"], r["fk_grade"]
+        )
+        for r in readability_scores(df).collect()
+    }
+    assert set(got) == {1, 2}
+    nw, ns, sy, fk = got[1]
+    assert (nw, ns, sy) == (6, 2, 6)
+    assert fk == round(0.39 * 3 + 11.8 * 1 - 15.59, 6)
+    nw, ns, sy, fk = got[2]
+    assert (nw, ns, sy) == (2, 1, 0)
+    assert fk == round(0.39 * 2 + 0 - 15.59, 6)
+
+
+def test_readability_monotone_in_syllable_density(spark):
+    from ftm_columnstore_spark.operators.text import readability_scores
+
+    df = spark.createDataFrame(
+        [(1, "bit bat bet bot but."), (2, "onomatopoeia aficionado.")],
+        "doc_id long, text string",
+    )
+    got = {r["id"]: r["fk_grade"] for r in readability_scores(df).collect()}
+    assert got[2] > got[1]
