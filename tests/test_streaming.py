@@ -881,3 +881,54 @@ def test_windowed_cms_validation(spark):
             cells, df.selectExpr("'w' window_start", "event_type"),
             "event_type", threshold=0,
         )
+
+
+def test_ohlc_rollup_stream_matches_batch(spark, tmp_path):
+    """OHLC as a REAL stream (complete mode): min/max(struct) are
+    monotone under row arrival, so the bar aggregation is
+    streaming-legal as-is — streamed bars equal batch bars."""
+    import json as _json
+
+    from ftm_columnstore_spark.operators.temporal import ohlc_rollup
+
+    src = tmp_path / "ohlc_ev"
+    src.mkdir()
+    rows = [
+        {"event_id": i, "ts": f"2024-01-01T10:{i * 7 % 60:02d}:00.000Z",
+         "user_id": 1, "event_type": "trade",
+         "value": float((i * 13) % 29)}
+        for i in range(30)
+    ]
+    (src / "p1.json").write_text("\n".join(_json.dumps(r) for r in rows))
+    schema = (
+        "event_id LONG, ts TIMESTAMP, user_id LONG, "
+        "event_type STRING, value DOUBLE"
+    )
+    stream = spark.readStream.schema(schema).json(str(src))
+    bars = ohlc_rollup(
+        stream, key_col="event_type", tiebreak_col="event_id"
+    )
+    q = (
+        bars.writeStream.format("memory")
+        .queryName("ohlc_bars")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    batch = spark.read.schema(schema).json(str(src))
+    expect = {
+        (r["key"], r["window_start"]): (
+            r["open"], r["high"], r["low"], r["close"], r["n"]
+        )
+        for r in ohlc_rollup(
+            batch, key_col="event_type", tiebreak_col="event_id"
+        ).collect()
+    }
+    got = {
+        (r["key"], r["window_start"]): (
+            r["open"], r["high"], r["low"], r["close"], r["n"]
+        )
+        for r in spark.table("ohlc_bars").collect()
+    }
+    assert got == expect and len(got) == 1
