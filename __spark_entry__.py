@@ -3574,6 +3574,23 @@ def t42_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
     return readability_scores(_t(spark, sf_dir, "documents"))
 
 
+def t43_stratified_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language exact-k weighted sampling (operators/sampling.py:
+    weighted_reservoir_by_stratum — A-ES rank keys, top-20 per lang,
+    inclusion ∝ n_chars): the balanced-corpus builder t28's Bernoulli
+    mixture can't pin to exact sizes. ONE stratum-keyed row_number
+    window (the t33 shape); oracle replays the identical hash, ln
+    rounding and per-stratum (key DESC, id) cut."""
+    from ftm_columnstore_spark.operators.sampling import (
+        weighted_reservoir_by_stratum,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    return weighted_reservoir_by_stratum(
+        d, "n_chars", k=20, stratum_col="lang"
+    ).select("doc_id", "lang", "n_chars", "sample_key")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order matters: the driver's CORRECTNESS run covers the
     # first ~50 entries. Rotation discipline (VERDICT r4 item 1): every
@@ -3602,6 +3619,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "v19_truncated_recall": v19_truncated_recall,
         "w10_ohlc_rollup": w10_ohlc_rollup,
         "t42_readability": t42_readability,
+        "t43_stratified_reservoir": t43_stratified_reservoir,
         # --- NEW in round 6 (must green inside the window) ---
         "a27_log2_histogram": a27_log2_histogram,
         "a28_moments_profile": a28_moments_profile,
@@ -5458,6 +5476,21 @@ def oracle_sql() -> dict[str, str]:
         "j21_label_propagation": _j21_oracle(iterations=3),
         "st6_windowed_cms": _st6_oracle(d=4, w=256, threshold=5),
         "a30_correlation_matrix": _a30_oracle(),
+        "t43_stratified_reservoir": """
+            WITH keyed AS (
+              SELECT doc_id, lang, n_chars,
+                     round(ln((('0x'||substr(md5(doc_id::VARCHAR),1,8))
+                               ::BIGINT + 0.5) / 4294967296.0), 12)
+                         / n_chars::DOUBLE AS sk
+              FROM documents
+              WHERE lang IS NOT NULL AND n_chars IS NOT NULL
+                AND n_chars > 0
+            )
+            SELECT doc_id, lang, n_chars, round(sk, 6) AS sample_key
+            FROM keyed
+            QUALIFY row_number() OVER (
+                PARTITION BY lang ORDER BY sk DESC, doc_id) <= 20
+        """,
         "t42_readability": """
             WITH base AS (
               SELECT doc_id AS id,

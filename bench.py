@@ -138,6 +138,7 @@ HEADLINE = [
     "v19_truncated_recall",
     "w10_ohlc_rollup",
     "t42_readability",
+    "t43_stratified_reservoir",
 ]
 
 

@@ -785,3 +785,47 @@ def weighted_reservoir_sample(
         .withColumn("sample_key", F.round(F.col("__sk"), 6))
         .drop("__sk")
     )
+
+
+def weighted_reservoir_by_stratum(
+    df: DataFrame,
+    weight_col: str,
+    k: int,
+    stratum_col: str,
+    id_col: str = "doc_id",
+    seed: str = "",
+) -> DataFrame:
+    """Per-stratum exact-k weighted sampling without replacement —
+    :func:`weighted_reservoir_sample`'s A-ES rank keys, top-k within
+    EVERY stratum ("exactly 100k docs per language, quality-weighted"):
+    the balanced-corpus builder that Bernoulli per-stratum rates
+    (t28's mixture) can't pin to an exact size.
+
+    Same determinism contract (md5 uniform of (id, seed), ln rounded
+    12 dp, one IEEE division, ties by id); the per-stratum cut is ONE
+    row_number window PARTITIONED by the stratum (the t33/w2 shape —
+    a keyed shuffle, never a global sort; skew bounded by the largest
+    stratum). NULL strata and non-positive weights are excluded.
+
+    Output: the sampled rows plus ``sample_key`` (6 dp)."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    from pyspark.sql import Window
+
+    u = (
+        F.conv(hash_key_col(id_col, seed), 16, 10).cast("double")
+        + F.lit(0.5)
+    ) / F.lit(float(2**32))
+    w = F.col(weight_col).cast("double")
+    win = Window.partitionBy(stratum_col).orderBy(
+        (F.round(F.log(u), 12) / w).desc(), F.col(id_col)
+    )
+    return (
+        df.where(
+            F.col(stratum_col).isNotNull() & w.isNotNull() & (w > 0)
+        )
+        .withColumn("__rn", F.row_number().over(win))
+        .where(F.col("__rn") <= int(k))
+        .withColumn("sample_key", F.round(F.round(F.log(u), 12) / w, 6))
+        .drop("__rn")
+    )

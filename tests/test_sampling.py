@@ -764,3 +764,52 @@ def test_weighted_reservoir_excludes_nonpositive_and_validates(spark):
     assert [r["doc_id"] for r in rows] == [1]
     with pytest.raises(ValueError, match="k must"):
         weighted_reservoir_sample(df, "w", k=0)
+
+
+def test_weighted_reservoir_by_stratum_exact_k_each(spark):
+    from ftm_columnstore_spark.operators.sampling import (
+        weighted_reservoir_by_stratum,
+    )
+
+    df = spark.createDataFrame(
+        [(i, "s" + str(i % 3), float(1 + i % 7)) for i in range(120)],
+        "doc_id long, src string, w double",
+    )
+    rows = weighted_reservoir_by_stratum(
+        df, "w", k=10, stratum_col="src"
+    ).collect()
+    per = {}
+    for r in rows:
+        per.setdefault(r["src"], []).append(r["doc_id"])
+    assert {s: len(v) for s, v in per.items()} == {
+        "s0": 10, "s1": 10, "s2": 10,
+    }
+    # determinism + agreement with the global sampler restricted to one stratum
+    from ftm_columnstore_spark.operators.sampling import (
+        weighted_reservoir_sample,
+    )
+    solo = sorted(
+        r["doc_id"]
+        for r in weighted_reservoir_sample(
+            df.where("src = 's1'"), "w", k=10
+        ).collect()
+    )
+    assert sorted(per["s1"]) == solo
+
+
+def test_weighted_reservoir_by_stratum_null_and_small(spark):
+    from ftm_columnstore_spark.operators.sampling import (
+        weighted_reservoir_by_stratum,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "a", 0.0), (3, None, 1.0), (4, "b", 2.0)],
+        "doc_id long, src string, w double",
+    )
+    rows = weighted_reservoir_by_stratum(
+        df, "w", k=5, stratum_col="src"
+    ).collect()
+    # strata smaller than k keep everything eligible
+    assert sorted((r["src"], r["doc_id"]) for r in rows) == [
+        ("a", 1), ("b", 4),
+    ]
