@@ -276,8 +276,11 @@ def cms_heavy_hitters_from_windowed(
     does on a unioned input).
 
     The probe join is keyed on (window_start, j, cell) — the sketch
-    side is ≤ d·w rows PER WINDOW, so for a bounded window count it
-    broadcasts; candidate keys stream through map-side.
+    side is ≤ d·w rows PER WINDOW but grows with the window count (a
+    year of hourly windows × 4×1024 cells is ~36M rows), so the join
+    is NOT force-broadcast: AQE promotes it to a broadcast when the
+    retained window range is small and keeps a shuffled hash join when
+    it isn't (the apply_bpe forced-broadcast lesson).
 
     Output: (window_start, col, est_count) filtered to est ≥
     threshold."""
@@ -309,7 +312,7 @@ def cms_heavy_hitters_from_windowed(
     )
     return (
         probes.join(
-            F.broadcast(merged), on=["window_start", "j", "cell"], how="left"
+            merged, on=["window_start", "j", "cell"], how="left"
         )
         .groupBy("window_start", col)
         .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est_count"))

@@ -56,7 +56,7 @@ PICKS = {
     "t38_pmi_collocations": "PMI collocations: one tokenize scan feeds unigram + in-array bigram aggs (no self-join); min_count filters BEFORE the marginal joins; totals broadcast 1-row; top-n is TakeOrderedAndProject",
     "t39_idf_rarity": "IDF rarity: distinct+groupBy(token) df, vocabulary-sized idf relation joins back hash-keyed on token (NOT broadcast), per-doc DECIMAL-sum agg — two keyed shuffles + one keyed join",
     "j21_label_propagation": "label propagation: symmetrized edge list checkpointed once; each round = ONE join on the neighbor side + groupBy(node,label) + per-node min(struct) argmax agg (no row_number window); per-round localCheckpoint cuts lineage",
-    "st6_windowed_cms": "windowed CMS: cell build is ONE partial+final agg keyed (window, j, cell) — streaming-legal, <=d*w state rows per window; the heavy-hitter probe broadcasts the cell relation and joins candidates map-side",
+    "st6_windowed_cms": "windowed CMS: cell build is ONE partial+final agg keyed (window, j, cell) — streaming-legal, <=d*w state rows per window; the probe join is NOT force-broadcast (cells grow with window count) — AQE promotes when the retained range is small",
     "d19_tfidf_cosine_pairs": "TF-IDF cosine join: persisted term pass; df cut BEFORE vectorization bounds posting lists; norm agg + posting self-join on term + ONE pair agg — every shuffle keyed by term or pair; DECIMAL dot sums",
     "a29_ks_drift": "KS drift: per-distinct-value conditional counts (map-side combinable), range-bucketed distributed prefix sum (window PARTITIONED by bucket, offsets broadcast), sup via TakeOrderedAndProject — no global window",
     "a30_correlation_matrix": "correlation matrix: ONE map-side HashAggregate carrying all C(n,2)*6 DECIMAL accumulators over one scan; the matrix is a pure projection + explode of the single wide row",
