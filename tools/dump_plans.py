@@ -62,6 +62,11 @@ PICKS = {
     "a30_correlation_matrix": "correlation matrix: ONE map-side HashAggregate carrying all C(n,2)*6 DECIMAL accumulators over one scan; the matrix is a pure projection + explode of the single wide row",
     "t40_weighted_reservoir": "A-ES weighted sample: one narrow map computes md5-uniform rank keys; exact-k is TakeOrderedAndProject (per-partition heap, k-row driver merge) — no sort, no window",
     "j22_sorted_neighborhood": "sorted neighborhood: prefix-bucketed rank (offsets broadcast, window PARTITIONED by bucket), window-1 delta explode, pair join re-shuffled on rank — linear candidates, no global sort",
+    "w10_ohlc_rollup": "OHLC bars: ONE map-side-combinable HashAggregate keyed (key, window) — open/close via min/max(struct), no window function, no sort",
+    "t42_readability": "readability: ONE narrow projection — zero exchanges at any corpus size",
+    "t43_stratified_reservoir": "stratified A-ES: one stratum-keyed row_number window (WindowGroupLimit rank pushdown expected) — no global sort",
+    "t41_char_entropy": "char entropy: explode to (id,char) then TWO stacked hash aggregates — per-doc alphabet collapses map-side",
+    "u5_snapshot_diff": "snapshot diff: two digest projections (column-pruned scans) + one full-outer SMJ/hash join on id + 4-row agg — nothing wider than the digest shuffles",
 }
 
 
