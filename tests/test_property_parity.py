@@ -903,3 +903,45 @@ def test_moments_stats_match_duckdb(spark, vals):
         assert got["skewness"] is None
     else:
         assert got["skewness"] == want[3]
+
+
+@SETTINGS
+@given(texts=corpus)
+def test_char_entropy_match_duckdb(spark, texts):
+    df = spark.createDataFrame(list(enumerate(texts)), ["doc_id", "text"])
+    from ftm_columnstore_spark.operators.text import char_entropy
+
+    got = char_entropy(df).toPandas()
+    want = _oracle(
+        pd.DataFrame({"doc_id": range(len(texts)), "text": texts}),
+        entry.oracle_sql()["t41_char_entropy"],
+    )
+    _assert_same(got, want)
+
+
+@SETTINGS
+@given(texts=corpus)
+def test_idf_rarity_match_duckdb(spark, texts):
+    df = spark.createDataFrame(list(enumerate(texts)), ["doc_id", "text"])
+    from ftm_columnstore_spark.operators.text import idf_rarity
+
+    got = idf_rarity(df).toPandas()
+    want = _oracle(
+        pd.DataFrame({"doc_id": range(len(texts)), "text": texts}),
+        entry.oracle_sql()["t39_idf_rarity"],
+    )
+    _assert_same(got, want)
+
+
+@SETTINGS
+@given(texts=corpus)
+def test_pmi_collocations_match_duckdb(spark, texts):
+    df = spark.createDataFrame(list(enumerate(texts)), ["doc_id", "text"])
+    from ftm_columnstore_spark.operators.text import pmi_collocations
+
+    got = pmi_collocations(df, min_count=3, top_n=25).toPandas()
+    want = _oracle(
+        pd.DataFrame({"doc_id": range(len(texts)), "text": texts}),
+        entry.oracle_sql()["t38_pmi_collocations"],
+    )
+    _assert_same(got, want)
