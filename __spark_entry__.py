@@ -3591,6 +3591,20 @@ def t43_stratified_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "lang", "n_chars", "sample_key")
 
 
+def j23_neighbor_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link-based node similarity (operators/graph.py:neighbor_jaccard):
+    Jaccard overlap of co-purchase neighbor sets — "parts bought with
+    the same parts", the pairwise complement of j21's communities.
+    Wedge self-join keyed on the shared neighbor (never all-pairs),
+    min_shared=2 floor; oracle replays the identical adjacency,
+    intersection and degree arithmetic."""
+    from ftm_columnstore_spark.operators.graph import neighbor_jaccard
+
+    return neighbor_jaccard(
+        _copurchase_edges(spark, sf_dir), min_shared=2
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order matters: the driver's CORRECTNESS run covers the
     # first ~50 entries. Rotation discipline (VERDICT r4 item 1): every
@@ -3620,6 +3634,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w10_ohlc_rollup": w10_ohlc_rollup,
         "t42_readability": t42_readability,
         "t43_stratified_reservoir": t43_stratified_reservoir,
+        "j23_neighbor_jaccard": j23_neighbor_jaccard,
         # --- NEW in round 6 (must green inside the window) ---
         "a27_log2_histogram": a27_log2_histogram,
         "a28_moments_profile": a28_moments_profile,
@@ -5476,6 +5491,38 @@ def oracle_sql() -> dict[str, str]:
         "j21_label_propagation": _j21_oracle(iterations=3),
         "st6_windowed_cms": _st6_oracle(d=4, w=256, threshold=5),
         "a30_correlation_matrix": _a30_oracle(),
+        "j23_neighbor_jaccard": """
+            WITH items AS (
+                SELECT DISTINCT o.o_orderkey AS ok, l.l_partkey AS p
+                FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+                WHERE o.o_orderdate BETWEEN DATE '1995-03-01'
+                                        AND DATE '1995-03-31'
+            ), e AS (
+                SELECT DISTINCT a.p AS src, b.p AS dst
+                FROM items a JOIN items b ON a.ok = b.ok AND a.p < b.p
+            ), adj AS (
+                SELECT DISTINCT src, dst FROM (
+                    SELECT src, dst FROM e
+                    UNION ALL SELECT dst, src FROM e)
+                WHERE src <> dst
+            ), deg AS (
+                SELECT src, count(*) AS deg FROM adj GROUP BY src
+            ), inter AS (
+                SELECT a.src AS node_a, b.src AS node_b,
+                       count(*) AS shared
+                FROM adj a JOIN adj b
+                  ON a.dst = b.dst AND a.src < b.src
+                GROUP BY 1, 2 HAVING count(*) >= 2
+            )
+            SELECT node_a, node_b, shared,
+                   da.deg AS degree_a, db.deg AS degree_b,
+                   round(shared::DOUBLE
+                         / (da.deg + db.deg - shared)::DOUBLE, 6)
+                       AS jaccard
+            FROM inter
+            JOIN deg da ON node_a = da.src
+            JOIN deg db ON node_b = db.src
+        """,
         "t43_stratified_reservoir": """
             WITH keyed AS (
               SELECT doc_id, lang, n_chars,

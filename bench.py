@@ -139,6 +139,7 @@ HEADLINE = [
     "w10_ohlc_rollup",
     "t42_readability",
     "t43_stratified_reservoir",
+    "j23_neighbor_jaccard",
 ]
 
 

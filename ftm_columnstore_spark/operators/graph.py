@@ -426,3 +426,85 @@ def k_core(
     raise RuntimeError(
         f"k_core did not converge within {max_iter} rounds"
     )
+
+
+def neighbor_jaccard(
+    edges: DataFrame,
+    min_shared: int = 1,
+    max_degree: int | None = None,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Link-based node similarity: Jaccard overlap of neighbor SETS
+    for every node pair sharing ≥ ``min_shared`` neighbors — the
+    co-citation / "customers who bought X also bought Y" measure
+    (SimRank's cheap first iteration). Complements j21 (communities)
+    and j17 (triangles) with a pairwise score, and is the graph
+    analogue of d5's n-gram Jaccard: neighbors play the shingles.
+
+    Plan (the ngram_jaccard shape on the adjacency relation): the
+    symmetrized, deduplicated adjacency (node, neighbor) is built
+    once; pairs materialize ONLY through a shared neighbor — wedge
+    self-join keyed on the neighbor, pair groupBy counts the
+    intersection, degrees join back, |A∪B| = dA + dB − inter. Never
+    all-pairs. Hub neighbors (a node linked to k others creates k²
+    wedge rows) are the expansion hazard; ``max_degree`` drops
+    neighbors above it from the WEDGE join only (degrees still count
+    them, so reported Jaccard only UNDERCOUNTS through hubs — the d17
+    max_df semantics: false negatives on hub-only overlap, never
+    false positives).
+
+    Output: (node_a, node_b, shared, degree_a, degree_b, jaccard),
+    node_a < node_b, jaccard rounded 6 dp."""
+    if min_shared < 1:
+        raise ValueError(f"min_shared must be >= 1, got {min_shared}")
+    if max_degree is not None and max_degree < 2:
+        raise ValueError(f"max_degree must be >= 2, got {max_degree}")
+    src, dst = F.col(src_col), F.col(dst_col)
+    e = edges.select(src.alias("src"), dst.alias("dst"))
+    adj = (
+        e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    degrees = adj.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    wedge_src = adj
+    if max_degree is not None:
+        hot = degrees.where(F.col("deg") > max_degree).select(
+            F.col("src").alias("dst")
+        )
+        wedge_src = adj.join(hot, on="dst", how="left_anti")
+    a = wedge_src.select(F.col("src").alias("node_a"), "dst")
+    b = wedge_src.select(F.col("src").alias("node_b"), "dst")
+    inter = (
+        a.join(b, on="dst")
+        .where(F.col("node_a") < F.col("node_b"))
+        .groupBy("node_a", "node_b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+        .where(F.col("shared") >= int(min_shared))
+    )
+    da = degrees.select(
+        F.col("src").alias("node_a"), F.col("deg").alias("degree_a")
+    )
+    db = degrees.select(
+        F.col("src").alias("node_b"), F.col("deg").alias("degree_b")
+    )
+    return (
+        inter.join(da, on="node_a")
+        .join(db, on="node_b")
+        .select(
+            "node_a",
+            "node_b",
+            "shared",
+            "degree_a",
+            "degree_b",
+            F.round(
+                F.col("shared").cast("double")
+                / (
+                    F.col("degree_a") + F.col("degree_b") - F.col("shared")
+                ).cast("double"),
+                6,
+            ).alias("jaccard"),
+        )
+    )

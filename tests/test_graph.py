@@ -209,3 +209,58 @@ def test_label_propagation_validation(spark):
     edges = spark.createDataFrame([(1, 2)], "src long, dst long")
     with pytest.raises(ValueError, match="iterations"):
         label_propagation(edges, iterations=0)
+
+
+def test_neighbor_jaccard_hand_computed(spark):
+    from ftm_columnstore_spark.operators.graph import neighbor_jaccard
+
+    # square 1-2-3-4-1: opposite corners share BOTH neighbors (J=1),
+    # adjacent corners share none
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 1)], "src long, dst long"
+    )
+    got = {
+        (r["node_a"], r["node_b"]): (
+            r["shared"], r["degree_a"], r["degree_b"], r["jaccard"]
+        )
+        for r in neighbor_jaccard(edges).collect()
+    }
+    assert got == {
+        (1, 3): (2, 2, 2, 1.0),
+        (2, 4): (2, 2, 2, 1.0),
+    }
+
+
+def test_neighbor_jaccard_max_degree_undercounts_only(spark):
+    from ftm_columnstore_spark.operators.graph import neighbor_jaccard
+
+    # hub 0 connects to everyone; 1 and 2 also share neighbor 3
+    edges = spark.createDataFrame(
+        [(0, 1), (0, 2), (0, 3), (0, 4), (1, 3), (2, 3)],
+        "src long, dst long",
+    )
+    full = {
+        (r["node_a"], r["node_b"]): r["shared"]
+        for r in neighbor_jaccard(edges).collect()
+    }
+    capped = {
+        (r["node_a"], r["node_b"]): (r["shared"], r["jaccard"])
+        for r in neighbor_jaccard(edges, max_degree=3).collect()
+    }
+    # hub-mediated share drops; the 1-2 pair keeps only neighbor 3
+    assert full[(1, 2)] == 2
+    assert capped[(1, 2)][0] == 1
+    # degrees still full (deg 2 each) -> jaccard 1/(2+2-1)
+    assert capped[(1, 2)][1] == round(1 / 3, 6)
+
+
+def test_neighbor_jaccard_validation(spark):
+    import pytest
+
+    from ftm_columnstore_spark.operators.graph import neighbor_jaccard
+
+    edges = spark.createDataFrame([(1, 2)], "src long, dst long")
+    with pytest.raises(ValueError, match="min_shared"):
+        neighbor_jaccard(edges, min_shared=0)
+    with pytest.raises(ValueError, match="max_degree"):
+        neighbor_jaccard(edges, max_degree=1)
