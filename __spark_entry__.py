@@ -3605,6 +3605,22 @@ def j23_neighbor_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def a31_ks_drift_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out KS drift per source (operators/sketches.py:
+    ks_drift_by_group): which SOURCE's length distribution deviates
+    from the rest of the corpus — the slice-finder on top of a29's
+    single-pair statistic. The groups x values eval grid is bounded by
+    max_groups; per-group cumsums ride ONE group-partitioned window
+    and the global cumulative derives as a keyed sum of the same
+    relation (no no-partition window). Oracle replays grid, windows
+    and argmax."""
+    from ftm_columnstore_spark.operators.sketches import ks_drift_by_group
+
+    return ks_drift_by_group(
+        _t(spark, sf_dir, "documents"), "n_chars", "source"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order matters: the driver's CORRECTNESS run covers the
     # first ~50 entries. Rotation discipline (VERDICT r4 item 1): every
@@ -3635,6 +3651,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t42_readability": t42_readability,
         "t43_stratified_reservoir": t43_stratified_reservoir,
         "j23_neighbor_jaccard": j23_neighbor_jaccard,
+        "a31_ks_drift_by_source": a31_ks_drift_by_source,
         # --- NEW in round 6 (must green inside the window) ---
         "a27_log2_histogram": a27_log2_histogram,
         "a28_moments_profile": a28_moments_profile,
@@ -5491,6 +5508,43 @@ def oracle_sql() -> dict[str, str]:
         "j21_label_propagation": _j21_oracle(iterations=3),
         "st6_windowed_cms": _st6_oracle(d=4, w=256, threshold=5),
         "a30_correlation_matrix": _a30_oracle(),
+        "a31_ks_drift_by_source": """
+            WITH base AS (
+              SELECT source AS g, n_chars AS v FROM documents
+              WHERE source IS NOT NULL AND n_chars IS NOT NULL
+            ), gv AS (
+              SELECT g, v, count(*) AS cnt FROM base GROUP BY g, v
+            ), grid AS (
+              SELECT gg.g, vv.v
+              FROM (SELECT DISTINCT g FROM gv) gg,
+                   (SELECT DISTINCT v FROM gv) vv
+            ), j AS (
+              SELECT grid.g, grid.v, coalesce(gv.cnt, 0) AS cnt
+              FROM grid LEFT JOIN gv USING (g, v)
+            ), cumg AS (
+              SELECT g, v,
+                     sum(cnt) OVER (PARTITION BY g ORDER BY v) AS cum_g
+              FROM j
+            ), vc AS (
+              SELECT v, sum(cum_g) AS cum_all FROM cumg GROUP BY v
+            ), tot AS (
+              SELECT g, sum(cnt) AS n_g FROM gv GROUP BY g
+            ), grand AS (
+              SELECT sum(cnt) AS n_all FROM gv
+            ), d AS (
+              SELECT c.g, c.v, t.n_g, grand.n_all,
+                     abs(c.cum_g::DOUBLE / t.n_g::DOUBLE
+                         - (vc.cum_all - c.cum_g)::DOUBLE
+                           / (grand.n_all - t.n_g)::DOUBLE) AS d
+              FROM cumg c JOIN vc USING (v) JOIN tot t USING (g), grand
+            )
+            SELECT g AS "group", round(d, 6) AS d_stat, v AS at_value,
+                   n_g::BIGINT AS n_group,
+                   (n_all - n_g)::BIGINT AS n_rest
+            FROM d
+            QUALIFY row_number() OVER (
+                PARTITION BY g ORDER BY d DESC, v) = 1
+        """,
         "j23_neighbor_jaccard": """
             WITH items AS (
                 SELECT DISTINCT o.o_orderkey AS ok, l.l_partkey AS p

@@ -140,6 +140,7 @@ HEADLINE = [
     "t42_readability",
     "t43_stratified_reservoir",
     "j23_neighbor_jaccard",
+    "a31_ks_drift_by_source",
 ]
 
 

@@ -1291,3 +1291,98 @@ def correlation_matrix(
     return wide.select(
         F.explode(F.array(*parts)).alias("p")
     ).select("p.col_x", "p.col_y", "p.n", "p.corr")
+
+
+def ks_drift_by_group(
+    df: DataFrame,
+    col: str,
+    group_col: str,
+    max_groups: int = 64,
+) -> DataFrame:
+    """Leave-one-out KS drift per group: for every group g, the
+    two-sample KS statistic between ``col`` in g and in ALL OTHER
+    groups — the "WHICH source drifted" report on top of a29's
+    single-number :func:`ks_drift` (run that for one suspect pair;
+    run this to find the suspect).
+
+    The sup of |F_g − F_rest| must be evaluated at every step point of
+    EITHER side — i.e. at every global distinct value — so the eval
+    relation is groups × distinct-values. That cross is the cost
+    model, and ``max_groups`` is its bound (the house rule: the
+    threshold IS the contract; a high-cardinality group column wants
+    a29 per slice instead). Plan: ONE corpus-sized shuffle builds
+    per-(group, value) counts; the distinct groups (≤max_groups,
+    checked via a limit+1 collect) cross the distinct-value relation;
+    cumulative counts ride ONE window partitioned by group in value
+    order (per-partition size = |distinct values| — the t33
+    stratum-window shape); everything after is per-row arithmetic and
+    one per-group argmax aggregation (min(struct(-d, v)), no second
+    window). Counts are exact integers; F values are one IEEE division
+    each; d_stat rounds 6 dp at the read-off.
+
+    Output: (group, d_stat, at_value, n_group, n_rest) — at_value is
+    the smallest value attaining the sup."""
+    if not 2 <= max_groups <= 4096:
+        raise ValueError(f"max_groups must be in [2, 4096], got {max_groups}")
+    from pyspark.sql import Window
+
+    c, g = F.col(col), F.col(group_col)
+    base = df.where(c.isNotNull() & g.isNotNull()).select(
+        g.alias("g"), c.alias("v")
+    )
+    gv = base.groupBy("g", "v").agg(F.count(F.lit(1)).alias("cnt")).persist()
+    groups = gv.select("g").distinct().limit(max_groups + 1).collect()
+    if len(groups) > max_groups:
+        gv.unpersist()
+        raise ValueError(
+            f"{group_col!r} has more than max_groups={max_groups} groups; "
+            "the groups x values eval cross would be unbounded — run "
+            "ks_drift per suspect slice instead, or raise max_groups."
+        )
+    groups_df = gv.sparkSession.createDataFrame(
+        [(r["g"],) for r in groups], f"g {df.schema[group_col].dataType.simpleString()}"
+    )
+    values = gv.select("v").distinct()
+    totals = gv.groupBy("g").agg(F.sum("cnt").alias("n_g"))
+    grand = gv.agg(F.sum("cnt").alias("n_all")).first()["n_all"]
+    # eval grid: every group x every global step point
+    grid = F.broadcast(groups_df).crossJoin(values)
+    joined = grid.join(gv, on=["g", "v"], how="left").select(
+        "g", "v", F.coalesce("cnt", F.lit(0)).alias("cnt")
+    )
+    w = (
+        Window.partitionBy("g")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    # per-group cumulative counts on the grid (window PARTITIONED by
+    # group); the GLOBAL cumulative needs no no-partition window —
+    # cum_all(v) = Σ_g cum_g(v), a keyed aggregation of the same
+    # relation (the a29 rule: never a single-partition global window)
+    cum_g_grid = joined.withColumn("cum_g", F.sum("cnt").over(w)).persist()
+    vcum = cum_g_grid.groupBy("v").agg(F.sum("cum_g").alias("cum_all"))
+    cum = cum_g_grid.join(vcum, on="v").join(totals, on="g")
+    fg = F.col("cum_g").cast("double") / F.col("n_g").cast("double")
+    fr = (F.col("cum_all") - F.col("cum_g")).cast("double") / (
+        F.lit(grand) - F.col("n_g")
+    ).cast("double")
+    diffed = cum.select(
+        "g",
+        "v",
+        "n_g",
+        F.abs(fg - fr).alias("d"),
+    )
+    best = diffed.groupBy("g", "n_g").agg(
+        F.min(
+            F.struct((-F.col("d")).alias("nd"), F.col("v").alias("v"))
+        ).alias("b")
+    )
+    out = best.select(
+        F.col("g").alias("group"),
+        F.round(-F.col("b.nd"), 6).alias("d_stat"),
+        F.col("b.v").alias("at_value"),
+        F.col("n_g").cast("long").alias("n_group"),
+        (F.lit(grand) - F.col("n_g")).cast("long").alias("n_rest"),
+    )
+    out._cached_intermediates = [gv, cum_g_grid]
+    return out

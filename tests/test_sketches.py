@@ -852,3 +852,42 @@ def test_correlation_matrix_validation(spark):
         correlation_matrix(df, ["x"])
     with pytest.raises(ValueError, match="max_cols"):
         correlation_matrix(df, ["x", "y"], max_cols=1)
+
+
+def test_ks_drift_by_group_matches_pairwise(spark):
+    """Each group's leave-one-out D equals ks_drift(group, rest)."""
+    from ftm_columnstore_spark.operators.sketches import (
+        ks_drift,
+        ks_drift_by_group,
+    )
+
+    rows = [("a", (i * 37) % 50) for i in range(60)] + [
+        ("b", (i * 11) % 80 + 5) for i in range(40)
+    ] + [("c", (i * 7) % 30) for i in range(30)]
+    df = spark.createDataFrame(rows, "src string, v long")
+    got = {
+        r["group"]: (r["d_stat"], r["at_value"], r["n_group"], r["n_rest"])
+        for r in ks_drift_by_group(df, "v", "src").collect()
+    }
+    assert set(got) == {"a", "b", "c"}
+    for grp in ("a", "b", "c"):
+        ref = ks_drift(
+            df.where(f"src = '{grp}'"), df.where(f"src <> '{grp}'"), "v"
+        ).first()
+        assert got[grp] == (
+            ref["d_stat"], ref["at_value"], ref["n_a"], ref["n_b"]
+        ), grp
+
+
+def test_ks_drift_by_group_validation(spark):
+    import pytest
+
+    from ftm_columnstore_spark.operators.sketches import ks_drift_by_group
+
+    df = spark.createDataFrame(
+        [(str(i), i) for i in range(10)], "src string, v long"
+    )
+    with pytest.raises(ValueError, match="max_groups"):
+        ks_drift_by_group(df, "v", "src", max_groups=1)
+    with pytest.raises(ValueError, match="more than max_groups"):
+        ks_drift_by_group(df, "v", "src", max_groups=5)
