@@ -3621,6 +3621,27 @@ def a31_ks_drift_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def st7_windowed_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming per-hour mean/variance/skewness from a four-number
+    moments sketch (streaming/windows.py:windowed_moments — the a28
+    power-sum spine windowed, beside st5 HLL and st6 CMS): event
+    values quantize to exact integer cents, (m0..m3) accumulate as
+    DECIMAL(38,0) in ONE streaming-legal additive aggregation, and
+    moments_stats reads the statistics off the materialized state.
+    Same plan runs here as a batch agg; the true readStream form runs
+    in test_streaming. Oracle replays the integer power sums grouped
+    by the hour."""
+    from ftm_columnstore_spark.operators.sketches import moments_stats
+    from ftm_columnstore_spark.streaming.windows import windowed_moments
+
+    return moments_stats(
+        windowed_moments(
+            _events(spark, sf_dir), "value", "1 hour", quant=100.0,
+            watermark=None,
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order matters: the driver's CORRECTNESS run covers the
     # first ~50 entries. Rotation discipline (VERDICT r4 item 1): every
@@ -3652,6 +3673,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t43_stratified_reservoir": t43_stratified_reservoir,
         "j23_neighbor_jaccard": j23_neighbor_jaccard,
         "a31_ks_drift_by_source": a31_ks_drift_by_source,
+        "st7_windowed_moments": st7_windowed_moments,
         # --- NEW in round 6 (must green inside the window) ---
         "a27_log2_histogram": a27_log2_histogram,
         "a28_moments_profile": a28_moments_profile,
@@ -5508,6 +5530,36 @@ def oracle_sql() -> dict[str, str]:
         "j21_label_propagation": _j21_oracle(iterations=3),
         "st6_windowed_cms": _st6_oracle(d=4, w=256, threshold=5),
         "a30_correlation_matrix": _a30_oracle(),
+        "st7_windowed_moments": """
+            WITH s AS (
+              SELECT strftime(date_trunc('hour', ts),
+                              '%Y-%m-%d %H:%M:%S') AS window_start,
+                     count(*)::HUGEINT AS m0,
+                     sum(q) AS m1, sum(q * q) AS m2,
+                     sum(q * q * q) AS m3
+              FROM (SELECT ts,
+                           floor(value::DOUBLE * 100.0 + 0.5)::HUGEINT
+                               AS q
+                    FROM events WHERE value IS NOT NULL)
+              GROUP BY 1
+            )
+            SELECT window_start, m0::BIGINT AS m0,
+                   round(m1::DOUBLE / m0::DOUBLE, 6) AS mean,
+                   round((m0 * m2 - m1 * m1)::DOUBLE
+                         / (m0 * m0)::DOUBLE, 6) AS variance,
+                   CASE WHEN (m0 * m2 - m1 * m1) > 0 THEN
+                     round((m0 * m0 * m3 - 3 * m0 * m1 * m2
+                            + 2 * m1 * m1 * m1)::DOUBLE
+                           / ((m0 * m0 * m0)::DOUBLE
+                              * sqrt((m0 * m2 - m1 * m1)::DOUBLE
+                                     / (m0 * m0)::DOUBLE)
+                              * sqrt((m0 * m2 - m1 * m1)::DOUBLE
+                                     / (m0 * m0)::DOUBLE)
+                              * sqrt((m0 * m2 - m1 * m1)::DOUBLE
+                                     / (m0 * m0)::DOUBLE)), 6)
+                   END AS skewness
+            FROM s
+        """,
         "a31_ks_drift_by_source": """
             WITH base AS (
               SELECT source AS g, n_chars AS v FROM documents

@@ -141,6 +141,7 @@ HEADLINE = [
     "t43_stratified_reservoir",
     "j23_neighbor_jaccard",
     "a31_ks_drift_by_source",
+    "st7_windowed_moments",
 ]
 
 

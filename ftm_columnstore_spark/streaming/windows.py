@@ -318,3 +318,51 @@ def cms_heavy_hitters_from_windowed(
         .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est_count"))
         .filter(F.col("est_count") >= threshold)
     )
+
+
+def windowed_moments(
+    events: DataFrame,
+    col: str = "value",
+    window_duration: str = "1 hour",
+    ts_col: str = "ts",
+    quant: float = 100.0,
+    watermark: str | None = "1 hour",
+) -> DataFrame:
+    """Per-window moments sketch — streaming mean/variance/skewness
+    tracking with FOUR numbers of state per window (the a28 power-sum
+    spine windowed, next to st5's HLL and st6's CMS): values quantize
+    to exact integer longs q = floor(x·quant + 0.5) (the
+    correlation_matrix rule — doubles can't ride an exact additive
+    sketch, integers can), then (m0, Σq, Σq², Σq³) accumulate as
+    DECIMAL(38,0) in ONE streaming-legal additive aggregation.
+
+    Read the statistics off the materialized state with
+    operators/sketches.py:moments_stats (it treats window_start as a
+    group key); window sketches from several runs/shards merge with
+    moments_merge(group_by=["window_start"]). Note the read-off
+    stats are of the QUANTIZED values — mean/sd scale by quant,
+    skewness is scale-invariant.
+
+    Output: (window_start string, m0, m1, m2, m3)."""
+    if quant <= 0:
+        raise ValueError(f"quant must be > 0, got {quant}")
+    from ftm_columnstore_spark.operators.sketches import _MOM_DEC
+
+    df = _with_watermark(events, ts_col, watermark)
+    c = F.col(col)
+    q = F.floor(c.cast("double") * F.lit(float(quant)) + F.lit(0.5))
+    base = df.where(c.isNotNull()).select(
+        F.window(F.col(ts_col), window_duration).alias("__win"),
+        q.alias("__q"),
+    )
+    x = F.col("__q").cast(_MOM_DEC)
+    return base.groupBy(
+        F.date_format(F.col("__win.start"), "yyyy-MM-dd HH:mm:ss").alias(
+            "window_start"
+        )
+    ).agg(
+        F.count(F.lit(1)).alias("m0"),
+        F.sum(x).cast(_MOM_DEC).alias("m1"),
+        F.sum(x * F.col("__q")).cast(_MOM_DEC).alias("m2"),
+        F.sum(x * F.col("__q") * F.col("__q")).cast(_MOM_DEC).alias("m3"),
+    )

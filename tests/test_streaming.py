@@ -932,3 +932,58 @@ def test_ohlc_rollup_stream_matches_batch(spark, tmp_path):
         for r in spark.table("ohlc_bars").collect()
     }
     assert got == expect and len(got) == 1
+
+
+def test_windowed_moments_stream_matches_batch_and_exact(spark, tmp_path):
+    """Per-window moments as a REAL stream: streamed sketch state reads
+    off to the same stats as the batch plan and a python replay."""
+    import json as _json
+    import math
+
+    from ftm_columnstore_spark.operators.sketches import moments_stats
+    from ftm_columnstore_spark.streaming.windows import windowed_moments
+
+    vals = [1.25, 2.5, 2.5, 7.0, 100.0]
+    src = tmp_path / "mom_ev"
+    src.mkdir()
+    rows = [
+        {"event_id": i, "ts": f"2024-01-01T10:{i:02d}:00.000Z",
+         "user_id": 1, "event_type": "x", "value": v}
+        for i, v in enumerate(vals)
+    ] + [{"event_id": 99, "ts": "2024-01-01T11:30:00.000Z",
+          "user_id": 1, "event_type": "x", "value": 3.0}]
+    (src / "p1.json").write_text("\n".join(_json.dumps(r) for r in rows))
+    schema = (
+        "event_id LONG, ts TIMESTAMP, user_id LONG, "
+        "event_type STRING, value DOUBLE"
+    )
+    stream = spark.readStream.schema(schema).json(str(src))
+    q = (
+        windowed_moments(stream, "value", "1 hour")
+        .writeStream.format("memory")
+        .queryName("mom_state")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    streamed = {
+        r["window_start"]: (r["m0"], r["mean"], r["variance"])
+        for r in moments_stats(spark.table("mom_state")).collect()
+    }
+    batch = spark.read.schema(schema).json(str(src))
+    batched = {
+        r["window_start"]: (r["m0"], r["mean"], r["variance"])
+        for r in moments_stats(
+            windowed_moments(batch, "value", "1 hour", watermark=None)
+        ).collect()
+    }
+    assert streamed == batched
+    qs = [math.floor(v * 100 + 0.5) for v in vals]
+    mean = sum(qs) / len(qs)
+    var = sum(q * q for q in qs) / len(qs) - mean * mean
+    m0, got_mean, got_var = streamed["2024-01-01 10:00:00"]
+    assert m0 == 5
+    assert abs(got_mean - mean) < 1e-6
+    assert abs(got_var - var) < 1e-4
+    assert streamed["2024-01-01 11:00:00"][0] == 1
