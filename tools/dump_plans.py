@@ -67,6 +67,9 @@ PICKS = {
     "t43_stratified_reservoir": "stratified A-ES: one stratum-keyed row_number window (WindowGroupLimit rank pushdown expected) — no global sort",
     "t41_char_entropy": "char entropy: explode to (id,char) then TWO stacked hash aggregates — per-doc alphabet collapses map-side",
     "u5_snapshot_diff": "snapshot diff: two digest projections (column-pruned scans) + one full-outer SMJ/hash join on id + 4-row agg — nothing wider than the digest shuffles",
+    "j23_neighbor_jaccard": "neighbor Jaccard: wedge self-join keyed on the shared neighbor (never all-pairs), pair groupBy + two degree joins — every exchange keyed",
+    "a31_ks_drift_by_source": "grouped KS: bounded groups x values grid (groups broadcast), ONE group-partitioned window cumsum, global CDF as keyed sum of the same relation, per-group min(struct) argmax — no no-partition window",
+    "st7_windowed_moments": "windowed moments: ONE partial+final agg keyed by window carrying 4 DECIMAL power sums — streaming-legal, 4 numbers of state per window; stats are a projection",
 }
 
 
