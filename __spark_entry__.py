@@ -3642,6 +3642,18 @@ def st7_windowed_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def j24_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adamic-Adar link prediction (operators/graph.py:adamic_adar):
+    which part pairs are most likely to be co-purchased NEXT — shared
+    co-purchase neighbors weighted 1/ln(degree), so hub-mediated
+    evidence is discounted (j23's Jaccard counts it flat). Same
+    never-all-pairs wedge plan; per-neighbor ln through the 12-dp rule,
+    pair sums in DECIMAL. Oracle replays adjacency, weights and sums."""
+    from ftm_columnstore_spark.operators.graph import adamic_adar
+
+    return adamic_adar(_copurchase_edges(spark, sf_dir), min_shared=2)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order matters: the driver's CORRECTNESS run covers the
     # first ~50 entries. Rotation discipline (VERDICT r4 item 1): every
@@ -3674,6 +3686,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "j23_neighbor_jaccard": j23_neighbor_jaccard,
         "a31_ks_drift_by_source": a31_ks_drift_by_source,
         "st7_windowed_moments": st7_windowed_moments,
+        "j24_adamic_adar": j24_adamic_adar,
         # --- NEW in round 6 (must green inside the window) ---
         "a27_log2_histogram": a27_log2_histogram,
         "a28_moments_profile": a28_moments_profile,
@@ -5530,6 +5543,36 @@ def oracle_sql() -> dict[str, str]:
         "j21_label_propagation": _j21_oracle(iterations=3),
         "st6_windowed_cms": _st6_oracle(d=4, w=256, threshold=5),
         "a30_correlation_matrix": _a30_oracle(),
+        "j24_adamic_adar": """
+            WITH items AS (
+                SELECT DISTINCT o.o_orderkey AS ok, l.l_partkey AS p
+                FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+                WHERE o.o_orderdate BETWEEN DATE '1995-03-01'
+                                        AND DATE '1995-03-31'
+            ), e AS (
+                SELECT DISTINCT a.p AS src, b.p AS dst
+                FROM items a JOIN items b ON a.ok = b.ok AND a.p < b.p
+            ), adj AS (
+                SELECT DISTINCT src, dst FROM (
+                    SELECT src, dst FROM e
+                    UNION ALL SELECT dst, src FROM e)
+                WHERE src <> dst
+            ), deg AS (
+                SELECT src, count(*) AS deg FROM adj GROUP BY src
+            ), cw AS (
+                SELECT src AS c,
+                       round(1.0 / ln(deg::DOUBLE), 12)::DECIMAL(38,12)
+                           AS w
+                FROM deg WHERE deg >= 2
+            )
+            SELECT a.src AS node_a, b.src AS node_b,
+                   count(*)::BIGINT AS shared,
+                   round(sum(cw.w)::DOUBLE, 6) AS aa_score
+            FROM adj a
+            JOIN adj b ON a.dst = b.dst AND a.src < b.src
+            JOIN cw ON cw.c = a.dst
+            GROUP BY 1, 2 HAVING count(*) >= 2
+        """,
         "st7_windowed_moments": """
             WITH s AS (
               SELECT strftime(date_trunc('hour', ts),

@@ -142,6 +142,7 @@ HEADLINE = [
     "j23_neighbor_jaccard",
     "a31_ks_drift_by_source",
     "st7_windowed_moments",
+    "j24_adamic_adar",
 ]
 
 

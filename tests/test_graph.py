@@ -264,3 +264,43 @@ def test_neighbor_jaccard_validation(spark):
         neighbor_jaccard(edges, min_shared=0)
     with pytest.raises(ValueError, match="max_degree"):
         neighbor_jaccard(edges, max_degree=1)
+
+
+def test_adamic_adar_hand_computed(spark):
+    import math
+
+    from ftm_columnstore_spark.operators.graph import adamic_adar
+
+    # 1 and 2 share neighbors 3 (deg 2) and 0 (deg 3)
+    edges = spark.createDataFrame(
+        [(1, 3), (2, 3), (0, 1), (0, 2), (0, 4)], "src long, dst long"
+    )
+    got = {
+        (r["node_a"], r["node_b"]): (r["shared"], r["aa_score"])
+        for r in adamic_adar(edges, min_shared=2).collect()
+    }
+    # (1,2) share {3 (deg 2), 0 (deg 3)}; (0,3) share {1, 2} (deg 2 each)
+    w2 = round(1 / math.log(2), 12)
+    w3 = round(1 / math.log(3), 12)
+    assert set(got) == {(1, 2), (0, 3)}
+    assert got[(1, 2)][0] == 2 and abs(
+        got[(1, 2)][1] - round(w2 + w3, 6)
+    ) < 1e-9
+    assert got[(0, 3)][0] == 2 and abs(
+        got[(0, 3)][1] - round(2 * w2, 6)
+    ) < 1e-9
+
+
+def test_adamic_adar_discounts_hubs_vs_jaccard(spark):
+    from ftm_columnstore_spark.operators.graph import adamic_adar
+
+    # pair (1,2) shares a rare neighbor; pair (5,6) shares a hub
+    edges = [(1, 3), (2, 3)] + [(5, 0), (6, 0)] + [
+        (0, i) for i in range(10, 30)
+    ]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        (r["node_a"], r["node_b"]): r["aa_score"]
+        for r in adamic_adar(df).collect()
+    }
+    assert got[(1, 2)] > got[(5, 6)]
