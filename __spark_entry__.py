@@ -3656,71 +3656,74 @@ def j24_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order matters: the driver's CORRECTNESS run covers the
-    # first ~50 entries. Rotation discipline (VERDICT r4 item 1): every
-    # key's staleness = rounds since its last green driver row. This
-    # round: 12 brand-new ops lead (t38/t39/j21/st6/d19/a29/a30/t40/
-    # j22/t41/u5/v19 — never driver-checked), then the 11 ops new last
-    # round (also never driver-checked: no driver run happened between
-    # these two build rounds), then t6/t8 (r02-green), then the
-    # r03-verified block. 12+11+2 = 25, so ~25 r03 keys fit the window;
-    # the r03 tail (v12... onward) sits past pos 50 and leads the NEXT
-    # round's window. NEXT ROUND: never-green keys first (if any),
-    # then the r03 tail past pos 50, then the r04 block.
+    # first ~50 entries. Rotation discipline (VERDICT r5 item 7):
+    # stalest-first. This round's window: the 5 never-driver-checked keys
+    # (t30-t33, v17 -- judge-green in r5 but the driver sampler has never
+    # reached them), then the 10 keys last driver-green in r01 (a11-a13,
+    # j5-j10, st2), then the r02 block (40 keys; the last ~5 spill past
+    # pos 50 and lead the r07 window). Zero r04/r05-checked keys sit in
+    # the first 50. NEXT ROUND: any never-green keys first, then the r02
+    # spillover, then the r03 block (29 keys), oldest-first.
     return {
-        # --- NEW in round 7 (never checked; must green in their first round) ---
-        "t38_pmi_collocations": t38_pmi_collocations,
-        "t39_idf_rarity": t39_idf_rarity,
-        "j21_label_propagation": j21_label_propagation,
-        "st6_windowed_cms": st6_windowed_cms,
-        "d19_tfidf_cosine_pairs": d19_tfidf_cosine_pairs,
-        "a29_ks_drift": a29_ks_drift,
-        "a30_correlation_matrix": a30_correlation_matrix,
-        "t40_weighted_reservoir": t40_weighted_reservoir,
-        "j22_sorted_neighborhood": j22_sorted_neighborhood,
-        "t41_char_entropy": t41_char_entropy,
-        "u5_snapshot_diff": u5_snapshot_diff,
-        "v19_truncated_recall": v19_truncated_recall,
-        "w10_ohlc_rollup": w10_ohlc_rollup,
-        "t42_readability": t42_readability,
-        "t43_stratified_reservoir": t43_stratified_reservoir,
-        "j23_neighbor_jaccard": j23_neighbor_jaccard,
-        "a31_ks_drift_by_source": a31_ks_drift_by_source,
-        "st7_windowed_moments": st7_windowed_moments,
-        "j24_adamic_adar": j24_adamic_adar,
-        # --- NEW in round 6 (must green inside the window) ---
-        "a27_log2_histogram": a27_log2_histogram,
-        "a28_moments_profile": a28_moments_profile,
-        "t34_phrase_match": t34_phrase_match,
-        "t35_rake_keywords": t35_rake_keywords,
-        "d17_containment_pairs": d17_containment_pairs,
-        "t36_proximity_match": t36_proximity_match,
-        "v18_vocab_divergence": v18_vocab_divergence,
-        "st5_windowed_hll": st5_windowed_hll,
-        "w9_interval_overlap": w9_interval_overlap,
-        "t37_ngram_novelty": t37_ngram_novelty,
-        "d18_cluster_size_histogram": d18_cluster_size_histogram,
-        # --- r02-green spillover that missed the r05 window (pos 51-52 last round) ---
-        "t6_hash_split": t6_hash_split,
-        "t8_deterministic_shuffle": t8_deterministic_shuffle,
-        # --- last driver-green in r03 (stalest full block; tail past pos 50 leads r07) ---
-        "a4_avg_via_dsl": a4_avg_via_dsl,
-        "m2_fingerprint_freq": m2_fingerprint_freq,
-        "u3_intersect": u3_intersect,
-        "u4_except": u4_except,
-        "e6_schema_hierarchy": e6_schema_hierarchy,
-        "d6_jaccard_dedup_kept": d6_jaccard_dedup_kept,
-        "d7_connected_components": d7_connected_components,
-        "w2_rank_spenders": w2_rank_spenders,
-        "j16_pagerank": j16_pagerank,
-        "t16_weighted_sample": t16_weighted_sample,
-        "d13_dedup_keep_best": d13_dedup_keep_best,
-        "d14_exact_substring_dedup": d14_exact_substring_dedup,
-        "j17_triangle_count": j17_triangle_count,
-        "d15_cross_substring_dedup": d15_cross_substring_dedup,
-        "t17_perplexity_buckets": t17_perplexity_buckets,
-        "t18_chunk_documents": t18_chunk_documents,
-        "v10_ann_recall": v10_ann_recall,
-        "w5_funnel": w5_funnel,
+        # --- never driver-checked (judge-green r5; first driver rows due now) ---
+        "t30_bloom_decontaminate": t30_bloom_decontaminate,
+        "t31_bpe_fertility": t31_bpe_fertility,
+        "t32_zipf_alpha": t32_zipf_alpha,
+        "t33_quality_prune": t33_quality_prune,
+        "v17_kmv_vocab_overlap": v17_kmv_vocab_overlap,
+        # --- last driver-green in r01 (stalest block) ---
+        "st2_events_latest": st2_events_latest,
+        "j5_order_priority_exists": j5_order_priority_exists,
+        "j8_nation_volume": j8_nation_volume,
+        "a11_promo_revenue": a11_promo_revenue,
+        "j9_shipping_priority": j9_shipping_priority,
+        "j10_discounted_revenue": j10_discounted_revenue,
+        "a12_forecast_revenue": a12_forecast_revenue,
+        "a13_late_shipments": a13_late_shipments,
+        "j6_top_customers": j6_top_customers,
+        "j7_big_orders": j7_big_orders,
+        # --- last driver-green in r02 (tail past pos 50 leads r07) ---
+        "a10_rollup": a10_rollup,
+        "o4_deterministic_scan": o4_deterministic_scan,
+        "t4_language_id": t4_language_id,
+        "t5_quality_scores": t5_quality_scores,
+        "j11_order_count_distribution": j11_order_count_distribution,
+        "a14_small_quantity_revenue": a14_small_quantity_revenue,
+        "m4_top_supplier_revenue": m4_top_supplier_revenue,
+        "j12_supplier_counts_anti": j12_supplier_counts_anti,
+        "j13_late_sole_shippers": j13_late_sole_shippers,
+        "a15_idle_rich_customers": a15_idle_rich_customers,
+        "j14_best_supplier_per_part": j14_best_supplier_per_part,
+        "a16_part_value_share": a16_part_value_share,
+        "t7_stratified_sample": t7_stratified_sample,
+        "d8_decontamination": d8_decontamination,
+        "a17_regional_share": a17_regional_share,
+        "a18_product_profit": a18_product_profit,
+        "j15_dominant_suppliers": j15_dominant_suppliers,
+        "t10_mixture_sample": t10_mixture_sample,
+        "d3_minhash_lsh_pairs": d3_minhash_lsh_pairs,
+        "d4_simhash_pairs": d4_simhash_pairs,
+        "v3_lsh_topk": v3_lsh_topk,
+        "v4_embedding_dups": v4_embedding_dups,
+        "v8_ivf_topk_portable": v8_ivf_topk_portable,
+        "t11_bigram_lm": t11_bigram_lm,
+        "t12_tfidf_terms": t12_tfidf_terms,
+        "t13_pii_scrub": t13_pii_scrub,
+        "v6_ann_topk_numpy": v6_ann_topk_numpy,
+        "v7_knn_join_numpy": v7_knn_join_numpy,
+        "w3_asof_join": w3_asof_join,
+        "w4_band_join": w4_band_join,
+        "d9_repetition_filter": d9_repetition_filter,
+        "a19_percentiles": a19_percentiles,
+        "a20_cube": a20_cube,
+        "m5_time_rollup": m5_time_rollup,
+        "t14_winnow_fingerprints": t14_winnow_fingerprints,
+        "d10_winnow_overlap": d10_winnow_overlap,
+        "d11_line_dedup": d11_line_dedup,
+        "v9_semantic_dedup": v9_semantic_dedup,
+        "d12_cross_dedup": d12_cross_dedup,
+        "t15_quality_gate": t15_quality_gate,
+        # --- last driver-green in r03 ---
         "w6_retention": w6_retention,
         "w7_sessionize": w7_sessionize,
         "w8_transitions": w8_transitions,
@@ -3801,62 +3804,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t3_lang_stats": t3_lang_stats,
         "v1_ann_topk": v1_ann_topk,
         "st1_events_tumbling": st1_events_tumbling,
-        # --- green in the r05 window (freshest) ---
-        "t30_bloom_decontaminate": t30_bloom_decontaminate,
-        "t31_bpe_fertility": t31_bpe_fertility,
-        "t32_zipf_alpha": t32_zipf_alpha,
-        "t33_quality_prune": t33_quality_prune,
-        "v17_kmv_vocab_overlap": v17_kmv_vocab_overlap,
-        "st2_events_latest": st2_events_latest,
-        "j5_order_priority_exists": j5_order_priority_exists,
-        "j8_nation_volume": j8_nation_volume,
-        "a11_promo_revenue": a11_promo_revenue,
-        "j9_shipping_priority": j9_shipping_priority,
-        "j10_discounted_revenue": j10_discounted_revenue,
-        "a12_forecast_revenue": a12_forecast_revenue,
-        "a13_late_shipments": a13_late_shipments,
-        "j6_top_customers": j6_top_customers,
-        "j7_big_orders": j7_big_orders,
-        "a10_rollup": a10_rollup,
-        "o4_deterministic_scan": o4_deterministic_scan,
-        "t4_language_id": t4_language_id,
-        "t5_quality_scores": t5_quality_scores,
-        "j11_order_count_distribution": j11_order_count_distribution,
-        "a14_small_quantity_revenue": a14_small_quantity_revenue,
-        "m4_top_supplier_revenue": m4_top_supplier_revenue,
-        "j12_supplier_counts_anti": j12_supplier_counts_anti,
-        "j13_late_sole_shippers": j13_late_sole_shippers,
-        "a15_idle_rich_customers": a15_idle_rich_customers,
-        "j14_best_supplier_per_part": j14_best_supplier_per_part,
-        "a16_part_value_share": a16_part_value_share,
-        "t7_stratified_sample": t7_stratified_sample,
-        "d8_decontamination": d8_decontamination,
-        "a17_regional_share": a17_regional_share,
-        "a18_product_profit": a18_product_profit,
-        "j15_dominant_suppliers": j15_dominant_suppliers,
-        "t10_mixture_sample": t10_mixture_sample,
-        "d3_minhash_lsh_pairs": d3_minhash_lsh_pairs,
-        "d4_simhash_pairs": d4_simhash_pairs,
-        "v3_lsh_topk": v3_lsh_topk,
-        "v4_embedding_dups": v4_embedding_dups,
-        "v8_ivf_topk_portable": v8_ivf_topk_portable,
-        "t11_bigram_lm": t11_bigram_lm,
-        "t12_tfidf_terms": t12_tfidf_terms,
-        "t13_pii_scrub": t13_pii_scrub,
-        "v6_ann_topk_numpy": v6_ann_topk_numpy,
-        "v7_knn_join_numpy": v7_knn_join_numpy,
-        "w3_asof_join": w3_asof_join,
-        "w4_band_join": w4_band_join,
-        "d9_repetition_filter": d9_repetition_filter,
-        "a19_percentiles": a19_percentiles,
-        "a20_cube": a20_cube,
-        "m5_time_rollup": m5_time_rollup,
-        "t14_winnow_fingerprints": t14_winnow_fingerprints,
-        "d10_winnow_overlap": d10_winnow_overlap,
-        "d11_line_dedup": d11_line_dedup,
-        "v9_semantic_dedup": v9_semantic_dedup,
-        "d12_cross_dedup": d12_cross_dedup,
-        "t15_quality_gate": t15_quality_gate,
+        # --- last driver-green in r05 (freshest) ---
+        "t38_pmi_collocations": t38_pmi_collocations,
+        "t39_idf_rarity": t39_idf_rarity,
+        "j21_label_propagation": j21_label_propagation,
+        "st6_windowed_cms": st6_windowed_cms,
+        "d19_tfidf_cosine_pairs": d19_tfidf_cosine_pairs,
+        "a29_ks_drift": a29_ks_drift,
+        "a30_correlation_matrix": a30_correlation_matrix,
+        "t40_weighted_reservoir": t40_weighted_reservoir,
+        "j22_sorted_neighborhood": j22_sorted_neighborhood,
+        "t41_char_entropy": t41_char_entropy,
+        "u5_snapshot_diff": u5_snapshot_diff,
+        "v19_truncated_recall": v19_truncated_recall,
+        "w10_ohlc_rollup": w10_ohlc_rollup,
+        "t42_readability": t42_readability,
+        "t43_stratified_reservoir": t43_stratified_reservoir,
+        "j23_neighbor_jaccard": j23_neighbor_jaccard,
+        "a31_ks_drift_by_source": a31_ks_drift_by_source,
+        "st7_windowed_moments": st7_windowed_moments,
+        "j24_adamic_adar": j24_adamic_adar,
+        "a27_log2_histogram": a27_log2_histogram,
+        "a28_moments_profile": a28_moments_profile,
+        "t34_phrase_match": t34_phrase_match,
+        "t35_rake_keywords": t35_rake_keywords,
+        "d17_containment_pairs": d17_containment_pairs,
+        "t36_proximity_match": t36_proximity_match,
+        "v18_vocab_divergence": v18_vocab_divergence,
+        "st5_windowed_hll": st5_windowed_hll,
+        "w9_interval_overlap": w9_interval_overlap,
+        "t37_ngram_novelty": t37_ngram_novelty,
+        "d18_cluster_size_histogram": d18_cluster_size_histogram,
+        "t6_hash_split": t6_hash_split,
+        "t8_deterministic_shuffle": t8_deterministic_shuffle,
+        "a4_avg_via_dsl": a4_avg_via_dsl,
+        "m2_fingerprint_freq": m2_fingerprint_freq,
+        "u3_intersect": u3_intersect,
+        "u4_except": u4_except,
+        "e6_schema_hierarchy": e6_schema_hierarchy,
+        "d6_jaccard_dedup_kept": d6_jaccard_dedup_kept,
+        "d7_connected_components": d7_connected_components,
+        "w2_rank_spenders": w2_rank_spenders,
+        "j16_pagerank": j16_pagerank,
+        "t16_weighted_sample": t16_weighted_sample,
+        "d13_dedup_keep_best": d13_dedup_keep_best,
+        "d14_exact_substring_dedup": d14_exact_substring_dedup,
+        "j17_triangle_count": j17_triangle_count,
+        "d15_cross_substring_dedup": d15_cross_substring_dedup,
+        "t17_perplexity_buckets": t17_perplexity_buckets,
+        "t18_chunk_documents": t18_chunk_documents,
+        "v10_ann_recall": v10_ann_recall,
+        "w5_funnel": w5_funnel,
     }
 
 
@@ -5913,14 +5911,16 @@ def oracle_sql() -> dict[str, str]:
             ), uni AS (
               SELECT token, count(*) AS cnt_t
               FROM (SELECT unnest(l) AS token FROM d) GROUP BY token
-            ), big AS (
+            ), big_all AS (
               SELECT w1, w2, count(*) AS cnt FROM (
                 SELECT l[i] AS w1, l[i + 1] AS w2
                 FROM d, unnest(range(1, len(l))) AS t(i)
-              ) GROUP BY w1, w2 HAVING count(*) >= 3
+              ) GROUP BY w1, w2
+            ), big AS (
+              SELECT * FROM big_all WHERE cnt >= 3
             ), tot AS (
               SELECT (SELECT sum(cnt_t) FROM uni) AS n_uni,
-                     (SELECT sum(cnt) FROM big) AS n_big
+                     (SELECT sum(cnt) FROM big_all) AS n_big
             )
             SELECT w1, w2, cnt,
                    round(ln(cnt::DOUBLE * n_uni::DOUBLE * n_uni::DOUBLE

@@ -92,10 +92,13 @@ def snapshot_diff(
     different content digest) and unchanged. The count-level complement
     of u3/u4's row-level INTERSECT/EXCEPT.
 
-    The content digest is md5 over the ``content_cols`` joined with a
-    0x1f unit separator, NULLs encoded as a sentinel so ("a", NULL) and
-    (NULL, "a") differ — engine-portable, so any other md5-capable
-    system reproduces the verdicts. Plan: each side reduces to
+    The content digest is md5 over the concatenation of fixed-width
+    PER-COLUMN md5 digests (NULL encoded as a 32-char non-hex
+    sentinel): because every component has fixed length, no value can
+    inject a separator or impersonate the sentinel, so two different
+    rows cannot collide by construction (ADVICE r5) — engine-portable,
+    any md5-capable system reproduces the verdicts. Plan: each side
+    reduces to
     (id, digest) — column-pruned scans — then ONE full-outer hash join
     on id and a 4-row aggregation. Nothing wider than (id, 32-char
     digest) ever shuffles, which at 100 TB is the difference between
@@ -106,13 +109,16 @@ def snapshot_diff(
         raise ValueError("content_cols must be non-empty")
 
     def digested(df: DataFrame, tag: str) -> DataFrame:
+        # fixed-width components: md5(value) is 32 hex chars; the NULL
+        # sentinel is 32 non-hex chars, so it can never equal a digest
         h = F.md5(
-            F.concat_ws(
-                "\x1f",
+            F.concat(
                 *[
-                    F.coalesce(F.col(c).cast("string"), F.lit("\x00null"))
+                    F.coalesce(
+                        F.md5(F.col(c).cast("string")), F.lit("-" * 32)
+                    )
                     for c in content_cols
-                ],
+                ]
             )
         )
         return df.select(

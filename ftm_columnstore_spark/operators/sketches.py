@@ -1111,6 +1111,7 @@ def ks_drift(
     ).persist()
     lo, hi = counts.agg(F.min("v"), F.max("v")).first()
     if lo is None:
+        counts.unpersist()
         raise ValueError(f"ks_drift: no non-null values in column {col!r}")
     span = (hi - lo) or 1
     base = counts.withColumn(
@@ -1136,6 +1137,7 @@ def ks_drift(
         acc_b += r["sb"]
     tot_a, tot_b = acc_a, acc_b
     if tot_a == 0 or tot_b == 0:
+        counts.unpersist()
         raise ValueError(
             f"ks_drift: one side has no non-null values in {col!r}"
         )
@@ -1298,6 +1300,7 @@ def ks_drift_by_group(
     col: str,
     group_col: str,
     max_groups: int = 64,
+    max_distinct_values: int = 1_000_000,
 ) -> DataFrame:
     """Leave-one-out KS drift per group: for every group g, the
     two-sample KS statistic between ``col`` in g and in ALL OTHER
@@ -1308,9 +1311,15 @@ def ks_drift_by_group(
     The sup of |F_g − F_rest| must be evaluated at every step point of
     EITHER side — i.e. at every global distinct value — so the eval
     relation is groups × distinct-values. That cross is the cost
-    model, and ``max_groups`` is its bound (the house rule: the
-    threshold IS the contract; a high-cardinality group column wants
-    a29 per slice instead). Plan: ONE corpus-sized shuffle builds
+    model, and it is bounded on BOTH axes (the house rule: the
+    threshold IS the contract): ``max_groups`` on the group side and
+    ``max_distinct_values`` on the value side — a near-unique numeric
+    column (raw floats, timestamps) would otherwise make the grid
+    |groups|×|corpus|. When the value guard trips, pre-bin the column
+    (e.g. ``F.round(col, k)`` or a29's bucketing) and re-run: KS on a
+    binned column is the KS of the binned distributions, which is the
+    standard large-sample practice. A high-cardinality GROUP column
+    wants a29 per slice instead. Plan: ONE corpus-sized shuffle builds
     per-(group, value) counts; the distinct groups (≤max_groups,
     checked via a limit+1 collect) cross the distinct-value relation;
     cumulative counts ride ONE window partitioned by group in value
@@ -1324,6 +1333,10 @@ def ks_drift_by_group(
     the smallest value attaining the sup."""
     if not 2 <= max_groups <= 4096:
         raise ValueError(f"max_groups must be in [2, 4096], got {max_groups}")
+    if max_distinct_values < 2:
+        raise ValueError(
+            f"max_distinct_values must be >= 2, got {max_distinct_values}"
+        )
     from pyspark.sql import Window
 
     c, g = F.col(col), F.col(group_col)
@@ -1339,10 +1352,27 @@ def ks_drift_by_group(
             "the groups x values eval cross would be unbounded — run "
             "ks_drift per suspect slice instead, or raise max_groups."
         )
+    if len(groups) < 2:
+        gv.unpersist()
+        raise ValueError(
+            f"{group_col!r} has fewer than 2 distinct groups; leave-one-out "
+            "drift is undefined (the rest-CDF denominator is zero)."
+        )
     groups_df = gv.sparkSession.createDataFrame(
         [(r["g"],) for r in groups], f"g {df.schema[group_col].dataType.simpleString()}"
     )
     values = gv.select("v").distinct()
+    # value-side grid guard: limit+1 count, same shape as the group
+    # probe — never a full count of an unbounded relation
+    if values.limit(max_distinct_values + 1).count() > max_distinct_values:
+        gv.unpersist()
+        raise ValueError(
+            f"{col!r} has more than max_distinct_values="
+            f"{max_distinct_values} distinct values; the groups x values "
+            "eval grid would be unbounded — pre-bin the column (e.g. "
+            "round() or bucketize) and re-run, or raise "
+            "max_distinct_values."
+        )
     totals = gv.groupBy("g").agg(F.sum("cnt").alias("n_g"))
     grand = gv.agg(F.sum("cnt").alias("n_all")).first()["n_all"]
     # eval grid: every group x every global step point

@@ -481,8 +481,14 @@ def ohlc_rollup(
     shuffle keyed by (key, window) at any scale. Simultaneous events
     need a total order or open/close would be partition-order lottery:
     ``tiebreak_col`` (e.g. the event id) breaks ts ties; when omitted,
-    the VALUE itself is the tiebreak (documented: open = smallest
-    value among earliest-ts rows — deterministic, engine-replayable).
+    the VALUE itself is the tiebreak, and the convention is
+    ASYMMETRIC by construction of min/max over the same struct:
+    open = SMALLEST value among earliest-ts rows, close = LARGEST
+    value among latest-ts rows (the max-side struct comparison flips
+    the value ordering too). Both sides are deterministic and
+    engine-replayable; oracle authors must mirror the asymmetry
+    (min_by/max_by with the (ts, value) composite) — or pass
+    ``tiebreak_col`` for a single symmetric total order.
 
     Output: (window_start [, key], open, high, low, close, n)."""
     v = F.col(value_col)

@@ -1352,7 +1352,8 @@ def pmi_collocations(
     with counts over the whole corpus and a ``min_count`` floor on
     c_xy (PMI is notoriously noisy on rare pairs; the floor is the
     standard fix and it also bounds the marginal join to surviving
-    pairs only).
+    pairs only). N_big is the unfiltered whole-corpus bigram total —
+    the floor prunes which pairs are REPORTED, not the denominator.
 
     Plan: ONE tokenize pass feeds both relations — unigram counts via
     explode+groupBy(token), bigram counts via an in-array adjacent-pair
@@ -1395,16 +1396,21 @@ def pmi_collocations(
             ),
         ),
     ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
-    big = (
+    # N_big must be the WHOLE-corpus bigram total (Church & Hanks
+    # denominator), so the sum is taken BEFORE the min_count filter —
+    # filtering first shifts every PMI up by ln(N_all/N_surviving)
+    # (ADVICE r5). big_all is vocabulary²-bounded (distinct pairs),
+    # never corpus-sized; it feeds both the total and the filter.
+    big_all = (
         toks.select(F.explode(pairs_col).alias("p"))
         .select("p.w1", "p.w2")
         .groupBy("w1", "w2")
         .agg(F.count(F.lit(1)).alias("cnt"))
-        .where(F.col("cnt") >= int(min_count))
         .persist()
     )
+    big = big_all.where(F.col("cnt") >= int(min_count))
     totals = uni.agg(F.sum("cnt_t").alias("n_uni")).crossJoin(
-        big.agg(F.sum("cnt").alias("n_big"))
+        big_all.agg(F.sum("cnt").alias("n_big"))
     )
     u1 = uni.select(F.col("token").alias("w1"), F.col("cnt_t").alias("c1"))
     u2 = uni.select(F.col("token").alias("w2"), F.col("cnt_t").alias("c2"))
@@ -1429,7 +1435,7 @@ def pmi_collocations(
         .orderBy(F.col("pmi").desc(), "w1", "w2")
         .limit(int(top_n))
     )
-    out._cached_intermediates = [uni, big]
+    out._cached_intermediates = [uni, big_all]
     return out
 
 

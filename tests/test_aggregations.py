@@ -122,3 +122,24 @@ def test_snapshot_diff_validation(spark):
     df = spark.createDataFrame([(1, "x")], "id long, text string")
     with pytest.raises(ValueError, match="content_cols"):
         snapshot_diff(df, df, "id", [])
+
+
+def test_snapshot_diff_separator_injection_cannot_collide(spark):
+    """ADVICE r5: a value containing the old 0x1f separator (or equal
+    to the old NULL sentinel) must not make two different rows hash
+    'unchanged' — per-column fixed-width digests forbid injection."""
+    from ftm_columnstore_spark.operators.aggregations import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "x\x1fy", "z"), (2, "\x00null", "q")],
+        "id long, a string, b string",
+    )
+    new = spark.createDataFrame(
+        [(1, "x", "y\x1fz"), (2, None, "q")],
+        "id long, a string, b string",
+    )
+    got = {
+        r["status"]: r["n"]
+        for r in snapshot_diff(old, new, "id", ["a", "b"]).collect()
+    }
+    assert got == {"changed": 2}

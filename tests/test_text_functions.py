@@ -802,7 +802,9 @@ def test_pmi_collocations_hand_computed(spark):
     from ftm_columnstore_spark.operators.text import pmi_collocations
 
     # corpus: "a b a b" and "a b c" -> bigrams: (a,b)x3, (b,a)x1, (b,c)x1
-    # unigrams: a=3, b=3, c=1; N_uni=7, N_big(min_count=2)=3
+    # unigrams: a=3, b=3, c=1; N_uni=7; N_big = 5 = the UNFILTERED
+    # whole-corpus bigram total (min_count prunes reported pairs, not
+    # the Church & Hanks denominator)
     df = spark.createDataFrame(
         [(1, "a b a b"), (2, "a b c")], "doc_id long, text string"
     )
@@ -810,7 +812,7 @@ def test_pmi_collocations_hand_computed(spark):
     assert len(rows) == 1
     r = rows[0]
     assert (r["w1"], r["w2"], r["cnt"]) == ("a", "b", 3)
-    assert r["pmi"] == round(math.log(3 * 49 / (3 * 3 * 3)), 12)
+    assert r["pmi"] == round(math.log(3 * 49 / (5 * 3 * 3)), 12)
 
 
 def test_pmi_collocations_min_count_and_order(spark):

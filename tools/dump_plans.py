@@ -53,7 +53,7 @@ PICKS = {
     "st5_windowed_hll": "windowed HLL: register build is ONE partial+final agg keyed (window, reg_idx) — streaming-legal, <=2^p state rows per window; the estimate agg runs on the <=256-row-per-window register relation",
     "w9_interval_overlap": "interval overlap: bucketized range join — explode into span buckets, shuffled equi-join on (user, bucket), overlap + first-bucket residual gives exactly-once pairs with NO distinct pass",
     "t37_ngram_novelty": "n-gram novelty: persisted Arrow shingle pass (both consumers read cache); gram df is map-side-combinable; novelty = keyed join-back + per-doc agg — every shuffle keyed by gram or doc id",
-    "t38_pmi_collocations": "PMI collocations: one tokenize scan feeds unigram + in-array bigram aggs (no self-join); min_count filters BEFORE the marginal joins; totals broadcast 1-row; top-n is TakeOrderedAndProject",
+    "t38_pmi_collocations": "PMI collocations: one tokenize scan feeds unigram + in-array bigram aggs (no self-join); N_big reduced from the UNFILTERED pair relation, then min_count filters BEFORE the marginal joins; totals broadcast 1-row; top-n is TakeOrderedAndProject",
     "t39_idf_rarity": "IDF rarity: distinct+groupBy(token) df, vocabulary-sized idf relation joins back hash-keyed on token (NOT broadcast), per-doc DECIMAL-sum agg — two keyed shuffles + one keyed join",
     "j21_label_propagation": "label propagation: symmetrized edge list checkpointed once; each round = ONE join on the neighbor side + groupBy(node,label) + per-node min(struct) argmax agg (no row_number window); per-round localCheckpoint cuts lineage",
     "st6_windowed_cms": "windowed CMS: cell build is ONE partial+final agg keyed (window, j, cell) — streaming-legal, <=d*w state rows per window; the probe join is NOT force-broadcast (cells grow with window count) — AQE promotes when the retained range is small",
@@ -68,6 +68,7 @@ PICKS = {
     "t41_char_entropy": "char entropy: explode to (id,char) then TWO stacked hash aggregates — per-doc alphabet collapses map-side",
     "u5_snapshot_diff": "snapshot diff: two digest projections (column-pruned scans) + one full-outer SMJ/hash join on id + 4-row agg — nothing wider than the digest shuffles",
     "j23_neighbor_jaccard": "neighbor Jaccard: wedge self-join keyed on the shared neighbor (never all-pairs), pair groupBy + two degree joins — every exchange keyed",
+    "j24_adamic_adar": "Adamic-Adar: same wedge join keyed on the shared neighbor, but the hub guard filters the neighbor relation BEFORE the self-join (degree join on the wedge key) so a hub's deg^2 pair fanout never materializes; score = one pair-keyed sum of 1/ln(deg)",
     "a31_ks_drift_by_source": "grouped KS: bounded groups x values grid (groups broadcast), ONE group-partitioned window cumsum, global CDF as keyed sum of the same relation, per-group min(struct) argmax — no no-partition window",
     "st7_windowed_moments": "windowed moments: ONE partial+final agg keyed by window carrying 4 DECIMAL power sums — streaming-legal, 4 numbers of state per window; stats are a projection",
 }
