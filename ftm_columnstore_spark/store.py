@@ -67,7 +67,28 @@ class Store:
         self.spark = spark
         self.uri = uri or settings.STORE_URI
         self._path = os.path.join(self.uri, "statements")
+        self._marker = os.path.join(self.uri, "_compacted")
         self._canonical: DataFrame | None = None
+
+    # --- compaction marker ---------------------------------------------------
+    # After optimize() the on-disk rows are unique on STATEMENT_KEY, so
+    # the dedup-on-read groupBy collapses nothing — yet it still costs a
+    # full corpus shuffle on EVERY read (measured: the sf1 spine soak's
+    # e3 query paid the 40M-row dedup twice). The marker records "store
+    # is dedup-clean"; any append invalidates it. Safe under a resolver:
+    # STATEMENT_KEY includes the content-hash ``id``, which canonical
+    # remapping never rewrites, so remapping cannot merge two distinct
+    # on-disk keys.
+    def _set_compacted(self) -> None:
+        with open(self._marker, "w") as fh:
+            fh.write("1")
+
+    def _clear_compacted(self) -> None:
+        if os.path.exists(self._marker):
+            os.remove(self._marker)
+
+    def is_compacted(self) -> bool:
+        return os.path.exists(self._marker)
 
     # --- DDL (S8, S9) -------------------------------------------------------
     def ensure(self) -> None:
@@ -75,6 +96,7 @@ class Store:
 
     def drop(self) -> None:
         shutil.rmtree(self._path, ignore_errors=True)
+        self._clear_compacted()
 
     def exists(self) -> bool:
         return os.path.exists(self._path)
@@ -90,6 +112,9 @@ class Store:
             .partitionBy("dataset")
             .parquet(self._path)
         )
+        # an append may re-write existing statement keys — reads must
+        # dedup again until the next optimize()
+        self._clear_compacted()
 
     def write_entities(
         self,
@@ -162,6 +187,10 @@ class Store:
                 F.col("last_seen") <= F.to_timestamp(F.lit(as_of))
             )
         df = self._apply_canonical(df)
+        if deduped and self.is_compacted():
+            # compacted store: rows already unique on STATEMENT_KEY —
+            # skip the corpus-wide dedup shuffle (the compaction payoff)
+            return df
         return dedup_statements(df) if deduped else df
 
     def view(self, dataset: str | None = None):
@@ -286,6 +315,7 @@ class Store:
         )
         shutil.rmtree(self._path)
         os.rename(tmp, self._path)
+        self._set_compacted()
 
     def changed_statements(self, since: str) -> DataFrame:
         """Delta read: statements (re)written after ``since`` — the
@@ -331,6 +361,9 @@ class Store:
         )
         shutil.rmtree(self._path)
         os.rename(tmp, self._path)
+        # the pop rewrite runs through dedup_statements — the survivor
+        # set is clean on STATEMENT_KEY
+        self._set_compacted()
         return popped
 
     # --- iteration (S6, S7) ----------------------------------------------------

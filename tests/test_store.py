@@ -56,6 +56,62 @@ def test_compaction(store, entities_df):
     assert store.statements().count() == after_raw
 
 
+def test_compacted_reads_skip_dedup_shuffle(store, entities_df):
+    """After optimize() the on-disk rows are unique on STATEMENT_KEY, so
+    reads skip the corpus-wide dedup groupBy entirely (the compaction
+    payoff measured in the sf1 spine soak) — and an append re-arms it."""
+    store.write_entities(entities_df, last_seen="2024-01-01 00:00:00")
+    store.write_entities(entities_df, last_seen="2024-02-01 00:00:00")
+    expected = {
+        tuple(r)
+        for r in store.statements()
+        .select("id", "entity_id", "prop", "value")
+        .collect()
+    }
+    assert not store.is_compacted()
+    store.optimize()
+    assert store.is_compacted()
+    deduped = store.statements()
+    plan = deduped._jdf.queryExecution().optimizedPlan().toString()
+    assert "Aggregate" not in plan
+    got = {
+        tuple(r)
+        for r in deduped.select("id", "entity_id", "prop", "value").collect()
+    }
+    assert got == expected
+    # latest version survived compaction
+    assert all(
+        str(r["last_seen"]).startswith("2024-02-01")
+        for r in deduped.select("last_seen").collect()
+    )
+    # an append invalidates the marker; dedup-on-read resumes
+    store.write_entities(entities_df, last_seen="2024-03-01 00:00:00")
+    assert not store.is_compacted()
+    again = store.statements()
+    assert "Aggregate" in again._jdf.queryExecution().optimizedPlan().toString()
+    assert again.count() == len(expected)
+
+
+def test_compacted_read_with_resolver_still_remaps(store, spark, entities_df):
+    """The compacted fast path must still apply canonicalization (the
+    marker skips only the dedup, never the resolver join)."""
+    store.write_entities(entities_df, last_seen="2024-01-01 00:00:00")
+    store.optimize()
+    cmap = spark.createDataFrame(
+        [("org-acme", "canon-1"), ("org-beta", "canon-1")],
+        ["entity_id", "canonical_id"],
+    )
+    store.set_resolver(cmap)
+    stmts = store.statements()
+    assert sorted(
+        r["entity_id"]
+        for r in stmts.filter(F.col("canonical_id") == "canon-1")
+        .select("entity_id")
+        .distinct()
+        .collect()
+    ) == ["org-acme", "org-beta"]
+
+
 def test_resolver_canonicalization(store, spark, entities_df):
     store.write_entities(entities_df, last_seen="2024-01-01 00:00:00")
     cmap = spark.createDataFrame(
