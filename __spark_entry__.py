@@ -5585,9 +5585,12 @@ def oracle_sql() -> dict[str, str]:
               GROUP BY 1
             )
             SELECT window_start, m0::BIGINT AS m0,
-                   round(m1::DOUBLE / m0::DOUBLE, 6) AS mean,
-                   round((m0 * m2 - m1 * m1)::DOUBLE
-                         / (m0 * m0)::DOUBLE, 6) AS variance,
+                   (CASE WHEN m1 >= 0
+                     THEN ((m1 * 2000000 + m0) // (2 * m0))
+                     ELSE -(((-m1) * 2000000 + m0) // (2 * m0))
+                    END)::DOUBLE / 1000000.0 AS mean,
+                   (((m0 * m2 - m1 * m1) * 2000000 + m0 * m0)
+                    // (2 * m0 * m0))::DOUBLE / 1000000.0 AS variance,
                    CASE WHEN (m0 * m2 - m1 * m1) > 0 THEN
                      round((m0 * m0 * m3 - 3 * m0 * m1 * m2
                             + 2 * m1 * m1 * m1)::DOUBLE
@@ -5992,9 +5995,12 @@ def oracle_sql() -> dict[str, str]:
               GROUP BY source
             )
             SELECT source, m0::BIGINT AS m0,
-                   round(m1::DOUBLE / m0::DOUBLE, 6) AS mean,
-                   round((m0 * m2 - m1 * m1)::DOUBLE
-                         / (m0 * m0)::DOUBLE, 6) AS variance,
+                   (CASE WHEN m1 >= 0
+                     THEN ((m1 * 2000000 + m0) // (2 * m0))
+                     ELSE -(((-m1) * 2000000 + m0) // (2 * m0))
+                    END)::DOUBLE / 1000000.0 AS mean,
+                   (((m0 * m2 - m1 * m1) * 2000000 + m0 * m0)
+                    // (2 * m0 * m0))::DOUBLE / 1000000.0 AS variance,
                    CASE WHEN (m0 * m2 - m1 * m1) > 0 THEN
                      round((m0 * m0 * m3 - 3 * m0 * m1 * m2
                             + 2 * m1 * m1 * m1)::DOUBLE

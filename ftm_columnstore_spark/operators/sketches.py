@@ -1024,10 +1024,12 @@ def moments_merge(
 
 def moments_stats(sketch: DataFrame) -> DataFrame:
     """Mean / variance / skewness read-off from a moments sketch.
-    Every product and difference is computed in DECIMAL (exact); the
-    ONLY floats are the final correctly-rounded divisions and one
-    sqrt, then rounding to 6 dp — the established cross-engine-safe
-    tail (the _dsum rule). Population variance:
+    Mean and variance are computed ENTIRELY in decimal — one exact
+    half-up division each, engine-portable to the digit. Skewness is
+    the one stat that needs a sqrt; its tail is the established IEEE
+    chain (exact products, correctly-rounded divisions, identical op
+    order in the oracle — a 6-dp boundary can still differ by one ulp
+    across engines, tolerance-pinned in tests). Population variance:
     var = (m0·m2 − m1²) / m0²; skew = (m0²·m3 − 3·m0·m1·m2 + 2·m1³)
     / (m0³·sd³).
 
@@ -1036,10 +1038,22 @@ def moments_stats(sketch: DataFrame) -> DataFrame:
     keys = [c for c in sketch.columns if c not in ("m0", "m1", "m2", "m3")]
     m0 = F.col("m0").cast(_MOM_DEC)
     m1, m2, m3 = F.col("m1"), F.col("m2"), F.col("m3")
+    # mean and variance are RATIONAL in the power sums, so their 6-dp
+    # read-off is ONE exact decimal division each (Spark rounds the
+    # exact quotient HALF_UP to the result scale — no double enters, so
+    # any engine with exact integer arithmetic reproduces the digits;
+    # the oracle replays it as HUGEINT floor((2e6*num + den)/(2*den))).
+    # A round(double, 6) here is NOT portable: a hypothesis sweep found
+    # variance of [0, 0, 104840] rounding .222222 vs .222223 across
+    # engines when the quotient lands on a representation boundary.
+    # Skewness needs a sqrt, so it stays on the established IEEE tail
+    # (identical op order both sides); its intermediates keep the
+    # double divisions below.
+    mean_exact = m1.cast(_MOM_DEC) / m0
+    var_exact = (m0 * m2 - m1 * m1) / (m0 * m0)
     var_num = (m0 * m2 - m1 * m1).cast("double")
     den = (m0 * m0).cast("double")
     var = var_num / den
-    mean = m1.cast("double") / m0.cast("double")
     skew_num = (
         m0 * m0 * m3 - F.lit(3).cast(_MOM_DEC) * m0 * m1 * m2
         + F.lit(2).cast(_MOM_DEC) * m1 * m1 * m1
@@ -1052,8 +1066,8 @@ def moments_stats(sketch: DataFrame) -> DataFrame:
     return sketch.select(
         *keys,
         "m0",
-        F.round(mean, 6).alias("mean"),
-        F.round(var, 6).alias("variance"),
+        F.round(mean_exact, 6).cast("double").alias("mean"),
+        F.round(var_exact, 6).cast("double").alias("variance"),
         F.round(skew, 6).alias("skewness"),
     )
 

@@ -12,6 +12,7 @@ corpora, short docs, token boundary cases).
 import duckdb
 import numpy as np
 import pandas as pd
+import pytest
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
@@ -859,8 +860,9 @@ def test_log2_bucket_match_duckdb(spark, vals):
 )
 @SETTINGS
 def test_moments_stats_match_duckdb(spark, vals):
-    """a28's oracle contract: the decimal power-sum tail and the
-    HUGEINT replay produce identical 6-dp stats on arbitrary inputs."""
+    """a28's oracle contract: mean/variance are exact decimal divisions
+    (digit-identical to the HUGEINT replay on arbitrary inputs);
+    skewness's sqrt chain matches to one ulp of the 6th decimal."""
     from ftm_columnstore_spark.operators.sketches import (
         moments_sketch,
         moments_stats,
@@ -878,8 +880,12 @@ def test_moments_stats_match_duckdb(spark, vals):
                  sum(x::HUGEINT * x * x) AS m3
           FROM t)
         SELECT m0::BIGINT,
-               round(m1::DOUBLE / m0::DOUBLE, 6),
-               round((m0 * m2 - m1 * m1)::DOUBLE / (m0 * m0)::DOUBLE, 6),
+               (CASE WHEN m1 >= 0
+                 THEN ((m1 * 2000000 + m0) // (2 * m0))
+                 ELSE -(((-m1) * 2000000 + m0) // (2 * m0))
+                END)::DOUBLE / 1000000.0,
+               (((m0 * m2 - m1 * m1) * 2000000 + m0 * m0)
+                // (2 * m0 * m0))::DOUBLE / 1000000.0,
                CASE WHEN (m0 * m2 - m1 * m1) > 0 THEN
                  round((m0 * m0 * m3 - 3 * m0 * m1 * m2
                         + 2 * m1 * m1 * m1)::DOUBLE
@@ -894,15 +900,32 @@ def test_moments_stats_match_duckdb(spark, vals):
         FROM s
         """
     ).fetchall()[0]
-    assert (got["m0"], got["mean"], got["variance"]) == (
-        want[0],
-        want[1],
-        want[2],
-    )
+    assert got["m0"] == want[0]
+
+    def assert_exact_decimal(got_v, want_v):
+        # the 6-dp DECIMAL is exactly determined on both sides (integer
+        # half-up rounding); the DOUBLE output column can only carry it
+        # bit-exactly while scaled |value|*1e6 fits the 53-bit mantissa
+        # (|v| < ~9.0e9). Above that, Spark's decimal->double cast is
+        # correctly rounded but the oracle's k::DOUBLE/1e6 replay
+        # double-rounds — allow the few-ulp representation gap there.
+        if abs(want_v) < 9.0e9:
+            assert got_v == want_v
+        else:
+            assert abs(got_v - want_v) <= 4 * np.spacing(abs(want_v))
+
+    assert_exact_decimal(got["mean"], want[1])
+    assert_exact_decimal(got["variance"], want[2])
     if want[3] is None:
         assert got["skewness"] is None
     else:
-        assert got["skewness"] == want[3]
+        # skewness carries a sqrt — the double chain is op-order
+        # identical on both sides, but 6-dp rounding of a double that
+        # lands on a representation boundary may differ by one ulp of
+        # the 6th decimal across engines (the r6 variance find, now
+        # fixed for mean/variance via exact decimal division; sqrt has
+        # no exact path)
+        assert got["skewness"] == pytest.approx(want[3], abs=2e-6)
 
 
 @SETTINGS
