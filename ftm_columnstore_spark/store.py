@@ -75,10 +75,14 @@ class Store:
     # the dedup-on-read groupBy collapses nothing — yet it still costs a
     # full corpus shuffle on EVERY read (measured: the sf1 spine soak's
     # e3 query paid the 40M-row dedup twice). The marker records "store
-    # is dedup-clean"; any append invalidates it. Safe under a resolver:
-    # STATEMENT_KEY includes the content-hash ``id``, which canonical
-    # remapping never rewrites, so remapping cannot merge two distinct
-    # on-disk keys.
+    # is dedup-clean"; any append invalidates it (cleared BEFORE the
+    # append commits, so a crash mid-write can only cost an extra dedup,
+    # never a silently-skipped one). The fast path applies ONLY when no
+    # resolver is installed: the content-hash ``id`` excludes
+    # canonical_id, so two on-disk rows distinct only in canonical_id
+    # (written at different resolution states) share an id — a resolver
+    # remap CAN merge them into equal keys, and that read must dedup
+    # (round-8 self-review finding, regression-tested).
     def _set_compacted(self) -> None:
         with open(self._marker, "w") as fh:
             fh.write("1")
@@ -105,6 +109,10 @@ class Store:
     def write_statements(self, df: DataFrame, mode: str = "append") -> None:
         """Append statements, partitioned by dataset, entity-clustered."""
         out = df.select(*STATEMENT_COLUMNS)
+        # an append may re-write existing statement keys — reads must
+        # dedup again until the next optimize(); cleared FIRST so a
+        # crash between the job commit and the marker update fails safe
+        self._clear_compacted()
         (
             out.repartition("dataset", "canonical_id")
             .sortWithinPartitions("canonical_id", "entity_id", "prop", "value")
@@ -112,9 +120,6 @@ class Store:
             .partitionBy("dataset")
             .parquet(self._path)
         )
-        # an append may re-write existing statement keys — reads must
-        # dedup again until the next optimize()
-        self._clear_compacted()
 
     def write_entities(
         self,
@@ -187,9 +192,12 @@ class Store:
                 F.col("last_seen") <= F.to_timestamp(F.lit(as_of))
             )
         df = self._apply_canonical(df)
-        if deduped and self.is_compacted():
-            # compacted store: rows already unique on STATEMENT_KEY —
-            # skip the corpus-wide dedup shuffle (the compaction payoff)
+        if deduped and self._canonical is None and self.is_compacted():
+            # compacted store, no resolver: rows already unique on
+            # STATEMENT_KEY — skip the corpus-wide dedup shuffle (the
+            # compaction payoff). With a resolver installed the remap
+            # can merge rows distinct only in canonical_id (shared
+            # content-hash id), so that read takes the dedup path.
             return df
         return dedup_statements(df) if deduped else df
 

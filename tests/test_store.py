@@ -93,8 +93,9 @@ def test_compacted_reads_skip_dedup_shuffle(store, entities_df):
 
 
 def test_compacted_read_with_resolver_still_remaps(store, spark, entities_df):
-    """The compacted fast path must still apply canonicalization (the
-    marker skips only the dedup, never the resolver join)."""
+    """With a resolver installed the fast path must NOT apply: the
+    remap still runs AND the read takes the dedup path (the content
+    hash excludes canonical_id, so a remap can merge on-disk rows)."""
     store.write_entities(entities_df, last_seen="2024-01-01 00:00:00")
     store.optimize()
     cmap = spark.createDataFrame(
@@ -103,6 +104,7 @@ def test_compacted_read_with_resolver_still_remaps(store, spark, entities_df):
     )
     store.set_resolver(cmap)
     stmts = store.statements()
+    assert "Aggregate" in stmts._jdf.queryExecution().optimizedPlan().toString()
     assert sorted(
         r["entity_id"]
         for r in stmts.filter(F.col("canonical_id") == "canon-1")
@@ -110,6 +112,36 @@ def test_compacted_read_with_resolver_still_remaps(store, spark, entities_df):
         .distinct()
         .collect()
     ) == ["org-acme", "org-beta"]
+
+
+def test_compacted_resolver_merge_dedups(store, spark):
+    """Round-8 self-review regression: the same statement written under
+    two different canonical ids survives compaction as TWO rows
+    (distinct 5-tuple keys); a resolver remap unifying the canonical id
+    makes them equal on STATEMENT_KEY, and the read must collapse them
+    to the max-last_seen winner — the naive compacted fast path
+    returned both."""
+    from ftm_columnstore_spark.sources.statements import statements_from_rows
+
+    for canon, seen in [("c-old", "2024-01-01"), ("c-new", "2024-02-01")]:
+        df = (
+            statements_from_rows(
+                spark,
+                [dict(id="s1", entity_id="e", prop="name", schema="Person",
+                      value="A", dataset="d", last_seen=None)],
+            )
+            .withColumn("canonical_id", F.lit(canon))
+            .withColumn("last_seen", F.to_timestamp(F.lit(seen)))
+        )
+        store.write_statements(df)
+    store.optimize()
+    assert store.statements(deduped=False).count() == 2
+    cmap = spark.createDataFrame([("e", "c-final")], ["entity_id", "canonical_id"])
+    store.set_resolver(cmap)
+    rows = store.statements().collect()
+    assert len(rows) == 1
+    assert str(rows[0]["last_seen"]).startswith("2024-02-01")
+    assert rows[0]["canonical_id"] == "c-final"
 
 
 def test_resolver_canonicalization(store, spark, entities_df):
