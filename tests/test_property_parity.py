@@ -36,8 +36,13 @@ corpus = st.lists(doc, min_size=2, max_size=8).filter(
     lambda ts: sum(t is not None for t in ts) >= 2
 )
 
+# PARITY_MAX_EXAMPLES cranks the per-test example budget for offline
+# stress sweeps (the r6 moments divergence was found by exactly such a
+# sweep); CI/driver runs keep the cheap default.
+import os as _os
+
 SETTINGS = settings(
-    max_examples=5,
+    max_examples=int(_os.environ.get("PARITY_MAX_EXAMPLES", "5")),
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )

@@ -67,7 +67,7 @@ def py_eval(rows, dataset=None, schema=None, prop=None, cmp=None, val=None):
 
 
 @settings(
-    max_examples=8,
+    max_examples=int(__import__("os").environ.get("PARITY_MAX_EXAMPLES", "8")),
     deadline=None,
     suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
 )

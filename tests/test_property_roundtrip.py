@@ -35,7 +35,7 @@ entity_strategy = st.builds(
 
 
 @settings(
-    max_examples=10,
+    max_examples=int(__import__("os").environ.get("PARITY_MAX_EXAMPLES", "10")),
     deadline=None,
     suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
 )
