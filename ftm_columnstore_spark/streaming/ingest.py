@@ -37,13 +37,20 @@ def stream_statements_to_store(
     dataset: str = "default",
     watermark: str = "1 hour",
     available_now: bool = False,
+    max_files_per_trigger: int | None = None,
 ) -> StreamingQuery:
     """Start the ingest stream; returns the StreamingQuery handle.
 
     ``available_now=True`` drains what's currently in ``source_path`` and
     stops (micro-batch backfill mode — used by tests and batch catch-up).
+    ``max_files_per_trigger`` bounds each micro-batch (backpressure for
+    backfills: without it, availableNow plans one giant batch and the
+    dedup state for the WHOLE corpus is live at once).
     """
-    entities = spark.readStream.schema(ENTITY_SCHEMA).json(source_path)
+    reader = spark.readStream.schema(ENTITY_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    entities = reader.json(source_path)
     statements = (
         entities_to_statements(entities, default_dataset=dataset)
         .withWatermark("last_seen", watermark)
