@@ -3656,68 +3656,15 @@ def j24_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order matters: the driver's CORRECTNESS run covers the
-    # first ~50 entries. Rotation discipline (VERDICT r5 item 7):
-    # stalest-first. This round's window: the 5 never-driver-checked keys
-    # (t30-t33, v17 -- judge-green in r5 but the driver sampler has never
-    # reached them), then the 10 keys last driver-green in r01 (a11-a13,
-    # j5-j10, st2), then the r02 block (40 keys; the last ~5 spill past
-    # pos 50 and lead the r07 window). Zero r04/r05-checked keys sit in
-    # the first 50. NEXT ROUND: any never-green keys first, then the r02
-    # spillover, then the r03 block (29 keys), oldest-first.
+    # first ~50 entries. Rotation discipline (VERDICT r5 item 7,
+    # r6 item 4): stalest-first. r07 window = the 5 r02 spillover keys
+    # (d10, d11, v9, d12, t15), then the full r03 block (29), then the
+    # first 16 of the r04 block -- 50 keys, ZERO r05/r06 keys. After
+    # this round every one of the 184 registry keys has a driver row
+    # within the trailing 4 rounds. NEXT ROUND: the remaining 34 r04
+    # keys lead, then the r05 block, oldest-first.
     return {
-        # --- never driver-checked (judge-green r5; first driver rows due now) ---
-        "t30_bloom_decontaminate": t30_bloom_decontaminate,
-        "t31_bpe_fertility": t31_bpe_fertility,
-        "t32_zipf_alpha": t32_zipf_alpha,
-        "t33_quality_prune": t33_quality_prune,
-        "v17_kmv_vocab_overlap": v17_kmv_vocab_overlap,
-        # --- last driver-green in r01 (stalest block) ---
-        "st2_events_latest": st2_events_latest,
-        "j5_order_priority_exists": j5_order_priority_exists,
-        "j8_nation_volume": j8_nation_volume,
-        "a11_promo_revenue": a11_promo_revenue,
-        "j9_shipping_priority": j9_shipping_priority,
-        "j10_discounted_revenue": j10_discounted_revenue,
-        "a12_forecast_revenue": a12_forecast_revenue,
-        "a13_late_shipments": a13_late_shipments,
-        "j6_top_customers": j6_top_customers,
-        "j7_big_orders": j7_big_orders,
-        # --- last driver-green in r02 (tail past pos 50 leads r07) ---
-        "a10_rollup": a10_rollup,
-        "o4_deterministic_scan": o4_deterministic_scan,
-        "t4_language_id": t4_language_id,
-        "t5_quality_scores": t5_quality_scores,
-        "j11_order_count_distribution": j11_order_count_distribution,
-        "a14_small_quantity_revenue": a14_small_quantity_revenue,
-        "m4_top_supplier_revenue": m4_top_supplier_revenue,
-        "j12_supplier_counts_anti": j12_supplier_counts_anti,
-        "j13_late_sole_shippers": j13_late_sole_shippers,
-        "a15_idle_rich_customers": a15_idle_rich_customers,
-        "j14_best_supplier_per_part": j14_best_supplier_per_part,
-        "a16_part_value_share": a16_part_value_share,
-        "t7_stratified_sample": t7_stratified_sample,
-        "d8_decontamination": d8_decontamination,
-        "a17_regional_share": a17_regional_share,
-        "a18_product_profit": a18_product_profit,
-        "j15_dominant_suppliers": j15_dominant_suppliers,
-        "t10_mixture_sample": t10_mixture_sample,
-        "d3_minhash_lsh_pairs": d3_minhash_lsh_pairs,
-        "d4_simhash_pairs": d4_simhash_pairs,
-        "v3_lsh_topk": v3_lsh_topk,
-        "v4_embedding_dups": v4_embedding_dups,
-        "v8_ivf_topk_portable": v8_ivf_topk_portable,
-        "t11_bigram_lm": t11_bigram_lm,
-        "t12_tfidf_terms": t12_tfidf_terms,
-        "t13_pii_scrub": t13_pii_scrub,
-        "v6_ann_topk_numpy": v6_ann_topk_numpy,
-        "v7_knn_join_numpy": v7_knn_join_numpy,
-        "w3_asof_join": w3_asof_join,
-        "w4_band_join": w4_band_join,
-        "d9_repetition_filter": d9_repetition_filter,
-        "a19_percentiles": a19_percentiles,
-        "a20_cube": a20_cube,
-        "m5_time_rollup": m5_time_rollup,
-        "t14_winnow_fingerprints": t14_winnow_fingerprints,
+        # --- last driver-green in r02 (stalest; r06-window spillover, VERDICT r6 item 4) ---
         "d10_winnow_overlap": d10_winnow_overlap,
         "d11_line_dedup": d11_line_dedup,
         "v9_semantic_dedup": v9_semantic_dedup,
@@ -3753,7 +3700,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "m10_image_dup_pairs": m10_image_dup_pairs,
         "m11_audio_dup_pairs": m11_audio_dup_pairs,
         "j20_k_core": j20_k_core,
-        # --- last driver-green in r04 ---
+        # --- last driver-green in r04 (first 16 complete the 50-key window) ---
         "x5_phonetic_keys": x5_phonetic_keys,
         "v5_ivf_trained_deep": v5_ivf_trained_deep,
         "t9_pack_sequences": t9_pack_sequences,
@@ -3770,6 +3717,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "f7_semi_join_reverse": f7_semi_join_reverse,
         "f8_search_ilike": f8_search_ilike,
         "j1_reverse_edges": j1_reverse_edges,
+        # --- past position 50: r04 remainder, then r05, then r06 (freshest last) ---
         "j3_join_revenue_nation": j3_join_revenue_nation,
         "j4_blocking_having": j4_blocking_having,
         "a1_minmax": a1_minmax,
@@ -3804,7 +3752,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t3_lang_stats": t3_lang_stats,
         "v1_ann_topk": v1_ann_topk,
         "st1_events_tumbling": st1_events_tumbling,
-        # --- last driver-green in r05 (freshest) ---
         "t38_pmi_collocations": t38_pmi_collocations,
         "t39_idf_rarity": t39_idf_rarity,
         "j21_label_propagation": j21_label_propagation,
@@ -3855,6 +3802,56 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t18_chunk_documents": t18_chunk_documents,
         "v10_ann_recall": v10_ann_recall,
         "w5_funnel": w5_funnel,
+        "t30_bloom_decontaminate": t30_bloom_decontaminate,
+        "t31_bpe_fertility": t31_bpe_fertility,
+        "t32_zipf_alpha": t32_zipf_alpha,
+        "t33_quality_prune": t33_quality_prune,
+        "v17_kmv_vocab_overlap": v17_kmv_vocab_overlap,
+        "st2_events_latest": st2_events_latest,
+        "j5_order_priority_exists": j5_order_priority_exists,
+        "j8_nation_volume": j8_nation_volume,
+        "a11_promo_revenue": a11_promo_revenue,
+        "j9_shipping_priority": j9_shipping_priority,
+        "j10_discounted_revenue": j10_discounted_revenue,
+        "a12_forecast_revenue": a12_forecast_revenue,
+        "a13_late_shipments": a13_late_shipments,
+        "j6_top_customers": j6_top_customers,
+        "j7_big_orders": j7_big_orders,
+        "a10_rollup": a10_rollup,
+        "o4_deterministic_scan": o4_deterministic_scan,
+        "t4_language_id": t4_language_id,
+        "t5_quality_scores": t5_quality_scores,
+        "j11_order_count_distribution": j11_order_count_distribution,
+        "a14_small_quantity_revenue": a14_small_quantity_revenue,
+        "m4_top_supplier_revenue": m4_top_supplier_revenue,
+        "j12_supplier_counts_anti": j12_supplier_counts_anti,
+        "j13_late_sole_shippers": j13_late_sole_shippers,
+        "a15_idle_rich_customers": a15_idle_rich_customers,
+        "j14_best_supplier_per_part": j14_best_supplier_per_part,
+        "a16_part_value_share": a16_part_value_share,
+        "t7_stratified_sample": t7_stratified_sample,
+        "d8_decontamination": d8_decontamination,
+        "a17_regional_share": a17_regional_share,
+        "a18_product_profit": a18_product_profit,
+        "j15_dominant_suppliers": j15_dominant_suppliers,
+        "t10_mixture_sample": t10_mixture_sample,
+        "d3_minhash_lsh_pairs": d3_minhash_lsh_pairs,
+        "d4_simhash_pairs": d4_simhash_pairs,
+        "v3_lsh_topk": v3_lsh_topk,
+        "v4_embedding_dups": v4_embedding_dups,
+        "v8_ivf_topk_portable": v8_ivf_topk_portable,
+        "t11_bigram_lm": t11_bigram_lm,
+        "t12_tfidf_terms": t12_tfidf_terms,
+        "t13_pii_scrub": t13_pii_scrub,
+        "v6_ann_topk_numpy": v6_ann_topk_numpy,
+        "v7_knn_join_numpy": v7_knn_join_numpy,
+        "w3_asof_join": w3_asof_join,
+        "w4_band_join": w4_band_join,
+        "d9_repetition_filter": d9_repetition_filter,
+        "a19_percentiles": a19_percentiles,
+        "a20_cube": a20_cube,
+        "m5_time_rollup": m5_time_rollup,
+        "t14_winnow_fingerprints": t14_winnow_fingerprints,
     }
 
 

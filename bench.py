@@ -146,6 +146,54 @@ HEADLINE = [
 ]
 
 
+def _machine_state() -> dict:
+    """Box-state preamble (VERDICT r6 item 2): three rounds of
+    driver-vs-builder wall deltas were attributed to environment after
+    the fact; recording loadavg / memory / page-cache / disk pressure
+    WITH the battery makes that attribution part of the artifact."""
+    import shutil as _sh
+
+    st: dict = {}
+    try:
+        st["loadavg"] = [float(x) for x in open("/proc/loadavg").read().split()[:3]]
+        mem = {}
+        for line in open("/proc/meminfo"):
+            k, _, v = line.partition(":")
+            if k in ("MemTotal", "MemAvailable", "Cached", "Dirty"):
+                mem[k.lower() + "_mb"] = int(v.split()[0]) // 1024
+        st.update(mem)
+        st["tmp_free_gb"] = round(_sh.disk_usage("/tmp").free / 1e9, 1)
+        st["cpus"] = os.cpu_count()
+    except OSError:
+        pass
+    return st
+
+
+def _calibration(spark) -> float:
+    """Pinned A/B probe (VERDICT r6 item 2): a FIXED scan+shuffle+agg
+    workload over lineitem that touches no package code, run through
+    the same row-digest materialization as the measured queries.
+    Interleaved through both blocks, it turns 'was that drift the box
+    or the code?' into a within-battery comparison: if the calibration
+    trace moved with the queries, the drift is environmental."""
+    from pyspark.sql import functions as F
+
+    t0 = time.perf_counter()
+    df = (
+        spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+        .filter(F.col("l_quantity") > 10)
+        .groupBy("l_suppkey")
+        .agg(
+            F.sum("l_extendedprice").alias("s"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+    df.select(F.xxhash64(F.struct(*df.columns)).alias("h")).groupBy().agg(
+        F.count("h"), F.try_sum("h")
+    ).collect()
+    return round(time.perf_counter() - t0, 3)
+
+
 def _new_session():
     """Fresh session per measurement BLOCK (solo vs concurrent): a
     76-op best-of-N battery degrades the JVM in-session (code-cache
@@ -199,12 +247,19 @@ def main() -> None:
         ).groupBy().agg(F.count("h"), F.try_sum("h")).collect()
         return time.perf_counter() - t0
 
+    machine_start = _machine_state()
+
     # BLOCK 1 — sequential steady-state latencies, best of 3 (GC pauses
     # land somewhere every suite pass; three samples isolate them). All
     # samples are kept so the sidecar records per-query spread.
     solo: dict[str, float] = {}
     solo_samples: dict[str, list[float]] = {}
-    for name in HEADLINE:
+    calib_solo: list[dict] = []
+    for i, name in enumerate(HEADLINE):
+        if i % 10 == 0:
+            calib_solo.append(
+                {"pos": i, "sec": _calibration(sess["spark"])}
+            )
         samples = [round(run(name), 3) for _ in range(3)]
         # adaptive top-up: residual JVM noise can still hold a query
         # over its steady state across consecutive runs; when the
@@ -250,10 +305,12 @@ def main() -> None:
     # ALL samples go to the sidecar (wall_samples) so the single
     # headline number carries its error bar (VERDICT r4 item 9).
     wall_samples: list[float] = []
+    calib_concurrent: list[float] = []
     for _ in range(5):
         spark.catalog.clearCache()
         spark._jvm.System.gc()
         time.sleep(1.0)
+        calib_concurrent.append(_calibration(spark))
         t0 = time.perf_counter()
         with ThreadPoolExecutor(max_workers=8) as pool:
             pass_times = dict(zip(HEADLINE, pool.map(run, HEADLINE)))
@@ -277,6 +334,17 @@ def main() -> None:
         },
         "solo_samples": solo_samples,
         "wall_samples": sorted(wall_samples),
+        # --- noise-attribution record (VERDICT r6 item 2) -------------
+        # machine state at battery start/end + the pinned calibration
+        # trace interleaved through both blocks. Reading a regression:
+        # if calibration drifted with it, the box moved, not the plan.
+        "machine_state_start": machine_start,
+        "machine_state_end": _machine_state(),
+        "calibration": {
+            "probe": "lineitem filter+groupBy(l_suppkey) row-digest",
+            "solo_trace": calib_solo,
+            "per_concurrent_pass": calib_concurrent,
+        },
     }
     # full per-query detail: sidecar file + its own (early) stdout line.
     # The LAST line is a SHORT summary — r03's single giant JSON line
@@ -300,6 +368,12 @@ def main() -> None:
                 "sf": float(sf),
                 "n_ops": len(HEADLINE),
                 "sum_sequential": full["sum_sequential"],
+                # pinned-probe spread: environmental noise floor for
+                # THIS battery (details in BENCH_FULL.json)
+                "calib_sec": [
+                    min(c["sec"] for c in calib_solo),
+                    max(c["sec"] for c in calib_solo),
+                ],
             }
         )
     )

@@ -50,6 +50,12 @@ def get_spark(
         # schema, dataset) and parquet enables it per-column automatically.
         .config("spark.sql.parquet.compression.codec", "zstd")
         # --- misc ----------------------------------------------------------
+        # moments_stats' exact decimal half-up division contract
+        # (sketches.py) relies on the decimal(38,0)/decimal(38,0)
+        # quotient adjusting to decimal(38,6); that is the Spark
+        # default, pinned here so digit-identical oracle parity can't
+        # be broken by a session flipping allowPrecisionLoss.
+        .config("spark.sql.decimal.operations.allowPrecisionLoss", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.ui.enabled", "false")

@@ -92,7 +92,28 @@ class Store:
             os.remove(self._marker)
 
     def is_compacted(self) -> bool:
-        return os.path.exists(self._marker)
+        """True iff the compaction marker exists AND no file under the
+        statement path is newer than it — any out-of-band append (a
+        streaming sink writing into ``statements/`` directly, another
+        process's writer) invalidates the fast path even if it never
+        touched the marker. The walk is driver-side local-fs metadata
+        (~ms for thousands of files), paid once per DataFrame build,
+        not per row."""
+        if not os.path.exists(self._marker):
+            return False
+        try:
+            marker_mtime = os.path.getmtime(self._marker)
+            for dirpath, _dirs, files in os.walk(self._path):
+                for fn in files:
+                    if (
+                        os.path.getmtime(os.path.join(dirpath, fn))
+                        > marker_mtime
+                    ):
+                        return False
+        except OSError:
+            # a file vanished mid-walk: a writer is active — not clean
+            return False
+        return True
 
     # --- DDL (S8, S9) -------------------------------------------------------
     def ensure(self) -> None:
@@ -179,7 +200,22 @@ class Store:
         max-``last_seen`` reduction restricted to versions written by T —
         a pushed-down min/max-prunable predicate, no snapshot copies
         (the ReplacingMergeTree analogue keeps only the latest row, so
-        the reference cannot answer this at all)."""
+        the reference cannot answer this at all).
+
+        History horizon: ``optimize()`` physically destroys superseded
+        versions (like OPTIMIZE FINAL), so a post-compaction
+        ``as_of=T`` read returns the compacted SURVIVORS filtered by
+        ``last_seen <= T`` — not the historical state at T. Rows stay
+        unique and the result is a consistent subset, but versions
+        overwritten before the compaction are gone; keep compaction
+        cadence coarser than the oldest ``as_of`` you need
+        (test_store pins this semantic).
+
+        The compacted fast path is decided once at DataFrame BUILD
+        time (lazy plans keep it even if an append lands before an
+        action runs), and the marker check is not atomic against
+        concurrent writers in other processes — consistent with the
+        store's single-writer design."""
         if not self.exists():
             return self.spark.createDataFrame([], STATEMENT_SCHEMA)
         df = self.spark.read.schema(STATEMENT_SCHEMA).parquet(self._path)
@@ -306,8 +342,26 @@ class Store:
         assemble_entities(stmts).createOrReplaceTempView(f"{prefix}entities")
 
     # --- maintenance (P5) -----------------------------------------------------
+    def _promote(self, tmp: str) -> None:
+        """Swap a fully-written rewrite into place. Old dir is renamed
+        ASIDE first (two cheap renames), then removed — a crash leaves
+        either the old store live or both ``tmp`` and ``.old`` intact
+        for manual recovery; data is never inside an in-progress
+        ``rmtree``. Single-writer assumption: rewrites are not atomic
+        for concurrent readers in OTHER processes (same-process reads
+        re-list files per action and are fine after the swap)."""
+        old = self._path + ".old"
+        shutil.rmtree(old, ignore_errors=True)
+        os.rename(self._path, old)
+        os.rename(tmp, self._path)
+        shutil.rmtree(old)
+
     def optimize(self) -> None:
-        """Compaction: rewrite the store deduplicated (OPTIMIZE FINAL)."""
+        """Compaction: rewrite the store deduplicated (OPTIMIZE FINAL).
+
+        Destroys superseded versions — see ``statements()`` for the
+        ``as_of`` history-horizon consequence. Single-writer: no other
+        process may write (or hold mid-job reads) during the swap."""
         if not self.exists():
             return
         tmp = self._path + ".compact"
@@ -321,8 +375,7 @@ class Store:
             .partitionBy("dataset")
             .parquet(tmp)
         )
-        shutil.rmtree(self._path)
-        os.rename(tmp, self._path)
+        self._promote(tmp)
         self._set_compacted()
 
     def changed_statements(self, since: str) -> DataFrame:
@@ -367,8 +420,7 @@ class Store:
             .partitionBy("dataset")
             .parquet(tmp)
         )
-        shutil.rmtree(self._path)
-        os.rename(tmp, self._path)
+        self._promote(tmp)
         # the pop rewrite runs through dedup_statements — the survivor
         # set is clean on STATEMENT_KEY
         self._set_compacted()

@@ -6,7 +6,7 @@ continuously-appended statement store:
 
   readStream(json) → entities_to_statements → withWatermark(last_seen)
   → dropDuplicatesWithinWatermark(id)  [exactly-once-ish within horizon]
-  → writeStream(parquet, partitionBy=dataset, checkpointed)
+  → foreachBatch(Store.write_statements)  [checkpointed]
 
 ``dropDuplicatesWithinWatermark`` (not plain ``dropDuplicates``): with
 the event-time column absent from the dedup key, plain dropDuplicates
@@ -18,15 +18,35 @@ horizon. Late duplicates beyond the watermark are caught by the
 store's dedup-on-read window, so correctness never depends on
 streaming state size — the watermark only bounds how much work
 dedup-on-read has left.
+
+The sink is ``foreachBatch`` → ``Store.write_statements`` rather than a
+direct parquet writeStream, for two load-bearing reasons (round 7):
+
+- a direct sink drops a ``_spark_metadata`` transaction log inside
+  ``statements/``, and Spark BATCH reads of a directory with that log
+  list ONLY the files the log names — streaming into an existing
+  batch-written store silently hid every pre-existing statement from
+  every subsequent read (reproduced in the round-7 verify drive);
+- ``write_statements`` clears the compaction marker per micro-batch,
+  so a previously ``optimize()``-d store can't keep the no-dedup fast
+  path while the stream appends new versions (ADVICE r6 high), and
+  each batch gets the store's canonical layout (dataset partitioning +
+  canonical_id clustering) instead of raw micro-batch files.
+
+Exactly-once: the checkpoint makes batch REPLAY possible after a crash
+mid-append (same batch written twice). Replayed rows carry identical
+statement ids, so dedup-on-read collapses them — the same safety net
+that catches beyond-watermark duplicates.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import SparkSession
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.streaming import StreamingQuery
 
 from ftm_columnstore_spark.model.schemas import ENTITY_SCHEMA
 from ftm_columnstore_spark.sources.statements import entities_to_statements
+from ftm_columnstore_spark.store import Store
 
 
 def stream_statements_to_store(
@@ -47,6 +67,12 @@ def stream_statements_to_store(
     backfills: without it, availableNow plans one giant batch and the
     dedup state for the WHOLE corpus is live at once).
     """
+    if max_files_per_trigger is not None and max_files_per_trigger < 1:
+        raise ValueError(
+            f"max_files_per_trigger must be >= 1, got {max_files_per_trigger}"
+        )
+    store = Store(spark, store_path)
+    store.ensure()
     reader = spark.readStream.schema(ENTITY_SCHEMA)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
@@ -56,11 +82,13 @@ def stream_statements_to_store(
         .withWatermark("last_seen", watermark)
         .dropDuplicatesWithinWatermark(["id"])
     )
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        store.write_statements(batch_df)
+
     writer = (
-        statements.writeStream.format("parquet")
-        .option("path", f"{store_path}/statements")
+        statements.writeStream.foreachBatch(_sink)
         .option("checkpointLocation", checkpoint_path)
-        .partitionBy("dataset")
         .outputMode("append")
     )
     if available_now:

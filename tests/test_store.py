@@ -339,3 +339,74 @@ def test_statements_as_of_time_travel(store, spark):
 
     # snapshot before anything existed: empty
     assert store.statements(as_of="2023-12-01").count() == 0
+
+
+def test_out_of_band_append_invalidates_fast_path(store, entities_df):
+    """ADVICE r6: a writer that appends parquet under statements/
+    WITHOUT going through write_statements (e.g. a streaming sink)
+    never touches the marker file — is_compacted() must still turn
+    the fast path off, via the file-mtime check."""
+    store.write_entities(entities_df, last_seen="2024-01-01 00:00:00")
+    store.optimize()
+    assert store.is_compacted()
+    n_clean = store.statements().count()
+    # simulate an out-of-band append: copy an existing data file to a
+    # new name inside the statement path (fresh mtime, marker untouched)
+    import os
+    import shutil
+
+    src = next(
+        os.path.join(dp, fn)
+        for dp, _, files in os.walk(store._path)
+        for fn in files
+        if fn.endswith(".parquet")
+    )
+    shutil.copy(src, src.replace(".parquet", "-oob.parquet"))
+    assert store.is_compacted() is False
+    stmts = store.statements()
+    plan = stmts._jdf.queryExecution().optimizedPlan().toString()
+    assert "Aggregate" in plan  # dedup-on-read resumed
+    # the duplicated file's rows collapse back to the originals
+    assert store.statements(deduped=False).count() > n_clean
+    assert stmts.count() == n_clean
+
+
+def test_as_of_after_optimize_pins_history_horizon(store, spark):
+    """Pins the documented as_of/optimize contract: before compaction
+    as_of=T reconstructs the state at T; after compaction superseded
+    versions are physically gone, so as_of=T returns the compacted
+    survivors filtered by last_seen <= T (here: nothing)."""
+    from ftm_columnstore_spark.sources.statements import statements_from_rows
+
+    # same STATEMENT_KEY written twice (an upsert re-confirmation) —
+    # two physical versions differing only in last_seen
+    for seen in ["2024-01-01", "2024-03-01"]:
+        df = statements_from_rows(
+            spark,
+            [dict(id="s1", entity_id="e", prop="name", schema="Person",
+                  value="A", dataset="d", last_seen=None)],
+        ).withColumn("last_seen", F.to_timestamp(F.lit(seen)))
+        store.write_statements(df)
+    at_t1 = store.statements(as_of="2024-02-01").collect()
+    assert len(at_t1) == 1
+    assert str(at_t1[0]["last_seen"]).startswith("2024-01-01")
+    store.optimize()
+    # survivor is the 2024-03-01 version; the 2024-01-01 one is gone —
+    # as_of now filters the compacted state, it does NOT reconstruct T
+    assert store.statements(as_of="2024-02-01").count() == 0
+    after = store.statements(as_of="2024-04-01").collect()
+    assert len(after) == 1
+    assert str(after[0]["last_seen"]).startswith("2024-03-01")
+
+
+def test_promote_leaves_no_stale_aside_dir(store, entities_df):
+    """optimize()/pop() swap rewrites in via rename-aside; on success
+    neither the .compact temp nor the .old aside dir remains."""
+    import os
+
+    store.write_entities(entities_df, last_seen="2024-01-01 00:00:00")
+    store.write_entities(entities_df, last_seen="2024-02-01 00:00:00")
+    store.optimize()
+    assert not os.path.exists(store._path + ".compact")
+    assert not os.path.exists(store._path + ".old")
+    assert store.statements().count() > 0

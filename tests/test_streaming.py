@@ -987,3 +987,65 @@ def test_windowed_moments_stream_matches_batch_and_exact(spark, tmp_path):
     assert abs(got_mean - mean) < 1e-6
     assert abs(got_var - var) < 1e-4
     assert streamed["2024-01-01 11:00:00"][0] == 1
+
+
+def test_stream_ingest_clears_compaction_marker(spark, tmp_path):
+    """ADVICE r6 (high): the streaming sink appends parquet directly,
+    so starting a stream into a compacted store must re-arm
+    dedup-on-read by clearing the marker."""
+    import json as _json
+
+    from ftm_columnstore_spark.sources.statements import statements_from_rows
+
+    store = Store(spark, str(tmp_path / "store"))
+    store.ensure()
+    df = statements_from_rows(
+        spark,
+        [dict(id="s1", entity_id="e", prop="name", schema="Company",
+              value="A", dataset="streamed", last_seen=None)],
+    ).withColumn("last_seen", F.to_timestamp(F.lit("2024-01-01")))
+    store.write_statements(df)
+    store.optimize()
+    assert store.is_compacted()
+    src = tmp_path / "in"
+    src.mkdir()
+    (src / "b1.json").write_text(_json.dumps(
+        {"id": "e2", "schema": "Company",
+         "properties": {"name": ["Firm"]},
+         "datasets": ["streamed"], "referents": []}
+    ))
+    q = stream_statements_to_store(
+        spark,
+        str(src),
+        str(tmp_path / "store"),
+        str(tmp_path / "ckpt"),
+        dataset="streamed",
+        available_now=True,
+    )
+    q.awaitTermination(120)
+    assert not store.is_compacted()
+    plan = store.statements()._jdf.queryExecution().optimizedPlan().toString()
+    assert "Aggregate" in plan  # dedup-on-read active again
+    # the metadata-log trap (round 7): a direct parquet writeStream sink
+    # leaves _spark_metadata in statements/, and batch reads then list
+    # ONLY log-named files — pre-existing statements vanish. The
+    # foreachBatch sink must keep BOTH the batch-written and the
+    # streamed rows visible.
+    seen = {
+        r["entity_id"]
+        for r in store.statements().select("entity_id").distinct().collect()
+    }
+    assert seen == {"e", "e2"}
+
+
+def test_stream_ingest_rejects_bad_backpressure(spark, tmp_path):
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="max_files_per_trigger"):
+        stream_statements_to_store(
+            spark,
+            str(tmp_path / "in"),
+            str(tmp_path / "store"),
+            str(tmp_path / "ckpt"),
+            max_files_per_trigger=0,
+        )
