@@ -41,6 +41,7 @@ def stream_clean_against_corpus(
     near_dedup: dict | None = None,
     decontaminate: dict | None = None,
     available_now: bool = False,
+    max_files_per_trigger: int | None = None,
 ) -> StreamingQuery:
     """Start the cleanup stream; returns the StreamingQuery handle.
 
@@ -66,7 +67,16 @@ def stream_clean_against_corpus(
     table at stream start (persisted, broadcast per batch); documents
     whose distinct-n-gram hit_rate exceeds ``max_hit_rate`` are dropped
     (0.0 = any maybe-hit drops; clean verdicts are exact — the filter
-    has no false negatives)."""
+    has no false negatives).
+
+    ``max_files_per_trigger`` bounds each micro-batch (same backpressure
+    knob as the statement ingest stream: without it, availableNow plans
+    ONE corpus-sized batch and every per-batch join scales with the
+    whole backfill instead of the trigger size)."""
+    if max_files_per_trigger is not None and max_files_per_trigger < 1:
+        raise ValueError(
+            f"max_files_per_trigger must be >= 1, got {max_files_per_trigger}"
+        )
     from ftm_columnstore_spark.operators.dedup import (
         _band_relation,
         corpus_gram_index,
@@ -233,7 +243,10 @@ def stream_clean_against_corpus(
             out = rewrite_cut_text(out, cut, text_col, id_col)
         out.write.mode("append").parquet(out_path)
 
-    docs = spark.readStream.schema(schema).json(source_path)
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    docs = reader.json(source_path)
     writer = docs.writeStream.foreachBatch(process).option(
         "checkpointLocation", checkpoint_path
     )

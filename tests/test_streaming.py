@@ -1049,3 +1049,21 @@ def test_stream_ingest_rejects_bad_backpressure(spark, tmp_path):
             str(tmp_path / "ckpt"),
             max_files_per_trigger=0,
         )
+
+
+def test_clean_stream_rejects_bad_backpressure(spark, tmp_path):
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    from ftm_columnstore_spark.streaming.clean import (
+        stream_clean_against_corpus,
+    )
+
+    schema = StructType([StructField("text", StringType())])
+    corpus = spark.createDataFrame([("x",)], schema)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="max_files_per_trigger"):
+        stream_clean_against_corpus(
+            spark, str(tmp_path / "in"), corpus, str(tmp_path / "o"),
+            str(tmp_path / "c"), schema, max_files_per_trigger=0,
+        )
