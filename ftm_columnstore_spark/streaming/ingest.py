@@ -84,7 +84,10 @@ def stream_statements_to_store(
     )
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
-        store.write_statements(batch_df)
+        # cluster=False: a per-micro-batch repartition+sort costs ~3.5x
+        # drain throughput (measured at sf1) for layout the next
+        # optimize() rebuilds anyway
+        store.write_statements(batch_df, cluster=False)
 
     writer = (
         statements.writeStream.foreachBatch(_sink)
