@@ -162,8 +162,26 @@ def stream_clean_against_corpus(
         cached.append(banded)
 
     def process(batch_df: DataFrame, _batch_id: int) -> None:
-        out = batch_df
+        # Each stage builds a kill-set subquery FROM ``out`` and then
+        # anti-joins it back onto ``out`` — lazily chained, stage k's
+        # subquery would recompute stages 1..k-1 from the source, and
+        # the span stage references ``out`` three times (cut + rewrite
+        # + write). Persisting ``out`` at each stage boundary bounds
+        # every branch to one upstream computation: measured 1.6x on
+        # the 1M-doc soak drain (1215s -> 760s; steady batch wall
+        # ~120s -> ~80s per 100k-doc batch) with byte-identical
+        # survivors. Per-batch cache is released before return.
+        batch_cached: list[DataFrame] = []
+
+        def staged(df: DataFrame) -> DataFrame:
+            df = df.persist()
+            batch_cached.append(df)
+            return df
+
+        out = staged(batch_df)
         if out.isEmpty():
+            for df in batch_cached:
+                df.unpersist()
             return
         if quality is not None:
             gate = quality_gate(
@@ -172,7 +190,7 @@ def stream_clean_against_corpus(
             keep = gate.where(F.col("keep")).select(
                 F.col("id").alias(id_col)
             )
-            out = out.join(keep, on=id_col, how="left_semi")
+            out = staged(out.join(keep, on=id_col, how="left_semi"))
         if bloom_words is not None:
             # contamination drop EARLY (map-side broadcast probe — the
             # cheapest reference-artifact stage) so contaminated docs
@@ -187,7 +205,7 @@ def stream_clean_against_corpus(
             dirty = hits.where(F.col("hit_rate") > dc_max).select(
                 F.col("id").alias(id_col)
             )
-            out = out.join(dirty, on=id_col, how="left_anti")
+            out = staged(out.join(dirty, on=id_col, how="left_anti"))
         if weights is not None:
             from ftm_columnstore_spark.operators.text import (
                 score_quality_classifier,
@@ -197,13 +215,13 @@ def stream_clean_against_corpus(
             low = nb.where(F.col("nb_score") < min_score).select(
                 F.col("id").alias(id_col)
             )
-            out = out.join(low, on=id_col, how="left_anti")
+            out = staged(out.join(low, on=id_col, how="left_anti"))
         if lm is not None:
             scored = score_with_bigram_lm(out, lm, text_col, id_col)
             bad = scored.where(
                 F.col("bits_per_bigram") > max_bits_per_bigram
             ).select(F.col("id").alias(id_col))
-            out = out.join(bad, on=id_col, how="left_anti")
+            out = staged(out.join(bad, on=id_col, how="left_anti"))
         if banded is not None:
             # near-dup drop BEFORE the span cut: a document fully
             # contained in the corpus would otherwise be cut down to
@@ -225,7 +243,7 @@ def stream_clean_against_corpus(
                 .select(F.col("new_id").alias(id_col))
                 .distinct()
             )
-            out = out.join(dup_ids, on=id_col, how="left_anti")
+            out = staged(out.join(dup_ids, on=id_col, how="left_anti"))
         if grams is not None:
             from ftm_columnstore_spark.operators.dedup import (
                 exact_substring_dedup_cross,
@@ -242,6 +260,8 @@ def stream_clean_against_corpus(
             )
             out = rewrite_cut_text(out, cut, text_col, id_col)
         out.write.mode("append").parquet(out_path)
+        for df in batch_cached:
+            df.unpersist()
 
     reader = spark.readStream.schema(schema)
     if max_files_per_trigger is not None:
