@@ -40,6 +40,14 @@ BUCKETS = 128
 def main() -> None:
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 5_000_000
     skip_plain = "--skip-plain" in sys.argv
+    # 400M: optimize()'s dedup-rewrite needs store + shuffle spill +
+    # compacted copy on disk AT ONCE and ENOSPCs the 80GB sandbox
+    # budget (measured; r8's plain-assembly attempt hit the same wall).
+    # A single-write store of distinct synth entities is unique on
+    # STATEMENT_KEY by construction, so --no-optimize sets the marker
+    # instead of rewriting — the read semantics the marker asserts are
+    # true, only the (already measured at 200M) rewrite is skipped.
+    no_optimize = "--no-optimize" in sys.argv
     from soak_spine import synth_entities
     from ftm_columnstore_spark.session import get_spark
     from ftm_columnstore_spark.store import Store
@@ -69,7 +77,11 @@ def main() -> None:
         return r
 
     phase("write_statements", lambda: store.write_entities(synth_entities(spark, n)))
-    phase("optimize", store.optimize)
+    if no_optimize:
+        store._set_compacted()
+        out["optimize"] = "skipped: single-write store unique by construction"
+    else:
+        phase("optimize", store.optimize)
     out["n_statements"] = phase("count_post_compact", lambda: store.statements().count())
 
     # --- plain (compacted) assembly: the paired comparison ---------------
@@ -88,6 +100,12 @@ def main() -> None:
         "bucket_build",
         lambda: store.to_bucketed_table("stmts_decade", buckets=BUCKETS),
     )
+    if skip_plain:
+        # the bucketed managed table is self-contained; dropping the
+        # plain store here frees its bytes for the assembly output
+        # (the 400M disk budget needs it)
+        shutil.rmtree(store._path, ignore_errors=True)
+        print("plain store dropped after bucket build", flush=True)
     bucketed = store.bucketed_statements("stmts_decade")
     entities = assemble_entities(bucketed)
     plan = entities._jdf.queryExecution().executedPlan().toString()
