@@ -179,89 +179,91 @@ def stream_clean_against_corpus(
             return df
 
         out = staged(batch_df)
-        if out.isEmpty():
+        try:
+            if out.isEmpty():
+                return
+            if quality is not None:
+                gate = quality_gate(
+                    out, text_col=text_col, id_col=id_col, **quality
+                )
+                keep = gate.where(F.col("keep")).select(
+                    F.col("id").alias(id_col)
+                )
+                out = staged(out.join(keep, on=id_col, how="left_semi"))
+            if bloom_words is not None:
+                # contamination drop EARLY (map-side broadcast probe — the
+                # cheapest reference-artifact stage) so contaminated docs
+                # never reach the LM / signature passes
+                from ftm_columnstore_spark.operators.sketches import (
+                    bloom_ngram_hits,
+                )
+
+                hits = bloom_ngram_hits(
+                    out, bloom_words, text_col, id_col, dc_n, dc_m, dc_k
+                )
+                dirty = hits.where(F.col("hit_rate") > dc_max).select(
+                    F.col("id").alias(id_col)
+                )
+                out = staged(out.join(dirty, on=id_col, how="left_anti"))
+            if weights is not None:
+                from ftm_columnstore_spark.operators.text import (
+                    score_quality_classifier,
+                )
+
+                nb = score_quality_classifier(out, weights, text_col, id_col)
+                low = nb.where(F.col("nb_score") < min_score).select(
+                    F.col("id").alias(id_col)
+                )
+                out = staged(out.join(low, on=id_col, how="left_anti"))
+            if lm is not None:
+                scored = score_with_bigram_lm(out, lm, text_col, id_col)
+                bad = scored.where(
+                    F.col("bits_per_bigram") > max_bits_per_bigram
+                ).select(F.col("id").alias(id_col))
+                out = staged(out.join(bad, on=id_col, how="left_anti"))
+            if banded is not None:
+                # near-dup drop BEFORE the span cut: a document fully
+                # contained in the corpus would otherwise be cut down to
+                # crumbs the signature can no longer recognise (the same
+                # dedup-before-span pipeline-order lesson as the batch path)
+                sigs = minhash_signature(
+                    out,
+                    text_col,
+                    id_col,
+                    nd.get("num_hashes", 32),
+                    nd.get("shingle_k", 3),
+                )
+                dup_ids = (
+                    cross_pairs_from_banded(
+                        _band_relation(sigs, nd.get("num_bands", 8)),
+                        banded,
+                        min_jaccard_est,
+                    )
+                    .select(F.col("new_id").alias(id_col))
+                    .distinct()
+                )
+                out = staged(out.join(dup_ids, on=id_col, how="left_anti"))
+            if grams is not None:
+                from ftm_columnstore_spark.operators.dedup import (
+                    exact_substring_dedup_cross,
+                    rewrite_cut_text,
+                )
+
+                cut = exact_substring_dedup_cross(
+                    out,
+                    corpus_grams=grams,
+                    text_col=text_col,
+                    id_col=id_col,
+                    k=substring_k,
+                    within_batch=within_batch,
+                )
+                out = rewrite_cut_text(out, cut, text_col, id_col)
+            out.write.mode("append").parquet(out_path)
+        finally:
+            # released even when the batch write fails: a retried
+            # micro-batch must not stack persisted frames
             for df in batch_cached:
                 df.unpersist()
-            return
-        if quality is not None:
-            gate = quality_gate(
-                out, text_col=text_col, id_col=id_col, **quality
-            )
-            keep = gate.where(F.col("keep")).select(
-                F.col("id").alias(id_col)
-            )
-            out = staged(out.join(keep, on=id_col, how="left_semi"))
-        if bloom_words is not None:
-            # contamination drop EARLY (map-side broadcast probe — the
-            # cheapest reference-artifact stage) so contaminated docs
-            # never reach the LM / signature passes
-            from ftm_columnstore_spark.operators.sketches import (
-                bloom_ngram_hits,
-            )
-
-            hits = bloom_ngram_hits(
-                out, bloom_words, text_col, id_col, dc_n, dc_m, dc_k
-            )
-            dirty = hits.where(F.col("hit_rate") > dc_max).select(
-                F.col("id").alias(id_col)
-            )
-            out = staged(out.join(dirty, on=id_col, how="left_anti"))
-        if weights is not None:
-            from ftm_columnstore_spark.operators.text import (
-                score_quality_classifier,
-            )
-
-            nb = score_quality_classifier(out, weights, text_col, id_col)
-            low = nb.where(F.col("nb_score") < min_score).select(
-                F.col("id").alias(id_col)
-            )
-            out = staged(out.join(low, on=id_col, how="left_anti"))
-        if lm is not None:
-            scored = score_with_bigram_lm(out, lm, text_col, id_col)
-            bad = scored.where(
-                F.col("bits_per_bigram") > max_bits_per_bigram
-            ).select(F.col("id").alias(id_col))
-            out = staged(out.join(bad, on=id_col, how="left_anti"))
-        if banded is not None:
-            # near-dup drop BEFORE the span cut: a document fully
-            # contained in the corpus would otherwise be cut down to
-            # crumbs the signature can no longer recognise (the same
-            # dedup-before-span pipeline-order lesson as the batch path)
-            sigs = minhash_signature(
-                out,
-                text_col,
-                id_col,
-                nd.get("num_hashes", 32),
-                nd.get("shingle_k", 3),
-            )
-            dup_ids = (
-                cross_pairs_from_banded(
-                    _band_relation(sigs, nd.get("num_bands", 8)),
-                    banded,
-                    min_jaccard_est,
-                )
-                .select(F.col("new_id").alias(id_col))
-                .distinct()
-            )
-            out = staged(out.join(dup_ids, on=id_col, how="left_anti"))
-        if grams is not None:
-            from ftm_columnstore_spark.operators.dedup import (
-                exact_substring_dedup_cross,
-                rewrite_cut_text,
-            )
-
-            cut = exact_substring_dedup_cross(
-                out,
-                corpus_grams=grams,
-                text_col=text_col,
-                id_col=id_col,
-                k=substring_k,
-                within_batch=within_batch,
-            )
-            out = rewrite_cut_text(out, cut, text_col, id_col)
-        out.write.mode("append").parquet(out_path)
-        for df in batch_cached:
-            df.unpersist()
 
     reader = spark.readStream.schema(schema)
     if max_files_per_trigger is not None:
