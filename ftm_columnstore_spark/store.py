@@ -320,9 +320,15 @@ class Store:
             .write.mode("overwrite")
             .parquet(tmp)
         )
+        # same rename-aside discipline as _promote (derived artifact, so
+        # a crash here is harmless either way — readers fall back to the
+        # main table when the index is absent)
+        old = path + ".old"
+        shutil.rmtree(old, ignore_errors=True)
         if os.path.exists(path):
-            shutil.rmtree(path)
+            os.rename(path, old)
         os.rename(tmp, path)
+        shutil.rmtree(old, ignore_errors=True)
 
     def value_index(self) -> DataFrame | None:
         """The value-clustered reverse-lookup copy, or None if not built."""
