@@ -23,6 +23,7 @@ compaction.
 
 from __future__ import annotations
 
+import json
 import os
 import shutil
 from functools import cache
@@ -68,52 +69,105 @@ class Store:
         self.uri = uri or settings.STORE_URI
         self._path = os.path.join(self.uri, "statements")
         self._marker = os.path.join(self.uri, "_compacted")
+        self._epoch_file = os.path.join(self.uri, "_epoch")
         self._canonical: DataFrame | None = None
+        self._bucketed: str | None = None
 
-    # --- compaction marker ---------------------------------------------------
+    # --- compaction marker / write epoch --------------------------------------
     # After optimize() the on-disk rows are unique on STATEMENT_KEY, so
     # the dedup-on-read groupBy collapses nothing — yet it still costs a
     # full corpus shuffle on EVERY read (measured: the sf1 spine soak's
     # e3 query paid the 40M-row dedup twice). The marker records "store
-    # is dedup-clean"; any append invalidates it (cleared BEFORE the
-    # append commits, so a crash mid-write can only cost an extra dedup,
-    # never a silently-skipped one). The fast path applies ONLY when no
-    # resolver is installed: the content-hash ``id`` excludes
-    # canonical_id, so two on-disk rows distinct only in canonical_id
-    # (written at different resolution states) share an id — a resolver
-    # remap CAN merge them into equal keys, and that read must dedup
-    # (round-8 self-review finding, regression-tested).
+    # is dedup-clean AT write-epoch N". Every mutator (write_statements,
+    # optimize, pop, drop — including the streaming ingest sink, which
+    # goes through write_statements) bumps the epoch BEFORE its job
+    # commits, so a crash mid-write can only cost an extra dedup, never
+    # a silently-skipped one; the read path compares two tiny files
+    # (marker epoch vs current epoch) instead of walking the store —
+    # O(1) regardless of file count, no mtime assumption, object-store
+    # friendly. CONTRACT: a writer that places files under
+    # ``statements/`` without bumping the epoch (raw ``cp``/``rsync``
+    # into the directory) is out-of-contract and will NOT invalidate
+    # the fast path; external writers must call ``bump_epoch()`` (or any
+    # store API). ``verify_compacted()`` offers the deep inventory check
+    # for ops tooling. The fast path applies ONLY when no resolver is
+    # installed: the content-hash ``id`` excludes canonical_id, so two
+    # on-disk rows distinct only in canonical_id (written at different
+    # resolution states) share an id — a resolver remap CAN merge them
+    # into equal keys, and that read must dedup (round-8 self-review
+    # finding, regression-tested).
+    def _read_epoch(self) -> int:
+        try:
+            with open(self._epoch_file) as fh:
+                return int(fh.read().strip() or 0)
+        except (OSError, ValueError):
+            return 0
+
+    def bump_epoch(self) -> int:
+        """Advance the write epoch (invalidates the compaction fast
+        path). Public so out-of-band writers can stay in contract."""
+        epoch = self._read_epoch() + 1
+        tmp = self._epoch_file + ".tmp"
+        with open(tmp, "w") as fh:
+            fh.write(str(epoch))
+        os.replace(tmp, self._epoch_file)
+        return epoch
+
+    def _inventory(self) -> dict[str, int]:
+        """Relative path → size for every file under the statement path
+        (recorded in the marker; compared only by verify_compacted())."""
+        inv: dict[str, int] = {}
+        for dirpath, _dirs, files in os.walk(self._path):
+            for fn in files:
+                p = os.path.join(dirpath, fn)
+                try:
+                    inv[os.path.relpath(p, self._path)] = os.path.getsize(p)
+                except OSError:
+                    pass
+        return inv
+
     def _set_compacted(self) -> None:
-        with open(self._marker, "w") as fh:
-            fh.write("1")
+        payload = {"epoch": self._read_epoch(), "files": self._inventory()}
+        tmp = self._marker + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(payload, fh)
+        os.replace(tmp, self._marker)
 
     def _clear_compacted(self) -> None:
         if os.path.exists(self._marker):
             os.remove(self._marker)
 
-    def is_compacted(self) -> bool:
-        """True iff the compaction marker exists AND no file under the
-        statement path is newer than it — any out-of-band append (a
-        streaming sink writing into ``statements/`` directly, another
-        process's writer) invalidates the fast path even if it never
-        touched the marker. The walk is driver-side local-fs metadata
-        (~ms for thousands of files), paid once per DataFrame build,
-        not per row."""
-        if not os.path.exists(self._marker):
-            return False
+    def _marker_payload(self) -> dict | None:
         try:
-            marker_mtime = os.path.getmtime(self._marker)
-            for dirpath, _dirs, files in os.walk(self._path):
-                for fn in files:
-                    if (
-                        os.path.getmtime(os.path.join(dirpath, fn))
-                        > marker_mtime
-                    ):
-                        return False
-        except OSError:
-            # a file vanished mid-walk: a writer is active — not clean
+            with open(self._marker) as fh:
+                payload = json.load(fh)
+            if not isinstance(payload, dict) or "epoch" not in payload:
+                return None
+            return payload
+        except (OSError, ValueError):
+            # missing, or a pre-epoch legacy marker: treat as not
+            # compacted (fail-safe — costs one dedup, never skips one)
+            return None
+
+    def is_compacted(self) -> bool:
+        """True iff the compaction marker exists AND no in-contract
+        write happened since it was set (marker epoch == current
+        epoch). Two small metadata reads per DataFrame build — no
+        directory walk, no mtime comparison (see the epoch contract
+        above for what out-of-contract writers must do)."""
+        payload = self._marker_payload()
+        return payload is not None and payload["epoch"] == self._read_epoch()
+
+    def verify_compacted(self) -> bool:
+        """Deep check for ops tooling: epoch match AND the on-disk file
+        inventory (relative path + size) is exactly what the marker
+        recorded at compaction time — detects out-of-contract writers
+        that added/replaced files without bumping the epoch, including
+        mtime-preserving placements (``mv``, ``rsync -a``)."""
+        payload = self._marker_payload()
+        if payload is None or payload["epoch"] != self._read_epoch():
             return False
-        return True
+        return payload.get("files") == self._inventory()
 
     # --- DDL (S8, S9) -------------------------------------------------------
     def ensure(self) -> None:
@@ -121,6 +175,7 @@ class Store:
 
     def drop(self) -> None:
         shutil.rmtree(self._path, ignore_errors=True)
+        self.bump_epoch()
         self._clear_compacted()
 
     def exists(self) -> bool:
@@ -141,9 +196,12 @@ class Store:
         min/max pruning on the NEW files, never correctness."""
         out = df.select(*STATEMENT_COLUMNS)
         # an append may re-write existing statement keys — reads must
-        # dedup again until the next optimize(); cleared FIRST so a
-        # crash between the job commit and the marker update fails safe
-        self._clear_compacted()
+        # dedup again until the next optimize(); the epoch is bumped
+        # BEFORE the job so a crash mid-write fails safe (marker epoch
+        # < current epoch → dedup path, never a skipped dedup). The
+        # marker file itself stays: it records "clean at epoch N" and
+        # goes stale by comparison, not by deletion.
+        self.bump_epoch()
         if cluster:
             out = out.repartition("dataset", "canonical_id").sortWithinPartitions(
                 "canonical_id", "entity_id", "prop", "value"
@@ -223,10 +281,24 @@ class Store:
         time (lazy plans keep it even if an append lands before an
         action runs), and the marker check is not atomic against
         concurrent writers in other processes — consistent with the
-        store's single-writer design."""
-        if not self.exists():
-            return self.spark.createDataFrame([], STATEMENT_SCHEMA)
-        df = self.spark.read.schema(STATEMENT_SCHEMA).parquet(self._path)
+        store's single-writer design.
+
+        With :meth:`use_bucketed` enabled, reads serve from the
+        bucketed snapshot table instead of the parquet store — same
+        columns, same filters, zero-Exchange plans for every
+        canonical_id-keyed consumer; see that method for the staleness
+        contract."""
+        if self._bucketed is not None:
+            # snapshot was written from statements() (already deduped);
+            # treated like a compacted store: fast path unless a
+            # resolver can merge rows distinct only in canonical_id
+            df = self.spark.table(self._bucketed)
+            already_clean = True
+        else:
+            if not self.exists():
+                return self.spark.createDataFrame([], STATEMENT_SCHEMA)
+            df = self.spark.read.schema(STATEMENT_SCHEMA).parquet(self._path)
+            already_clean = self.is_compacted()
         if isinstance(dataset, str):
             df = df.filter(F.col("dataset") == dataset)
         elif dataset is not None:
@@ -236,7 +308,7 @@ class Store:
                 F.col("last_seen") <= F.to_timestamp(F.lit(as_of))
             )
         df = self._apply_canonical(df)
-        if deduped and self._canonical is None and self.is_compacted():
+        if deduped and self._canonical is None and already_clean:
             # compacted store, no resolver: rows already unique on
             # STATEMENT_KEY — skip the corpus-wide dedup shuffle (the
             # compaction payoff). With a resolver installed the remap
@@ -298,6 +370,26 @@ class Store:
     def bucketed_statements(self, table: str = "statements_bucketed") -> DataFrame:
         return self.spark.table(table)
 
+    def use_bucketed(
+        self, table: str = "statements_bucketed", enabled: bool = True
+    ) -> None:
+        """Opt-in: serve all reads (``statements()``, ``view()``, the
+        CLI) from the bucketed snapshot built by :meth:`to_bucketed_table`
+        instead of the parquet store. Every canonical_id-keyed consumer
+        (entity assembly, adjacency, xref join-back, point lookups) then
+        plans with zero Exchange on the corpus side — measured 2.68× on
+        assembly at 200M statements, and the only configuration that
+        completed at 400M in the sandbox's disk budget (NOTES).
+
+        Staleness contract: the bucketed table is a SNAPSHOT taken at
+        ``to_bucketed_table()`` time. Statements written after the build
+        are not visible through it until the table is rebuilt — rebuild
+        after bulk loads, like the value index (staleness is
+        operational, not a correctness risk for the snapshot's own
+        contents: the copy is deduped at build time). ``enabled=False``
+        reverts to the live parquet store."""
+        self._bucketed = table if enabled else None
+
     def build_value_index(self) -> None:
         """P2: the ONE reference projection worth materializing (the
         reference keeps a value-sorted projection for reverse lookups,
@@ -356,41 +448,135 @@ class Store:
         assemble_entities(stmts).createOrReplaceTempView(f"{prefix}entities")
 
     # --- maintenance (P5) -----------------------------------------------------
-    def _promote(self, tmp: str) -> None:
+    def _promote(
+        self, tmp: str, dst: str | None = None, aside: str | None = None
+    ) -> None:
         """Swap a fully-written rewrite into place. Old dir is renamed
         ASIDE first (two cheap renames), then removed — a crash leaves
-        either the old store live or both ``tmp`` and ``.old`` intact
+        either the old dir live or both ``tmp`` and the aside dir intact
         for manual recovery; data is never inside an in-progress
-        ``rmtree``. Single-writer assumption: rewrites are not atomic
-        for concurrent readers in OTHER processes (same-process reads
+        ``rmtree``. The post-swap cleanup ignores errors (ADVICE r7): a
+        transiently-open handle must not fail an already-committed
+        rewrite — the stale aside dir is cleared by the next promote.
+        ``dst``/``aside`` default to the whole statement path; the
+        per-dataset compaction passes a single hive partition dir with
+        an aside OUTSIDE the scan root (an ``X.old`` dir left inside
+        ``statements/`` would read back as a phantom dataset).
+        Single-writer assumption: rewrites are not atomic for
+        concurrent readers in OTHER processes (same-process reads
         re-list files per action and are fine after the swap)."""
-        old = self._path + ".old"
+        dst = dst or self._path
+        old = aside or (dst + ".old")
         shutil.rmtree(old, ignore_errors=True)
-        os.rename(self._path, old)
-        os.rename(tmp, self._path)
-        shutil.rmtree(old)
+        parent = os.path.dirname(old)
+        if parent:
+            os.makedirs(parent, exist_ok=True)
+        os.rename(dst, old)
+        os.rename(tmp, dst)
+        shutil.rmtree(old, ignore_errors=True)
 
-    def optimize(self) -> None:
-        """Compaction: rewrite the store deduplicated (OPTIMIZE FINAL).
+    def optimize(
+        self, datasets: list[str] | None = None, slices: int = 1
+    ) -> None:
+        """Compaction: rewrite the store deduplicated (the reference's
+        ``OPTIMIZE TABLE … FINAL DEDUPLICATE``, engine.py:114-125) —
+        incrementally, one dataset partition at a time.
+
+        Unlike a monolithic whole-store rewrite (and unlike OPTIMIZE
+        FINAL, which is one whole-table merge), peak scratch here is
+        bounded by ONE dataset's input + shuffle + output, not the
+        corpus's: each dataset is rewritten into a side dir and swapped
+        in via the rename-aside ``_promote`` before the next starts.
+        Per-dataset dedup is EXACT, not approximate: the statement
+        ``id`` is a content hash that embeds the dataset
+        (``sources/statements.py:39``) and is part of STATEMENT_KEY, so
+        a dedup group can never span dataset partitions.
+
+        ``slices`` further bounds the shuffle: each dataset is rewritten
+        in ``slices`` jobs, slice i covering
+        ``xxhash64(canonical_id) % slices == i`` — STATEMENT_KEY starts
+        with canonical_id, so hash-of-canonical_id slicing also never
+        splits a dedup group. Each slice job re-scans the dataset
+        partition (read amplification ×slices — scans are the cheap
+        term) but shuffles and spills only ~1/slices of it, which is
+        what fits a 100 TB compaction into bounded executor/scratch
+        space (the monolithic rewrite ENOSPC'd this sandbox at 400M
+        statements; the sliced one completes — see NOTES).
+
+        ``datasets`` limits the rewrite to the named partitions
+        (incremental compaction after a targeted backfill). The
+        fast-path marker is set only by a FULL compaction
+        (``datasets=None``) that completes every partition; a partial
+        or crashed run leaves the marker stale and reads simply keep
+        the dedup-on-read path — correct, just unaccelerated.
 
         Destroys superseded versions — see ``statements()`` for the
         ``as_of`` history-horizon consequence. Single-writer: no other
-        process may write (or hold mid-job reads) during the swap."""
+        process may write (or hold mid-job reads) during the swaps."""
         if not self.exists():
             return
+        if slices < 1:
+            raise ValueError(f"slices must be >= 1, got {slices}")
+        full = datasets is None
+        if datasets is None:
+            # partition values via the scan (handles hive-escaped names)
+            datasets = [
+                r["dataset"]
+                for r in self.spark.read.schema(STATEMENT_SCHEMA)
+                .parquet(self._path)
+                .select("dataset")
+                .distinct()
+                .collect()
+            ]
+        # the physical rewrite begins: stale the marker up front so a
+        # crash mid-loop fails safe (dedup-on-read resumes)
+        self.bump_epoch()
         tmp = self._path + ".compact"
-        deduped = dedup_statements(
-            self.spark.read.schema(STATEMENT_SCHEMA).parquet(self._path)
-        )
-        (
-            deduped.repartition("dataset", "canonical_id")
-            .sortWithinPartitions("canonical_id", "entity_id", "prop", "value")
-            .write.mode("overwrite")
-            .partitionBy("dataset")
-            .parquet(tmp)
-        )
-        self._promote(tmp)
-        self._set_compacted()
+        aside_root = self._path + ".aside"
+        for ds in sorted(datasets, key=str):
+            shutil.rmtree(tmp, ignore_errors=True)
+            src = (
+                self.spark.read.schema(STATEMENT_SCHEMA)
+                .parquet(self._path)
+                .filter(F.col("dataset").eqNullSafe(F.lit(ds)))
+            )
+            for i in range(slices):
+                part = src
+                if slices > 1:
+                    part = src.filter(
+                        F.pmod(
+                            F.xxhash64(
+                                F.coalesce(F.col("canonical_id"), F.lit(""))
+                            ),
+                            F.lit(slices),
+                        )
+                        == i
+                    )
+                (
+                    dedup_statements(part)
+                    .repartition("canonical_id")
+                    .sortWithinPartitions(
+                        "canonical_id", "entity_id", "prop", "value"
+                    )
+                    .write.mode("append")
+                    .partitionBy("dataset")
+                    .parquet(tmp)
+                )
+            # partitionBy wrote exactly one hive child (src is a single
+            # dataset) under tmp, already correctly escaped — swap it
+            # over the live child of the same name
+            for child in os.listdir(tmp):
+                if not child.startswith("dataset="):
+                    continue
+                self._promote(
+                    os.path.join(tmp, child),
+                    dst=os.path.join(self._path, child),
+                    aside=os.path.join(aside_root, child),
+                )
+            shutil.rmtree(tmp, ignore_errors=True)
+        shutil.rmtree(aside_root, ignore_errors=True)
+        if full:
+            self._set_compacted()
 
     def changed_statements(self, since: str) -> DataFrame:
         """Delta read: statements (re)written after ``since`` — the
@@ -426,6 +612,8 @@ class Store:
             (F.col("entity_id") != entity_id)
             & (F.col("canonical_id") != entity_id)
         )
+        # rewrite starts: fail-safe marker invalidation (see optimize)
+        self.bump_epoch()
         tmp = self._path + ".pop"
         (
             kept.repartition("dataset", "canonical_id")

@@ -17,11 +17,26 @@ probe + batch signing/banding. The corpus is never rescanned.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
 from ftm_columnstore_spark.streaming.release import unpersist_on_termination
+
+
+def _write_batch(out: DataFrame, out_path: str, batch_id: int) -> None:
+    """Replay-idempotent survivor sink: each micro-batch lands in its
+    own hive partition ``batch=<id>``, overwritten WHOLE on checkpoint
+    replay — a crash between the write and Spark's commit marker replays
+    the batch into the same directory instead of double-appending
+    (regression-tested by replaying a committed batch). Consumers read
+    ``out_path`` as one parquet table; the extra ``batch`` partition
+    column is write provenance, drop it if unwanted."""
+    out.write.mode("overwrite").parquet(
+        os.path.join(out_path, f"batch={batch_id}")
+    )
 
 
 def stream_clean_against_corpus(
@@ -72,7 +87,15 @@ def stream_clean_against_corpus(
     ``max_files_per_trigger`` bounds each micro-batch (same backpressure
     knob as the statement ingest stream: without it, availableNow plans
     ONE corpus-sized batch and every per-batch join scales with the
-    whole backfill instead of the trigger size)."""
+    whole backfill instead of the trigger size).
+
+    Exactly-once: survivors land in per-batch hive partitions
+    ``out_path/batch=<id>`` overwritten whole on checkpoint replay, so a
+    crash after the write but before Spark's commit marker re-runs the
+    batch into the SAME directory — no double-appended survivors (the
+    cleanup output has no statement-id dedup net, unlike the ingest
+    stream, so idempotency must come from the sink itself). Consumers
+    read ``out_path`` as one table and may drop the ``batch`` column."""
     if max_files_per_trigger is not None and max_files_per_trigger < 1:
         raise ValueError(
             f"max_files_per_trigger must be >= 1, got {max_files_per_trigger}"
@@ -161,7 +184,7 @@ def stream_clean_against_corpus(
         banded.count()
         cached.append(banded)
 
-    def process(batch_df: DataFrame, _batch_id: int) -> None:
+    def process(batch_df: DataFrame, batch_id: int) -> None:
         # Each stage builds a kill-set subquery FROM ``out`` and then
         # anti-joins it back onto ``out`` — lazily chained, stage k's
         # subquery would recompute stages 1..k-1 from the source, and
@@ -258,7 +281,7 @@ def stream_clean_against_corpus(
                     within_batch=within_batch,
                 )
                 out = rewrite_cut_text(out, cut, text_col, id_col)
-            out.write.mode("append").parquet(out_path)
+            _write_batch(out, out_path, batch_id)
         finally:
             # released even when the batch write fails: a retried
             # micro-batch must not stack persisted frames

@@ -34,12 +34,24 @@ direct parquet writeStream, for two load-bearing reasons (round 7):
   canonical_id clustering) instead of raw micro-batch files.
 
 Exactly-once: the checkpoint makes batch REPLAY possible after a crash
-mid-append (same batch written twice). Replayed rows carry identical
-statement ids, so dedup-on-read collapses them — the same safety net
-that catches beyond-watermark duplicates.
+mid-append. The sink keeps its own tiny ledger (the last FULLY written
+batch_id, recorded after ``write_statements`` returns, stored next to
+Spark's own checkpoint state) and SKIPS a replayed batch it already
+committed — so the common replay (crash after the append, before
+Spark's commit marker) writes nothing twice. The one remaining window
+(crash between the append and the ledger record) re-appends that batch
+once; replayed rows carry identical statement ids, so dedup-on-read
+collapses them — the same safety net that catches beyond-watermark
+duplicates. Until the next ``optimize()``, ``deduped=False`` counts and
+on-disk size can include rows from such a replay. The ledger assumes a
+locally-reachable checkpoint path (same posture as the Store's marker
+files).
 """
 
 from __future__ import annotations
+
+import os
+from typing import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.streaming import StreamingQuery
@@ -47,6 +59,48 @@ from pyspark.sql.streaming import StreamingQuery
 from ftm_columnstore_spark.model.schemas import ENTITY_SCHEMA
 from ftm_columnstore_spark.sources.statements import entities_to_statements
 from ftm_columnstore_spark.store import Store
+
+
+def _ledger_path(checkpoint_path: str) -> str:
+    return os.path.join(checkpoint_path, "__committed_batch")
+
+
+def _already_committed(checkpoint_path: str, batch_id: int) -> bool:
+    """True iff this batch_id was fully written by a previous run of
+    this checkpoint (foreachBatch batch ids are monotonic per
+    checkpoint, so one high-water mark suffices)."""
+    try:
+        with open(_ledger_path(checkpoint_path)) as fh:
+            return batch_id <= int(fh.read().strip())
+    except (OSError, ValueError):
+        return False
+
+
+def _record_committed(checkpoint_path: str, batch_id: int) -> None:
+    os.makedirs(checkpoint_path, exist_ok=True)
+    tmp = _ledger_path(checkpoint_path) + ".tmp"
+    with open(tmp, "w") as fh:
+        fh.write(str(batch_id))
+    os.replace(tmp, _ledger_path(checkpoint_path))
+
+
+def make_statement_sink(
+    store: Store, checkpoint_path: str
+) -> Callable[[DataFrame, int], None]:
+    """The foreachBatch sink: append the micro-batch via
+    ``Store.write_statements`` unless the ledger says this batch_id was
+    already fully written (checkpoint replay after a crash)."""
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        if _already_committed(checkpoint_path, batch_id):
+            return
+        # cluster=False: a per-micro-batch repartition+sort costs ~3.5x
+        # drain throughput (measured at sf1) for layout the next
+        # optimize() rebuilds anyway
+        store.write_statements(batch_df, cluster=False)
+        _record_committed(checkpoint_path, batch_id)
+
+    return _sink
 
 
 def stream_statements_to_store(
@@ -83,14 +137,10 @@ def stream_statements_to_store(
         .dropDuplicatesWithinWatermark(["id"])
     )
 
-    def _sink(batch_df: DataFrame, batch_id: int) -> None:
-        # cluster=False: a per-micro-batch repartition+sort costs ~3.5x
-        # drain throughput (measured at sf1) for layout the next
-        # optimize() rebuilds anyway
-        store.write_statements(batch_df, cluster=False)
-
     writer = (
-        statements.writeStream.foreachBatch(_sink)
+        statements.writeStream.foreachBatch(
+            make_statement_sink(store, checkpoint_path)
+        )
         .option("checkpointLocation", checkpoint_path)
         .outputMode("append")
     )

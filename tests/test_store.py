@@ -341,32 +341,62 @@ def test_statements_as_of_time_travel(store, spark):
     assert store.statements(as_of="2023-12-01").count() == 0
 
 
-def test_out_of_band_append_invalidates_fast_path(store, entities_df):
-    """ADVICE r6: a writer that appends parquet under statements/
-    WITHOUT going through write_statements (e.g. a streaming sink)
-    never touches the marker file — is_compacted() must still turn
-    the fast path off, via the file-mtime check."""
+def test_epoch_bump_invalidates_fast_path(store, entities_df):
+    """VERDICT r7 item 2 (replaces the r7 mtime-walk test with the same
+    invalidation behavior): an append that never touches the MARKER file
+    still turns the fast path off, because every in-contract writer
+    bumps the write epoch and is_compacted() compares marker epoch to
+    current epoch — no directory walk, no mtime assumption."""
+    import os
+
     store.write_entities(entities_df, last_seen="2024-01-01 00:00:00")
     store.optimize()
     assert store.is_compacted()
     n_clean = store.statements().count()
-    # simulate an out-of-band append: copy an existing data file to a
-    # new name inside the statement path (fresh mtime, marker untouched)
+    marker_before = os.path.getmtime(store._marker)
+    # in-contract append: goes through write_statements (bumps epoch),
+    # marker file itself untouched
+    store.write_entities(entities_df, last_seen="2024-02-01 00:00:00")
+    assert os.path.exists(store._marker)  # marker cleared or stale both OK
+    assert store.is_compacted() is False
+    stmts = store.statements()
+    plan = stmts._jdf.queryExecution().optimizedPlan().toString()
+    assert "Aggregate" in plan  # dedup-on-read resumed
+    # re-written keys collapse back to one row per key
+    assert store.statements(deduped=False).count() > n_clean
+    assert stmts.count() == n_clean
+    del marker_before
+
+
+def test_out_of_band_writer_contract(store, entities_df):
+    """The epoch contract's two halves: a raw file placed under
+    statements/ WITHOUT bumping the epoch is out-of-contract and keeps
+    the O(1) fast path (documented; verify_compacted() still detects it
+    via the inventory snapshot), and the public bump_epoch() is how an
+    external writer stays in contract."""
     import os
     import shutil
 
+    store.write_entities(entities_df, last_seen="2024-01-01 00:00:00")
+    store.optimize()
+    assert store.is_compacted() and store.verify_compacted()
+    n_clean = store.statements().count()
+    # out-of-band: copy a data file to a new name (mtime-preserving
+    # variants like mv/rsync -a behave identically under this check)
     src = next(
         os.path.join(dp, fn)
         for dp, _, files in os.walk(store._path)
         for fn in files
         if fn.endswith(".parquet")
     )
-    shutil.copy(src, src.replace(".parquet", "-oob.parquet"))
+    shutil.copy2(src, src.replace(".parquet", "-oob.parquet"))
+    assert store.is_compacted()  # O(1) check cannot see it — documented
+    assert store.verify_compacted() is False  # deep inventory check can
+    # the writer declares itself: fast path off, dedup-on-read resumes
+    store.bump_epoch()
     assert store.is_compacted() is False
     stmts = store.statements()
-    plan = stmts._jdf.queryExecution().optimizedPlan().toString()
-    assert "Aggregate" in plan  # dedup-on-read resumed
-    # the duplicated file's rows collapse back to the originals
+    assert "Aggregate" in stmts._jdf.queryExecution().optimizedPlan().toString()
     assert store.statements(deduped=False).count() > n_clean
     assert stmts.count() == n_clean
 
@@ -410,3 +440,125 @@ def test_promote_leaves_no_stale_aside_dir(store, entities_df):
     assert not os.path.exists(store._path + ".compact")
     assert not os.path.exists(store._path + ".old")
     assert store.statements().count() > 0
+
+
+def test_promote_leaves_no_stale_incremental_dirs(store, entities_df):
+    """The per-dataset compaction's temp (.compact) and aside (.aside)
+    roots are gone after a successful optimize()."""
+    import os
+
+    store.write_entities(entities_df, last_seen="2024-01-01 00:00:00")
+    store.optimize(slices=2)
+    assert not os.path.exists(store._path + ".compact")
+    assert not os.path.exists(store._path + ".aside")
+    assert store.statements().count() > 0
+
+
+def test_sliced_optimize_matches_monolithic(store, entities_df):
+    """VERDICT r7 item 1: per-dataset, hash-of-canonical_id-sliced
+    compaction must produce exactly the rows a whole-store rewrite
+    would — dedup groups never span datasets (the content-hash id
+    embeds the dataset) nor canonical_id hash slices (STATEMENT_KEY
+    starts with canonical_id)."""
+    store.write_entities(entities_df, last_seen="2024-01-01 00:00:00")
+    store.write_entities(entities_df, last_seen="2024-02-01 00:00:00")
+    expected = sorted(
+        tuple(r)
+        for r in store.statements()
+        .select("id", "canonical_id", "last_seen", "dataset")
+        .collect()
+    )
+    store.optimize(slices=3)
+    assert store.is_compacted() and store.verify_compacted()
+    raw = store.statements(deduped=False)
+    got = sorted(
+        tuple(r)
+        for r in raw.select("id", "canonical_id", "last_seen", "dataset").collect()
+    )
+    assert got == expected  # physically unique AND latest-wins
+    # fast path: no dedup aggregate in the plan
+    plan = store.statements()._jdf.queryExecution().optimizedPlan().toString()
+    assert "Aggregate" not in plan
+
+
+def test_partial_optimize_keeps_reads_correct_without_marker(store, entities_df):
+    """optimize(datasets=[...]) compacts only the named partitions: the
+    named one is physically deduped, the other keeps its duplicates,
+    reads stay correct via dedup-on-read, and the fast-path marker is
+    NOT set (only a full compaction may claim the whole store clean)."""
+    store.write_entities(entities_df, last_seen="2024-01-01 00:00:00")
+    store.write_entities(entities_df, last_seen="2024-02-01 00:00:00")
+    datasets = [
+        r["dataset"]
+        for r in store.statements().select("dataset").distinct().collect()
+    ]
+    assert len(datasets) >= 2
+    target, untouched = sorted(datasets)[0], sorted(datasets)[1]
+    n_deduped = store.statements().count()
+    raw_before = {
+        r["dataset"]: r["n"]
+        for r in store.statements(deduped=False)
+        .groupBy("dataset").agg(F.count("*").alias("n")).collect()
+    }
+    store.optimize(datasets=[target])
+    assert store.is_compacted() is False
+    raw_after = {
+        r["dataset"]: r["n"]
+        for r in store.statements(deduped=False)
+        .groupBy("dataset").agg(F.count("*").alias("n")).collect()
+    }
+    assert raw_after[target] == raw_before[target] // 2
+    assert raw_after[untouched] == raw_before[untouched]
+    assert store.statements().count() == n_deduped
+    # latest version survived in the compacted partition
+    seen = store.statements(dataset=target).select("last_seen").collect()
+    assert all(str(r["last_seen"]).startswith("2024-02-01") for r in seen)
+
+
+def test_use_bucketed_serves_reads_without_exchange(store, entities_df, spark):
+    """VERDICT r7 item 6: the measured bucketed fast path is reachable
+    through the public API — use_bucketed() makes statements()/view()
+    serve from the snapshot, results match the plain store, and a
+    canonical_id-keyed aggregation plans with zero Exchange."""
+    from ftm_columnstore_spark.operators.assembly import assemble_entities
+
+    store.write_entities(entities_df, last_seen="2024-01-01 00:00:00")
+    store.write_entities(entities_df, last_seen="2024-02-01 00:00:00")
+    expected = sorted(
+        tuple(r)
+        for r in store.statements().select("id", "value", "last_seen").collect()
+    )
+    table = "stmts_bucketed_test"
+    try:
+        store.to_bucketed_table(table, buckets=4)
+        store.use_bucketed(table)
+        got = sorted(
+            tuple(r)
+            for r in store.statements().select("id", "value", "last_seen").collect()
+        )
+        assert got == expected
+        # dataset filter still applies through the snapshot
+        assert (
+            store.statements(dataset="grants").select("entity_id").distinct().count()
+            == 7
+        )
+        # the snapshot is pre-deduped: no dedup aggregate on the read
+        ents = assemble_entities(store.statements())
+        plan = ents._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
+        # view() reads through the snapshot too
+        assert store.view().get_entity("pay-1") is not None
+        # staleness contract: a later append is invisible until rebuild
+        store.write_entities(entities_df, last_seen="2024-03-01 00:00:00")
+        assert not any(
+            str(r["last_seen"]).startswith("2024-03-01")
+            for r in store.statements().select("last_seen").collect()
+        )
+        store.use_bucketed(enabled=False)
+        assert any(
+            str(r["last_seen"]).startswith("2024-03-01")
+            for r in store.statements().select("last_seen").collect()
+        )
+    finally:
+        store.use_bucketed(enabled=False)
+        spark.sql(f"DROP TABLE IF EXISTS {table}")

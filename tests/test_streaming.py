@@ -1067,3 +1067,115 @@ def test_clean_stream_rejects_bad_backpressure(spark, tmp_path):
             spark, str(tmp_path / "in"), corpus, str(tmp_path / "o"),
             str(tmp_path / "c"), schema, max_files_per_trigger=0,
         )
+
+
+def test_ingest_sink_skips_replayed_batch(spark, tmp_path):
+    """ADVICE r7: on checkpoint replay after a crash, a micro-batch the
+    sink already fully wrote (and recorded in its ledger) is SKIPPED —
+    no duplicate physical files, so deduped=False counts stay honest.
+    A batch written but not yet recorded still re-appends once and is
+    collapsed by dedup-on-read (the documented residual window)."""
+    from ftm_columnstore_spark.sources.statements import statements_from_rows
+    from ftm_columnstore_spark.streaming.ingest import (
+        _already_committed,
+        _record_committed,
+        make_statement_sink,
+    )
+
+    store = Store(spark, str(tmp_path / "store"))
+    store.ensure()
+    ckpt = str(tmp_path / "ckpt")
+    sink = make_statement_sink(store, ckpt)
+    batch = statements_from_rows(
+        spark,
+        [dict(id="s1", entity_id="e", prop="name", schema="Company",
+              value="A", dataset="d", last_seen=None)],
+    ).withColumn("last_seen", F.to_timestamp(F.lit("2024-01-01")))
+    sink(batch, 0)
+    assert store.statements(deduped=False).count() == 1
+    assert _already_committed(ckpt, 0)
+    # replay of the committed batch: nothing appended
+    sink(batch, 0)
+    assert store.statements(deduped=False).count() == 1
+    # next batch still writes (ledger is a high-water mark)
+    assert not _already_committed(ckpt, 1)
+    sink(batch, 1)
+    assert store.statements(deduped=False).count() == 2
+    assert store.statements().count() == 1  # dedup-on-read collapses
+    _record_committed(ckpt, 7)
+    assert _already_committed(ckpt, 7) and not _already_committed(ckpt, 8)
+
+
+def test_clean_stream_replay_is_idempotent(spark, tmp_path):
+    """VERDICT r7 item 3: replaying a committed micro-batch through the
+    cleanup stream must not double its survivors. Simulated the way a
+    real crash does it: drop Spark's commit marker for the last batch
+    and restart the stream from the same checkpoint — the batch re-runs
+    and overwrites its own batch=<id> partition."""
+    import json as _json
+    import os
+
+    from pyspark.sql import types as T
+
+    from ftm_columnstore_spark.streaming.clean import (
+        stream_clean_against_corpus,
+    )
+
+    corpus = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string",
+    )
+    src = tmp_path / "replay_in"
+    src.mkdir()
+    (src / "b0.json").write_text(
+        "\n".join(
+            _json.dumps(d)
+            for d in [
+                {"doc_id": 10, "text": "the dog meets the fox by the field "
+                                       "and the day goes on quietly"},
+                {"doc_id": 11, "text": "tiny"},
+            ]
+        )
+    )
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    out = str(tmp_path / "replay_out")
+    ckpt = str(tmp_path / "ckpt_replay")
+
+    def run() -> None:
+        q = stream_clean_against_corpus(
+            spark, str(src), corpus, out, ckpt, schema,
+            quality={"min_tokens": 5, "min_stopwords": 0,
+                     "min_mean_word_len": 0.0, "min_alnum_ratio": 0.0},
+            substring_k=None,
+            available_now=True,
+        )
+        q.awaitTermination(120)
+
+    run()
+    first = sorted(
+        r["doc_id"] for r in spark.read.parquet(out).collect()
+    )
+    assert first == [10]
+    # crash simulation: the batch was written but Spark's commit marker
+    # never landed — on restart the engine replays the batch
+    commits = sorted(
+        f for f in os.listdir(os.path.join(ckpt, "commits"))
+        if not f.startswith(".")
+    )
+    os.remove(os.path.join(ckpt, "commits", commits[-1]))
+    crc = os.path.join(ckpt, "commits", f".{commits[-1]}.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+    run()
+    replayed = sorted(
+        r["doc_id"] for r in spark.read.parquet(out).collect()
+    )
+    assert replayed == first  # no duplicate survivors
+    # provenance column present and single-valued for the one batch
+    batches = spark.read.parquet(out).select("batch").distinct().collect()
+    assert len(batches) == 1
