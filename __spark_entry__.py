@@ -3656,68 +3656,14 @@ def j24_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order matters: the driver's CORRECTNESS run covers the
-    # first ~50 entries. Rotation discipline (VERDICT r5 item 7,
-    # r6 item 4): stalest-first. r07 window = the 5 r02 spillover keys
-    # (d10, d11, v9, d12, t15), then the full r03 block (29), then the
-    # first 16 of the r04 block -- 50 keys, ZERO r05/r06 keys. After
-    # this round every one of the 184 registry keys has a driver row
-    # within the trailing 4 rounds. NEXT ROUND: the remaining 34 r04
-    # keys lead, then the r05 block, oldest-first.
+    # first ~50 entries. Rotation discipline (VERDICT r7 item 4):
+    # stalest-first. r08 window = the 34 keys last driver-checked in
+    # r04 (the r04-only block), then the first 16 of the r05 block --
+    # 50 keys, ZERO r06/r07 keys; every registry key stays
+    # driver-checked within the trailing 4 rounds. NEXT ROUND: the
+    # remaining 34 r05 keys lead, then the oldest r06 keys to fill 50.
     return {
-        # --- last driver-green in r02 (stalest; r06-window spillover, VERDICT r6 item 4) ---
-        "d10_winnow_overlap": d10_winnow_overlap,
-        "d11_line_dedup": d11_line_dedup,
-        "v9_semantic_dedup": v9_semantic_dedup,
-        "d12_cross_dedup": d12_cross_dedup,
-        "t15_quality_gate": t15_quality_gate,
-        # --- last driver-green in r03 ---
-        "w6_retention": w6_retention,
-        "w7_sessionize": w7_sessionize,
-        "w8_transitions": w8_transitions,
-        "m7_audio_frames": m7_audio_frames,
-        "m8_resize_features": m8_resize_features,
-        "m9_moving_average": m9_moving_average,
-        "a21_data_checks": a21_data_checks,
-        "j18_edit1_name_pairs": j18_edit1_name_pairs,
-        "v11_ivf_trained_portable": v11_ivf_trained_portable,
-        "t19_pack_portable": t19_pack_portable,
-        "t20_cross_corpus_lm": t20_cross_corpus_lm,
-        "m6_multimodal_features": m6_multimodal_features,
-        "d16_minhash_clusters": d16_minhash_clusters,
-        "v12_pq_topk": v12_pq_topk,
-        "v13_ivfpq_topk": v13_ivfpq_topk,
-        "a22_hll_cardinality": a22_hll_cardinality,
-        "a23_cms_heavy_tokens": a23_cms_heavy_tokens,
-        "a24_column_profile": a24_column_profile,
-        "t21_nb_quality_scores": t21_nb_quality_scores,
-        "a25_sample_quantiles": a25_sample_quantiles,
-        "v14_pq_knn_join": v14_pq_knn_join,
-        "t22_token_budget": t22_token_budget,
-        "t23_leakage_free_split": t23_leakage_free_split,
-        "a26_table_profile": a26_table_profile,
-        "t24_c4_line_filter": t24_c4_line_filter,
-        "j19_skew_hybrid_join": j19_skew_hybrid_join,
-        "m10_image_dup_pairs": m10_image_dup_pairs,
-        "m11_audio_dup_pairs": m11_audio_dup_pairs,
-        "j20_k_core": j20_k_core,
-        # --- last driver-green in r04 (first 16 complete the 50-key window) ---
-        "x5_phonetic_keys": x5_phonetic_keys,
-        "v5_ivf_trained_deep": v5_ivf_trained_deep,
-        "t9_pack_sequences": t9_pack_sequences,
-        "t25_bm25_topk": t25_bm25_topk,
-        "t26_bpe_merges": t26_bpe_merges,
-        "t27_bpe_vocab": t27_bpe_vocab,
-        "t28_temperature_mixture": t28_temperature_mixture,
-        "v15_embedding_clusters": v15_embedding_clusters,
-        "v16_hybrid_rrf": v16_hybrid_rrf,
-        "t29_bm25_multi": t29_bm25_multi,
-        "s1_scan_project": s1_scan_project,
-        "f3_comparator_filters": f3_comparator_filters,
-        "f5_prefix_filter": f5_prefix_filter,
-        "f7_semi_join_reverse": f7_semi_join_reverse,
-        "f8_search_ilike": f8_search_ilike,
-        "j1_reverse_edges": j1_reverse_edges,
-        # --- past position 50: r04 remainder, then r05, then r06 (freshest last) ---
+        # --- last driver-green in r04 (stalest; 34 keys) ---
         "j3_join_revenue_nation": j3_join_revenue_nation,
         "j4_blocking_having": j4_blocking_having,
         "a1_minmax": a1_minmax,
@@ -3752,6 +3698,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t3_lang_stats": t3_lang_stats,
         "v1_ann_topk": v1_ann_topk,
         "st1_events_tumbling": st1_events_tumbling,
+        # --- last driver-green in r05 (first 16 complete the 50-key window) ---
         "t38_pmi_collocations": t38_pmi_collocations,
         "t39_idf_rarity": t39_idf_rarity,
         "j21_label_propagation": j21_label_propagation,
@@ -3802,6 +3749,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t18_chunk_documents": t18_chunk_documents,
         "v10_ann_recall": v10_ann_recall,
         "w5_funnel": w5_funnel,
+        # --- past position 50: r06 block, then r07 (freshest last) ---
         "t30_bloom_decontaminate": t30_bloom_decontaminate,
         "t31_bpe_fertility": t31_bpe_fertility,
         "t32_zipf_alpha": t32_zipf_alpha,
@@ -3852,6 +3800,56 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a20_cube": a20_cube,
         "m5_time_rollup": m5_time_rollup,
         "t14_winnow_fingerprints": t14_winnow_fingerprints,
+        "d10_winnow_overlap": d10_winnow_overlap,
+        "d11_line_dedup": d11_line_dedup,
+        "v9_semantic_dedup": v9_semantic_dedup,
+        "d12_cross_dedup": d12_cross_dedup,
+        "t15_quality_gate": t15_quality_gate,
+        "w6_retention": w6_retention,
+        "w7_sessionize": w7_sessionize,
+        "w8_transitions": w8_transitions,
+        "m7_audio_frames": m7_audio_frames,
+        "m8_resize_features": m8_resize_features,
+        "m9_moving_average": m9_moving_average,
+        "a21_data_checks": a21_data_checks,
+        "j18_edit1_name_pairs": j18_edit1_name_pairs,
+        "v11_ivf_trained_portable": v11_ivf_trained_portable,
+        "t19_pack_portable": t19_pack_portable,
+        "t20_cross_corpus_lm": t20_cross_corpus_lm,
+        "m6_multimodal_features": m6_multimodal_features,
+        "d16_minhash_clusters": d16_minhash_clusters,
+        "v12_pq_topk": v12_pq_topk,
+        "v13_ivfpq_topk": v13_ivfpq_topk,
+        "a22_hll_cardinality": a22_hll_cardinality,
+        "a23_cms_heavy_tokens": a23_cms_heavy_tokens,
+        "a24_column_profile": a24_column_profile,
+        "t21_nb_quality_scores": t21_nb_quality_scores,
+        "a25_sample_quantiles": a25_sample_quantiles,
+        "v14_pq_knn_join": v14_pq_knn_join,
+        "t22_token_budget": t22_token_budget,
+        "t23_leakage_free_split": t23_leakage_free_split,
+        "a26_table_profile": a26_table_profile,
+        "t24_c4_line_filter": t24_c4_line_filter,
+        "j19_skew_hybrid_join": j19_skew_hybrid_join,
+        "m10_image_dup_pairs": m10_image_dup_pairs,
+        "m11_audio_dup_pairs": m11_audio_dup_pairs,
+        "j20_k_core": j20_k_core,
+        "x5_phonetic_keys": x5_phonetic_keys,
+        "v5_ivf_trained_deep": v5_ivf_trained_deep,
+        "t9_pack_sequences": t9_pack_sequences,
+        "t25_bm25_topk": t25_bm25_topk,
+        "t26_bpe_merges": t26_bpe_merges,
+        "t27_bpe_vocab": t27_bpe_vocab,
+        "t28_temperature_mixture": t28_temperature_mixture,
+        "v15_embedding_clusters": v15_embedding_clusters,
+        "v16_hybrid_rrf": v16_hybrid_rrf,
+        "t29_bm25_multi": t29_bm25_multi,
+        "s1_scan_project": s1_scan_project,
+        "f3_comparator_filters": f3_comparator_filters,
+        "f5_prefix_filter": f5_prefix_filter,
+        "f7_semi_join_reverse": f7_semi_join_reverse,
+        "f8_search_ilike": f8_search_ilike,
+        "j1_reverse_edges": j1_reverse_edges,
     }
 
 

@@ -107,6 +107,7 @@ class Store:
         """Advance the write epoch (invalidates the compaction fast
         path). Public so out-of-band writers can stay in contract."""
         epoch = self._read_epoch() + 1
+        os.makedirs(self.uri, exist_ok=True)
         tmp = self._epoch_file + ".tmp"
         with open(tmp, "w") as fh:
             fh.write(str(epoch))
