@@ -34,7 +34,13 @@ def main(argv: list[str] | None = None) -> int:
     sub = p.add_subparsers(dest="cmd", required=True)
 
     sub.add_parser("init")
-    sub.add_parser("optimize")
+    op = sub.add_parser("optimize")
+    op.add_argument("--dataset", action="append", default=None,
+                    help="compact only this dataset partition (repeatable); "
+                         "partial runs keep dedup-on-read active")
+    op.add_argument("--slices", type=int, default=1,
+                    help="hash-of-canonical_id slices per dataset rewrite "
+                         "(bounds shuffle scratch; result is identical)")
     sub.add_parser("stats")
 
     w = sub.add_parser("write")
@@ -83,8 +89,9 @@ def main(argv: list[str] | None = None) -> int:
         store.ensure()
         print(f"initialized store at {args.store}")
     elif args.cmd == "optimize":
-        store.optimize()
-        print("compacted")
+        store.optimize(datasets=args.dataset, slices=args.slices)
+        print("compacted" if args.dataset is None
+              else f"compacted datasets: {', '.join(args.dataset)}")
     elif args.cmd == "stats":
         from ftm_columnstore_spark.operators.aggregations import dataset_stats
 

@@ -476,6 +476,92 @@ class Store:
         os.rename(tmp, dst)
         shutil.rmtree(old, ignore_errors=True)
 
+    def _live_partition_dir(self, ds) -> str | None:
+        """The on-disk hive child for a dataset value (undoing Spark's
+        %-escaping of partition values), or None if absent."""
+        from urllib.parse import unquote
+
+        if ds is None:
+            name = "dataset=__HIVE_DEFAULT_PARTITION__"
+            return name if os.path.exists(os.path.join(self._path, name)) else None
+        for entry in os.listdir(self._path):
+            if entry.startswith("dataset=") and unquote(
+                entry[len("dataset="):]
+            ) == str(ds):
+                return entry
+        return None
+
+    def _rewrite_datasets(
+        self, datasets, slices: int = 1, keep=None
+    ) -> None:
+        """Rewrite the named dataset partitions deduplicated (and
+        filtered to ``keep`` rows, if given), one dataset at a time, in
+        ``slices`` hash-of-canonical_id jobs each, swapping every
+        finished partition in via rename-aside before the next starts.
+        ``keep`` predicates select whole STATEMENT_KEY groups (they
+        filter on key columns), so filtering before the dedup is
+        equivalent and cheaper. A dataset whose every row is filtered
+        away has its live partition removed (rename-aside, then
+        delete)."""
+        tmp = self._path + ".compact"
+        aside_root = self._path + ".aside"
+        for ds in sorted(datasets, key=str):
+            shutil.rmtree(tmp, ignore_errors=True)
+            src = (
+                self.spark.read.schema(STATEMENT_SCHEMA)
+                .parquet(self._path)
+                .filter(F.col("dataset").eqNullSafe(F.lit(ds)))
+            )
+            if keep is not None:
+                src = src.filter(keep)
+            for i in range(slices):
+                part = src
+                if slices > 1:
+                    part = src.filter(
+                        F.pmod(
+                            F.xxhash64(
+                                F.coalesce(F.col("canonical_id"), F.lit(""))
+                            ),
+                            F.lit(slices),
+                        )
+                        == i
+                    )
+                (
+                    dedup_statements(part)
+                    .repartition("canonical_id")
+                    .sortWithinPartitions(
+                        "canonical_id", "entity_id", "prop", "value"
+                    )
+                    .write.mode("append")
+                    .partitionBy("dataset")
+                    .parquet(tmp)
+                )
+            # partitionBy wrote at most one hive child (src is a single
+            # dataset), already correctly escaped — swap it over the
+            # live child of the same name
+            children = [
+                c for c in os.listdir(tmp) if c.startswith("dataset=")
+            ]
+            if children:
+                for child in children:
+                    self._promote(
+                        os.path.join(tmp, child),
+                        dst=os.path.join(self._path, child),
+                        aside=os.path.join(aside_root, child),
+                    )
+            else:
+                # every row of this dataset was filtered away: retire
+                # the live partition with the same rename-aside safety
+                live = self._live_partition_dir(ds)
+                if live is not None:
+                    aside = os.path.join(aside_root, live)
+                    shutil.rmtree(aside, ignore_errors=True)
+                    os.makedirs(aside_root, exist_ok=True)
+                    os.rename(os.path.join(self._path, live), aside)
+                    shutil.rmtree(aside, ignore_errors=True)
+            shutil.rmtree(tmp, ignore_errors=True)
+        shutil.rmtree(aside_root, ignore_errors=True)
+
     def optimize(
         self, datasets: list[str] | None = None, slices: int = 1
     ) -> None:
@@ -532,50 +618,7 @@ class Store:
         # the physical rewrite begins: stale the marker up front so a
         # crash mid-loop fails safe (dedup-on-read resumes)
         self.bump_epoch()
-        tmp = self._path + ".compact"
-        aside_root = self._path + ".aside"
-        for ds in sorted(datasets, key=str):
-            shutil.rmtree(tmp, ignore_errors=True)
-            src = (
-                self.spark.read.schema(STATEMENT_SCHEMA)
-                .parquet(self._path)
-                .filter(F.col("dataset").eqNullSafe(F.lit(ds)))
-            )
-            for i in range(slices):
-                part = src
-                if slices > 1:
-                    part = src.filter(
-                        F.pmod(
-                            F.xxhash64(
-                                F.coalesce(F.col("canonical_id"), F.lit(""))
-                            ),
-                            F.lit(slices),
-                        )
-                        == i
-                    )
-                (
-                    dedup_statements(part)
-                    .repartition("canonical_id")
-                    .sortWithinPartitions(
-                        "canonical_id", "entity_id", "prop", "value"
-                    )
-                    .write.mode("append")
-                    .partitionBy("dataset")
-                    .parquet(tmp)
-                )
-            # partitionBy wrote exactly one hive child (src is a single
-            # dataset) under tmp, already correctly escaped — swap it
-            # over the live child of the same name
-            for child in os.listdir(tmp):
-                if not child.startswith("dataset="):
-                    continue
-                self._promote(
-                    os.path.join(tmp, child),
-                    dst=os.path.join(self._path, child),
-                    aside=os.path.join(aside_root, child),
-                )
-            shutil.rmtree(tmp, ignore_errors=True)
-        shutil.rmtree(aside_root, ignore_errors=True)
+        self._rewrite_datasets(datasets, slices=slices)
         if full:
             self._set_compacted()
 
@@ -600,33 +643,43 @@ class Store:
     def pop(self, entity_id: str) -> list:
         """S11: return an entity's statements and rewrite the store without
         them (the reference's ``writer.pop`` has DELETE commented out for
-        lack of GRANTs, store.py:63-71; a parquet rewrite needs none)."""
+        lack of GRANTs, store.py:63-71; a parquet rewrite needs none).
+
+        Incremental: only the dataset partitions that physically contain
+        the entity are rewritten (a point delete must not cost a corpus
+        rewrite at 100 TB). A store that was compacted going in stays
+        compacted (the affected partitions are re-deduped in the same
+        pass and the others were already clean); an uncompacted store
+        stays on dedup-on-read — pop no longer compacts the whole store
+        as a side effect."""
         popped = self.statements().filter(
             (F.col("entity_id") == entity_id)
             | (F.col("canonical_id") == entity_id)
         ).collect()
         if not popped:
             return []
-        kept = dedup_statements(
-            self.spark.read.schema(STATEMENT_SCHEMA).parquet(self._path)
-        ).filter(
-            (F.col("entity_id") != entity_id)
-            & (F.col("canonical_id") != entity_id)
+        # affected partitions from the RAW rows (what the keep filter
+        # below actually removes — resolver remaps don't move files)
+        drop = (F.col("entity_id") == entity_id) | (
+            F.col("canonical_id") == entity_id
         )
+        affected = [
+            r["dataset"]
+            for r in self.spark.read.schema(STATEMENT_SCHEMA)
+            .parquet(self._path)
+            .filter(drop)
+            .select("dataset")
+            .distinct()
+            .collect()
+        ]
+        was_clean = self.is_compacted() and self._canonical is None
         # rewrite starts: fail-safe marker invalidation (see optimize)
         self.bump_epoch()
-        tmp = self._path + ".pop"
-        (
-            kept.repartition("dataset", "canonical_id")
-            .sortWithinPartitions("canonical_id", "entity_id", "prop", "value")
-            .write.mode("overwrite")
-            .partitionBy("dataset")
-            .parquet(tmp)
-        )
-        self._promote(tmp)
-        # the pop rewrite runs through dedup_statements — the survivor
-        # set is clean on STATEMENT_KEY
-        self._set_compacted()
+        self._rewrite_datasets(affected, keep=~drop)
+        if was_clean:
+            # the untouched partitions were clean and the rewritten
+            # ones went through dedup — the whole store still is
+            self._set_compacted()
         return popped
 
     # --- iteration (S6, S7) ----------------------------------------------------

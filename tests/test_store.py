@@ -562,3 +562,45 @@ def test_use_bucketed_serves_reads_without_exchange(store, entities_df, spark):
     finally:
         store.use_bucketed(enabled=False)
         spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def test_pop_is_incremental_and_preserves_marker(store, entities_df, spark):
+    """pop() rewrites only the partitions containing the entity: a
+    compacted store stays compacted, an uncompacted one keeps its
+    duplicate rows in the untouched partitions (pop no longer compacts
+    the corpus as a side effect), and popping a dataset's only entity
+    retires its partition directory."""
+    import os
+
+    from ftm_columnstore_spark.sources.statements import statements_from_rows
+
+    store.write_entities(entities_df, last_seen="2024-01-01 00:00:00")
+    store.write_entities(entities_df, last_seen="2024-02-01 00:00:00")
+    # uncompacted store: pop removes the entity, leaves dupes elsewhere
+    raw_before = store.statements(deduped=False).count()
+    popped = store.pop("pay-1")
+    assert len(popped) == 5
+    assert store.statements().filter(F.col("entity_id") == "pay-1").count() == 0
+    assert store.is_compacted() is False
+    # only pay-1's partition was deduped; others keep their raw dupes
+    assert store.statements(deduped=False).count() < raw_before
+    assert store.statements(deduped=False).count() > store.statements().count()
+    # compacted store: pop keeps the fast path
+    store.optimize()
+    assert store.is_compacted()
+    store.pop("pay-2")
+    assert store.is_compacted()
+    plan = store.statements()._jdf.queryExecution().optimizedPlan().toString()
+    assert "Aggregate" not in plan
+    assert store.statements().filter(F.col("entity_id") == "pay-2").count() == 0
+    # sole-entity dataset: partition dir is retired entirely
+    solo = statements_from_rows(
+        spark,
+        [dict(id="z1", entity_id="zz", prop="name", schema="Company",
+              value="Solo", dataset="solo_ds", last_seen=None)],
+    ).withColumn("last_seen", F.to_timestamp(F.lit("2024-03-01")))
+    store.write_statements(solo)
+    assert any("solo_ds" in d for d in os.listdir(store._path))
+    store.pop("zz")
+    assert not any("solo_ds" in d for d in os.listdir(store._path))
+    assert store.statements().filter(F.col("dataset") == "solo_ds").count() == 0
