@@ -36,12 +36,17 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
 class DiskWatermark(threading.Thread):
-    """Samples free bytes every ``interval`` s; records the minimum."""
+    """Samples free bytes every ``interval`` s; records the minimum and
+    the full (t, free_gb) series — the sawtooth segments the per-slice
+    scratch growth (each slice: spill builds, output lands, spill
+    frees)."""
 
     def __init__(self, path: str, interval: float = 2.0):
         super().__init__(daemon=True)
         self.path, self.interval = path, interval
         self.min_free = shutil.disk_usage(path).free
+        self.series: list[tuple[float, float]] = []
+        self._t0 = time.time()
         self._halt = threading.Event()
 
     def run(self) -> None:
@@ -49,6 +54,9 @@ class DiskWatermark(threading.Thread):
             free = shutil.disk_usage(self.path).free
             if free < self.min_free:
                 self.min_free = free
+            self.series.append(
+                (round(time.time() - self._t0, 1), round(free / 2**30, 2))
+            )
             self._halt.wait(self.interval)
 
     def stop(self) -> int:
@@ -117,6 +125,8 @@ def main() -> None:
     out["peak_extra_gb"] = round(
         out["free_gb_before_optimize"] - out["min_free_gb_during_optimize"], 2
     )
+    # decimate the series for the log (every ~10s)
+    out["free_gb_series"] = wm.series[:: max(1, len(wm.series) // 60)]
 
     out["n_statements"] = phase(
         "count_post_compact", lambda: store.statements().count()
