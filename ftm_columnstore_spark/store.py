@@ -70,6 +70,7 @@ class Store:
         self._path = os.path.join(self.uri, "statements")
         self._marker = os.path.join(self.uri, "_compacted")
         self._epoch_file = os.path.join(self.uri, "_epoch")
+        self._inventory_file = os.path.join(self.uri, "_compacted_inventory")
         self._canonical: DataFrame | None = None
         self._bucketed: str | None = None
 
@@ -116,7 +117,8 @@ class Store:
 
     def _inventory(self) -> dict[str, int]:
         """Relative path → size for every file under the statement path
-        (recorded in the marker; compared only by verify_compacted())."""
+        (recorded beside the marker; compared only by
+        verify_compacted())."""
         inv: dict[str, int] = {}
         for dirpath, _dirs, files in os.walk(self._path):
             for fn in files:
@@ -128,10 +130,17 @@ class Store:
         return inv
 
     def _set_compacted(self) -> None:
-        payload = {"epoch": self._read_epoch(), "files": self._inventory()}
+        # inventory in its OWN file: the marker stays a few bytes so
+        # the per-DataFrame-build is_compacted() parse is O(1) even
+        # when the store holds millions of files; only the deep
+        # verify_compacted() reads the (store-sized) inventory
+        inv_tmp = self._inventory_file + ".tmp"
+        with open(inv_tmp, "w") as fh:
+            json.dump(self._inventory(), fh)
+        os.replace(inv_tmp, self._inventory_file)
         tmp = self._marker + ".tmp"
         with open(tmp, "w") as fh:
-            json.dump(payload, fh)
+            json.dump({"epoch": self._read_epoch()}, fh)
         os.replace(tmp, self._marker)
 
     def _clear_compacted(self) -> None:
@@ -168,7 +177,12 @@ class Store:
         payload = self._marker_payload()
         if payload is None or payload["epoch"] != self._read_epoch():
             return False
-        return payload.get("files") == self._inventory()
+        try:
+            with open(self._inventory_file) as fh:
+                recorded = json.load(fh)
+        except (OSError, ValueError):
+            return False
+        return recorded == self._inventory()
 
     # --- DDL (S8, S9) -------------------------------------------------------
     def ensure(self) -> None:
