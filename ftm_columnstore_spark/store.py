@@ -506,7 +506,11 @@ class Store:
         return None
 
     def _rewrite_datasets(
-        self, datasets, slices: int = 1, keep=None
+        self,
+        datasets,
+        slices: int = 1,
+        keep=None,
+        partitions_per_slice: int | None = None,
     ) -> None:
         """Rewrite the named dataset partitions deduplicated (and
         filtered to ``keep`` rows, if given), one dataset at a time, in
@@ -516,7 +520,15 @@ class Store:
         filter on key columns), so filtering before the dedup is
         equivalent and cheaper. A dataset whose every row is filtered
         away has its live partition removed (rename-aside, then
-        delete)."""
+        delete).
+
+        ``partitions_per_slice`` sizes each slice's output (default:
+        the session's shuffle partitions). Without it, total output
+        file count multiplies with ``slices`` — measured ~22% on-disk
+        growth at 200M+ from dictionary-page resets in the smaller
+        files; ``shuffle_partitions // slices`` keeps the file count
+        (and compression) of a monolithic rewrite at the cost of less
+        write parallelism per slice job."""
         tmp = self._path + ".compact"
         aside_root = self._path + ".aside"
         for ds in sorted(datasets, key=str):
@@ -540,10 +552,15 @@ class Store:
                         )
                         == i
                     )
+                out = dedup_statements(part)
+                if partitions_per_slice is not None:
+                    out = out.repartition(
+                        max(1, partitions_per_slice), "canonical_id"
+                    )
+                else:
+                    out = out.repartition("canonical_id")
                 (
-                    dedup_statements(part)
-                    .repartition("canonical_id")
-                    .sortWithinPartitions(
+                    out.sortWithinPartitions(
                         "canonical_id", "entity_id", "prop", "value"
                     )
                     .write.mode("append")
@@ -577,7 +594,10 @@ class Store:
         shutil.rmtree(aside_root, ignore_errors=True)
 
     def optimize(
-        self, datasets: list[str] | None = None, slices: int = 1
+        self,
+        datasets: list[str] | None = None,
+        slices: int = 1,
+        partitions_per_slice: int | None = None,
     ) -> None:
         """Compaction: rewrite the store deduplicated (the reference's
         ``OPTIMIZE TABLE … FINAL DEDUPLICATE``, engine.py:114-125) —
@@ -603,6 +623,12 @@ class Store:
         what fits a 100 TB compaction into bounded executor/scratch
         space (the monolithic rewrite ENOSPC'd this sandbox at 400M
         statements; the sliced one completes — see NOTES).
+
+        ``partitions_per_slice`` keeps total output file count — and
+        thus parquet dictionary compression — independent of ``slices``
+        (see ``_rewrite_datasets``); pass
+        ``shuffle_partitions // slices`` when output size matters more
+        than per-slice write parallelism.
 
         ``datasets`` limits the rewrite to the named partitions
         (incremental compaction after a targeted backfill). The
@@ -632,7 +658,9 @@ class Store:
         # the physical rewrite begins: stale the marker up front so a
         # crash mid-loop fails safe (dedup-on-read resumes)
         self.bump_epoch()
-        self._rewrite_datasets(datasets, slices=slices)
+        self._rewrite_datasets(
+            datasets, slices=slices, partitions_per_slice=partitions_per_slice
+        )
         if full:
             self._set_compacted()
 

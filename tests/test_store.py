@@ -604,3 +604,22 @@ def test_pop_is_incremental_and_preserves_marker(store, entities_df, spark):
     store.pop("zz")
     assert not any("solo_ds" in d for d in os.listdir(store._path))
     assert store.statements().filter(F.col("dataset") == "solo_ds").count() == 0
+
+
+def test_sliced_optimize_with_bounded_output_partitions(store, entities_df):
+    """partitions_per_slice keeps total output file count independent of
+    the slice count without changing the result."""
+    store.write_entities(entities_df, last_seen="2024-01-01 00:00:00")
+    store.write_entities(entities_df, last_seen="2024-02-01 00:00:00")
+    expected = sorted(
+        tuple(r)
+        for r in store.statements().select("id", "value", "last_seen").collect()
+    )
+    store.optimize(slices=3, partitions_per_slice=1)
+    assert store.is_compacted()
+    got = sorted(
+        tuple(r)
+        for r in store.statements(deduped=False)
+        .select("id", "value", "last_seen").collect()
+    )
+    assert got == expected

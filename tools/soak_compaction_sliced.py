@@ -17,7 +17,7 @@ construction and the rewrite moves every byte — the same physical work
 the r6/r7 ENOSPC runs attempted (dedup collapse would only SHRINK the
 output; unique input is the upper bound).
 
-Run: PYTHONPATH=/root/repo python tools/soak_compaction_sliced.py [n] [slices]
+Run: PYTHONPATH=/root/repo python tools/soak_compaction_sliced.py [n] [slices] [partitions_per_slice]
      (defaults n=10_000_000 ≈ 400M statements, slices=16)
 """
 
@@ -79,6 +79,7 @@ def du_gb(path: str) -> float:
 def main() -> None:
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 10_000_000
     slices = int(sys.argv[2]) if len(sys.argv) > 2 else 16
+    pps = int(sys.argv[3]) if len(sys.argv) > 3 else None
     from soak_spine import synth_entities
 
     from ftm_columnstore_spark.session import get_spark
@@ -90,7 +91,7 @@ def main() -> None:
         extra_conf={"spark.local.dir": os.path.join(root, "scratch")},
     )
     store = Store(spark, os.path.join(root, "store"))
-    out: dict = {"n_entities": n, "slices": slices}
+    out: dict = {"n_entities": n, "slices": slices, "partitions_per_slice": pps}
     t0 = time.time()
 
     def phase(name: str, fn):
@@ -120,7 +121,10 @@ def main() -> None:
 
     wm = DiskWatermark(root)
     wm.start()
-    phase("optimize_sliced", lambda: store.optimize(slices=slices))
+    phase(
+        "optimize_sliced",
+        lambda: store.optimize(slices=slices, partitions_per_slice=pps),
+    )
     out["min_free_gb_during_optimize"] = round(wm.stop() / 2**30, 2)
     out["peak_extra_gb"] = round(
         out["free_gb_before_optimize"] - out["min_free_gb_during_optimize"], 2
