@@ -373,10 +373,19 @@ class Store:
         Every downstream groupBy/join keyed on canonical_id (entity
         assembly, dedup window, point lookups, canonical-map joins) then
         plans with ZERO Exchange — the bucketed scan already satisfies the
-        clustered distribution. Size ``buckets`` ≈ table_size / 128MB."""
+        clustered distribution. Size ``buckets`` ≈ table_size / 128MB.
+
+        Always snapshots the LIVE parquet store, even while
+        :meth:`use_bucketed` serving is enabled — a rebuild must pick up
+        appends made since the previous snapshot, not re-copy the stale
+        snapshot (round-10 self-review finding, regression-tested)."""
+        serving, self._bucketed = self._bucketed, None
+        try:
+            src = self.statements()
+        finally:
+            self._bucketed = serving
         (
-            self.statements()
-            .write.mode("overwrite")
+            src.write.mode("overwrite")
             .bucketBy(buckets, "canonical_id")
             .sortBy("canonical_id")
             .saveAsTable(table)

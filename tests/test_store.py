@@ -623,3 +623,29 @@ def test_sliced_optimize_with_bounded_output_partitions(store, entities_df):
         .select("id", "value", "last_seen").collect()
     )
     assert got == expected
+
+
+def test_bucketed_rebuild_reads_live_store(store, entities_df, spark):
+    """Round-10 self-review regression: rebuilding the bucketed snapshot
+    while use_bucketed serving is enabled must snapshot the LIVE store
+    (picking up appends since the last build), not the stale snapshot."""
+    store.write_entities(entities_df, last_seen="2024-01-01 00:00:00")
+    table = "stmts_rebuild_test"
+    try:
+        store.to_bucketed_table(table, buckets=2)
+        store.use_bucketed(table)
+        # append lands in the live store, invisible through the snapshot
+        store.write_entities(entities_df, last_seen="2024-05-01 00:00:00")
+        assert not any(
+            str(r["last_seen"]).startswith("2024-05-01")
+            for r in store.statements().select("last_seen").collect()
+        )
+        # rebuild WHILE serving bucketed: must pick up the append
+        store.to_bucketed_table(table, buckets=2)
+        assert all(
+            str(r["last_seen"]).startswith("2024-05-01")
+            for r in store.statements().select("last_seen").collect()
+        )
+    finally:
+        store.use_bucketed(enabled=False)
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
