@@ -514,17 +514,63 @@ class Store:
                 return entry
         return None
 
+    def _partition_bytes(self, ds) -> int:
+        """On-disk bytes of one dataset partition (driver-side listing
+        on the WRITE path only — the read path never walks)."""
+        live = self._live_partition_dir(ds)
+        if live is None:
+            return 0
+        total = 0
+        for dirpath, _dirs, files in os.walk(os.path.join(self._path, live)):
+            for fn in files:
+                try:
+                    total += os.path.getsize(os.path.join(dirpath, fn))
+                except OSError:
+                    pass
+        return total
+
+    def _group_datasets(self, datasets, batch_bytes: int) -> list[list]:
+        """Greedy size-bounded grouping for the rewrite loop: a
+        catalog-style store holds hundreds of SMALL datasets, and one
+        Spark job per dataset would pay per-job overhead hundreds of
+        times for seconds of work — small partitions share one rewrite
+        job (combined size ≤ ``batch_bytes``), while any partition at or
+        above the threshold rewrites alone (``slices`` bounds its
+        shuffle). Scratch stays bounded by
+        max(batch_bytes, largest_dataset/slices) + one group's output."""
+        sized = sorted(
+            ((self._partition_bytes(ds), ds) for ds in datasets),
+            key=lambda t: (-t[0], str(t[1])),
+        )
+        groups: list[list] = []
+        cur: list = []
+        cur_bytes = 0
+        for size, ds in sized:
+            if size >= batch_bytes:
+                groups.append([ds])
+                continue
+            if cur and cur_bytes + size > batch_bytes:
+                groups.append(cur)
+                cur, cur_bytes = [], 0
+            cur.append(ds)
+            cur_bytes += size
+        if cur:
+            groups.append(cur)
+        return groups
+
     def _rewrite_datasets(
         self,
         datasets,
         slices: int = 1,
         keep=None,
         partitions_per_slice: int | None = None,
+        batch_bytes: int = 4 << 30,
     ) -> None:
         """Rewrite the named dataset partitions deduplicated (and
-        filtered to ``keep`` rows, if given), one dataset at a time, in
-        ``slices`` hash-of-canonical_id jobs each, swapping every
-        finished partition in via rename-aside before the next starts.
+        filtered to ``keep`` rows, if given), one size-bounded GROUP of
+        datasets at a time (see ``_group_datasets``), in ``slices``
+        hash-of-canonical_id jobs each, swapping every finished
+        partition in via rename-aside before the next group starts.
         ``keep`` predicates select whole STATEMENT_KEY groups (they
         filter on key columns), so filtering before the dedup is
         equivalent and cheaper. A dataset whose every row is filtered
@@ -540,12 +586,18 @@ class Store:
         write parallelism per slice job."""
         tmp = self._path + ".compact"
         aside_root = self._path + ".aside"
-        for ds in sorted(datasets, key=str):
+        for group in self._group_datasets(datasets, batch_bytes):
             shutil.rmtree(tmp, ignore_errors=True)
+            vals = [d for d in group if d is not None]
+            pred = (
+                F.col("dataset").isin(vals) if vals else F.lit(False)
+            )
+            if any(d is None for d in group):
+                pred = pred | F.col("dataset").isNull()
             src = (
                 self.spark.read.schema(STATEMENT_SCHEMA)
                 .parquet(self._path)
-                .filter(F.col("dataset").eqNullSafe(F.lit(ds)))
+                .filter(pred)
             )
             if keep is not None:
                 src = src.filter(keep)
@@ -576,29 +628,29 @@ class Store:
                     .partitionBy("dataset")
                     .parquet(tmp)
                 )
-            # partitionBy wrote at most one hive child (src is a single
-            # dataset), already correctly escaped — swap it over the
-            # live child of the same name
-            children = [
+            # partitionBy wrote one correctly-escaped hive child per
+            # dataset of the group that still has rows — swap each over
+            # the live child of the same name
+            children = {
                 c for c in os.listdir(tmp) if c.startswith("dataset=")
-            ]
-            if children:
-                for child in children:
-                    self._promote(
-                        os.path.join(tmp, child),
-                        dst=os.path.join(self._path, child),
-                        aside=os.path.join(aside_root, child),
-                    )
-            else:
+            }
+            for child in sorted(children):
+                self._promote(
+                    os.path.join(tmp, child),
+                    dst=os.path.join(self._path, child),
+                    aside=os.path.join(aside_root, child),
+                )
+            for ds in group:
+                live = self._live_partition_dir(ds)
+                if live is None or live in children:
+                    continue
                 # every row of this dataset was filtered away: retire
                 # the live partition with the same rename-aside safety
-                live = self._live_partition_dir(ds)
-                if live is not None:
-                    aside = os.path.join(aside_root, live)
-                    shutil.rmtree(aside, ignore_errors=True)
-                    os.makedirs(aside_root, exist_ok=True)
-                    os.rename(os.path.join(self._path, live), aside)
-                    shutil.rmtree(aside, ignore_errors=True)
+                aside = os.path.join(aside_root, live)
+                shutil.rmtree(aside, ignore_errors=True)
+                os.makedirs(aside_root, exist_ok=True)
+                os.rename(os.path.join(self._path, live), aside)
+                shutil.rmtree(aside, ignore_errors=True)
             shutil.rmtree(tmp, ignore_errors=True)
         shutil.rmtree(aside_root, ignore_errors=True)
 
@@ -607,6 +659,7 @@ class Store:
         datasets: list[str] | None = None,
         slices: int = 1,
         partitions_per_slice: int | None = None,
+        batch_bytes: int = 4 << 30,
     ) -> None:
         """Compaction: rewrite the store deduplicated (the reference's
         ``OPTIMIZE TABLE … FINAL DEDUPLICATE``, engine.py:114-125) —
@@ -614,9 +667,12 @@ class Store:
 
         Unlike a monolithic whole-store rewrite (and unlike OPTIMIZE
         FINAL, which is one whole-table merge), peak scratch here is
-        bounded by ONE dataset's input + shuffle + output, not the
-        corpus's: each dataset is rewritten into a side dir and swapped
-        in via the rename-aside ``_promote`` before the next starts.
+        bounded by ONE rewrite group's input + shuffle + output, not
+        the corpus's: datasets are rewritten into a side dir and
+        swapped in via the rename-aside ``_promote`` group by group —
+        small datasets share a job (combined size ≤ ``batch_bytes``, so
+        a catalog of hundreds of small datasets doesn't pay per-job
+        overhead hundreds of times), large ones rewrite alone.
         Per-dataset dedup is EXACT, not approximate: the statement
         ``id`` is a content hash that embeds the dataset
         (``sources/statements.py:39``) and is part of STATEMENT_KEY, so
@@ -668,7 +724,10 @@ class Store:
         # crash mid-loop fails safe (dedup-on-read resumes)
         self.bump_epoch()
         self._rewrite_datasets(
-            datasets, slices=slices, partitions_per_slice=partitions_per_slice
+            datasets,
+            slices=slices,
+            partitions_per_slice=partitions_per_slice,
+            batch_bytes=batch_bytes,
         )
         if full:
             self._set_compacted()

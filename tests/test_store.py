@@ -649,3 +649,36 @@ def test_bucketed_rebuild_reads_live_store(store, entities_df, spark):
     finally:
         store.use_bucketed(enabled=False)
         spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def test_grouped_rewrite_matches_per_dataset(store, entities_df):
+    """Catalog-style stores: small datasets share one rewrite job
+    (batch_bytes groups them); forcing one-job-per-dataset
+    (batch_bytes=1: every partition is >= the threshold, so each
+    rewrites alone) produces the identical store."""
+    store.write_entities(entities_df, last_seen="2024-01-01 00:00:00")
+    store.write_entities(entities_df, last_seen="2024-02-01 00:00:00")
+    groups = store._group_datasets(
+        [r["dataset"] for r in
+         store.statements().select("dataset").distinct().collect()],
+        batch_bytes=4 << 30,
+    )
+    assert len(groups) == 1 and len(groups[0]) >= 2  # small ones share
+    expected = sorted(
+        tuple(r)
+        for r in store.statements().select("id", "value", "last_seen").collect()
+    )
+    store.optimize(batch_bytes=1)  # every dataset alone
+    assert store.is_compacted()
+    got_single = sorted(
+        tuple(r)
+        for r in store.statements(deduped=False)
+        .select("id", "value", "last_seen").collect()
+    )
+    assert got_single == expected
+    # append + grouped compaction: same result again
+    store.write_entities(entities_df, last_seen="2024-03-01 00:00:00")
+    store.optimize()  # default batch_bytes: one shared job
+    assert store.is_compacted()
+    seen = store.statements(deduped=False).select("last_seen").collect()
+    assert all(str(r["last_seen"]).startswith("2024-03-01") for r in seen)
