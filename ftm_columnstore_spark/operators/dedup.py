@@ -1170,17 +1170,28 @@ def line_dedup(
     Output: (id, n_lines, n_kept, text) with ``text`` the cleaned
     document (empty string when nothing survives).
     """
+    from ftm_columnstore_spark.functions.text import fan_out
+
     order = F.col(keep_order_col if keep_order_col else id_col)
     # \Q…\E so sep is a LITERAL for the split, matching its literal use
     # in the reassembly join below (sep='.' would otherwise split on
     # every character and silently empty all documents)
-    lines = df.select(
+    # fan_out + persist (r08): the exploded relation feeds TWO
+    # aggregations (kept and counts); without a cache each consumer
+    # re-ran the full split+explode+trim pass, and on a single-split
+    # local input that pass ran on ONE core (measured: 2×~4s
+    # single-task stages at sf0.1 — the whole query's cost). Fan-out
+    # parallelizes the explode (no-op on real multi-split scans) and
+    # the persist makes the second consumer a cache read. Every
+    # downstream agg is keyed (min-struct / count / array_sort), so
+    # results are partitioning-invariant.
+    lines = fan_out(df).select(
         F.col(id_col).alias("id"),
         order.alias("__ord"),
         F.posexplode(F.split(F.col(text_col), "\\Q" + sep + "\\E")).alias(
             "pos", "line"
         ),
-    ).where(F.trim("line") != "")
+    ).where(F.trim("line") != "").persist()
     keyed = lines.withColumn("h", F.md5(F.col("line")))
     # id is the struct's tie-break so a non-unique order column still
     # keeps exactly ONE occurrence per line. The agg carries the line
@@ -1211,7 +1222,7 @@ def line_dedup(
             sep,
         ).alias("text"),
     )
-    return (
+    out = (
         counts.join(rebuilt, on="id", how="left")
         .select(
             "id",
@@ -1220,6 +1231,8 @@ def line_dedup(
             F.coalesce("text", F.lit("")).alias("text"),
         )
     )
+    out._cached_intermediates = [lines]
+    return out
 
 
 def semantic_dedup_portable(

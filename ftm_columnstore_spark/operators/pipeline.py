@@ -169,9 +169,11 @@ def prepare_training_data(
             on=id_col,
         )
     if line_dedup_sep is not None:
-        cleaned = line_dedup(
+        deduped_lines = line_dedup(
             out, text_col=text_col, id_col=id_col, sep=line_dedup_sep
-        ).where(F.col("n_kept") > 0)
+        )
+        pipeline_cached += getattr(deduped_lines, "_cached_intermediates", [])
+        cleaned = deduped_lines.where(F.col("n_kept") > 0)
         out = (
             out.drop(text_col)
             .join(

@@ -27,10 +27,17 @@ def get_spark(
         # turns out small. This is the main 100TB survival mechanism.
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-        # coalesce small shuffles down to few reducers (target size wins
-        # over parallelism) — cuts task-scheduling overhead on the many
-        # sub-GB exchanges without affecting large ones.
-        .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+        # parallelism-first coalescing (the Spark DEFAULT, restored in
+        # r08): the r07 override (`false` + 64m advisory) coalesced
+        # every sub-64MB exchange to ONE partition, which serializes
+        # compute-heavy stages whose cost is NOT proportional to their
+        # shuffle bytes (measured r08: d19's posting-join stage ran 1
+        # task / 4.0s CPU under `false`, 2+ tasks under `true`; top-16
+        # mini-battery sum 56→53s). Advisory size still bounds
+        # partition bloat on genuinely large exchanges; `true` only
+        # stops merging below the cluster's parallelism — exactly the
+        # scale-adaptive behavior guide §2.2 asks for.
+        .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "true")
         .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64m")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", "32m")
