@@ -159,9 +159,11 @@ def prepare_training_data(
     if c4_lines is not None:
         from ftm_columnstore_spark.operators.text import c4_line_filter
 
-        filtered = c4_line_filter(
+        c4_out = c4_line_filter(
             out, text_col=text_col, id_col=id_col, **c4_lines
-        ).where(F.col("n_kept") > 0)
+        )
+        pipeline_cached += getattr(c4_out, "_cached_intermediates", [])
+        filtered = c4_out.where(F.col("n_kept") > 0)
         out = out.drop(text_col).join(
             filtered.select(
                 F.col("id").alias(id_col), F.col("text").alias(text_col)

@@ -839,12 +839,20 @@ def c4_line_filter(
     when nothing survives."""
     if min_words < 0:
         raise ValueError(f"min_words must be >= 0, got {min_words}")
-    lines = df.select(
+    from ftm_columnstore_spark.functions.text import fan_out
+
+    # fan_out + persist (r08, same fix as line_dedup): the exploded
+    # relation feeds BOTH the kept-lines and the line-count
+    # aggregations; without a cache each consumer re-ran the
+    # split+explode+regex pass — single-task on a single-split local
+    # input. fan_out is a no-op on real multi-split scans; all
+    # downstream aggs are keyed, so results are partitioning-invariant.
+    lines = fan_out(df).select(
         F.col(id_col).alias("id"),
         F.posexplode(
             F.split(F.col(text_col), "\\Q" + sep + "\\E")
         ).alias("pos", "line"),
-    ).where(F.trim("line") != "")
+    ).where(F.trim("line") != "").persist()
     keep = F.lit(True)
     if require_terminal:
         keep = keep & F.col("line").rlike('[.!?"]\\s*$')
@@ -866,7 +874,7 @@ def c4_line_filter(
             sep,
         ).alias("__text"),
     )
-    return (
+    out = (
         df.select(F.col(id_col).alias("id"))
         .join(counts, on="id", how="left")
         .join(rebuilt, on="id", how="left")
@@ -877,6 +885,8 @@ def c4_line_filter(
             F.coalesce("__text", F.lit("")).alias("text"),
         )
     )
+    out._cached_intermediates = [lines]
+    return out
 
 
 def normalize_text(
