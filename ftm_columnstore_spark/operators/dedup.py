@@ -670,12 +670,16 @@ def simhash_chunks(
     distributions) → ONE groupBy(id) with 64 codegen'd sum(cnt·±1)
     vote aggregates → chunk packing. Identical votes to the
     per-occurrence form; both shuffles are keyed by the doc id."""
-    from ftm_columnstore_spark.functions.text import word_tokens_col
+    from ftm_columnstore_spark.functions.text import fan_out, word_tokens_col
 
     _check_simhash_params(bands)
     width = 64 // bands
+    # fan_out (r08): tokenize+explode+map-side (id, token) combine ran
+    # single-task on a single-split local input; no-op on real scans,
+    # and every downstream agg is keyed by (id[, token]) — partitioning
+    # -invariant.
     tok = (
-        df.filter(F.col(text_col).isNotNull())
+        fan_out(df).filter(F.col(text_col).isNotNull())
         .select(
             F.col(id_col).alias("id"),
             F.explode(word_tokens_col(text_col)).alias("__t"),

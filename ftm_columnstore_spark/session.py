@@ -39,6 +39,15 @@ def get_spark(
         # scale-adaptive behavior guide §2.2 asks for.
         .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "true")
         .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64m")
+        # coalesce floor 1m → 256k: the floor only binds on exchanges
+        # whose TOTAL bytes are a few MB — the "small relation, dense
+        # compute" regime (posting-list joins, vote aggregations, pair
+        # verifies) where per-row work, not bytes, is the cost. Under
+        # the 1m floor those stages collapsed to 1-2 tasks (d4's vote
+        # stage: 1 task / 1.9s CPU on a 1.6MB exchange). Measured r08:
+        # 8-op battery per-op min improved on EVERY op (sum 30.1→24.2s).
+        # Data-proportional stages never see this floor.
+        .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "256k")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", "32m")
         .config(
