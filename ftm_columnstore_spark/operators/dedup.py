@@ -1431,12 +1431,17 @@ def _tokenized_docs(df, text_col: str, id_col: str, order_col: str | None):
     pay for it (inside :func:`_cut_dup_spans`) — r03 ran the segs
     regex corpus-wide in every consumer's lineage, which was most of
     the d14/d15 solo regression (measured: see NOTES round 4)."""
+    from ftm_columnstore_spark.functions.text import fan_out
+
     order = F.col(order_col if order_col else id_col)
     txt = F.coalesce(F.col(text_col), F.lit(""))
     toks = F.transform(
         F.regexp_extract_all(txt, F.lit("[A-Za-z0-9]+"), F.lit(0)), F.lower
     )
-    return df.select(
+    # fan_out (r08): every consumer (_doc_grams posexplode+md5 per token
+    # offset) inherits the scan's split count; a single-split local input
+    # serialized that CPU on one core. No-op on multi-split scans.
+    return fan_out(df).select(
         F.col(id_col).alias("id"),
         order.alias("__ord"),
         txt.alias("text"),

@@ -1136,11 +1136,17 @@ def pq_encode(
     m = len(codebooks)
     dsub = len(codebooks[0][0][1])
     n_codes = len(codebooks[0])
+    from ftm_columnstore_spark.functions.text import fan_out
+
     if method == "auto":
         method = "expr" if n_codes <= _PQ_EXPR_MAX_CODES else "join"
     if method not in ("expr", "join"):
         raise ValueError(f"unknown pq_encode method: {method!r}")
-    q = df.select(
+    # fan_out (r08): the per-row encode argmin is interpreted-HOF-heavy
+    # and ran single-task on a single-split local input (measured 1.4s
+    # at sf0.1); no-op on real multi-split scans, so the zero-shuffle
+    # serve contract is unchanged where it matters.
+    q = fan_out(df).select(
         F.col(id_col).alias("id"), _quantize_col(vec_col, scale).alias("q")
     ).where(F.size("q") == dsub * m)
     if method == "expr":
@@ -1331,7 +1337,12 @@ def ivfpq_topk_portable(
         raise ValueError(f"n_probe must be >= 1, got {n_probe}")
     if refine is not None and refine < k:
         raise ValueError(f"refine must be >= k, got refine={refine}, k={k}")
-    q = df.select(
+    from ftm_columnstore_spark.functions.text import fan_out
+
+    # fan_out (r08): centroid argmin + ADC are interpreted-HOF-heavy and
+    # ran single-task on a single-split local input; no-op on real
+    # multi-split scans, so the zero-shuffle serve contract holds.
+    q = fan_out(df).select(
         F.col(id_col).alias("id"), _quantize_col(vec_col, scale).alias("q")
     ).where(F.size("q") == dim)
     if centroids is None:
