@@ -976,3 +976,21 @@ def test_readability_monotone_in_syllable_density(spark):
     )
     got = {r["id"]: r["fk_grade"] for r in readability_scores(df).collect()}
     assert got[2] > got[1]
+
+
+def test_fan_out_parallelizes_single_split_only(spark):
+    """r08: fan_out raises a below-parallelism input to the slot count
+    (so scan-side CPU parallelizes) and is a no-op at/above it — and
+    never changes values, only partitioning."""
+    from ftm_columnstore_spark.functions.text import fan_out
+
+    target = spark.sparkContext.defaultParallelism
+    one = spark.createDataFrame([(i,) for i in range(10)], "v int").coalesce(1)
+    fanned = fan_out(one)
+    assert fanned.rdd.getNumPartitions() == target
+    assert sorted(r["v"] for r in fanned.collect()) == list(range(10))
+
+    wide = spark.createDataFrame([(i,) for i in range(10)], "v int").repartition(
+        target
+    )
+    assert fan_out(wide) is wide
