@@ -839,20 +839,21 @@ def c4_line_filter(
     when nothing survives."""
     if min_words < 0:
         raise ValueError(f"min_words must be >= 0, got {min_words}")
-    from ftm_columnstore_spark.functions.text import fan_out
-
-    # fan_out + persist (r08, same fix as line_dedup): the exploded
-    # relation feeds BOTH the kept-lines and the line-count
-    # aggregations; without a cache each consumer re-ran the
-    # split+explode+regex pass — single-task on a single-split local
-    # input. fan_out is a no-op on real multi-split scans; all
-    # downstream aggs are keyed, so results are partitioning-invariant.
-    lines = fan_out(df).select(
+    # NOTE (r08): this op deliberately computes the exploded line
+    # relation TWICE (kept + counts) from the scan, with no fan_out and
+    # no persist. Both "fixes" were tried and measured SLOWER here:
+    # fan_out round-robins the full text corpus through an exchange
+    # (min 0.57s → 1.19s at sf0.1), and persist additionally
+    # materializes the exploded relation (≈ corpus-sized) for two
+    # cheap codegen consumers. At scale the input is multi-split, so
+    # the single-task concern doesn't apply, and re-scanning parquet
+    # twice beats caching an exploded corpus.
+    lines = df.select(
         F.col(id_col).alias("id"),
         F.posexplode(
             F.split(F.col(text_col), "\\Q" + sep + "\\E")
         ).alias("pos", "line"),
-    ).where(F.trim("line") != "").persist()
+    ).where(F.trim("line") != "")
     keep = F.lit(True)
     if require_terminal:
         keep = keep & F.col("line").rlike('[.!?"]\\s*$')
@@ -885,7 +886,6 @@ def c4_line_filter(
             F.coalesce("__text", F.lit("")).alias("text"),
         )
     )
-    out._cached_intermediates = [lines]
     return out
 
 
