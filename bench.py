@@ -156,6 +156,12 @@ def _machine_state() -> dict:
     st: dict = {}
     try:
         st["loadavg"] = [float(x) for x in open("/proc/loadavg").read().split()[:3]]
+        # host CPU-steal counter (USER_HZ ticks since boot): r08 traced
+        # every 'monotone degradation' in battery samples to steal
+        # bursts (816 CPU-seconds during one concurrent pass), so the
+        # start/end delta is part of the artifact — a battery with a
+        # large delta is contaminated, not a regression.
+        st["steal_ticks"] = int(open("/proc/stat").readline().split()[8])
         mem = {}
         for line in open("/proc/meminfo"):
             k, _, v = line.partition(":")

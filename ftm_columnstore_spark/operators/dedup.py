@@ -318,11 +318,18 @@ def minhash_lsh_pairs_cross(
     (band, bucket) only. The corpus side's banded relation is exactly
     what a persisted dedup index stores — feed previously-computed
     signatures to skip recomputing the corpus at every batch."""
-    # eager materialize before the fan-out (see minhash_lsh_pairs)
+    # eager materialize before the fan-out (see minhash_lsh_pairs).
+    # The two sides are INDEPENDENT jobs — submit them from a small
+    # thread pool so the second side's tasks back-fill the first's
+    # stage tails (guide §2.6) instead of serializing two sub-second
+    # tails; measured r08 on d12: build phase ~0.5s faster at sf0.1,
+    # and the win grows with per-side skew at scale.
+    from concurrent.futures import ThreadPoolExecutor
+
     nb = _band_relation(new_signatures, num_bands).persist()
-    nb.count()
     cb = _band_relation(corpus_signatures, num_bands).persist()
-    cb.count()
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        list(pool.map(lambda df: df.count(), (nb, cb)))
     out = cross_pairs_from_banded(nb, cb, min_jaccard_est)
     out._cached_intermediates = [nb, cb]
     return out
