@@ -491,11 +491,13 @@ def t3_lang_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def v1_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Brute-force cosine top-20 against the vec_id=0 embedding."""
+def _ann_exact_topk(e: DataFrame) -> DataFrame:
+    """v1's brute-force cosine top-20 (vec_id=0 query) over a given
+    embeddings relation — shared verbatim by v1 and v10's exact side,
+    so v10 can feed it a persisted relation without duplicating the
+    arithmetic (r09, guide §2.1)."""
     from ftm_columnstore_spark.functions.vectors import cosine_similarity_col
 
-    e = _t(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") == 0).select(
         F.col("embedding").alias("qv")
     )
@@ -506,6 +508,11 @@ def v1_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("cosine"),
     )
     return scored.orderBy(F.col("cosine").desc(), F.col("vec_id")).limit(20)
+
+
+def v1_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-20 against the vec_id=0 embedding."""
+    return _ann_exact_topk(_t(spark, sf_dir, "embeddings"))
 
 
 def st1_events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -962,7 +969,9 @@ def d7_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         F.col("a.doc_id").alias("left_id"), F.col("b.doc_id").alias("right_id")
     )
-    cmap = connected_components(edges)
+    # run-edges are distinct and self-loop-free by construction
+    # (right = left + 1, one row per left) — skip CC's dedup shuffle
+    cmap = connected_components(edges, edges_deduped=True)
     return cmap.select(
         F.col("entity_id").cast("long").alias("doc_id"),
         F.col("canonical_id").cast("long").alias("canonical_doc"),
@@ -1598,17 +1607,41 @@ def v10_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     (v8) against exact brute-force cosine top-20 (v1) — the measurement
     every approximate index needs before it replaces the exact path.
     Both sides are deterministic, so the recall itself is
-    oracle-checkable."""
-    exact = v1_ann_topk(spark, sf_dir).select("vec_id")
-    approx = v8_ivf_topk_portable(spark, sf_dir).select("vec_id")
+    oracle-checkable.
+
+    r09 (guide §2.1): both sides previously re-read the embeddings
+    parquet independently (v1's corpus + query-subquery scans, v8's
+    query-vector collect, and the IVF centroid/assignment/candidate
+    reads — six scans total); ONE persisted relation now feeds every
+    consumer. The expressions are v1's and v8's verbatim (shared
+    helpers / identical arguments), so the result is unchanged —
+    re-proved against the DuckDB oracle. The persist lives inside the
+    query build and is released via the house ``_cached_intermediates``
+    contract."""
+    from ftm_columnstore_spark.operators.similarity import ivf_topk_portable
+
+    e = _t(spark, sf_dir, "embeddings").persist()
+    # one job materializes the cache AND fetches the query vector
+    # (v8's collect, verbatim)
+    qvec = [
+        float(x)
+        for x in e.filter(F.col("vec_id") == 0).collect()[0]["embedding"]
+    ]
+    exact = _ann_exact_topk(e).select("vec_id")
+    # v8's call, verbatim, over the cached relation
+    approx = ivf_topk_portable(
+        e.filter(F.col("vec_id") != 0), qvec, k=20, n_centroids=16, n_probe=6
+    ).select("vec_id")
     hits = exact.join(approx, on="vec_id").agg(
         F.count(F.lit(1)).alias("n_hits")
     )
-    return hits.select(
+    out = hits.select(
         F.lit(20).cast("long").alias("k"),
         "n_hits",
         F.round(F.col("n_hits") / 20.0, 6).alias("recall"),
     )
+    out._cached_intermediates = [e]
+    return out
 
 
 def v3_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2354,7 +2387,8 @@ def d13_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         F.col("a.doc_id").alias("left_id"), F.col("b.doc_id").alias("right_id")
     )
-    cmap = connected_components(edges).select(
+    # same run-edge construction as d7: distinct, self-loop-free
+    cmap = connected_components(edges, edges_deduped=True).select(
         F.col("entity_id").cast("long").alias("doc_id"),
         F.col("canonical_id").cast("long").alias("canonical"),
     )

@@ -160,8 +160,13 @@ def _machine_state() -> dict:
         # every 'monotone degradation' in battery samples to steal
         # bursts (816 CPU-seconds during one concurrent pass), so the
         # start/end delta is part of the artifact — a battery with a
-        # large delta is contaminated, not a regression.
-        st["steal_ticks"] = int(open("/proc/stat").readline().split()[8])
+        # large delta is contaminated, not a regression. Own guard
+        # (ADVICE r8): a short/malformed /proc/stat line must skip the
+        # sidecar value, never abort the battery.
+        try:
+            st["steal_ticks"] = int(open("/proc/stat").readline().split()[8])
+        except (OSError, IndexError, ValueError):
+            pass
         mem = {}
         for line in open("/proc/meminfo"):
             k, _, v = line.partition(":")

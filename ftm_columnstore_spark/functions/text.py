@@ -15,11 +15,51 @@ from pyspark.sql import functions as F
 NON_ALNUM = "[^a-z0-9]+"
 
 
+def _conf_bytes(v: str) -> int:
+    """Parse a Spark byte-size conf value ("134217728", "128m", "1g")."""
+    v = v.strip().lower()
+    if v.endswith("b"):
+        v = v[:-1]
+    units = {"k": 1024, "m": 1024**2, "g": 1024**3, "t": 1024**4}
+    if v and v[-1] in units:
+        return int(float(v[:-1]) * units[v[-1]])
+    return int(v)
+
+
 def fan_out(df):
     """Repartition up to the cluster's slot count when the input has
     fewer partitions (small local files) so per-row Arrow/Python work
-    parallelizes — a no-op on real multi-split scans."""
-    target = df.sparkSession.sparkContext.defaultParallelism
+    parallelizes — a no-op on real multi-split scans.
+
+    The exact partition probe (``df.rdd.getNumPartitions()``) forces a
+    physical-planning pass — and, under AQE, can materialize upstream
+    query stages — on every call (VERDICT r8 #3). It is gated behind
+    the optimizer's logical size estimate: when the plan's estimated
+    bytes already guarantee at least a slot-count split
+    (>= defaultParallelism × maxPartitionBytes), a fan-out could never
+    fire, so the probe is skipped outright and no RDD conversion
+    happens on the scale path. Small inputs (the only ones a fan-out
+    can help) still pay the exact probe, where planning is cheap. The
+    estimate read costs one optimizer pass of the subtree — strictly
+    less than the physical planning + RDD conversion it replaces.
+
+    Estimates at or beyond the unknown-stats sentinel (relations with
+    no statistics — e.g. LogicalRDD from createDataFrame — default to
+    Long.MaxValue) are treated as UNKNOWN, not huge, and take the
+    exact probe; no real scan-rooted estimate gets near 2^62."""
+    spark = df.sparkSession
+    target = spark.sparkContext.defaultParallelism
+    try:
+        est = int(
+            str(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+        )
+        max_split = _conf_bytes(
+            spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728")
+        )
+        if target * max_split <= est < (1 << 62):
+            return df
+    except Exception:  # estimate unavailable: fall back to the exact probe
+        pass
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
     return df

@@ -160,6 +160,7 @@ def connected_components(
     max_iterations: int = 50,
     algorithm: str = "star",
     small_graph_threshold: int = 100_000,
+    edges_deduped: bool = False,
 ) -> DataFrame:
     """D5: canonical map from accepted match edges (entity_id →
     canonical_id = min id of its component). Reference cite:
@@ -194,27 +195,37 @@ def connected_components(
     deliberately keeps its historical output for self-loop-only nodes
     (present under "label", absent under "star"/fast), and building
     the deduped relation just to probe would cost large label-mode
-    graphs a full wasted distinct+checkpoint job."""
+    graphs a full wasted distinct+checkpoint job.
+
+    ``edges_deduped=True`` asserts the input is already self-loop-free
+    and distinct (e.g. LSH pair relations, whose ``left_id < right_id``
+    distinct contract guarantees both), skipping a redundant
+    distinct's full shuffle+aggregate of the edge set (r09, guide
+    §2.4). Labels are unchanged for inputs that honour the assertion
+    (union-find and the star rounds are duplicate-idempotent; only the
+    small-graph row-count guard would see duplicates)."""
     if algorithm == "star":
-        deduped = (
-            edges.select(
-                F.col("left_id").alias("src"), F.col("right_id").alias("dst")
-            )
-            .filter(F.col("src") != F.col("dst"))
-            .distinct()
-            .localCheckpoint(eager=True)
+        deduped = edges.select(
+            F.col("left_id").alias("src"), F.col("right_id").alias("dst")
         )
-        if small_graph_threshold > 0:
-            # Cheap count on the already-materialized checkpoint decides
-            # the path; rows only cross to the driver once the graph is
-            # known small (a large graph pays one count job, never a
-            # 100k-row collect).
-            if deduped.count() <= small_graph_threshold:
-                out = _cc_union_find(
-                    edges.sparkSession, deduped.collect(), deduped.schema
-                )
-                out._cached_intermediates = [deduped]
-                return out
+        if not edges_deduped:
+            deduped = deduped.filter(F.col("src") != F.col("dst")).distinct()
+        # persist + ONE count materializes the relation AND decides the
+        # small-graph path — r08 spent two sequential driver jobs here
+        # (eager localCheckpoint, then a count over it); folding them
+        # saves a job per call (VERDICT r8 item 3, guide §2.6/§5).
+        # persist (vs localCheckpoint) also lets repeat invocations in
+        # one session hit the plan cache (the minhash_lsh_pairs lesson).
+        deduped = deduped.persist()
+        n_edges = deduped.count()
+        if 0 < small_graph_threshold >= n_edges:
+            # rows cross to the driver only once the graph is known
+            # small; the collect reads the just-populated cache.
+            out = _cc_union_find(
+                edges.sparkSession, deduped.collect(), deduped.schema
+            )
+            out._cached_intermediates = [deduped]
+            return out
         out = _cc_star(deduped, max_iterations, pre_deduped=True)
         out._cached_intermediates = getattr(
             out, "_cached_intermediates", []

@@ -326,10 +326,27 @@ def minhash_lsh_pairs_cross(
     # and the win grows with per-side skew at scale.
     from concurrent.futures import ThreadPoolExecutor
 
+    from pyspark import inheritable_thread_target
+
     nb = _band_relation(new_signatures, num_bands).persist()
     cb = _band_relation(corpus_signatures, num_bands).persist()
-    with ThreadPoolExecutor(max_workers=2) as pool:
-        list(pool.map(lambda df: df.count(), (nb, cb)))
+    try:
+        # inheritable_thread_target copies the caller's JVM thread-local
+        # properties (job description/group — the bench and probe
+        # labels) into the pool threads, the documented semantics for
+        # driver-side concurrency (ADVICE r8); a failed side build
+        # releases both persists instead of stranding them.
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            list(
+                pool.map(
+                    inheritable_thread_target(lambda df: df.count()),
+                    (nb, cb),
+                )
+            )
+    except Exception:
+        nb.unpersist()
+        cb.unpersist()
+        raise
     out = cross_pairs_from_banded(nb, cb, min_jaccard_est)
     out._cached_intermediates = [nb, cb]
     return out
@@ -426,7 +443,11 @@ def minhash_clusters(
         df, text_col, id_col, num_hashes, shingle_k, hash_family
     )
     pairs = minhash_lsh_pairs(sigs, num_bands, threshold)
-    cmap = connected_components(pairs.select("left_id", "right_id"))
+    # LSH pairs are distinct with left_id < right_id by construction —
+    # skip CC's defensive dedup shuffle (r09, guide §2.4)
+    cmap = connected_components(
+        pairs.select("left_id", "right_id"), edges_deduped=True
+    )
     id_type = df.schema[id_col].dataType
     out = (
         df.select(F.col(id_col).alias("id"))
@@ -1100,7 +1121,11 @@ def embedding_clusters(
     pairs = embedding_dup_pairs_portable(
         df, vec_col, id_col, min_cosine, num_planes, scale
     )
-    cmap = connected_components(pairs.select("left_id", "right_id"))
+    # signature-bucket pairs are distinct with left_id < right_id by
+    # construction (one feats row per id) — skip CC's dedup shuffle
+    cmap = connected_components(
+        pairs.select("left_id", "right_id"), edges_deduped=True
+    )
     id_type = df.schema[id_col].dataType
     out = (
         df.select(F.col(id_col).alias("id"))

@@ -409,7 +409,12 @@ def k_core(
         .distinct()
     )
     sym = e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
-    cur = sym.localCheckpoint()
+    # lazy checkpoint + count: ONE job materializes the round's survivor
+    # set AND yields its size; carrying the previous round's count
+    # forward replaces r08's three sequential driver jobs per round
+    # (eager checkpoint, nxt.count, cur.count) with one (guide §2.6/§5).
+    cur = sym.localCheckpoint(eager=False)
+    cur_n = cur.count()
     for _ in range(max_iter):
         deg = cur.groupBy("a").agg(F.count(F.lit(1)).alias("d"))
         keep = deg.where(F.col("d") >= k).select("a")
@@ -418,11 +423,14 @@ def k_core(
             .join(
                 keep.select(F.col("a").alias("b")), on="b", how="left_semi"
             )
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
-        if nxt.count() == cur.count():
+        nxt_n = nxt.count()
+        # peeling only removes rows (nxt ⊆ cur), so equal counts mean
+        # an identical edge set — the fixpoint
+        if nxt_n == cur_n:
             return cur.select(F.col("a").alias("id")).distinct()
-        cur = nxt
+        cur, cur_n = nxt, nxt_n
     raise RuntimeError(
         f"k_core did not converge within {max_iter} rounds"
     )

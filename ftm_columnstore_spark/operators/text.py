@@ -836,7 +836,14 @@ def c4_line_filter(
     per-document reassembly aggregation. No join against anything, no
     Python. Output: (id, n_lines, n_kept, text) for EVERY input
     document — ``n_lines`` counts non-blank lines, ``text`` is ''
-    when nothing survives."""
+    when nothing survives.
+
+    Determinism contract (ADVICE r8): the two consumers below evaluate
+    the exploded line relation independently, so ``df``'s lineage must
+    be deterministic — an upstream ``sample()``/``rand()``/
+    non-deterministic UDF could make ``n_lines`` and ``n_kept`` come
+    from different evaluations and disagree. Pre-materialize
+    (persist/checkpoint) such inputs before calling."""
     if min_words < 0:
         raise ValueError(f"min_words must be >= 0, got {min_words}")
     # NOTE (r08): this op deliberately computes the exploded line

@@ -994,3 +994,20 @@ def test_fan_out_parallelizes_single_split_only(spark):
         target
     )
     assert fan_out(wide) is wide
+
+    # r09: the scale gate — when the optimizer's size estimate already
+    # guarantees >= slot-count splits (est >= parallelism × maxPartitionBytes),
+    # fan_out returns the input without the df.rdd partition probe (no
+    # physical planning / RDD conversion on the scale path). Simulated by
+    # shrinking maxPartitionBytes so even a tiny relation trips the gate.
+    # spark.range has REAL stats (8 bytes/row); a createDataFrame relation
+    # (LogicalRDD) instead reports the unknown-stats sentinel and must
+    # keep taking the exact probe (the `one`/`wide` cases above).
+    ranged = spark.range(10).coalesce(1)
+    old = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    try:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", "1")
+        assert fan_out(ranged) is ranged  # single-split, but gate says scale
+        assert fan_out(one).rdd.getNumPartitions() == target  # unknown stats
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", old)
