@@ -3697,13 +3697,154 @@ def j24_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order matters: the driver's CORRECTNESS run covers the
     # first ~50 entries. Rotation discipline (VERDICT r7 item 4):
-    # stalest-first. r08 window = the 34 keys last driver-checked in
-    # r04 (the r04-only block), then the first 16 of the r05 block --
-    # 50 keys, ZERO r06/r07 keys; every registry key stays
-    # driver-checked within the trailing 4 rounds. NEXT ROUND: the
-    # remaining 34 r05 keys lead, then the oldest r06 keys to fill 50.
+    # stalest-first, with this round's TOUCHED paths pinned to the
+    # front (VERDICT r8 item 7: d4/d11/d12/d14/d15/v12/v13/a24 carried
+    # an oracle lag from r08; v10/v1/d16/d18/t23/v15/j20/d7/d13 were
+    # code-touched in r09). r09 window = 17 pinned touched/lag keys,
+    # the 28 remaining r05-checked keys, and the 5 oldest r06 keys.
+    # NEXT ROUND: the remaining r06 keys lead, then r07; the r08-checked
+    # r04/r05 blocks sit last (freshest).
     return {
-        # --- last driver-green in r04 (stalest; 34 keys) ---
+        # --- pinned: r09-touched paths + the r08 oracle-lag keys ---
+        "d4_simhash_pairs": d4_simhash_pairs,
+        "d11_line_dedup": d11_line_dedup,
+        "d12_cross_dedup": d12_cross_dedup,
+        "d14_exact_substring_dedup": d14_exact_substring_dedup,
+        "d15_cross_substring_dedup": d15_cross_substring_dedup,
+        "v12_pq_topk": v12_pq_topk,
+        "v13_ivfpq_topk": v13_ivfpq_topk,
+        "a24_column_profile": a24_column_profile,
+        "v10_ann_recall": v10_ann_recall,
+        "v1_ann_topk": v1_ann_topk,
+        "d16_minhash_clusters": d16_minhash_clusters,
+        "d18_cluster_size_histogram": d18_cluster_size_histogram,
+        "t23_leakage_free_split": t23_leakage_free_split,
+        "v15_embedding_clusters": v15_embedding_clusters,
+        "j20_k_core": j20_k_core,
+        "d7_connected_components": d7_connected_components,
+        "d13_dedup_keep_best": d13_dedup_keep_best,
+        # --- last driver-green in r05 (stalest unchecked) ---
+        "a31_ks_drift_by_source": a31_ks_drift_by_source,
+        "st7_windowed_moments": st7_windowed_moments,
+        "j24_adamic_adar": j24_adamic_adar,
+        "a27_log2_histogram": a27_log2_histogram,
+        "a28_moments_profile": a28_moments_profile,
+        "t34_phrase_match": t34_phrase_match,
+        "t35_rake_keywords": t35_rake_keywords,
+        "d17_containment_pairs": d17_containment_pairs,
+        "t36_proximity_match": t36_proximity_match,
+        "v18_vocab_divergence": v18_vocab_divergence,
+        "st5_windowed_hll": st5_windowed_hll,
+        "w9_interval_overlap": w9_interval_overlap,
+        "t37_ngram_novelty": t37_ngram_novelty,
+        "t6_hash_split": t6_hash_split,
+        "t8_deterministic_shuffle": t8_deterministic_shuffle,
+        "a4_avg_via_dsl": a4_avg_via_dsl,
+        "m2_fingerprint_freq": m2_fingerprint_freq,
+        "u3_intersect": u3_intersect,
+        "u4_except": u4_except,
+        "e6_schema_hierarchy": e6_schema_hierarchy,
+        "d6_jaccard_dedup_kept": d6_jaccard_dedup_kept,
+        "w2_rank_spenders": w2_rank_spenders,
+        "j16_pagerank": j16_pagerank,
+        "t16_weighted_sample": t16_weighted_sample,
+        "j17_triangle_count": j17_triangle_count,
+        "t17_perplexity_buckets": t17_perplexity_buckets,
+        "t18_chunk_documents": t18_chunk_documents,
+        "w5_funnel": w5_funnel,
+        # --- oldest r06 keys complete the 50-key window ---
+        "t30_bloom_decontaminate": t30_bloom_decontaminate,
+        "t31_bpe_fertility": t31_bpe_fertility,
+        "t32_zipf_alpha": t32_zipf_alpha,
+        "t33_quality_prune": t33_quality_prune,
+        "v17_kmv_vocab_overlap": v17_kmv_vocab_overlap,
+        # --- past position 50: rest of r06, then r07 ---
+        "st2_events_latest": st2_events_latest,
+        "j5_order_priority_exists": j5_order_priority_exists,
+        "j8_nation_volume": j8_nation_volume,
+        "a11_promo_revenue": a11_promo_revenue,
+        "j9_shipping_priority": j9_shipping_priority,
+        "j10_discounted_revenue": j10_discounted_revenue,
+        "a12_forecast_revenue": a12_forecast_revenue,
+        "a13_late_shipments": a13_late_shipments,
+        "j6_top_customers": j6_top_customers,
+        "j7_big_orders": j7_big_orders,
+        "a10_rollup": a10_rollup,
+        "o4_deterministic_scan": o4_deterministic_scan,
+        "t4_language_id": t4_language_id,
+        "t5_quality_scores": t5_quality_scores,
+        "j11_order_count_distribution": j11_order_count_distribution,
+        "a14_small_quantity_revenue": a14_small_quantity_revenue,
+        "m4_top_supplier_revenue": m4_top_supplier_revenue,
+        "j12_supplier_counts_anti": j12_supplier_counts_anti,
+        "j13_late_sole_shippers": j13_late_sole_shippers,
+        "a15_idle_rich_customers": a15_idle_rich_customers,
+        "j14_best_supplier_per_part": j14_best_supplier_per_part,
+        "a16_part_value_share": a16_part_value_share,
+        "t7_stratified_sample": t7_stratified_sample,
+        "d8_decontamination": d8_decontamination,
+        "a17_regional_share": a17_regional_share,
+        "a18_product_profit": a18_product_profit,
+        "j15_dominant_suppliers": j15_dominant_suppliers,
+        "t10_mixture_sample": t10_mixture_sample,
+        "d3_minhash_lsh_pairs": d3_minhash_lsh_pairs,
+        "v3_lsh_topk": v3_lsh_topk,
+        "v4_embedding_dups": v4_embedding_dups,
+        "v8_ivf_topk_portable": v8_ivf_topk_portable,
+        "t11_bigram_lm": t11_bigram_lm,
+        "t12_tfidf_terms": t12_tfidf_terms,
+        "t13_pii_scrub": t13_pii_scrub,
+        "v6_ann_topk_numpy": v6_ann_topk_numpy,
+        "v7_knn_join_numpy": v7_knn_join_numpy,
+        "w3_asof_join": w3_asof_join,
+        "w4_band_join": w4_band_join,
+        "d9_repetition_filter": d9_repetition_filter,
+        "a19_percentiles": a19_percentiles,
+        "a20_cube": a20_cube,
+        "m5_time_rollup": m5_time_rollup,
+        "t14_winnow_fingerprints": t14_winnow_fingerprints,
+        "d10_winnow_overlap": d10_winnow_overlap,
+        "v9_semantic_dedup": v9_semantic_dedup,
+        "t15_quality_gate": t15_quality_gate,
+        "w6_retention": w6_retention,
+        "w7_sessionize": w7_sessionize,
+        "w8_transitions": w8_transitions,
+        "m7_audio_frames": m7_audio_frames,
+        "m8_resize_features": m8_resize_features,
+        "m9_moving_average": m9_moving_average,
+        "a21_data_checks": a21_data_checks,
+        "j18_edit1_name_pairs": j18_edit1_name_pairs,
+        "v11_ivf_trained_portable": v11_ivf_trained_portable,
+        "t19_pack_portable": t19_pack_portable,
+        "t20_cross_corpus_lm": t20_cross_corpus_lm,
+        "m6_multimodal_features": m6_multimodal_features,
+        "a22_hll_cardinality": a22_hll_cardinality,
+        "a23_cms_heavy_tokens": a23_cms_heavy_tokens,
+        "t21_nb_quality_scores": t21_nb_quality_scores,
+        "a25_sample_quantiles": a25_sample_quantiles,
+        "v14_pq_knn_join": v14_pq_knn_join,
+        "t22_token_budget": t22_token_budget,
+        "a26_table_profile": a26_table_profile,
+        "t24_c4_line_filter": t24_c4_line_filter,
+        "j19_skew_hybrid_join": j19_skew_hybrid_join,
+        "m10_image_dup_pairs": m10_image_dup_pairs,
+        "m11_audio_dup_pairs": m11_audio_dup_pairs,
+        "x5_phonetic_keys": x5_phonetic_keys,
+        "v5_ivf_trained_deep": v5_ivf_trained_deep,
+        "t9_pack_sequences": t9_pack_sequences,
+        "t25_bm25_topk": t25_bm25_topk,
+        "t26_bpe_merges": t26_bpe_merges,
+        "t27_bpe_vocab": t27_bpe_vocab,
+        "t28_temperature_mixture": t28_temperature_mixture,
+        "v16_hybrid_rrf": v16_hybrid_rrf,
+        "t29_bm25_multi": t29_bm25_multi,
+        "s1_scan_project": s1_scan_project,
+        "f3_comparator_filters": f3_comparator_filters,
+        "f5_prefix_filter": f5_prefix_filter,
+        "f7_semi_join_reverse": f7_semi_join_reverse,
+        "f8_search_ilike": f8_search_ilike,
+        "j1_reverse_edges": j1_reverse_edges,
+        # --- re-checked in r08 (freshest): r04 block, then r05 first-16 ---
         "j3_join_revenue_nation": j3_join_revenue_nation,
         "j4_blocking_having": j4_blocking_having,
         "a1_minmax": a1_minmax,
@@ -3736,9 +3877,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t1_text_profile": t1_text_profile,
         "t2_token_topk": t2_token_topk,
         "t3_lang_stats": t3_lang_stats,
-        "v1_ann_topk": v1_ann_topk,
         "st1_events_tumbling": st1_events_tumbling,
-        # --- last driver-green in r05 (first 16 complete the 50-key window) ---
         "t38_pmi_collocations": t38_pmi_collocations,
         "t39_idf_rarity": t39_idf_rarity,
         "j21_label_propagation": j21_label_propagation,
@@ -3755,141 +3894,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t42_readability": t42_readability,
         "t43_stratified_reservoir": t43_stratified_reservoir,
         "j23_neighbor_jaccard": j23_neighbor_jaccard,
-        "a31_ks_drift_by_source": a31_ks_drift_by_source,
-        "st7_windowed_moments": st7_windowed_moments,
-        "j24_adamic_adar": j24_adamic_adar,
-        "a27_log2_histogram": a27_log2_histogram,
-        "a28_moments_profile": a28_moments_profile,
-        "t34_phrase_match": t34_phrase_match,
-        "t35_rake_keywords": t35_rake_keywords,
-        "d17_containment_pairs": d17_containment_pairs,
-        "t36_proximity_match": t36_proximity_match,
-        "v18_vocab_divergence": v18_vocab_divergence,
-        "st5_windowed_hll": st5_windowed_hll,
-        "w9_interval_overlap": w9_interval_overlap,
-        "t37_ngram_novelty": t37_ngram_novelty,
-        "d18_cluster_size_histogram": d18_cluster_size_histogram,
-        "t6_hash_split": t6_hash_split,
-        "t8_deterministic_shuffle": t8_deterministic_shuffle,
-        "a4_avg_via_dsl": a4_avg_via_dsl,
-        "m2_fingerprint_freq": m2_fingerprint_freq,
-        "u3_intersect": u3_intersect,
-        "u4_except": u4_except,
-        "e6_schema_hierarchy": e6_schema_hierarchy,
-        "d6_jaccard_dedup_kept": d6_jaccard_dedup_kept,
-        "d7_connected_components": d7_connected_components,
-        "w2_rank_spenders": w2_rank_spenders,
-        "j16_pagerank": j16_pagerank,
-        "t16_weighted_sample": t16_weighted_sample,
-        "d13_dedup_keep_best": d13_dedup_keep_best,
-        "d14_exact_substring_dedup": d14_exact_substring_dedup,
-        "j17_triangle_count": j17_triangle_count,
-        "d15_cross_substring_dedup": d15_cross_substring_dedup,
-        "t17_perplexity_buckets": t17_perplexity_buckets,
-        "t18_chunk_documents": t18_chunk_documents,
-        "v10_ann_recall": v10_ann_recall,
-        "w5_funnel": w5_funnel,
-        # --- past position 50: r06 block, then r07 (freshest last) ---
-        "t30_bloom_decontaminate": t30_bloom_decontaminate,
-        "t31_bpe_fertility": t31_bpe_fertility,
-        "t32_zipf_alpha": t32_zipf_alpha,
-        "t33_quality_prune": t33_quality_prune,
-        "v17_kmv_vocab_overlap": v17_kmv_vocab_overlap,
-        "st2_events_latest": st2_events_latest,
-        "j5_order_priority_exists": j5_order_priority_exists,
-        "j8_nation_volume": j8_nation_volume,
-        "a11_promo_revenue": a11_promo_revenue,
-        "j9_shipping_priority": j9_shipping_priority,
-        "j10_discounted_revenue": j10_discounted_revenue,
-        "a12_forecast_revenue": a12_forecast_revenue,
-        "a13_late_shipments": a13_late_shipments,
-        "j6_top_customers": j6_top_customers,
-        "j7_big_orders": j7_big_orders,
-        "a10_rollup": a10_rollup,
-        "o4_deterministic_scan": o4_deterministic_scan,
-        "t4_language_id": t4_language_id,
-        "t5_quality_scores": t5_quality_scores,
-        "j11_order_count_distribution": j11_order_count_distribution,
-        "a14_small_quantity_revenue": a14_small_quantity_revenue,
-        "m4_top_supplier_revenue": m4_top_supplier_revenue,
-        "j12_supplier_counts_anti": j12_supplier_counts_anti,
-        "j13_late_sole_shippers": j13_late_sole_shippers,
-        "a15_idle_rich_customers": a15_idle_rich_customers,
-        "j14_best_supplier_per_part": j14_best_supplier_per_part,
-        "a16_part_value_share": a16_part_value_share,
-        "t7_stratified_sample": t7_stratified_sample,
-        "d8_decontamination": d8_decontamination,
-        "a17_regional_share": a17_regional_share,
-        "a18_product_profit": a18_product_profit,
-        "j15_dominant_suppliers": j15_dominant_suppliers,
-        "t10_mixture_sample": t10_mixture_sample,
-        "d3_minhash_lsh_pairs": d3_minhash_lsh_pairs,
-        "d4_simhash_pairs": d4_simhash_pairs,
-        "v3_lsh_topk": v3_lsh_topk,
-        "v4_embedding_dups": v4_embedding_dups,
-        "v8_ivf_topk_portable": v8_ivf_topk_portable,
-        "t11_bigram_lm": t11_bigram_lm,
-        "t12_tfidf_terms": t12_tfidf_terms,
-        "t13_pii_scrub": t13_pii_scrub,
-        "v6_ann_topk_numpy": v6_ann_topk_numpy,
-        "v7_knn_join_numpy": v7_knn_join_numpy,
-        "w3_asof_join": w3_asof_join,
-        "w4_band_join": w4_band_join,
-        "d9_repetition_filter": d9_repetition_filter,
-        "a19_percentiles": a19_percentiles,
-        "a20_cube": a20_cube,
-        "m5_time_rollup": m5_time_rollup,
-        "t14_winnow_fingerprints": t14_winnow_fingerprints,
-        "d10_winnow_overlap": d10_winnow_overlap,
-        "d11_line_dedup": d11_line_dedup,
-        "v9_semantic_dedup": v9_semantic_dedup,
-        "d12_cross_dedup": d12_cross_dedup,
-        "t15_quality_gate": t15_quality_gate,
-        "w6_retention": w6_retention,
-        "w7_sessionize": w7_sessionize,
-        "w8_transitions": w8_transitions,
-        "m7_audio_frames": m7_audio_frames,
-        "m8_resize_features": m8_resize_features,
-        "m9_moving_average": m9_moving_average,
-        "a21_data_checks": a21_data_checks,
-        "j18_edit1_name_pairs": j18_edit1_name_pairs,
-        "v11_ivf_trained_portable": v11_ivf_trained_portable,
-        "t19_pack_portable": t19_pack_portable,
-        "t20_cross_corpus_lm": t20_cross_corpus_lm,
-        "m6_multimodal_features": m6_multimodal_features,
-        "d16_minhash_clusters": d16_minhash_clusters,
-        "v12_pq_topk": v12_pq_topk,
-        "v13_ivfpq_topk": v13_ivfpq_topk,
-        "a22_hll_cardinality": a22_hll_cardinality,
-        "a23_cms_heavy_tokens": a23_cms_heavy_tokens,
-        "a24_column_profile": a24_column_profile,
-        "t21_nb_quality_scores": t21_nb_quality_scores,
-        "a25_sample_quantiles": a25_sample_quantiles,
-        "v14_pq_knn_join": v14_pq_knn_join,
-        "t22_token_budget": t22_token_budget,
-        "t23_leakage_free_split": t23_leakage_free_split,
-        "a26_table_profile": a26_table_profile,
-        "t24_c4_line_filter": t24_c4_line_filter,
-        "j19_skew_hybrid_join": j19_skew_hybrid_join,
-        "m10_image_dup_pairs": m10_image_dup_pairs,
-        "m11_audio_dup_pairs": m11_audio_dup_pairs,
-        "j20_k_core": j20_k_core,
-        "x5_phonetic_keys": x5_phonetic_keys,
-        "v5_ivf_trained_deep": v5_ivf_trained_deep,
-        "t9_pack_sequences": t9_pack_sequences,
-        "t25_bm25_topk": t25_bm25_topk,
-        "t26_bpe_merges": t26_bpe_merges,
-        "t27_bpe_vocab": t27_bpe_vocab,
-        "t28_temperature_mixture": t28_temperature_mixture,
-        "v15_embedding_clusters": v15_embedding_clusters,
-        "v16_hybrid_rrf": v16_hybrid_rrf,
-        "t29_bm25_multi": t29_bm25_multi,
-        "s1_scan_project": s1_scan_project,
-        "f3_comparator_filters": f3_comparator_filters,
-        "f5_prefix_filter": f5_prefix_filter,
-        "f7_semi_join_reverse": f7_semi_join_reverse,
-        "f8_search_ilike": f8_search_ilike,
-        "j1_reverse_edges": j1_reverse_edges,
     }
 
 
