@@ -1399,7 +1399,11 @@ def ks_drift_by_group(
             "max_distinct_values."
         )
     totals = gv.groupBy("g").agg(F.sum("cnt").alias("n_g"))
-    grand = gv.agg(F.sum("cnt").alias("n_all")).first()["n_all"]
+    # grand total as an in-plan broadcast scalar (one row) instead of a
+    # driver-side first(): saves the third sequential build job over gv
+    # (r09, guide §2.6/§5); exact integer sum either way, so every
+    # downstream value is bit-identical.
+    grand_df = gv.agg(F.sum("cnt").alias("n_all"))
     # eval grid: every group x every global step point
     grid = F.broadcast(groups_df).crossJoin(values)
     joined = grid.join(gv, on=["g", "v"], how="left").select(
@@ -1416,18 +1420,23 @@ def ks_drift_by_group(
     # relation (the a29 rule: never a single-partition global window)
     cum_g_grid = joined.withColumn("cum_g", F.sum("cnt").over(w)).persist()
     vcum = cum_g_grid.groupBy("v").agg(F.sum("cum_g").alias("cum_all"))
-    cum = cum_g_grid.join(vcum, on="v").join(totals, on="g")
+    cum = (
+        cum_g_grid.join(vcum, on="v")
+        .join(totals, on="g")
+        .crossJoin(F.broadcast(grand_df))
+    )
     fg = F.col("cum_g").cast("double") / F.col("n_g").cast("double")
     fr = (F.col("cum_all") - F.col("cum_g")).cast("double") / (
-        F.lit(grand) - F.col("n_g")
+        F.col("n_all") - F.col("n_g")
     ).cast("double")
     diffed = cum.select(
         "g",
         "v",
         "n_g",
+        "n_all",
         F.abs(fg - fr).alias("d"),
     )
-    best = diffed.groupBy("g", "n_g").agg(
+    best = diffed.groupBy("g", "n_g", "n_all").agg(
         F.min(
             F.struct((-F.col("d")).alias("nd"), F.col("v").alias("v"))
         ).alias("b")
@@ -1437,7 +1446,7 @@ def ks_drift_by_group(
         F.round(-F.col("b.nd"), 6).alias("d_stat"),
         F.col("b.v").alias("at_value"),
         F.col("n_g").cast("long").alias("n_group"),
-        (F.lit(grand) - F.col("n_g")).cast("long").alias("n_rest"),
+        (F.col("n_all") - F.col("n_g")).cast("long").alias("n_rest"),
     )
     out._cached_intermediates = [gv, cum_g_grid]
     return out
