@@ -155,6 +155,27 @@ def test_connected_components_algorithms_agree(spark):
             assert cmap == expected, (algo, thr)
 
 
+def test_connected_components_edges_deduped_flag(spark):
+    """r09: edges_deduped=True (callers whose pair relations are
+    distinct + self-loop-free by construction) skips the defensive
+    dedup shuffle but must yield identical labels on both the
+    small-graph union-find path and the distributed star path."""
+    edges_py = [(f"m{i}", f"m{i+1}") for i in range(9)] + [("p", "q")]
+    edges = spark.createDataFrame(edges_py, ["left_id", "right_id"])
+    expected = {
+        r["entity_id"]: r["canonical_id"]
+        for r in connected_components(edges).collect()
+    }
+    for thr in (0, 100_000):
+        cmap = {
+            r["entity_id"]: r["canonical_id"]
+            for r in connected_components(
+                edges, small_graph_threshold=thr, edges_deduped=True
+            ).collect()
+        }
+        assert cmap == expected, thr
+
+
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
